@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + testdata table access.
+  *
+  * Plays the role of the reference's `SessionContext` + `ListingTable`
+  * registration (reference: datafusion/core/src/execution/context/mod.rs:457,
+  * datafusion/core/src/datasource/listing/table.rs:196). In Spark the
+  * catalog, scan planning, predicate pushdown, partition pruning and
+  * vectorized parquet reading are native — we only pin the configs that
+  * matter for a 1000-executor deployment: AQE on (runtime re-plan, skew
+  * join splitting, partition coalescing), shuffle partitions sized to the
+  * local parallelism (on a real cluster this would be ~2-3x total cores or
+  * left to AQE's coalescing), UTC session time zone for deterministic
+  * timestamp semantics.
+  */
+object Engine {
+  /** All driver-provided tables under each /root/testdata/sfN dir. */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def session(
+      cores: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Parquet scan of one testdata table. Column pruning + filter pushdown
+    * reach the scan via Catalyst (verify with .explain: PushedFilters /
+    * ReadSchema). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view (SQL entry point parity with the
+    * reference's `ctx.register_parquet`). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}
