@@ -42,9 +42,19 @@ object Engine {
 
   /** Parquet scan of one testdata table. Column pruning + filter pushdown
     * reach the scan via Catalyst (verify with .explain: PushedFilters /
-    * ReadSchema). */
+    * ReadSchema).
+    *
+    * events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent
+    * (µs precision max): read it as long via the legacy conf and truncate
+    * to a µs TimestampType — same truncation DuckDB applies when casting
+    * TIMESTAMP_NS → TIMESTAMP, keeping the oracle compare exact. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view (SQL entry point parity with the
     * reference's `ctx.register_parquet`). */

@@ -14,7 +14,10 @@ object SparkEntry {
     queries_.foldLeft(Map.empty[String, Q])(_ ++ _)
 
   private def queries_ : Seq[Map[String, Q]] = Seq(
-    graft.queries.TpchQueries.defs
+    graft.queries.TpchQueries.defs,
+    graft.queries.JoinSetSortQueries.defs,
+    graft.queries.WindowQueries.defs,
+    graft.queries.AggQueries.defs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

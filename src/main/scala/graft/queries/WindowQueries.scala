@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.{Engine, Q}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window-function surface (reference: WindowAggExec / BoundedWindowAggExec,
+  * datafusion/physical-plan/src/windows/window_agg_exec.rs:52,
+  * bounded_window_agg_exec.rs:72; built-ins
+  * expr/src/built_in_window_function.rs:42-71; frames
+  * expr/src/window_frame.rs:41-47: ROWS/RANGE/GROUPS — Spark lacks GROUPS,
+  * documented gap, emulated via dense_rank+range when needed).
+  *
+  * Scale: each window spec = one shuffle on partitionBy keys + in-partition
+  * sort. All queries here share one partitioning per query so Catalyst plans
+  * a single Exchange; skewed partition keys at 100 TB would use a two-level
+  * (salted prefix-agg) rewrite for the agg-over-window cases.
+  */
+object WindowQueries {
+
+  val defs: Map[String, Q] = Map(
+    // ── ranking functions ────────────────────────────────────────────────
+    "window_ranking" -> Q("""
+      |SELECT c_custkey,
+      |       CAST(row_number() OVER w AS BIGINT) AS rn,
+      |       CAST(rank()       OVER w AS BIGINT) AS rnk,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_custkey""") { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Engine.table(s, d, "customer")
+        .select(col("c_custkey"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ── distribution functions + ntile ───────────────────────────────────
+    "window_distribution" -> Q("""
+      |SELECT c_custkey,
+      |       round(percent_rank() OVER w, 6) AS pr,
+      |       round(cume_dist()    OVER w, 6) AS cd,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""") { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Engine.table(s, d, "customer")
+        .select(col("c_custkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ── lag / lead with defaults ─────────────────────────────────────────
+    "window_lag_lead" -> Q("""
+      |SELECT o_orderkey,
+      |       lag(o_totalprice, 1, -1.0)  OVER w AS prev_price,
+      |       lead(o_totalprice, 1, -1.0) OVER w AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""") { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ── ROWS frame: running sum + moving average ─────────────────────────
+    "window_frame_rows" -> Q("""
+      |SELECT o_orderkey,
+      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+      |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+      |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_sum"),
+          round(avg(col("o_totalprice"))
+            .over(w.rowsBetween(-2, Window.currentRow)), 4).as("moving_avg"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ── RANGE frame over a numeric ordering ──────────────────────────────
+    "window_frame_range" -> Q("""
+      |SELECT o_orderkey,
+      |       CAST(count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+      |             RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cheaper
+      |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          expr("""count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                  RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)""")
+            .cast("long").as("near_cheaper"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ── first_value / last_value / nth_value over full-partition frame ───
+    "window_first_last_nth" -> Q("""
+      |SELECT o_orderkey,
+      |       first_value(o_orderkey) OVER w AS first_ok,
+      |       last_value(o_orderkey)  OVER w AS last_ok,
+      |       nth_value(o_orderkey, 2) OVER w AS second_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""") { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ── arbitrary aggregate over unordered window (whole partition) ──────
+    "window_partition_agg" -> Q("""
+      |SELECT o_orderkey,
+      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_total,
+      |       CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_orders,
+      |       round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+      |         AS share
+      |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("cust_total"),
+          count(lit(1)).over(w).cast("long").as("cust_orders"),
+          round(col("o_totalprice") / sum(col("o_totalprice")).over(w), 6)
+            .as("share"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ── GROUPS-frame gap emulation: count of distinct-order-value peers ──
+    // DataFusion supports GROUPS frames (window_frame.rs:313-327); Spark
+    // does not. Emulate "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW" by
+    // bucketing ties with dense_rank, then a range frame over the rank.
+    "window_groups_emulated" -> Q("""
+      |SELECT o_orderkey, CAST(grp_cnt AS BIGINT) AS grp_cnt FROM (
+      |  SELECT o_orderkey,
+      |         count(*) OVER (PARTITION BY o_orderstatus ORDER BY dr
+      |                        RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS grp_cnt
+      |  FROM (SELECT o_orderkey, o_orderstatus,
+      |               dense_rank() OVER (PARTITION BY o_orderstatus
+      |                                  ORDER BY o_orderpriority) AS dr
+      |        FROM orders))
+      |ORDER BY o_orderkey""") { (s, d) =>
+      val wRank = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"))
+      val wRange = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("dr")).rangeBetween(-1, Window.currentRow)
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dense_rank().over(wRank).as("dr"))
+        .select(col("o_orderkey"),
+          count(lit(1)).over(wRange).cast("long").as("grp_cnt"))
+        .orderBy(col("o_orderkey"))
+    }
+  )
+}
