@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.TpchQueries.defs,
     graft.queries.JoinSetSortQueries.defs,
     graft.queries.WindowQueries.defs,
-    graft.queries.AggQueries.defs
+    graft.queries.AggQueries.defs,
+    graft.queries.FunctionQueries.defs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

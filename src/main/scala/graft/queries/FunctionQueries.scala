@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.{Engine, Q}
+import graft.functions.{GraftFunctions => F, NumberTheory}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (reference: datafusion/functions/src/lib.rs:156 —
+  * string/unicode/regex/math/datetime/crypto/core families;
+  * datafusion/functions-array/src/lib.rs:104-140). Each query evaluates a
+  * family over a testdata table and is oracled against DuckDB (names
+  * differ per dialect — the oracle SQL is the DuckDB spelling of the same
+  * semantics). Everything stays in whole-stage codegen: built-in functions
+  * + the graft parity layer (compositions / native Expressions, no UDFs).
+  */
+object FunctionQueries {
+
+  val defs: Map[String, Q] = Map(
+    // ── string family ────────────────────────────────────────────────────
+    "func_string" -> Q("""
+      |SELECT doc_id,
+      |       upper(source)  AS up, lower(source) AS lo,
+      |       CAST(length(text) AS BIGINT) AS len,
+      |       substr(text, 3, 8) AS sub,
+      |       source || '-' || lang AS cat,
+      |       concat_ws('/', source, lang) AS catws,
+      |       trim('  pad  ') AS tr, ltrim('  pad') AS ltr, rtrim('pad  ') AS rtr,
+      |       lpad(source, 8, '*') AS lp, rpad(lang, 5, '.') AS rp,
+      |       reverse(source) AS rev,
+      |       left(text, 4) AS l4, right(source, 2) AS r2,
+      |       repeat(lang, 3) AS rep,
+      |       replace(source, 'src', 'S') AS repl,
+      |       CAST(ascii(lang) AS BIGINT) AS asc_,
+      |       chr(CAST(65 + doc_id % 26 AS INTEGER)) AS ch,
+      |       split_part(text, ' ', 2) AS sp2,
+      |       translate(source, 'srd', 'xyz') AS tra,
+      |       CAST(instr(text, 'data') AS BIGINT) AS pos,
+      |       starts_with(source, 'src') AS sw,
+      |       ends_with(lang, 'n') AS ew,
+      |       contains(text, 'query') AS has_q,
+      |       CAST(levenshtein(lang, 'en') AS BIGINT) AS lev,
+      |       upper(substr(source, 1, 1)) || lower(substr(source, 2)) AS icap
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"),
+          upper(col("source")).as("up"), lower(col("source")).as("lo"),
+          length(col("text")).cast("long").as("len"),
+          substring(col("text"), 3, 8).as("sub"),
+          concat(col("source"), lit("-"), col("lang")).as("cat"),
+          concat_ws("/", col("source"), col("lang")).as("catws"),
+          trim(lit("  pad  ")).as("tr"), ltrim(lit("  pad")).as("ltr"),
+          rtrim(lit("pad  ")).as("rtr"),
+          lpad(col("source"), 8, "*").as("lp"), rpad(col("lang"), 5, ".").as("rp"),
+          reverse(col("source")).as("rev"),
+          substring(col("text"), 1, 4).as("l4"),
+          expr("right(source, 2)").as("r2"),
+          repeat(col("lang"), 3).as("rep"),
+          regexp_replace(col("source"), "src", "S").as("repl"),
+          ascii(col("lang")).cast("long").as("asc_"),
+          chr(lit(65) + col("doc_id") % 26).as("ch"),
+          expr("split_part(text, ' ', 2)").as("sp2"),
+          translate(col("source"), "srd", "xyz").as("tra"),
+          instr(col("text"), "data").cast("long").as("pos"),
+          col("source").startsWith("src").as("sw"),
+          col("lang").endsWith("n").as("ew"),
+          col("text").contains("query").as("has_q"),
+          levenshtein(col("lang"), lit("en")).cast("long").as("lev"),
+          initcap(col("source")).as("icap"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── crypto / encoding ────────────────────────────────────────────────
+    "func_crypto" -> Q("""
+      |SELECT doc_id,
+      |       md5(source)    AS m5,
+      |       sha256(source) AS s256,
+      |       hex(doc_id)    AS hx,
+      |       to_base64(CAST(source AS BLOB)) AS b64
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"),
+          md5(col("source")).as("m5"),
+          sha2(col("source"), 256).as("s256"),
+          hex(col("doc_id")).as("hx"),
+          base64(col("source").cast("binary")).as("b64"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── regex family (simple ASCII patterns — dialect-neutral) ───────────
+    "func_regex" -> Q("""
+      |SELECT doc_id,
+      |       regexp_matches(text, 'qu[a-z]+') AS rl,
+      |       regexp_extract(text, 'd[a-z]+', 0) AS rx,
+      |       regexp_replace(text, '[aeiou]', '_', 'g') AS rr,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS rc,
+      |       regexp_extract_all(substr(text, 1, 30), '[a-z]+') AS rall
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"),
+          col("text").rlike("qu[a-z]+").as("rl"),
+          regexp_extract(col("text"), "d[a-z]+", 0).as("rx"),
+          regexp_replace(col("text"), "[aeiou]", "_").as("rr"),
+          regexp_count(col("text"), lit("[a-z]+")).cast("long").as("rc"),
+          regexp_extract_all(substring(col("text"), 1, 30), lit("[a-z]+"), lit(0))
+            .as("rall"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── math family ──────────────────────────────────────────────────────
+    "func_math" -> Q("""
+      |SELECT p_partkey,
+      |       abs(p_retailprice - 1000.0)          AS ab,
+      |       ceil(p_retailprice)                  AS ce,
+      |       floor(p_retailprice)                 AS fl,
+      |       round(p_retailprice, 1)              AS rnd,
+      |       round(sqrt(p_retailprice), 6)        AS sq,
+      |       round(cbrt(p_retailprice), 6)        AS cb,
+      |       round(exp(p_size / 25.0), 6)         AS ex,
+      |       round(ln(p_retailprice), 6)          AS lnv,
+      |       round(log10(p_retailprice), 6)       AS l10,
+      |       round(log2(p_retailprice), 6)        AS l2,
+      |       round(sin(p_size), 6) AS sn, round(cos(p_size), 6) AS cs,
+      |       round(tan(p_size), 6) AS tn,
+      |       round(atan2(p_size, 7), 6)           AS at2,
+      |       round(cot(p_size + 1), 6)            AS ct,
+      |       round(degrees(p_size / 10.0), 6)     AS dg,
+      |       round(radians(p_size), 6)            AS rd,
+      |       CAST(sign(p_size - 25) AS BIGINT)    AS sg,
+      |       round(pow(p_size, 2.0), 1)           AS pw,
+      |       p_partkey % 7                        AS md,
+      |       CAST(factorial(p_size % 11) AS BIGINT) AS fact,
+      |       gcd(p_partkey, 36)                   AS g,
+      |       lcm(p_partkey % 10 + 1, 6)           AS l,
+      |       round(pi(), 6)                       AS pi_
+      |FROM part ORDER BY p_partkey""") { (s, d) =>
+      NumberTheory.register(s)
+      Engine.table(s, d, "part")
+        .select(col("p_partkey"),
+          abs(col("p_retailprice") - 1000.0).as("ab"),
+          ceil(col("p_retailprice")).as("ce"),
+          floor(col("p_retailprice")).as("fl"),
+          round(col("p_retailprice"), 1).as("rnd"),
+          round(sqrt(col("p_retailprice")), 6).as("sq"),
+          round(cbrt(col("p_retailprice")), 6).as("cb"),
+          round(exp(col("p_size") / 25.0), 6).as("ex"),
+          round(log(col("p_retailprice")), 6).as("lnv"),
+          round(log10(col("p_retailprice")), 6).as("l10"),
+          round(log2(col("p_retailprice")), 6).as("l2"),
+          round(sin(col("p_size")), 6).as("sn"),
+          round(cos(col("p_size")), 6).as("cs"),
+          round(tan(col("p_size")), 6).as("tn"),
+          round(atan2(col("p_size").cast("double"), lit(7.0)), 6).as("at2"),
+          round(cot(col("p_size") + 1), 6).as("ct"),
+          round(degrees(col("p_size") / 10.0), 6).as("dg"),
+          round(radians(col("p_size")), 6).as("rd"),
+          signum(col("p_size") - 25).cast("long").as("sg"),
+          round(pow(col("p_size"), 2.0), 1).as("pw"),
+          (col("p_partkey") % 7).as("md"),
+          factorial(col("p_size") % 11).cast("long").as("fact"),
+          NumberTheory.gcd(col("p_partkey"), lit(36)).as("g"),
+          NumberTheory.lcm(col("p_partkey") % 10 + 1, lit(6)).as("l"),
+          round(lit(math.Pi), 6).as("pi_"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ── datetime family ──────────────────────────────────────────────────
+    "func_datetime" -> Q("""
+      |SELECT o_orderkey,
+      |       CAST(year(o_orderdate) AS BIGINT)      AS y,
+      |       CAST(quarter(o_orderdate) AS BIGINT)   AS q,
+      |       CAST(month(o_orderdate) AS BIGINT)     AS mo,
+      |       CAST(day(o_orderdate) AS BIGINT)       AS dy,
+      |       CAST(date_part('dow', o_orderdate) + 1 AS BIGINT) AS dw,
+      |       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      |       CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+      |       CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+      |       last_day(CAST(o_orderdate AS DATE))    AS mend,
+      |       CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus3,
+      |       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd,
+      |       CAST(epoch(o_orderdate) AS BIGINT)     AS ep,
+      |       strftime(o_orderdate, '%Y-%m-%d %H')   AS fmt,
+      |       make_date(2024, CAST(month(o_orderdate) AS INT), 1) AS md
+      |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+          dayofweek(col("o_orderdate")).cast("long").as("dw"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          weekofyear(col("o_orderdate")).cast("long").as("wk"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mstart"),
+          last_day(col("o_orderdate").cast("date")).as("mend"),
+          (col("o_orderdate") + expr("INTERVAL '3' DAY")).cast("date").as("plus3"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("dd"),
+          unix_timestamp(col("o_orderdate")).as("ep"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH").as("fmt"),
+          make_date(lit(2024), month(col("o_orderdate")), lit(1)).as("md"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ── date_bin (graft parity fn) vs DuckDB time_bucket ─────────────────
+    "func_date_bin" -> Q("""
+      |SELECT bucket, count(*) AS n, round(sum(value), 2) AS v
+      |FROM (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP),
+      |                         TIMESTAMP '2024-01-01') AS bucket, value
+      |      FROM events)
+      |GROUP BY bucket ORDER BY bucket""") { (s, d) =>
+      Engine.table(s, d, "events")
+        .select(F.date_bin("15 minutes", col("ts"),
+          lit("2024-01-01").cast("timestamp")).as("bucket"), col("value"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .orderBy(col("bucket"))
+    },
+
+    // ── conditional / null-handling core fns ─────────────────────────────
+    "func_conditional" -> Q("""
+      |SELECT o_orderkey,
+      |       CASE WHEN o_totalprice > 3000 THEN 'big'
+      |            WHEN o_totalprice > 1000 THEN 'mid' ELSE 'small' END AS sz,
+      |       CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open'
+      |            ELSE 'other' END AS st,
+      |       coalesce(nullif(o_orderstatus, 'P'), 'pending') AS coal,
+      |       ifnull(nullif(o_orderpriority, o_orderpriority), 'none') AS ifn,
+      |       CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL
+      |            THEN 'has' ELSE 'null' END AS nv2,
+      |       greatest(o_totalprice, 2000.0) AS gr,
+      |       least(CAST(o_custkey AS BIGINT), o_orderkey) AS le
+      |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 3000, "big")
+            .when(col("o_totalprice") > 1000, "mid")
+            .otherwise("small").as("sz"),
+          when(col("o_orderstatus") === "F", "done")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("st"),
+          coalesce(nullif(col("o_orderstatus"), lit("P")), lit("pending"))
+            .as("coal"),
+          coalesce(nullif(col("o_orderpriority"), col("o_orderpriority")),
+            lit("none")).as("ifn"),
+          F.nvl2(nullif(col("o_orderstatus"), lit("P")), lit("has"), lit("null"))
+            .as("nv2"),
+          greatest(col("o_totalprice"), lit(2000.0)).as("gr"),
+          least(col("o_custkey"), col("o_orderkey")).as("le"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ── array family over real array data + word arrays ──────────────────
+    "func_array" -> Q("""
+      |SELECT doc_id,
+      |       CAST(len(words) AS BIGINT)            AS n_words,
+      |       words[1]                              AS first_word,
+      |       words[len(words)]                     AS last_word,
+      |       list_sort(list_distinct(words))       AS vocab,
+      |       list_contains(words, 'data')          AS has_data,
+      |       CAST(list_position(words, 'query') AS BIGINT) AS q_pos,
+      |       list_filter(words, x -> x <> 'the')   AS no_the,
+      |       list_sort(list_distinct(list_concat(words, ['data','query'])))
+      |         AS uni,
+      |       array_to_string(words[1:3], '-')      AS first3,
+      |       flatten([words[1:2], words[3:4]])     AS flat,
+      |       generate_series(1, 5, 2)              AS seq
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      |ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"),
+          size(col("words")).cast("long").as("n_words"),
+          element_at(col("words"), 1).as("first_word"),
+          element_at(col("words"), size(col("words"))).as("last_word"),
+          array_sort(array_distinct(col("words"))).as("vocab"),
+          array_contains(col("words"), "data").as("has_data"),
+          array_position(col("words"), "query").cast("long").as("q_pos"),
+          filter(col("words"), x => x =!= "the").as("no_the"),
+          array_sort(array_distinct(
+            concat(col("words"), array(lit("data"), lit("query"))))).as("uni"),
+          array_join(slice(col("words"), 1, 3), "-").as("first3"),
+          flatten(array(slice(col("words"), 1, 2), slice(col("words"), 3, 2)))
+            .as("flat"),
+          sequence(lit(1), lit(5), lit(2)).as("seq"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── graft array-gap functions (pop/resize/replace/has_all) ───────────
+    "func_array_gaps" -> Q("""
+      |SELECT doc_id,
+      |       w[2:len(w)]                     AS popped_front,
+      |       w[1:len(w)-1]                   AS popped_back,
+      |       CASE WHEN len(w) >= 4 THEN w[1:4]
+      |            ELSE list_concat(w, ['_','_','_','_'][1:4-len(w)])
+      |       END                             AS resized,
+      |       list_transform(w, x -> CASE WHEN x = 'data' THEN 'DATA'
+      |                                   ELSE x END) AS replaced_all,
+      |       len(list_filter(['data','query'],
+      |           x -> NOT list_contains(w, x))) = 0 AS hasall,
+      |       len(w) = 0                      AS is_empty,
+      |       [len(w)]                        AS dims
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          F.array_pop_front(col("w")).as("popped_front"),
+          F.array_pop_back(col("w")).as("popped_back"),
+          F.array_resize(col("w"), lit(4), lit("_")).as("resized"),
+          F.array_replace_all(col("w"), lit("data"), lit("DATA"))
+            .as("replaced_all"),
+          F.array_has_all(col("w"), array(lit("data"), lit("query")))
+            .as("hasall"),
+          F.array_empty(col("w")).as("is_empty"),
+          F.array_dims(col("w")).cast("array<long>").as("dims"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── higher-order functions (transform/filter/aggregate/exists) ───────
+    "func_higher_order" -> Q("""
+      |SELECT vec_id,
+      |       list_transform(emb4, x -> round(x * 2.0, 4)) AS doubled,
+      |       list_filter(emb4, x -> x > 0.0)              AS positive,
+      |       round(list_sum(list_transform(emb4, x -> x)), 4) AS total,
+      |       len(list_filter(emb4, x -> x > 0.0)) > 0     AS any_pos
+      |FROM (SELECT vec_id,
+      |             list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS emb4
+      |      FROM embeddings)
+      |ORDER BY vec_id""") { (s, d) =>
+      Engine.table(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(slice(col("embedding"), 1, 4), x => x.cast("double"))
+            .as("emb4"))
+        .select(col("vec_id"),
+          transform(col("emb4"), x => round(x * 2.0, 4)).as("doubled"),
+          filter(col("emb4"), x => x > 0.0).as("positive"),
+          round(aggregate(col("emb4"), lit(0.0), (acc, x) => acc + x), 4)
+            .as("total"),
+          exists(col("emb4"), x => x > 0.0).as("any_pos"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ── struct construction + field access ───────────────────────────────
+    "func_struct" -> Q("""
+      |SELECT doc_id,
+      |       struct_pack(lang := lang, n := n_chars)      AS meta,
+      |       struct_pack(lang := lang, n := n_chars).lang AS lang_out
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"),
+          struct(col("lang").as("lang"), col("n_chars").as("n")).as("meta"),
+          struct(col("lang").as("lang"), col("n_chars").as("n"))
+            .getField("lang").as("lang_out"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
