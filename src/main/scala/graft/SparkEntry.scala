@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.JoinSetSortQueries.defs,
     graft.queries.WindowQueries.defs,
     graft.queries.AggQueries.defs,
-    graft.queries.FunctionQueries.defs
+    graft.queries.FunctionQueries.defs,
+    graft.queries.PipelineQueries.defs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, dictionary language-ID, and document fingerprinting.
+  * All pure Column expressions (codegen'd, embarrassingly parallel — no
+  * shuffle at all until an eventual aggregation), which is exactly what a
+  * 100 TB text scan wants: one pass, map-side only.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+")).cast("long")
+
+  /** BPE-ish subword count: alpha chunks of ≤4 chars, digit runs, or single
+    * punctuation — a cheap deterministic proxy for a real tokenizer's token
+    * count. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Composite quality score in [0,1]: length saturation, low punctuation
+    * noise, stopword presence, mean word length sanity. Deterministic and
+    * SQL-expressible (oracled in PipelineQueries). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nChars = length(text).cast("double")
+    val words = split(text, "\\s+")
+    val nWords = size(words).cast("double")
+    val lenScore = least(nChars / 400.0, lit(1.0))
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val punctScore = greatest(lit(1.0) - punct / greatest(nChars, lit(1.0)) * 10.0, lit(0.0))
+    val stops = size(filter(words,
+      w => w.isInCollection(stopwords))).cast("double")
+    val stopScore = least(stops / greatest(nWords, lit(1.0)) * 5.0, lit(1.0))
+    val meanLen = nChars / greatest(nWords, lit(1.0))
+    val lenSanity = when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    // +1e-9 pushes exact .XXXX5 sums off the round-half boundary so
+    // Spark (HALF_UP on exact binary) and DuckDB (fp round) agree
+    round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + lenSanity * 0.2
+      + 1e-9, 4)
+  }
+
+  /** Small public stopword dictionaries for the language-ID heuristic. */
+  val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Dictionary language-ID: score = stopword hits per language; argmax
+    * with deterministic tie-break (dictionary order). Returns a struct
+    * (lang, score). A char-n-gram model would drop in the same shape. */
+  def langId(text: Column): Column = {
+    val words = split(lower(text), "\\s+")
+    // array of (score, rankDesc, lang); array_max picks lexicographic max:
+    // highest score, then lowest dictionary index (rankDesc = -index).
+    val scored = array(langDicts.zipWithIndex.map { case ((lang, dict), i) =>
+      struct(
+        size(filter(words, w => w.isInCollection(dict))).cast("long").as("score"),
+        lit(-i).as("rank_desc"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    struct(best.getField("lang").as("lang"), best.getField("score").as("score"))
+  }
+
+  /** Content fingerprint: md5 of whitespace/case-normalized text — the
+    * canonical-form key for exact-after-normalization dedup. */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Polynomial rolling hash over words, mod 1e9+7 (overflow-safe under
+    * ANSI: acc < 1e9+7, acc*31 + h < 2^63). Word hashes come from
+    * xxhash64 folded into [0, 1e9+7). */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(
+      transform(split(text, "\\s+"), w => pmod(xxhash64(w), lit(1000000007L))),
+      lit(0L), (acc, h) => pmod(acc * 31 + h, lit(1000000007L)))
+}

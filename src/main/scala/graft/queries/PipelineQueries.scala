@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{Engine, Q}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the documents/embeddings tables:
+  * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search
+  * (brute-force cosine top-k, LSH near-pairs), text analysis (tokens,
+  * quality, language-ID, fingerprints), multimodal decode plumbing.
+  * Approximate/sketch operators are rows-only here and recall-tested
+  * against exact ground truth in PipelineSpec.
+  */
+object PipelineQueries {
+
+  private val shingleSqlDuck =
+    """SELECT doc_id,
+      |       list_distinct(list_transform(
+      |         generate_series(1, greatest(len(ws) - 2, 1)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) sh
+      |FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // ── exact dedup (hash-groupBy) ───────────────────────────────────────
+    "pipe_dedup_exact" -> Q("""
+      |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""") { (s, d) =>
+      Dedup.exactDedup(Engine.table(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    },
+
+    // ── exact n-gram Jaccard near-dup pairs (ground truth) ───────────────
+    "pipe_dedup_ngram" -> Q(s"""
+      |WITH sh0 AS ($shingleSqlDuck),
+      |sh AS (SELECT doc_id, unnest(sh) s FROM sh0),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+      |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6
+      |ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.ngramJaccardPairs(Engine.table(s, d, "documents"),
+          "doc_id", "text", shingleSize = 3, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ── MinHash + LSH banding near-dup pairs (the 100 TB path) ───────────
+    "pipe_dedup_minhash" -> Q.noOracle { (s, d) =>
+      Dedup.minhashPairs(Engine.table(s, d, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ── SimHash near-dup pairs ───────────────────────────────────────────
+    "pipe_dedup_simhash" -> Q.noOracle { (s, d) =>
+      Dedup.simhashPairs(Engine.table(s, d, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ── brute-force cosine top-k (exact ANN baseline) ────────────────────
+    "pipe_sim_topk" -> Q("""
+      |WITH e AS (SELECT vec_id,
+      |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |           FROM embeddings)
+      |SELECT q.vec_id AS qid, e.vec_id AS nid,
+      |       round(list_dot_product(q.v, e.v)
+      |             / (sqrt(list_dot_product(q.v, q.v))
+      |                * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+      |FROM e q, e e
+      |WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+      |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+      |                           ORDER BY cos DESC, e.vec_id) <= 5
+      |ORDER BY qid, cos DESC, nid""") { (s, d) =>
+      val emb = Engine.table(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("cos").desc, col("nid"))
+    },
+
+    // ── LSH near-pairs over embeddings (approximate scale path) ──────────
+    "pipe_sim_lsh" -> Q.noOracle { (s, d) =>
+      Similarity.lshNearPairs(Engine.table(s, d, "embeddings"),
+          "vec_id", "embedding", planes = 16, bandBits = 4, rotations = 3,
+          threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ── text statistics: tokens / bpe-ish / quality / md5 fingerprint ────
+    "pipe_text_stats" -> Q("""
+      |SELECT doc_id,
+      |       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+      |       CAST(len(regexp_extract_all(text,
+      |            '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+      |       round(least(length(text) / 400.0, 1.0) * 0.3
+      |         + greatest(1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+      |                    * 1.0 / greatest(length(text), 1) * 10.0, 0.0) * 0.3
+      |         + least(len(list_filter(string_split_regex(text, '\s+'),
+      |             w -> list_contains(['the','and','of','to','a','in','is','it','that','for'], w)))
+      |             * 1.0 / greatest(len(string_split_regex(text, '\s+')), 1) * 5.0,
+      |             1.0) * 0.2
+      |         + CASE WHEN length(text) * 1.0
+      |                     / greatest(len(string_split_regex(text, '\s+')), 1)
+      |                     BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END * 0.2
+      |         + 0.000000001, 4) AS quality,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+          TextAnalysis.qualityScore(col("text"),
+            TextAnalysis.langDicts.head._2).as("quality"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── dictionary language-ID (argmax with deterministic tie-break) ─────
+    "pipe_text_langid" -> Q("""
+      |WITH s AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(ws, w -> list_contains(['the','and','of','to','a','in','is','it','that','for'], w))) s_en,
+      |    len(list_filter(ws, w -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','den'], w))) s_de,
+      |    len(list_filter(ws, w -> list_contains(['el','la','de','que','y','en','un','es','no','por'], w))) s_es,
+      |    len(list_filter(ws, w -> list_contains(['le','la','et','les','des','un','une','est','que','pour'], w))) s_fr,
+      |    len(list_filter(ws, w -> list_contains(['的','是','不','了','在','人','有','我','他','这'], w))) s_zh
+      |  FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') ws
+      |        FROM documents))
+      |SELECT doc_id, lang AS actual,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted,
+      |  CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS BIGINT) AS score
+      |FROM s ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"), col("lang").as("actual"),
+          TextAnalysis.langId(col("text")).as("lid"))
+        .select(col("doc_id"), col("actual"),
+          col("lid").getField("lang").as("predicted"),
+          col("lid").getField("score").as("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── rolling-hash fingerprint (xxhash64-seeded — Spark-side only) ─────
+    "pipe_text_rolling_fp" -> Q.noOracle { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintRolling(col("text")).as("rolling_fp"),
+          Dedup.simhash("text").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── multimodal decode plumbing (stubbed codec, real dataflow) ────────
+    "pipe_multimodal" -> Q.noOracle { (s, d) =>
+      Multimodal.featureSummary(s, Engine.table(s, d, "documents"))
+    }
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall/sanity tests for the approximate pipeline operators against
+  * their exact ground truths (the DuckDB gate can't check sketches). */
+class PipelineSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val spark = SparkTestSession.spark
+  private lazy val docs = Engine.table(spark, sf, "documents")
+  private lazy val emb = Engine.table(spark, sf, "embeddings")
+
+  test("minhash LSH finds every exact near-dup pair (jaccard >= 0.9)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain near-dups")
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- mh
+    assert(missed.isEmpty, s"minhash missed exact pairs: $missed")
+  }
+
+  test("minhash est_jaccard tracks exact jaccard") {
+    val rows = Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("est_jaccard", "jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.3,
+        s"est ${r.getDouble(0)} vs exact ${r.getDouble(1)}")
+    }
+  }
+
+  test("simhash pairs overlap the exact near-dup set") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash(hamming<=3) is a different similarity notion than shingle
+    // jaccard; require it to recover at least half the exact dups
+    assert((exact & sh).size * 2 >= exact.size,
+      s"simhash recovered ${(exact & sh).size} of ${exact.size}")
+  }
+
+  test("LSH near-pairs recall vs brute-force (cos >= 0.2 band)") {
+    // ground truth: all pairs among vec_id < 60 with cosine >= 0.2
+    val sub = emb.filter(col("vec_id") < 60)
+    val a = sub.select(col("vec_id").as("id_a"),
+      transform(col("embedding"), _.cast("double")).as("va"))
+    val b = sub.select(col("vec_id").as("id_b"),
+      transform(col("embedding"), _.cast("double")).as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshNearPairs(sub, "vec_id", "embedding",
+        planes = 16, bandBits = 4, rotations = 6, threshold = 0.2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact.union(approx.filter(p => exact.contains(p)))),
+      "lsh pairs are cosine-verified so must all be true positives")
+    if (exact.nonEmpty) {
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall $recall too low (${exact.size} true pairs)")
+    }
+  }
+
+  test("brute-force top-k is deterministic and ranked") {
+    val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5).collect()
+    assert(res.length == 15)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.map(_.getDouble(2)).toSeq
+      assert(cs == cs.sorted.reverse, "neighbors must be ranked by cosine")
+    }
+  }
+
+  test("multimodal decode is deterministic and partition-count independent") {
+    val media = Multimodal.withSyntheticMedia(docs.select(col("doc_id")), "doc_id")
+    val f1 = Multimodal.decodeFeatures(media, parallelism = 2).collect()
+      .map(f => f.doc_id -> f.brightness).toMap
+    val f2 = Multimodal.decodeFeatures(media, parallelism = 16).collect()
+      .map(f => f.doc_id -> f.brightness).toMap
+    assert(f1 == f2)
+    assert(f1.size == docs.count())
+  }
+}
