@@ -19,7 +19,9 @@ object SparkEntry {
     graft.queries.WindowQueries.defs,
     graft.queries.AggQueries.defs,
     graft.queries.FunctionQueries.defs,
-    graft.queries.PipelineQueries.defs
+    graft.queries.PipelineQueries.defs,
+    graft.queries.StreamingQueries.defs,
+    graft.queries.MiscQueries.defs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.{Engine, Q}
+import graft.plans.RecursiveCte
+import graft.sources.CopyTo
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Recursive CTEs (driver-side fixpoint — the documented Spark gap, see
+  * graft.plans.RecursiveCte) and COPY TO / multi-format source-sink
+  * round-trips (CSV, NDJSON, hive-partitioned parquet with partition
+  * pruning on read-back).
+  */
+object MiscQueries {
+
+  private def scratch(name: String) = s"/tmp/graft_io/$name"
+
+  val defs: Map[String, Q] = Map(
+    // ── WITH RECURSIVE: series generation ────────────────────────────────
+    "recursive_series" -> Q("""
+      |WITH RECURSIVE t(n) AS (
+      |  SELECT CAST(1 AS BIGINT) AS n
+      |  UNION ALL
+      |  SELECT n + 1 FROM t WHERE n < 100)
+      |SELECT n FROM t ORDER BY n""") { (s, d) =>
+      val init = s.range(1, 2).toDF("n")
+      RecursiveCte.fixpoint(init,
+          frontier => frontier.filter(col("n") < 100)
+            .select((col("n") + 1).as("n")))
+        .orderBy(col("n"))
+    },
+
+    // ── WITH RECURSIVE: reachability over a node hierarchy ───────────────
+    // supplier(id+1000) → nation(id+100) → region(id); transitive closure.
+    "recursive_reachability" -> Q("""
+      |WITH RECURSIVE edges AS (
+      |  SELECT CAST(s_suppkey + 1000 AS BIGINT) AS src,
+      |         CAST(s_nationkey + 100 AS BIGINT) AS dst FROM supplier
+      |  UNION ALL
+      |  SELECT CAST(n_nationkey + 100 AS BIGINT),
+      |         CAST(n_regionkey AS BIGINT) FROM nation),
+      |r(start, node) AS (
+      |  SELECT CAST(s_suppkey + 1000 AS BIGINT), CAST(s_suppkey + 1000 AS BIGINT)
+      |  FROM supplier
+      |  UNION
+      |  SELECT r.start, e.dst FROM r JOIN edges e ON e.src = r.node)
+      |SELECT start, node FROM r ORDER BY start, node""") { (s, d) =>
+      val su = Engine.table(s, d, "supplier")
+      val na = Engine.table(s, d, "nation")
+      val edges = su.select((col("s_suppkey") + 1000).cast("long").as("src"),
+          (col("s_nationkey") + 100).cast("long").as("dst"))
+        .unionAll(na.select((col("n_nationkey") + 100).cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst")))
+      val init = su.select((col("s_suppkey") + 1000).cast("long").as("start"),
+        (col("s_suppkey") + 1000).cast("long").as("node"))
+      RecursiveCte.fixpoint(init,
+          frontier => frontier.join(edges, col("node") === col("src"))
+            .select(col("start"), col("dst").as("node")))
+        .orderBy(col("start"), col("node"))
+    },
+
+    // ── COPY TO csv → read back → aggregate ──────────────────────────────
+    "copyto_csv" -> Q("""
+      |SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS key_sum
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, d) =>
+      val path = scratch("orders_csv")
+      CopyTo.copyTo(
+        Engine.table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+        path, "csv", options = Map("header" -> "true"))
+      CopyTo.readBack(s, path, "csv",
+          Some(StructType(Seq(
+            StructField("o_orderkey", LongType),
+            StructField("o_custkey", LongType),
+            StructField("o_orderstatus", StringType)))),
+          Map("header" -> "true"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // ── COPY TO ndjson → read back → aggregate ───────────────────────────
+    "copyto_json" -> Q("""
+      |SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS key_sum
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      val path = scratch("lineitem_json")
+      CopyTo.copyTo(
+        Engine.table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")),
+        path, "json")
+      CopyTo.readBack(s, path, "json",
+          Some(StructType(Seq(
+            StructField("l_orderkey", LongType),
+            StructField("l_linenumber", IntegerType),
+            StructField("l_returnflag", StringType)))))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ── COPY TO hive-partitioned parquet, pruned read-back ───────────────
+    "copyto_partitioned" -> Q("""
+      |SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      val path = scratch("lineitem_part")
+      CopyTo.copyTo(
+        Engine.table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+        path, "parquet", partitionBy = Seq("l_returnflag"))
+      // filter on the partition column → directory pruning, not a scan
+      CopyTo.readBack(s, path, "parquet")
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.{Engine, Q}
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+
+/** Streaming operator surface, exercised in BATCH mode on the events table
+  * (the transforms in graft.streaming.Streaming are mode-agnostic; the
+  * stream ≡ batch equivalence is asserted in StreamingSpec with
+  * MemoryStream). Oracles re-derive the window semantics in DuckDB SQL:
+  * time_bucket for tumbling, the two-bucket expansion for sliding,
+  * gaps-and-islands for session windows, interval join for stream-stream.
+  */
+object StreamingQueries {
+
+  val defs: Map[String, Q] = Map(
+    // ── tumbling window aggregate ────────────────────────────────────────
+    "stream_tumbling" -> Q("""
+      |SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS v
+      |FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""") { (s, d) =>
+      Streaming.tumblingCounts(Engine.table(s, d, "events"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+
+    // ── sliding window aggregate (1h window, 30min slide) ────────────────
+    "stream_sliding" -> Q("""
+      |SELECT w_start, count(*) AS n FROM (
+      |  SELECT unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+      |                 time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+      |                   - INTERVAL '30 minutes']) AS w_start
+      |  FROM events)
+      |GROUP BY w_start ORDER BY w_start""") { (s, d) =>
+      Streaming.slidingCounts(Engine.table(s, d, "events"))
+        .orderBy(col("w_start"))
+    },
+
+    // ── session windows (10 min gap) via gaps-and-islands oracle ─────────
+    "stream_session" -> Q("""
+      |WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events),
+      |m AS (SELECT user_id, ts,
+      |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                  < INTERVAL '10 minutes' THEN 0 ELSE 1 END AS new_s
+      |      FROM e),
+      |g AS (SELECT user_id, ts,
+      |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                         ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM m)
+      |SELECT min(ts) AS s_start, max(ts) + INTERVAL '10 minutes' AS s_end,
+      |       user_id, count(*) AS n_events
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""") { (s, d) =>
+      Streaming.sessionCounts(Engine.table(s, d, "events"))
+        .orderBy(col("user_id"), col("s_start"))
+    },
+
+    // ── stream-stream interval join (click → purchase ≤ 30 min) ──────────
+    "stream_join" -> Q("""
+      |SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id, p.value
+      |FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND c.user_id = p.user_id
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+      |ORDER BY c_id, p_id""") { (s, d) =>
+      Streaming.clickToPurchase(Engine.table(s, d, "events"))
+        .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
+          col("value"))
+        .orderBy(col("c_id"), col("p_id"))
+    }
+  )
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface (reference: unbounded tables + pipeline-safe plans —
+  * datafusion/core/src/datasource/stream.rs:249-296,
+  * physical_optimizer/pipeline_checker.rs:38; incremental operators
+  * SymmetricHashJoinExec joins/symmetric_hash_join.rs:167 and
+  * BoundedWindowAggExec; tumbling windows = date_bin + GROUP BY).
+  *
+  * Spark mapping is Structured Streaming, a strict superset: watermarks,
+  * tumbling/sliding/session windows, stream-stream interval joins, and
+  * arbitrary keyed state. Every transform below takes a plain DataFrame,
+  * so the SAME code runs batch (events.parquet) or streaming
+  * (readStream/MemoryStream) — StreamingSpec asserts stream ≡ batch, the
+  * Spark analogue of the reference's "a stream is an unbounded table".
+  *
+  * Scale: the watermark bounds state size; groupBy(window) shuffles on
+  * (window, key) exactly like a batch aggregate; stream-stream joins keep
+  * only the watermark-width buffer per side.
+  */
+object Streaming {
+
+  /** Tumbling-window aggregate (reference: date_bin + group-by). */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("v"))
+
+  /** Sliding-window aggregate. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Session windows per user (gap-based). */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  /** Stream-stream interval join: clicks joined to purchases by the same
+    * user within [0, 30 min] after the click (reference capability:
+    * SymmetricHashJoinExec with interval-pruned state). */
+  def clickToPurchase(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL '30' MINUTE"))
+  }
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user event
+    * count + cumulative value, emitting one update per input row batch.
+    * (Reference has no equivalent — UDAF-over-stream is the closest.) */
+  def runningUserTotals(
+      events: Dataset[(Long, Double)]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          Iterator((user, n, math.round(v * 100) / 100.0))
+      }
+  }
+}

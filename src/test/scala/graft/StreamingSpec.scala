@@ -1,0 +1,100 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Stream ≡ batch: the transforms in graft.streaming.Streaming are
+  * mode-agnostic; feeding the same rows through MemoryStream must produce
+  * the batch answer (the reference's "stream = unbounded table" semantics,
+  * datafusion/core/src/datasource/stream.rs). */
+class StreamingSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val rows: Seq[Ev] = {
+    import spark.implicits._
+    Engine.table(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Ev].collect().toSeq
+  }
+
+  test("streaming tumbling window equals batch, fed incrementally") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode("complete").start()
+    val (first, second) = rows.splitAt(rows.size / 2)
+    ms.addData(first)
+    q.processAllAvailable()
+    ms.addData(second)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumb").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = Streaming.tumblingCounts(rows.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+  }
+
+  test("stream-stream interval join equals batch join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.clickToPurchase(ms.toDF())
+      .select(col("c_id"), col("p_id"))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    ms.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Streaming.clickToPurchase(rows.toDF())
+      .select(col("c_id"), col("p_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState running totals converge to batch totals") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val pairs = rows.map(e => (e.user_id, e.value))
+    val ms = MemoryStream[(Long, Double)]
+    val q = Streaming.runningUserTotals(ms.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("tot")
+      .outputMode("append").start()
+    val (a, b) = pairs.splitAt(pairs.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    q.stop()
+    // last emitted update per user == batch aggregate
+    val streamed = spark.table("tot")
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = pairs.groupBy(_._1).map { case (u, vs) => u -> vs.size.toLong }
+    assert(streamed == batch)
+  }
+
+  test("session windows produce per-user sessions in batch mode") {
+    import spark.implicits._
+    val out = Streaming.sessionCounts(rows.toDF()).collect()
+    assert(out.nonEmpty)
+    // every session has n_events >= 1 and end - start >= gap
+    out.foreach { r =>
+      assert(r.getLong(3) >= 1)
+      assert(r.getTimestamp(1).getTime - r.getTimestamp(0).getTime >= 600000L)
+    }
+  }
+}
