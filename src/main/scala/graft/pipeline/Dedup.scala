@@ -24,13 +24,16 @@ object Dedup {
         i => array_join(slice(ws, i, lit(n)), " ")))
   }
 
-  /** k-wide MinHash signature over a shingle array: sig[i] = min over
-    * shingles of xxhash64(i # shingle). One nested codegen'd expression —
-    * no explode, no shuffle. */
-  def minhashSignature(sh: Column, k: Int): Column =
+  /** k-wide MinHash signature over a shingle array: each shingle is hashed
+    * ONCE (xxhash64 on the string), then the k independent hash families
+    * remix the precomputed long with xxhash64(i, h) — long-long hashing,
+    * no per-family string traffic. One nested expression — no explode, no
+    * shuffle. */
+  def minhashSignature(sh: Column, k: Int): Column = {
+    val hs = transform(sh, s => xxhash64(s))
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh,
-        s => xxhash64(concat(i.cast("string"), lit("#"), s)))))
+      i => array_min(transform(hs, h => xxhash64(i, h))))
+  }
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * positions. */
@@ -57,9 +60,13 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
+    // persist: signatures feed the band explode AND both sides of the
+    // candidate join AND the verify join — without it the shingling +
+    // k-hash work reruns per consumer (at 100 TB: checkpoint to storage)
     val base = df.select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist()
 
     val banded = base
       .select(col("id"), col("sig"),
@@ -88,18 +95,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 63-bit SimHash over the word array of `textColName` (63, not 64, so
-    * the bit-assembly fold can never overflow a signed long under ANSI
-    * mode). Raw SQL lambda string because the bit index is a lambda
-    * variable (functions.shiftright only takes a literal). */
-  def simhash(textColName: String): Column = expr(s"""
+  /** Per-token 64-bit hashes — hash each token exactly ONCE, then derive
+    * all 63 SimHash bits from the longs (the naive formulation rehashes
+    * every token per bit: 63× the string hashing). */
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), t => xxhash64(t))
+
+  /** 63-bit SimHash from precomputed token hashes (63, not 64, so the
+    * bit-assembly fold can never overflow a signed long under ANSI mode).
+    * shiftright-by-column goes through call_function (the Scala helper
+    * only accepts a literal shift). */
+  def simhashFromHashes(hs: Column): Column =
     aggregate(
-      transform(sequence(0, 62), i ->
-        CASE WHEN aggregate(split($textColName, ' '), 0L, (acc, t) ->
-               acc + CASE WHEN (shiftright(xxhash64(t), i) & 1L) = 1L
-                          THEN 1L ELSE -1L END) > 0
-             THEN 1L ELSE 0L END),
-      0L, (acc, b) -> acc * 2 + b)""")
+      transform(sequence(lit(0), lit(62)), i =>
+        when(aggregate(hs, lit(0L), (acc, h) =>
+          acc + when(call_function("shiftright", h, i.cast("int"))
+            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0, 1L)
+          .otherwise(0L)),
+      lit(0L), (acc, b) => acc * 2 + b)
+
+  /** 63-bit SimHash of a space-tokenized text column. */
+  def simhash(textColName: String): Column =
+    simhashFromHashes(tokenHashes(col(textColName)))
 
   /** SimHash near-duplicate pairs: bucket on any equal 16-bit chunk (a pair
     * within Hamming distance 3 of a 63-bit signature must agree on at least
@@ -107,7 +124,11 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(textCol).as("sig"))
+    // two-step select so token hashing happens once per row, not per bit;
+    // persist because both sides of the candidate self-join consume it
+    val sigs = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
+      .persist()
     val chunked = sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .select(col("id"), col("sig"), col("chunk"),

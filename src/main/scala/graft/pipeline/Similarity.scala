@@ -44,32 +44,36 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight in [-1, 1] for
-    * (salt, plane, dim) — derived from xxhash64, identical on every
-    * executor without shipping a matrix. */
-  private def planeWeight(salt: Column, plane: Column, dim: Column): Column =
-    (pmod(xxhash64(concat(salt.cast("string"), lit("|"),
-      plane.cast("string"), lit("_"), dim.cast("string"))),
-      lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+  /** Deterministic hyperplane matrix (planes × dim) in [-1, 1], derived
+    * driver-side from a splitmix64-style hash of (salt, plane, dim) — the
+    * whole matrix ships as a literal (16×64 doubles ≈ 8 KB), so signature
+    * evaluation is pure arithmetic, no per-element hashing. */
+  private[pipeline] def planeMatrix(
+      salt: Int, planes: Int, dim: Int): Seq[Seq[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.tabulate(planes, dim)((p, j) =>
+      (math.floorMod(mix(salt.toLong * 1000003 + p * 1009 + j), 2000001L)
+        - 1000000L).toDouble / 1000000.0)
+  }
 
-  /** Random-hyperplane signature: `planes` sign bits packed into a long.
-    * `salt` selects an independent plane set (multi-probe rotations). */
-  def lshSignature(vec: Column, planes: Int, salt: Column = lit(0)): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p =>
-        when(aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, j) => x * planeWeight(salt, p, j)),
-          lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L)),
-      lit(0L), (acc, b) => acc * 2 + b)
-
-  /** Sign-bit array (length `planes`) for banding. */
-  private def lshBits(vec: Column, planes: Int, salt: Column): Column =
-    transform(sequence(lit(0), lit(planes - 1)), p =>
+  /** Sign-bit array (length `planes`) against a literal plane matrix. */
+  private def lshBits(vec: Column, matrix: Seq[Seq[Double]]): Column = {
+    val m = typedlit(matrix)
+    transform(sequence(lit(0), lit(matrix.size - 1)), p =>
       when(aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x * planeWeight(salt, p, j)),
+        zip_with(vec, element_at(m, p + 1), (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+  }
+
+  /** Random-hyperplane signature packed into a long (≤ 62 planes). */
+  def lshSignature(vec: Column, planes: Int, salt: Int = 0): Column =
+    aggregate(lshBits(vec, planeMatrix(salt, planes, 64)),
+      lit(0L), (acc, b) => acc * 2 + b)
 
   /** Approximate near-neighbor pairs via BANDED random-hyperplane LSH:
     * candidates collide on any `bandBits`-bit band of any rotation's
@@ -80,33 +84,37 @@ object Similarity {
   def lshNearPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       planes: Int = 16, bandBits: Int = 4, rotations: Int = 3,
-      threshold: Double = 0.85): DataFrame = {
+      threshold: Double = 0.85, dim: Int = 64): DataFrame = {
     require(planes % bandBits == 0, "planes must be divisible by bandBits")
     val bands = planes / bandBits
     val base = corpus.select(col(idCol).as("id"),
-      asDouble(col(vecCol)).as("vec"))
-    val bucketed = base
-      .select(col("id"), col("vec"),
-        explode(sequence(lit(0), lit(rotations - 1))).as("rot"))
-      .select(col("id"), col("vec"), col("rot"),
-        lshBits(col("vec"), planes, col("rot")).as("bits"))
-      .select(col("id"), col("vec"), col("rot"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("bits"))
-      .select(col("id"), col("vec"), col("rot"), col("band"),
-        xxhash64(col("rot"), col("band"),
-          slice(col("bits"), col("band") * bandBits + 1, lit(bandBits)))
-          .as("bucket"))
-    bucketed.as("l")
-      .join(bucketed.as("r"),
+      asDouble(col(vecCol)).as("vec")).persist()
+    val bucketed = Seq.range(0, rotations).map { rot =>
+      base.select(col("id"), col("vec"), lit(rot).as("rot"),
+          lshBits(col("vec"), planeMatrix(rot, planes, dim)).as("bits"))
+        .select(col("id"), col("vec"), col("rot"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"),
+          col("bits"))
+        .select(col("id"), col("vec"), col("rot"), col("band"),
+          xxhash64(col("rot"), col("band"),
+            slice(col("bits"), col("band") * bandBits + 1, lit(bandBits)))
+            .as("bucket"))
+    }.reduce(_ unionAll _)
+    // dedup candidates on the id pair BEFORE fetching vectors — hashing
+    // (long, long) in the distinct shuffle, not 64-double arrays
+    val cand = bucketed.select(col("id").as("id_a"), col("rot"), col("band"),
+        col("bucket")).as("l")
+      .join(bucketed.select(col("id").as("id_b"), col("rot"), col("band"),
+        col("bucket")).as("r"),
         col("l.rot") === col("r.rot") && col("l.band") === col("r.band") &&
-          col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.vec").as("va"), col("r.vec").as("vb"))
+          col("l.bucket") === col("r.bucket") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
   }
 }

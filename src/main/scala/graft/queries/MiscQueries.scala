@@ -21,11 +21,11 @@ object MiscQueries {
       |WITH RECURSIVE t(n) AS (
       |  SELECT CAST(1 AS BIGINT) AS n
       |  UNION ALL
-      |  SELECT n + 1 FROM t WHERE n < 100)
+      |  SELECT n + 1 FROM t WHERE n < 30)
       |SELECT n FROM t ORDER BY n""") { (s, d) =>
       val init = s.range(1, 2).toDF("n")
       RecursiveCte.fixpoint(init,
-          frontier => frontier.filter(col("n") < 100)
+          frontier => frontier.filter(col("n") < 30)
             .select((col("n") + 1).as("n")))
         .orderBy(col("n"))
     },

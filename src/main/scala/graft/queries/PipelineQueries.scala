@@ -150,7 +150,9 @@ object PipelineQueries {
       Engine.table(s, d, "documents")
         .select(col("doc_id"),
           TextAnalysis.fingerprintRolling(col("text")).as("rolling_fp"),
-          Dedup.simhash("text").as("simhash"))
+          Dedup.tokenHashes(col("text")).as("hs"))
+        .select(col("doc_id"), col("rolling_fp"),
+          Dedup.simhashFromHashes(col("hs")).as("simhash"))
         .orderBy(col("doc_id"))
     },
 
