@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.FunctionQueries.defs,
     graft.queries.PipelineQueries.defs,
     graft.queries.StreamingQueries.defs,
-    graft.queries.MiscQueries.defs
+    graft.queries.MiscQueries.defs,
+    graft.queries.OperatorQueries.defs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{Engine, Q}
+import graft.functions.GroupMinHash
+import graft.operators.{AsOfJoin, Sampling}
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+
+/** Remaining operator surface: unnest/explode family (reference:
+  * UnnestExec, datafusion/physical-plan/src/unnest.rs:60 — list & struct
+  * unnest with preserve_nulls), the as-of join extension (oracled against
+  * DuckDB's native ASOF JOIN), deterministic per-group sampling, and the
+  * group-level MinHash custom aggregate.
+  */
+object OperatorQueries {
+
+  val defs: Map[String, Q] = Map(
+    // ── explode (unnest list) ────────────────────────────────────────────
+    "unnest_explode" -> Q("""
+      |SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |FROM documents WHERE doc_id < 50""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    },
+
+    // ── posexplode (unnest with ordinality; Spark pos is 0-based) ────────
+    "unnest_posexplode" -> Q("""
+      |SELECT doc_id, u.pos, u.word
+      |FROM (SELECT doc_id,
+      |             unnest(list_transform(string_split(text, ' '),
+      |                    (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+      |                                          word := x))) AS u
+      |      FROM documents WHERE doc_id < 50)""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+    },
+
+    // ── explode_outer (preserve_nulls=true: null/empty → one null row) ───
+    "unnest_explode_outer" -> Q("""
+      |SELECT doc_id, unnest(CASE WHEN ws IS NULL OR len(ws) = 0
+      |                           THEN [NULL] ELSE ws END) AS word
+      |FROM (SELECT doc_id,
+      |             CASE WHEN doc_id % 7 = 0 THEN NULL
+      |                  ELSE string_split(substr(text, 1, 40), ' ') END AS ws
+      |      FROM documents WHERE doc_id < 50)""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(null))
+            .otherwise(split(substring(col("text"), 1, 40), " ")).as("ws"))
+        .select(col("doc_id"), explode_outer(col("ws")).as("word"))
+    },
+
+    // ── inline (unnest array of structs into columns) ────────────────────
+    "unnest_inline" -> Q("""
+      |SELECT doc_id, u.word, u.len
+      |FROM (SELECT doc_id,
+      |             unnest(list_transform(string_split(text, ' ')[1:5],
+      |                    x -> struct_pack(word := x,
+      |                                     len := CAST(length(x) AS BIGINT)))) AS u
+      |      FROM documents WHERE doc_id < 50)""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          transform(slice(split(col("text"), " "), 1, 5),
+            x => struct(x.as("word"), length(x).cast("long").as("len")))
+            .as("arr"))
+        .select(col("doc_id"), inline(col("arr")))
+    },
+
+    // ── as-of join (backward): latest prior click for each purchase ──────
+    "asof_join" -> Q("""
+      |SELECT p.event_id AS p_id, p.user_id,
+      |       c.event_id AS c_id, c.value AS c_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      |ORDER BY p_id""") { (s, d) =>
+      val ev = Engine.table(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("event_id" -> "c_id", "value" -> "c_value"))
+        .select(col("p_id"), col("user_id"), col("c_id"), col("c_value"))
+        .orderBy(col("p_id"))
+    },
+
+    // ── deterministic per-group sample (reproducible across engines) ─────
+    "sample_per_group" -> Q("""
+      |SELECT lang, doc_id FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY lang
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3
+      |ORDER BY lang, doc_id""") { (s, d) =>
+      Sampling.deterministicSamplePerGroup(
+          Engine.table(s, d, "documents"), Seq("lang"), "doc_id", 3)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // ── group-level MinHash via custom typed Aggregator ──────────────────
+    // (elementwise-min of row signatures = signature of the union of the
+    // groups' shingle sets; property-tested in OperatorSpec)
+    "agg_group_minhash" -> Q.noOracle { (s, d) =>
+      val k = 32
+      Engine.table(s, d, "documents")
+        .select(col("source"),
+          Dedup.minhashSignature(
+            Dedup.shingles(col("text"), 3), k).as("sig"))
+        .groupBy(col("source"))
+        .agg(GroupMinHash.groupSignature(col("sig"), k).as("group_sig"))
+        .orderBy(col("source"))
+    },
+
+    // ── catalog surface (information_schema analogue) ────────────────────
+    "catalog_tables" -> Q.noOracle { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql("SHOW TABLES").select(col("tableName")).orderBy(col("tableName"))
+    }
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.GroupMinHash
+import graft.operators.AsOfJoin
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val spark = SparkTestSession.spark
+
+  test("as-of join matches the naive per-row max-prior computation") {
+    import spark.implicits._
+    val ev = Engine.table(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    // naive O(n^2): join all prior clicks, keep the latest per purchase
+    val naive = p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("ts"), "left")
+      .groupBy(col("p_id"))
+      .agg(max_by(col("c_id"), struct(col("c_ts"), col("c_id"))).as("c_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val asof = AsOfJoin.backward(p, c.select(col("c_id").as("event_id"),
+        col("c_user").as("user_id"), col("c_ts").as("ts")),
+        Seq("user_id"), "ts", "ts", Seq("event_id" -> "c_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(asof == naive)
+  }
+
+  test("group minhash aggregate == per-position min over row signatures") {
+    val k = 16
+    val sigs = Engine.table(spark, sf, "documents")
+      .select(col("source"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), k).as("sig"))
+    val viaAgg = sigs.groupBy(col("source"))
+      .agg(GroupMinHash.groupSignature(col("sig"), k).as("gs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaExplode = sigs
+      .select(col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
+      .groupBy(col("source"), col("pos"))
+      .agg(min(col("v")).as("mv"))
+      .collect().groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(viaAgg == viaExplode)
+  }
+}
