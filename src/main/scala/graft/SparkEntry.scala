@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.PipelineQueries.defs,
     graft.queries.StreamingQueries.defs,
     graft.queries.MiscQueries.defs,
-    graft.queries.OperatorQueries.defs
+    graft.queries.OperatorQueries.defs,
+    graft.queries.SqlSurfaceQueries.defs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.{Engine, Q}
+
+/** SQL entry point parity (reference E1: SessionContext::sql —
+  * datafusion/core/src/execution/context/mod.rs:457; SELECT planning
+  * sql/src/select.rs, CTEs sql/src/cte.rs, set ops set_expr.rs). These
+  * queries go through `spark.sql` over registered views — same Catalyst
+  * pipeline as the DataFrame API, proving the SQL surface end-to-end. The
+  * oracle is near-verbatim the same ANSI SQL (dialect-neutral by
+  * construction).
+  */
+object SqlSurfaceQueries {
+
+  /** Build a Q whose Spark side runs `sparkSql` via spark.sql and whose
+    * oracle is `duckSql` (defaults to the same string). */
+  private def sql(sparkSql: String, duckSql: String = null): Q =
+    Q(Option(duckSql).getOrElse(sparkSql)) { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql(sparkSql.stripMargin)
+    }
+
+  val defs: Map[String, Q] = Map(
+    // ── CTE + join + aggregate + having through SQL ──────────────────────
+    "sql_cte" -> sql("""
+      |WITH big_cust AS (
+      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      |  FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 10000)
+      |SELECT c_mktsegment, count(*) AS n, round(sum(spend), 2) AS total
+      |FROM big_cust JOIN customer ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+
+    // ── correlated EXISTS + scalar subquery through SQL ──────────────────
+    "sql_subqueries" -> sql("""
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+      |  AND s_acctbal > (SELECT avg(s_acctbal) FROM supplier)
+      |ORDER BY s_suppkey"""),
+
+    // ── IN / NOT IN subqueries ───────────────────────────────────────────
+    "sql_in_subquery" -> sql("""
+      |SELECT n_name FROM nation
+      |WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+      |  AND n_nationkey NOT IN (SELECT c_nationkey FROM customer
+      |                          WHERE c_acctbal < -900.0)
+      |ORDER BY n_name"""),
+
+    // ── set operation pipeline through SQL ───────────────────────────────
+    "sql_setops" -> sql("""
+      |SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer WHERE c_acctbal > 9000
+      |INTERSECT
+      |SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+      |EXCEPT
+      |SELECT CAST(n_nationkey AS BIGINT) FROM nation WHERE n_regionkey = 0
+      |ORDER BY k"""),
+
+    // ── window functions through SQL (named window) ──────────────────────
+    "sql_window" -> sql("""
+      |SELECT o_orderkey,
+      |       CAST(rank() OVER w AS BIGINT) AS r,
+      |       round(avg(o_totalprice) OVER w2 + 0.000000001, 4) AS run_avg
+      |FROM orders
+      |WINDOW w  AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey),
+      |       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey"""),
+
+    // ── CASE/cast/arith expression surface through SQL ───────────────────
+    "sql_expressions" -> sql("""
+      |SELECT l_orderkey, l_linenumber,
+      |       CASE WHEN l_quantity >= 30 THEN 'bulk'
+      |            WHEN l_quantity >= 10 THEN 'std' ELSE 'small' END AS bucket,
+      |       CAST(l_quantity AS BIGINT) AS qty_int,
+      |       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net,
+      |       CAST(l_shipdate AS DATE) AS ship_day
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber""")
+  )
+}

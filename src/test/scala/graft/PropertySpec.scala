@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property tests mirroring the reference fuzz cases
+  * (datafusion/core/tests/fuzz_cases/: sort/limit vs topk, window agg
+  * equivalence, aggregate vs naive recomputation on random batches). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Seeded property driver (no scalatestplus bridge in the offline
+    * cache): run `body` over n deterministic samples of `gen`. */
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    Seq.range(0, n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private val rowsGen: Gen[List[(Int, Int, Double)]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 1000),
+      Gen.choose(-100.0, 100.0)))
+
+  test("orderBy+limit == scala sort take (topk equivalence)") {
+    import spark.implicits._
+    forAllSeeded(rowsGen, 8) { rows =>
+      locally {
+        val df = rows.toDF("k", "id", "v")
+        val topk = df.orderBy(col("v").desc, col("id"), col("k"))
+          .limit(5).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toList
+        val naive = rows.sortBy { case (k, id, v) => (-v, id, k) }.take(5)
+        assert(topk == naive)
+      }
+    }
+  }
+
+  test("windowed running sum == scala scanLeft") {
+    import spark.implicits._
+    forAllSeeded(rowsGen, 8) { rows =>
+      locally {
+        val df = rows.toDF("k", "id", "v")
+        val w = Window.partitionBy(col("k")).orderBy(col("id"), col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val got = df.withColumn("rs", sum(col("v")).over(w))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+          .groupBy(_._1).view.mapValues(_.sortBy(x => (x._2, x._3)).map(_._4).toList)
+          .toMap
+        val expected = rows.groupBy(_._1).view.mapValues { vs =>
+          val sorted = vs.sortBy(x => (x._2, x._3)).map(_._3)
+          sorted.scanLeft(0.0)(_ + _).drop(1)
+        }.toMap
+        got.foreach { case (k, gs) =>
+          gs.zip(expected(k)).foreach { case (g, e) =>
+            assert(math.abs(g - e) < 1e-9, s"key $k")
+          }
+        }
+      }
+    }
+  }
+
+  test("groupBy aggregate == scala groupBy recomputation") {
+    import spark.implicits._
+    forAllSeeded(rowsGen, 8) { rows =>
+      locally {
+        val df = rows.toDF("k", "id", "v")
+        val got = df.groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+            min(col("id")).as("mn"), max(col("id")).as("mx"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+            r.getInt(3), r.getInt(4)))).toMap
+        rows.groupBy(_._1).foreach { case (k, vs) =>
+          val (n, s, mn, mx) = got(k)
+          assert(n == vs.size)
+          assert(math.abs(s - vs.map(_._3).sum) < 1e-9)
+          assert(mn == vs.map(_._2).min && mx == vs.map(_._2).max)
+        }
+      }
+    }
+  }
+
+  test("union/except/intersect multiset laws") {
+    import spark.implicits._
+    forAllSeeded(Gen.zip(rowsGen, rowsGen), 5) { case (a, b) =>
+      val da = a.map(_._1).toDF("x")
+      val db = b.map(_._1).toDF("x")
+      // |A ∪all B| = |A| + |B|
+      assert(da.unionAll(db).count() == a.size + b.size)
+      // |A ∩all B| + |A \all B| = |A|
+      val inter = da.intersectAll(db).count()
+      val diff = da.exceptAll(db).count()
+      assert(inter + diff == a.size)
+    }
+  }
+}
