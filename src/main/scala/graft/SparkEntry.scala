@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.StreamingQueries.defs,
     graft.queries.MiscQueries.defs,
     graft.queries.OperatorQueries.defs,
-    graft.queries.SqlSurfaceQueries.defs
+    graft.queries.SqlSurfaceQueries.defs,
+    graft.queries.ExtrasQueries.defs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -117,4 +117,50 @@ object Similarity {
         round(cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Index of the centroid (1-based) nearest to `vec` by cosine, given a
+    * literal centroid matrix. */
+  private def nearestCells(vec: Column, centroids: Seq[Seq[Double]],
+      nProbe: Int): Column = {
+    val m = typedlit(centroids)
+    // (similarity, cellId) structs, sorted desc by similarity → top nProbe
+    val scored = transform(sequence(lit(1), lit(centroids.size)), c =>
+      struct((lit(-1.0) * cosine(vec, element_at(m, c))).as("negSim"),
+        c.as("cell")))
+    transform(slice(array_sort(scored), 1, nProbe), s => s.getField("cell"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    * their nearest centroid cell; each query searches only its `nProbe`
+    * nearest cells. Centroids are a deterministic hash-ranked sample of
+    * the corpus itself (k-means would slot in the same shape) and ship as
+    * an ~nCells×dim literal — at 100 TB the corpus is scanned once to
+    * assign cells (map-side), and each query touches nProbe/nCells of the
+    * data. Returns (qid, nid, cos) top-k per query. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    // deterministic "centroids": nCells corpus vectors by md5-rank
+    val centroids: Seq[Seq[Double]] = base
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nCells)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val assigned = base.select(col("id").as("nid"), col("vec").as("nvec"),
+      element_at(nearestCells(col("vec"), centroids, 1), 1).as("cell"))
+    val probed = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .select(col("qid"), col("qvec"),
+        explode(nearestCells(col("qvec"), centroids, nProbe)).as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    assigned.join(broadcast(probed), "cell")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
 }

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.{Engine, Q}
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+
+/** Completes TPC-H (q2/q11 adaptations for the partsupp-less schema),
+  * error-safe try_* expressions (reference: try_cast —
+  * expr/src/expr.rs:292, physical-expr try_cast.rs), MapType surface
+  * (reference: Arrow MapArray, sqllogictest/test_files/map.slt), HLL
+  * sketch aggregates, and the IVF ANN variant.
+  */
+object ExtrasQueries {
+
+  val defs: Map[String, Q] = Map(
+    // ── Q2 (adapted): correlated min — cheapest supplier per large part ──
+    "tpch_q2" -> Q("""
+      |SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal
+      |FROM part, supplier, lineitem
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND p_size = 15
+      |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+      |                   FROM supplier s2, lineitem l2
+      |                   WHERE l2.l_partkey = p_partkey
+      |                     AND l2.l_suppkey = s2.s_suppkey)
+      |ORDER BY s_acctbal, p_partkey LIMIT 20""") { (s, d) =>
+      val p = Engine.table(s, d, "part").filter(col("p_size") === 15)
+      val su = Engine.table(s, d, "supplier")
+      val l = Engine.table(s, d, "lineitem")
+      val minCost = l.join(su, l("l_suppkey") === su("s_suppkey"))
+        .groupBy(col("l_partkey").as("mc_partkey"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(minCost, col("p_partkey") === col("mc_partkey") &&
+          col("s_acctbal") === col("min_bal"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("s_acctbal"))
+        .distinct()
+        .orderBy(col("s_acctbal"), col("p_partkey"))
+        .limit(20)
+    },
+
+    // ── Q11 (adapted): important stock — value share threshold ───────────
+    "tpch_q11" -> Q("""
+      |SELECT l_partkey, round(sum(l_quantity * l_extendedprice), 2) AS value
+      |FROM lineitem, supplier
+      |WHERE l_suppkey = s_suppkey
+      |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      |GROUP BY l_partkey
+      |HAVING sum(l_quantity * l_extendedprice) >
+      |  (SELECT sum(l_quantity * l_extendedprice) * 0.001
+      |   FROM lineitem, supplier
+      |   WHERE l_suppkey = s_suppkey
+      |     AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2))
+      |ORDER BY value DESC, l_partkey""") { (s, d) =>
+      val n = Engine.table(s, d, "nation").filter(col("n_regionkey") === 2)
+        .select(col("n_nationkey"))
+      val su = Engine.table(s, d, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      val l = Engine.table(s, d, "lineitem")
+      val scoped = l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .select(col("l_partkey"),
+          (col("l_quantity") * col("l_extendedprice")).as("v"))
+      val threshold = scoped.agg((sum(col("v")) * 0.001).as("thr"))
+      scoped.groupBy(col("l_partkey"))
+        .agg(sum(col("v")).as("raw_value"))
+        .join(broadcast(threshold))
+        .filter(col("raw_value") > col("thr"))
+        .select(col("l_partkey"), round(col("raw_value"), 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
+    // ── try_* error-safe expressions ─────────────────────────────────────
+    "func_try" -> Q("""
+      |SELECT doc_id,
+      |       TRY_CAST(source AS INTEGER)               AS bad_cast,
+      |       TRY_CAST(substr(source, 4) AS BIGINT)     AS src_num,
+      |       CASE WHEN n_chars - n_chars = 0 THEN NULL
+      |            ELSE n_chars / (n_chars - n_chars) END AS div0,
+      |       (string_split(text, ' '))[999]            AS oob
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"),
+          expr("try_cast(source AS INT)").as("bad_cast"),
+          expr("try_cast(substr(source, 4) AS BIGINT)").as("src_num"),
+          try_divide(col("n_chars"), col("n_chars") - col("n_chars"))
+            .as("div0"),
+          try_element_at(split(col("text"), " "), lit(999)).as("oob"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── MapType surface ──────────────────────────────────────────────────
+    "func_map" -> Q("""
+      |SELECT doc_id,
+      |       m['lang'][1]                AS lang_val,
+      |       list_sort(map_keys(m))      AS ks,
+      |       CAST(cardinality(m) AS BIGINT) AS n
+      |FROM (SELECT doc_id, MAP(['lang', 'src'], [lang, source]) AS m
+      |      FROM documents)
+      |ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"),
+          map_from_arrays(array(lit("lang"), lit("src")),
+            array(col("lang"), col("source"))).as("m"))
+        .select(col("doc_id"),
+          element_at(col("m"), "lang").as("lang_val"),
+          array_sort(map_keys(col("m"))).as("ks"),
+          size(col("m")).cast("long").as("n"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── HLL sketch aggregate (datasketches; fixed-size mergeable state) ──
+    "agg_hll_sketch" -> Q.noOracle { (s, d) =>
+      Engine.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ── IVF approximate top-k (cell-probed ANN) ──────────────────────────
+    "pipe_sim_ivf" -> Q.noOracle { (s, d) =>
+      val emb = Engine.table(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+        .orderBy(col("qid"), col("cos").desc, col("nid"))
+    }
+  )
+}

@@ -76,6 +76,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k achieves high recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
+
   test("multimodal decode is deterministic and partition-count independent") {
     val media = Multimodal.withSyntheticMedia(docs.select(col("doc_id")), "doc_id")
     val f1 = Multimodal.decodeFeatures(media, parallelism = 2).collect()
