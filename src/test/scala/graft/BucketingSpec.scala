@@ -28,14 +28,20 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("join of co-bucketed tables plans without any shuffle exchange") {
+    // when suites share one JVM, getOrCreate returns the shared session and
+    // ignores builder configs — set the runtime ones explicitly
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     val o = Engine.table(spark, sf, "orders")
     val l = Engine.table(spark, sf, "lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     // metastore is per-JVM (fresh derby) but the warehouse dir persists —
     // drop leftover table locations from previous runs
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
     Seq("b_orders", "b_lineitem").foreach { t =>
-      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      val dir = new java.io.File(s"$warehouse/$t")
       if (dir.exists()) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -51,6 +57,7 @@ class BucketingSpec extends AnyFunSuite {
 
     // static plan inspection: AQE would wrap the join in an adaptive node
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val joined = spark.table("b_lineitem")
       .join(spark.table("b_orders"),
         col("l_orderkey") === col("o_orderkey"))
@@ -76,5 +83,9 @@ class BucketingSpec extends AnyFunSuite {
     val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expected)
     assert(shuffles.size <= 1)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 }
