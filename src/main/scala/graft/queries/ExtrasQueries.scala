@@ -124,6 +124,38 @@ object ExtrasQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
         .orderBy(col("qid"), col("cos").desc, col("nid"))
+    },
+
+    // ── salted aggregation ≡ plain aggregation (skew mitigation) ─────────
+    "skew_salted_agg" -> Q("""
+      |SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS rev,
+      |       count(DISTINCT l_suppkey) AS nsupp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      graft.operators.Salting.saltedAgg(
+          Engine.table(s, d, "lineitem"), Seq("l_returnflag"),
+          col("l_orderkey"), salts = 16)(
+          partial = Seq(count(lit(1)).as("pn"),
+            sum(col("l_extendedprice")).as("ps"),
+            collect_set(col("l_suppkey")).as("pset")),
+          finalAgg = Seq(sum(col("pn")).as("n"),
+            round(sum(col("ps")), 2).as("rev"),
+            size(array_distinct(flatten(collect_list(col("pset")))))
+              .cast("long").as("nsupp")))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ── salted join ≡ plain join (hot-key spread over 8 tasks) ───────────
+    "skew_salted_join" -> Q("""
+      |SELECT n_name, count(*) AS n FROM supplier JOIN nation
+      |  ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""") { (s, d) =>
+      graft.operators.Salting.saltedJoin(
+          Engine.table(s, d, "supplier"),
+          Engine.table(s, d, "nation"),
+          "s_nationkey", "n_nationkey", col("s_suppkey"), salts = 8)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
     }
   )
 }
