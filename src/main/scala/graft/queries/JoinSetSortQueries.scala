@@ -40,24 +40,28 @@ object JoinSetSortQueries {
     "join_left_outer" -> Q("""
       |SELECT c_custkey, o_orderkey
       |FROM customer LEFT OUTER JOIN orders
-      |  ON c_custkey = o_custkey AND o_totalprice > 4000.0""") { (s, d) =>
+      |  ON c_custkey = o_custkey AND o_totalprice > 4000.0
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""") { (s, d) =>
       val c = Engine.table(s, d, "customer")
       val o = Engine.table(s, d, "orders")
       c.join(o, c("c_custkey") === o("o_custkey") &&
           o("o_totalprice") > 4000.0, "left_outer")
         .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
     },
 
     // ── right outer join ─────────────────────────────────────────────────
     "join_right_outer" -> Q("""
       |SELECT c_custkey, o_orderkey
       |FROM orders RIGHT OUTER JOIN customer
-      |  ON c_custkey = o_custkey AND o_totalprice > 4000.0""") { (s, d) =>
+      |  ON c_custkey = o_custkey AND o_totalprice > 4000.0
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""") { (s, d) =>
       val c = Engine.table(s, d, "customer")
       val o = Engine.table(s, d, "orders")
       o.join(c, c("c_custkey") === o("o_custkey") &&
           o("o_totalprice") > 4000.0, "right_outer")
         .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
     },
 
     // ── full outer join between disjoint-ish filtered sides ──────────────
@@ -67,7 +71,8 @@ object JoinSetSortQueries {
       |FULL OUTER JOIN
       |     (SELECT o_custkey AS k FROM orders WHERE o_custkey BETWEEN 50 AND 150
       |      GROUP BY o_custkey) b
-      |ON a.k = b.k""") { (s, d) =>
+      |ON a.k = b.k
+      |ORDER BY left_k NULLS FIRST, right_k NULLS FIRST""") { (s, d) =>
       val a = Engine.table(s, d, "customer")
         .filter(col("c_custkey") < 100).select(col("c_custkey").as("ak"))
       val b = Engine.table(s, d, "orders")
@@ -76,6 +81,7 @@ object JoinSetSortQueries {
         .select(col("o_custkey").as("bk"))
       a.join(b, col("ak") === col("bk"), "full_outer")
         .select(col("ak").as("left_k"), col("bk").as("right_k"))
+        .orderBy(col("left_k").asc_nulls_first, col("right_k").asc_nulls_first)
     },
 
     // ── left semi (EXISTS) ───────────────────────────────────────────────
@@ -132,58 +138,70 @@ object JoinSetSortQueries {
     "setop_union_all" -> Q("""
       |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       |UNION ALL
-      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0""") { (s, d) =>
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+      |ORDER BY c_custkey""") { (s, d) =>
       val c = Engine.table(s, d, "customer")
       c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
         .unionAll(c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
     },
 
     "setop_union_distinct" -> Q("""
       |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       |UNION
-      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0""") { (s, d) =>
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+      |ORDER BY c_custkey""") { (s, d) =>
       val c = Engine.table(s, d, "customer")
       c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
         .union(c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey")))
         .distinct()
+        .orderBy(col("c_custkey"))
     },
 
     // ── INTERSECT / INTERSECT ALL ────────────────────────────────────────
     "setop_intersect" -> Q("""
       |SELECT c_nationkey AS k FROM customer
       |INTERSECT
-      |SELECT s_nationkey AS k FROM supplier""") { (s, d) =>
+      |SELECT s_nationkey AS k FROM supplier
+      |ORDER BY k""") { (s, d) =>
       Engine.table(s, d, "customer").select(col("c_nationkey").as("k"))
         .intersect(Engine.table(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy(col("k"))
     },
 
     "setop_intersect_all" -> Q("""
       |SELECT c_nationkey AS k FROM customer WHERE c_custkey < 200
       |INTERSECT ALL
-      |SELECT c_nationkey AS k FROM customer WHERE c_custkey >= 100""") { (s, d) =>
+      |SELECT c_nationkey AS k FROM customer WHERE c_custkey >= 100
+      |ORDER BY k""") { (s, d) =>
       val c = Engine.table(s, d, "customer")
       c.filter(col("c_custkey") < 200).select(col("c_nationkey").as("k"))
         .intersectAll(
           c.filter(col("c_custkey") >= 100).select(col("c_nationkey").as("k")))
+        .orderBy(col("k"))
     },
 
     // ── EXCEPT / EXCEPT ALL ──────────────────────────────────────────────
     "setop_except" -> Q("""
       |SELECT c_nationkey AS k FROM customer
       |EXCEPT
-      |SELECT s_nationkey AS k FROM supplier""") { (s, d) =>
+      |SELECT s_nationkey AS k FROM supplier
+      |ORDER BY k""") { (s, d) =>
       Engine.table(s, d, "customer").select(col("c_nationkey").as("k"))
         .except(Engine.table(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy(col("k"))
     },
 
     "setop_except_all" -> Q("""
       |SELECT c_nationkey AS k FROM customer WHERE c_custkey < 300
       |EXCEPT ALL
-      |SELECT c_nationkey AS k FROM customer WHERE c_custkey >= 100 AND c_custkey < 200""") { (s, d) =>
+      |SELECT c_nationkey AS k FROM customer WHERE c_custkey >= 100 AND c_custkey < 200
+      |ORDER BY k""") { (s, d) =>
       val c = Engine.table(s, d, "customer")
       c.filter(col("c_custkey") < 300).select(col("c_nationkey").as("k"))
         .exceptAll(c.filter(col("c_custkey") >= 100 && col("c_custkey") < 200)
           .select(col("c_nationkey").as("k")))
+        .orderBy(col("k"))
     },
 
     // ── sort with explicit null ordering + top-k ─────────────────────────

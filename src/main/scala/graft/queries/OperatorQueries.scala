@@ -18,10 +18,11 @@ object OperatorQueries {
     // ── explode (unnest list) ────────────────────────────────────────────
     "unnest_explode" -> Q("""
       |SELECT doc_id, unnest(string_split(text, ' ')) AS word
-      |FROM documents WHERE doc_id < 50""") { (s, d) =>
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id, word""") { (s, d) =>
       Engine.table(s, d, "documents")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .orderBy(col("doc_id"), col("word"))
     },
 
     // ── posexplode (unnest with ordinality; Spark pos is 0-based) ────────
@@ -31,12 +32,14 @@ object OperatorQueries {
       |             unnest(list_transform(string_split(text, ' '),
       |                    (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT),
       |                                          word := x))) AS u
-      |      FROM documents WHERE doc_id < 50)""") { (s, d) =>
+      |      FROM documents WHERE doc_id < 50)
+      |ORDER BY doc_id, u.pos""") { (s, d) =>
       Engine.table(s, d, "documents")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+        .orderBy(col("doc_id"), col("pos"))
     },
 
     // ── explode_outer (preserve_nulls=true: null/empty → one null row) ───
@@ -46,13 +49,15 @@ object OperatorQueries {
       |FROM (SELECT doc_id,
       |             CASE WHEN doc_id % 7 = 0 THEN NULL
       |                  ELSE string_split(substr(text, 1, 40), ' ') END AS ws
-      |      FROM documents WHERE doc_id < 50)""") { (s, d) =>
+      |      FROM documents WHERE doc_id < 50)
+      |ORDER BY doc_id, word NULLS FIRST""") { (s, d) =>
       Engine.table(s, d, "documents")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, lit(null))
             .otherwise(split(substring(col("text"), 1, 40), " ")).as("ws"))
         .select(col("doc_id"), explode_outer(col("ws")).as("word"))
+        .orderBy(col("doc_id"), col("word").asc_nulls_first)
     },
 
     // ── inline (unnest array of structs into columns) ────────────────────
@@ -62,7 +67,8 @@ object OperatorQueries {
       |             unnest(list_transform(string_split(text, ' ')[1:5],
       |                    x -> struct_pack(word := x,
       |                                     len := CAST(length(x) AS BIGINT)))) AS u
-      |      FROM documents WHERE doc_id < 50)""") { (s, d) =>
+      |      FROM documents WHERE doc_id < 50)
+      |ORDER BY doc_id, u.word, u.len""") { (s, d) =>
       Engine.table(s, d, "documents")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"),
@@ -70,6 +76,7 @@ object OperatorQueries {
             x => struct(x.as("word"), length(x).cast("long").as("len")))
             .as("arr"))
         .select(col("doc_id"), inline(col("arr")))
+        .orderBy(col("doc_id"), col("word"), col("len"))
     },
 
     // ── as-of join (backward): latest prior click for each purchase ──────
