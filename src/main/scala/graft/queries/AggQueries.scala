@@ -38,6 +38,27 @@ object AggQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ── higher moments: skewness / kurtosis ──────────────────────────────
+    // Spark reports population moments (g1, excess g2); DuckDB reports
+    // sample-corrected (G1, G2) — the oracle converts:
+    // g1 = G1·(n-2)/sqrt(n(n-1)),  g2 = (G2·(n-2)(n-3)/(n-1) - 6)/(n+1)
+    "agg_moments" -> Q("""
+      |SELECT c_mktsegment,
+      |       round(skewness(c_acctbal) * (count(*) - 2)
+      |             / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew,
+      |       round((kurtosis(c_acctbal) * (count(*) - 2) * (count(*) - 3)
+      |              / (count(*) - 1.0) - 6) / (count(*) + 1.0), 6) AS kurt,
+      |       any_value(c_mktsegment) AS av
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, d) =>
+      Engine.table(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(skewness(col("c_acctbal")), 6).as("skew"),
+          round(kurtosis(col("c_acctbal")), 6).as("kurt"),
+          any_value(col("c_mktsegment")).as("av"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // ── covariance / correlation ─────────────────────────────────────────
     "agg_corr_covar" -> Q("""
       |SELECT o_orderstatus,
