@@ -87,6 +87,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("watermark discards late data in append-mode aggregation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    def ev(id: Long, offsetMin: Int): Ev =
+      Ev(id, new java.sql.Timestamp(base.getTime + offsetMin * 60000L),
+        1L, "click", 1.0)
+    val ms = MemoryStream[Ev]
+    val q = Streaming.tumblingCounts(ms.toDF(), width = "10 minutes",
+        watermark = "15 minutes")
+      .writeStream.format("memory").queryName("wm")
+      .outputMode("append").start()
+    // window [10:00,10:10) gets 2 events; advance watermark far past it
+    ms.addData(ev(1, 2), ev(2, 5))
+    q.processAllAvailable()
+    ms.addData(ev(3, 60)) // 11:00 → watermark 10:45 → 10:00 window final
+    q.processAllAvailable()
+    // a straggler for the already-finalized window must be dropped
+    ms.addData(ev(4, 3))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    assert(out(base) == 2L,
+      s"late event must not change the finalized window: $out")
+  }
+
   test("session windows produce per-user sessions in batch mode") {
     import spark.implicits._
     val out = Streaming.sessionCounts(rows.toDF()).collect()
