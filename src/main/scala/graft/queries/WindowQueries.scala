@@ -41,8 +41,8 @@ object WindowQueries {
     // ── distribution functions + ntile ───────────────────────────────────
     "window_distribution" -> Q("""
       |SELECT c_custkey,
-      |       round(percent_rank() OVER w, 6) AS pr,
-      |       round(cume_dist()    OVER w, 6) AS cd,
+      |       round(percent_rank() OVER w + 0.000000001, 6) AS pr,
+      |       round(cume_dist() OVER w + 0.000000001, 6) AS cd,
       |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -51,8 +51,8 @@ object WindowQueries {
         .orderBy(col("c_acctbal"), col("c_custkey"))
       Engine.table(s, d, "customer")
         .select(col("c_custkey"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"),
+          round(percent_rank().over(w) + 1e-9, 6).as("pr"),
+          round(cume_dist().over(w) + 1e-9, 6).as("cd"),
           ntile(4).over(w).cast("long").as("quartile"))
         .orderBy(col("c_custkey"))
     },
