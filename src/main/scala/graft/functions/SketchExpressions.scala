@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Codegen'd sketch primitives. The interpreted higher-order-function
+  * formulations (63 nested lambda evals per row for SimHash; planes×dim
+  * lambda arithmetic for hyperplane signatures) dominate the pipeline
+  * bench — these native expressions run the same math as tight JVM loops
+  * inside whole-stage codegen. Semantics identical to the HOF versions
+  * they replace (same bit order, same ±1 update, same packing).
+  */
+
+/** 63-bit SimHash from an array<bigint> of per-token hashes. */
+case class SimHash63(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash63"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val cnt = new Array[Long](63)
+    val n = a.numElements()
+    var j = 0
+    while (j < n) {
+      if (!a.isNullAt(j)) {
+        val h = a.getLong(j)
+        var i = 0
+        while (i < 63) {
+          if (((h >> i) & 1L) == 1L) cnt(i) += 1 else cnt(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 63) { sig = sig * 2 + (if (cnt(i) > 0) 1L else 0L); i += 1 }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cnt = ctx.freshName("cnt")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |long[] $cnt = new long[63];
+         |int $n = $a.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$a.isNullAt($j)) {
+         |    long $h = $a.getLong($j);
+         |    for (int $i = 0; $i < 63; $i++) {
+         |      if ((($h >> $i) & 1L) == 1L) $cnt[$i]++; else $cnt[$i]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $i = 0; $i < 63; $i++) {
+         |  $sig = $sig * 2 + ($cnt[$i] > 0 ? 1L : 0L);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Packed sign-bit signature of array<double> `left` against a foldable
+  * literal matrix `right` (array<array<double>>, planes ≤ 62). Bit p
+  * (ascending) contributes 2^(planes-1-p). */
+case class HyperplaneSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  @transient private lazy val matrix: Array[Array[Double]] = {
+    val m = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    Array.tabulate(m.numElements()) { p =>
+      val row = m.getArray(p)
+      Array.tabulate(row.numElements())(j => row.getDouble(j))
+    }
+  }
+
+  override def nullSafeEval(vecAny: Any, unused: Any): Any = {
+    val v = vecAny.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < matrix.length) {
+      val row = matrix(p)
+      var dot = 0.0
+      var j = 0
+      val d = math.min(n, row.length)
+      while (j < d) { dot += v.getDouble(j) * row(j); j += 1 }
+      sig = sig * 2 + (if (dot > 0) 1L else 0L)
+      p += 1
+    }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("graftPlaneMatrix", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val row = ctx.freshName("row")
+      s"""
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $matRef.length; $p++) {
+         |  double[] $row = $matRef[$p];
+         |  double $dot = 0.0;
+         |  int $d = Math.min($v.numElements(), $row.length);
+         |  for (int $j = 0; $j < $d; $j++) {
+         |    $dot += $v.getDouble($j) * $row[$j];
+         |  }
+         |  $sig = $sig * 2 + ($dot > 0 ? 1L : 0L);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sketches {
+  def simhash63(tokenHashes: Column): Column =
+    call_function("graft_simhash63", tokenHashes)
+
+  def hyperplaneSignature(vec: Column, matrix: Column): Column =
+    call_function("graft_hyperplane_sig", vec, matrix)
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash63", exprs => SimHash63(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_sig",
+      exprs => HyperplaneSignature(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -132,10 +132,12 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // two-step select so token hashing happens once per row, not per bit;
-    // persist because both sides of the candidate self-join consume it
+    // token hashing once per row; signature via the codegen'd SimHash63
+    // expression (the HOF formulation is 63 interpreted passes — see
+    // SCALE.md); persist because both self-join sides consume it
+    graft.functions.Sketches.register(df.sparkSession)
     val sigs = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
-      .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
+      .select(col("id"), graft.functions.Sketches.simhash63(col("hs")).as("sig"))
       .persist()
     val chunked = sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("chunk"))

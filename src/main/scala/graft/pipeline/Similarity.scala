@@ -89,15 +89,19 @@ object Similarity {
     val bands = planes / bandBits
     val base = corpus.select(col(idCol).as("id"),
       asDouble(col(vecCol)).as("vec")).persist()
+    graft.functions.Sketches.register(corpus.sparkSession)
+    val mask = (1L << bandBits) - 1
     val bucketed = Seq.range(0, rotations).map { rot =>
+      // packed signature via the codegen'd expression (tight JVM loop)
       base.select(col("id"), col("vec"), lit(rot).as("rot"),
-          lshBits(col("vec"), planeMatrix(rot, planes, dim)).as("bits"))
+          graft.functions.Sketches.hyperplaneSignature(col("vec"),
+            typedlit(planeMatrix(rot, planes, dim))).as("sig"))
         .select(col("id"), col("vec"), col("rot"),
           explode(sequence(lit(0), lit(bands - 1))).as("band"),
-          col("bits"))
+          col("sig"))
         .select(col("id"), col("vec"), col("rot"), col("band"),
           xxhash64(col("rot"), col("band"),
-            slice(col("bits"), col("band") * bandBits + 1, lit(bandBits)))
+            expr(s"shiftright(sig, CAST(band * $bandBits AS INT)) & ${mask}L"))
             .as("bucket"))
     }.reduce(_ unionAll _)
     // dedup candidates on the id pair BEFORE fetching vectors — hashing

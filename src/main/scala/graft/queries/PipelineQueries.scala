@@ -147,12 +147,13 @@ object PipelineQueries {
 
     // ── rolling-hash fingerprint (xxhash64-seeded — Spark-side only) ─────
     "pipe_text_rolling_fp" -> Q.noOracle { (s, d) =>
+      graft.functions.Sketches.register(s)
       Engine.table(s, d, "documents")
         .select(col("doc_id"),
           TextAnalysis.fingerprintRolling(col("text")).as("rolling_fp"),
           Dedup.tokenHashes(col("text")).as("hs"))
         .select(col("doc_id"), col("rolling_fp"),
-          Dedup.simhashFromHashes(col("hs")).as("simhash"))
+          graft.functions.Sketches.simhash63(col("hs")).as("simhash"))
         .orderBy(col("doc_id"))
     },
 

@@ -33,6 +33,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(asof == naive)
   }
 
+  test("codegen SimHash63 == interpreted HOF simhash, bit for bit") {
+    graft.functions.Sketches.register(spark)
+    val both = Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.Sketches.simhash63(col("hs")).as("fast"),
+        Dedup.simhashFromHashes(col("hs")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(both.count() == 0)
+  }
+
   test("group minhash aggregate == per-position min over row signatures") {
     val k = 16
     val sigs = Engine.table(spark, sf, "documents")
