@@ -48,8 +48,12 @@ object AsOfJoin {
     val rAligned = r.select(l.columns.map(c =>
       if (r.columns.contains(c)) col(c)
       else lit(null).cast(l.schema(c).dataType).as(c)): _*)
+    // __payload as the final sort key makes the pick among right rows
+    // tied on (keys, ts) deterministic (struct comparison is
+    // lexicographic); left rows carry null payloads, which sort first
+    // and never affect their own position relative to side.
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(rAligned)
       .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))

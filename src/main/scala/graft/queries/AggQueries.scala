@@ -172,13 +172,16 @@ object AggQueries {
         .orderBy(col("c_nationkey"))
     },
 
-    // ── ordered array_agg ────────────────────────────────────────────────
+    // ── ordered array_agg (flattened to a joined string: the driver's
+    //    comparator can't hash list columns — ADVICE r01) ─────────────────
     "agg_array_agg" -> Q("""
-      |SELECT s_nationkey, list_sort(list(s_suppkey)) AS supps
+      |SELECT s_nationkey, array_to_string(list_sort(list(s_suppkey)), ',') AS supps
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, d) =>
       Engine.table(s, d, "supplier")
         .groupBy(col("s_nationkey"))
-        .agg(array_sort(collect_list(col("s_suppkey"))).as("supps"))
+        .agg(array_join(
+          transform(array_sort(collect_list(col("s_suppkey"))),
+            x => x.cast("string")), ",").as("supps"))
         .orderBy(col("s_nationkey"))
     },
 

@@ -92,7 +92,7 @@ object ExtrasQueries {
     "func_map" -> Q("""
       |SELECT doc_id,
       |       m['lang'][1]                AS lang_val,
-      |       list_sort(map_keys(m))      AS ks,
+      |       array_to_string(list_sort(map_keys(m)), ',') AS ks,
       |       CAST(cardinality(m) AS BIGINT) AS n
       |FROM (SELECT doc_id, MAP(['lang', 'src'], [lang, source]) AS m
       |      FROM documents)
@@ -103,7 +103,7 @@ object ExtrasQueries {
             array(col("lang"), col("source"))).as("m"))
         .select(col("doc_id"),
           element_at(col("m"), "lang").as("lang_val"),
-          array_sort(map_keys(col("m"))).as("ks"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("ks"),
           size(col("m")).cast("long").as("n"))
         .orderBy(col("doc_id"))
     },

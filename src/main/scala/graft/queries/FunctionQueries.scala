@@ -92,7 +92,9 @@ object FunctionQueries {
       |       regexp_extract(text, 'd[a-z]+', 0) AS rx,
       |       regexp_replace(text, '[aeiou]', '_', 'g') AS rr,
       |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS rc,
-      |       regexp_extract_all(substr(text, 1, 30), '[a-z]+') AS rall
+      |       coalesce(array_to_string(
+      |         regexp_extract_all(substr(text, 1, 30), '[a-z]+'), ' '), '')
+      |         AS rall
       |FROM documents ORDER BY doc_id""") { (s, d) =>
       Engine.table(s, d, "documents")
         .select(col("doc_id"),
@@ -100,8 +102,9 @@ object FunctionQueries {
           regexp_extract(col("text"), "d[a-z]+", 0).as("rx"),
           regexp_replace(col("text"), "[aeiou]", "_").as("rr"),
           regexp_count(col("text"), lit("[a-z]+")).cast("long").as("rc"),
-          regexp_extract_all(substring(col("text"), 1, 30), lit("[a-z]+"), lit(0))
-            .as("rall"))
+          array_join(
+            regexp_extract_all(substring(col("text"), 1, 30), lit("[a-z]+"),
+              lit(0)), " ").as("rall"))
         .orderBy(col("doc_id"))
     },
 
@@ -109,8 +112,8 @@ object FunctionQueries {
     "func_math" -> Q("""
       |SELECT p_partkey,
       |       abs(p_retailprice - 1000.0)          AS ab,
-      |       ceil(p_retailprice)                  AS ce,
-      |       floor(p_retailprice)                 AS fl,
+      |       CAST(ceil(p_retailprice) AS BIGINT)  AS ce,
+      |       CAST(floor(p_retailprice) AS BIGINT) AS fl,
       |       round(p_retailprice, 1)              AS rnd,
       |       round(sqrt(p_retailprice), 6)        AS sq,
       |       round(cbrt(p_retailprice), 6)        AS cb,
@@ -201,8 +204,12 @@ object FunctionQueries {
     },
 
     // ── date_bin (graft parity fn) vs DuckDB time_bucket ─────────────────
+    // bucket emitted as epoch-seconds BIGINT (tz-aware vs naive timestamp
+    // parquet hazard — see Q.scala conventions); buckets are 15-min
+    // aligned so the epoch has no fractional part.
     "func_date_bin" -> Q("""
-      |SELECT bucket, count(*) AS n, round(sum(value), 2) AS v
+      |SELECT CAST(epoch(bucket) AS BIGINT) AS bucket,
+      |       count(*) AS n, round(sum(value), 2) AS v
       |FROM (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP),
       |                         TIMESTAMP '2024-01-01') AS bucket, value
       |      FROM events)
@@ -212,6 +219,7 @@ object FunctionQueries {
           lit("2024-01-01").cast("timestamp")).as("bucket"), col("value"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .select(unix_timestamp(col("bucket")).as("bucket"), col("n"), col("v"))
         .orderBy(col("bucket"))
     },
 
@@ -249,20 +257,25 @@ object FunctionQueries {
     },
 
     // ── array family over real array data + word arrays ──────────────────
+    // (array-valued results are flattened through array_to_string /
+    //  array_join: the driver's comparator can't hash list columns)
     "func_array" -> Q("""
       |SELECT doc_id,
       |       CAST(len(words) AS BIGINT)            AS n_words,
       |       words[1]                              AS first_word,
       |       words[len(words)]                     AS last_word,
-      |       list_sort(list_distinct(words))       AS vocab,
+      |       array_to_string(list_sort(list_distinct(words)), ',') AS vocab,
       |       list_contains(words, 'data')          AS has_data,
       |       CAST(list_position(words, 'query') AS BIGINT) AS q_pos,
-      |       list_filter(words, x -> x <> 'the')   AS no_the,
-      |       list_sort(list_distinct(list_concat(words, ['data','query'])))
+      |       coalesce(array_to_string(
+      |         list_filter(words, x -> x <> 'the'), ','), '') AS no_the,
+      |       array_to_string(
+      |         list_sort(list_distinct(list_concat(words, ['data','query']))), ',')
       |         AS uni,
       |       array_to_string(words[1:3], '-')      AS first3,
-      |       flatten([words[1:2], words[3:4]])     AS flat,
-      |       generate_series(1, 5, 2)              AS seq
+      |       coalesce(array_to_string(
+      |         flatten([words[1:2], words[3:4]]), ','), '') AS flat,
+      |       array_to_string(generate_series(1, 5, 2), ',') AS seq
       |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
       |ORDER BY doc_id""") { (s, d) =>
       Engine.table(s, d, "documents")
@@ -271,55 +284,68 @@ object FunctionQueries {
           size(col("words")).cast("long").as("n_words"),
           element_at(col("words"), 1).as("first_word"),
           element_at(col("words"), size(col("words"))).as("last_word"),
-          array_sort(array_distinct(col("words"))).as("vocab"),
+          array_join(array_sort(array_distinct(col("words"))), ",").as("vocab"),
           array_contains(col("words"), "data").as("has_data"),
           array_position(col("words"), "query").cast("long").as("q_pos"),
-          filter(col("words"), x => x =!= "the").as("no_the"),
-          array_sort(array_distinct(
-            concat(col("words"), array(lit("data"), lit("query"))))).as("uni"),
+          array_join(filter(col("words"), x => x =!= "the"), ",").as("no_the"),
+          array_join(array_sort(array_distinct(
+            concat(col("words"), array(lit("data"), lit("query"))))), ",")
+            .as("uni"),
           array_join(slice(col("words"), 1, 3), "-").as("first3"),
-          flatten(array(slice(col("words"), 1, 2), slice(col("words"), 3, 2)))
-            .as("flat"),
-          sequence(lit(1), lit(5), lit(2)).as("seq"))
+          array_join(
+            flatten(array(slice(col("words"), 1, 2), slice(col("words"), 3, 2))),
+            ",").as("flat"),
+          array_join(transform(sequence(lit(1), lit(5), lit(2)),
+            x => x.cast("string")), ",").as("seq"))
         .orderBy(col("doc_id"))
     },
 
     // ── graft array-gap functions (pop/resize/replace/has_all) ───────────
     "func_array_gaps" -> Q("""
       |SELECT doc_id,
-      |       w[2:len(w)]                     AS popped_front,
-      |       w[1:len(w)-1]                   AS popped_back,
-      |       CASE WHEN len(w) >= 4 THEN w[1:4]
-      |            ELSE list_concat(w, ['_','_','_','_'][1:4-len(w)])
-      |       END                             AS resized,
-      |       list_transform(w, x -> CASE WHEN x = 'data' THEN 'DATA'
-      |                                   ELSE x END) AS replaced_all,
+      |       coalesce(array_to_string(w[2:len(w)], ','), '')   AS popped_front,
+      |       coalesce(array_to_string(w[1:len(w)-1], ','), '') AS popped_back,
+      |       array_to_string(
+      |         CASE WHEN len(w) >= 4 THEN w[1:4]
+      |              ELSE list_concat(w, ['_','_','_','_'][1:4-len(w)])
+      |         END, ',')                         AS resized,
+      |       coalesce(array_to_string(
+      |         list_transform(w, x -> CASE WHEN x = 'data' THEN 'DATA'
+      |                                     ELSE x END), ','), '') AS replaced_all,
       |       len(list_filter(['data','query'],
       |           x -> NOT list_contains(w, x))) = 0 AS hasall,
       |       len(w) = 0                      AS is_empty,
-      |       [len(w)]                        AS dims
+      |       array_to_string([len(w)], ',')  AS dims
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |ORDER BY doc_id""") { (s, d) =>
       Engine.table(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"),
-          F.array_pop_front(col("w")).as("popped_front"),
-          F.array_pop_back(col("w")).as("popped_back"),
-          F.array_resize(col("w"), lit(4), lit("_")).as("resized"),
-          F.array_replace_all(col("w"), lit("data"), lit("DATA"))
-            .as("replaced_all"),
+          array_join(F.array_pop_front(col("w")), ",").as("popped_front"),
+          array_join(F.array_pop_back(col("w")), ",").as("popped_back"),
+          array_join(F.array_resize(col("w"), lit(4), lit("_")), ",")
+            .as("resized"),
+          array_join(F.array_replace_all(col("w"), lit("data"), lit("DATA")),
+            ",").as("replaced_all"),
           F.array_has_all(col("w"), array(lit("data"), lit("query")))
             .as("hasall"),
           F.array_empty(col("w")).as("is_empty"),
-          F.array_dims(col("w")).cast("array<long>").as("dims"))
+          array_join(transform(F.array_dims(col("w")), x => x.cast("string")),
+            ",").as("dims"))
         .orderBy(col("doc_id"))
     },
 
     // ── higher-order functions (transform/filter/aggregate/exists) ───────
+    // (double-array results flattened via printf %.4f — the elementwise
+    //  doubles are identical on both sides, so fixed-width formatting is
+    //  deterministic; raw double→string would risk sci-notation skew)
     "func_higher_order" -> Q("""
       |SELECT vec_id,
-      |       list_transform(emb4, x -> round(x * 2.0, 4)) AS doubled,
-      |       list_filter(emb4, x -> x > 0.0)              AS positive,
+      |       array_to_string(list_transform(emb4,
+      |         x -> printf('%.4f', round(x * 2.0, 4) + 0.0)), ',') AS doubled,
+      |       coalesce(array_to_string(
+      |         list_transform(list_filter(emb4, x -> x > 0.0),
+      |           x -> printf('%.4f', round(x, 4))), ','), '') AS positive,
       |       round(list_sum(list_transform(emb4, x -> x)), 4) AS total,
       |       len(list_filter(emb4, x -> x > 0.0)) > 0     AS any_pos
       |FROM (SELECT vec_id,
@@ -331,8 +357,12 @@ object FunctionQueries {
           transform(slice(col("embedding"), 1, 4), x => x.cast("double"))
             .as("emb4"))
         .select(col("vec_id"),
-          transform(col("emb4"), x => round(x * 2.0, 4)).as("doubled"),
-          filter(col("emb4"), x => x > 0.0).as("positive"),
+          // + 0.0 canonicalizes IEEE -0.0 to +0.0 on both engines
+          array_join(transform(col("emb4"),
+            x => format_string("%.4f", round(x * 2.0, 4) + 0.0)), ",")
+            .as("doubled"),
+          array_join(transform(filter(col("emb4"), x => x > 0.0),
+            x => format_string("%.4f", round(x, 4))), ",").as("positive"),
           round(aggregate(col("emb4"), lit(0.0), (acc, x) => acc + x), 4)
             .as("total"),
           exists(col("emb4"), x => x > 0.0).as("any_pos"))
@@ -340,14 +370,17 @@ object FunctionQueries {
     },
 
     // ── struct construction + field access ───────────────────────────────
+    // (struct result flattened through to_json — both engines emit
+    //  compact {"k":v} JSON in declaration order for scalar fields)
     "func_struct" -> Q("""
       |SELECT doc_id,
-      |       struct_pack(lang := lang, n := n_chars)      AS meta,
+      |       to_json(struct_pack(lang := lang, n := n_chars))::VARCHAR AS meta,
       |       struct_pack(lang := lang, n := n_chars).lang AS lang_out
       |FROM documents ORDER BY doc_id""") { (s, d) =>
       Engine.table(s, d, "documents")
         .select(col("doc_id"),
-          struct(col("lang").as("lang"), col("n_chars").as("n")).as("meta"),
+          to_json(struct(col("lang").as("lang"), col("n_chars").as("n")))
+            .as("meta"),
           struct(col("lang").as("lang"), col("n_chars").as("n"))
             .getField("lang").as("lang_out"))
         .orderBy(col("doc_id"))

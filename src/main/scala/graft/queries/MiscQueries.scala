@@ -61,7 +61,8 @@ object MiscQueries {
 
     // ── COPY TO csv → read back → aggregate ──────────────────────────────
     "copyto_csv" -> Q("""
-      |SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS key_sum
+      |SELECT o_orderstatus, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, d) =>
       val path = scratch("orders_csv")
       CopyTo.copyTo(
@@ -81,7 +82,8 @@ object MiscQueries {
 
     // ── COPY TO ndjson → read back → aggregate ───────────────────────────
     "copyto_json" -> Q("""
-      |SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS key_sum
+      |SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
       val path = scratch("lineitem_json")
       CopyTo.copyTo(

@@ -113,6 +113,8 @@ object OperatorQueries {
     // ── group-level MinHash via custom typed Aggregator ──────────────────
     // (elementwise-min of row signatures = signature of the union of the
     // groups' shingle sets; property-tested in OperatorSpec)
+    // (signature flattened to a joined string: the driver sorts even
+    //  rows-only outputs and can't hash list columns — CORRECTNESS_r01)
     "agg_group_minhash" -> Q.noOracle { (s, d) =>
       val k = 32
       Engine.table(s, d, "documents")
@@ -121,6 +123,9 @@ object OperatorQueries {
             Dedup.shingles(col("text"), 3), k).as("sig"))
         .groupBy(col("source"))
         .agg(GroupMinHash.groupSignature(col("sig"), k).as("group_sig"))
+        .select(col("source"),
+          array_join(transform(col("group_sig"), x => x.cast("string")), ",")
+            .as("group_sig"))
         .orderBy(col("source"))
     },
 

@@ -15,23 +15,31 @@ object StreamingQueries {
 
   val defs: Map[String, Q] = Map(
     // ── tumbling window aggregate ────────────────────────────────────────
+    // Window starts are emitted as epoch-seconds BIGINT: Spark writes
+    // tz-aware TIMESTAMP parquet while DuckDB time_bucket returns naive
+    // TIMESTAMP, so raw timestamp output would schema-mismatch (Q.scala
+    // conventions).
     "stream_tumbling" -> Q("""
-      |SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+      |SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))
+      |            AS BIGINT) AS w_start,
       |       event_type, count(*) AS n, round(sum(value), 2) AS v
       |FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""") { (s, d) =>
       Streaming.tumblingCounts(Engine.table(s, d, "events"))
+        .select(unix_timestamp(col("w_start")).as("w_start"),
+          col("event_type"), col("n"), col("v"))
         .orderBy(col("w_start"), col("event_type"))
     },
 
     // ── sliding window aggregate (1h window, 30min slide) ────────────────
     "stream_sliding" -> Q("""
-      |SELECT w_start, count(*) AS n FROM (
+      |SELECT CAST(epoch(w_start) AS BIGINT) AS w_start, count(*) AS n FROM (
       |  SELECT unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
       |                 time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
       |                   - INTERVAL '30 minutes']) AS w_start
       |  FROM events)
       |GROUP BY w_start ORDER BY w_start""") { (s, d) =>
       Streaming.slidingCounts(Engine.table(s, d, "events"))
+        .select(unix_timestamp(col("w_start")).as("w_start"), col("n"))
         .orderBy(col("w_start"))
     },
 
@@ -46,10 +54,14 @@ object StreamingQueries {
       |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
       |                         ROWS UNBOUNDED PRECEDING) AS sid
       |      FROM m)
-      |SELECT min(ts) AS s_start, max(ts) + INTERVAL '10 minutes' AS s_end,
+      |SELECT epoch_us(min(ts)) // 1000000 AS s_start,
+      |       epoch_us(max(ts) + INTERVAL '10 minutes') // 1000000 AS s_end,
       |       user_id, count(*) AS n_events
       |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""") { (s, d) =>
       Streaming.sessionCounts(Engine.table(s, d, "events"))
+        .select(unix_timestamp(col("s_start")).as("s_start"),
+          unix_timestamp(col("s_end")).as("s_end"),
+          col("user_id"), col("n_events"))
         .orderBy(col("user_id"), col("s_start"))
     },
 

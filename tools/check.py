@@ -1,12 +1,18 @@
 #!/usr/bin/env python
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICT variant.
 
 Usage: python tools/check.py [sfDir] [outDir]
 
 Reads outDir/<name>/ parquet (Spark results from graft.Verify) and
 outDir/oracle_sql.json, runs each oracle in DuckDB against the same
-sfDir tables, and compares: column names (sorted), schema class, row
-count, and exact values after sorting rows. Prints one line per query.
+sfDir tables, and compares: column names (sorted), dtypes, row count,
+and exact values after sorting rows.
+
+Deliberately as strict as the driver's comparator (ADVICE r01):
+  - NO dtype coercion: int64 vs float64 (e.g. DuckDB HUGEINT sum read
+    back as float) is a FAIL, tz-aware vs naive datetime is a FAIL;
+  - list/ndarray/dict-valued columns are a FAIL in ANY output (the
+    driver sorts even rows-only outputs and crashes on unhashables).
 """
 import sys, json, glob
 import duckdb
@@ -16,19 +22,18 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def nested_cols(df: pd.DataFrame):
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            for v in df[c].head(50):
+                if isinstance(v, (list, np.ndarray, dict)):
+                    bad.append(c)
+                    break
+    return bad
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize dtypes for comparison
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif isinstance(df[c].dtype, pd.DatetimeTZDtype):
-            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
-        elif df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     sort_cols = list(df.columns)
     try:
         df = df.sort_values(by=sort_cols, kind="mergesort")
@@ -36,6 +41,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=sort_cols, key=lambda s: s.astype(str),
                             kind="mergesort")
     return df.reset_index(drop=True)
+
+def dtype_key(dt) -> str:
+    # driver-faithful: int vs float vs tz-aware vs naive all distinct
+    if isinstance(dt, pd.DatetimeTZDtype):
+        return "datetime-tz"
+    return np.dtype(dt).kind + str(np.dtype(dt).itemsize) \
+        if not str(dt).startswith("datetime") else "datetime-naive"
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -62,9 +74,23 @@ def main():
             continue
         got = duckdb.connect().execute(
             f"SELECT * FROM read_parquet({files!r})").df()
+        bad = nested_cols(got) + nested_cols(exp)
+        if bad:
+            print(f"FAIL {name}: nested (list/struct) output cols {sorted(set(bad))} "
+                  f"— driver comparator can't hash these")
+            n_fail += 1
+            continue
         e_n, g_n = norm(exp), norm(got)
         if list(e_n.columns) != list(g_n.columns):
             print(f"FAIL {name}: columns exp={list(e_n.columns)} got={list(g_n.columns)}")
+            n_fail += 1
+            continue
+        dt_bad = [c for c in e_n.columns
+                  if dtype_key(e_n[c].dtype) != dtype_key(g_n[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch " +
+                  ", ".join(f"{c}: oracle={e_n[c].dtype} spark={g_n[c].dtype}"
+                            for c in dt_bad))
             n_fail += 1
             continue
         if len(e_n) != len(g_n):
@@ -80,15 +106,23 @@ def main():
             msg = str(a).replace("\n", " | ")[:300]
             print(f"FAIL {name}: {msg}")
             n_fail += 1
-    # rows-only queries (no oracle)
+    # rows-only queries (no oracle) — still must be sortable/hashable
     for p in sorted(glob.glob(f"{out}/*/")):
         name = p.rstrip("/").split("/")[-1]
         if name not in oracle:
             files = glob.glob(f"{p}*.parquet")
-            n = duckdb.connect().execute(
-                f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] \
-                if files else -1
-            print(f"ROWS {name}: {n}")
+            if not files:
+                print(f"ROWS {name}: -1")
+                continue
+            got = duckdb.connect().execute(
+                f"SELECT * FROM read_parquet({files!r})").df()
+            bad = nested_cols(got)
+            if bad:
+                print(f"FAIL {name}: nested output cols {bad} in rows-only "
+                      f"query — driver sorts these and crashes")
+                n_fail += 1
+            else:
+                print(f"ROWS {name}: {len(got)}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
