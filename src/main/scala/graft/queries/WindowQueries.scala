@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Engine, Q}
+import graft.functions.GraftWindowFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -173,6 +174,28 @@ object WindowQueries {
         .select(col("o_orderkey"),
           count(lit(1)).over(wRange).cast("long").as("grp_cnt"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ── UDWF: custom AggregateWindowFunction (running EWMA fold) ─────────
+    // Reference capability: WindowUDFImpl/PartitionEvaluator (udwf.rs:251).
+    // Not expressible with built-in window aggregates — the state is a
+    // fold. Oracle re-derives it via list(x) OVER running window +
+    // list_reduce; both engines fold the same doubles in the same order,
+    // so raw double output is bit-identical (no rounding needed).
+    "window_udwf_ewma" -> Q("""
+      |SELECT l_orderkey, l_linenumber,
+      |       list_reduce(
+      |         list(CAST(l_quantity AS DOUBLE))
+      |           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |                 ROWS UNBOUNDED PRECEDING),
+      |         (acc, x) -> 0.3*x + (1.0-0.3)*acc) AS ewma
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      GraftWindowFunctions.register(s)
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      Engine.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          GraftWindowFunctions.ewma(col("l_quantity"), 0.3).over(w).as("ewma"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 }

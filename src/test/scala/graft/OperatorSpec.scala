@@ -61,4 +61,33 @@ class OperatorSpec extends AnyFunSuite {
         src -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
     assert(viaAgg == viaExplode)
   }
+
+  test("Ewma UDWF == driver-side fold, bit for bit, nulls carried") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftWindowFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq((1L, 1, Some(10.0)), (1L, 2, None), (1L, 3, Some(4.0)),
+      (1L, 4, Some(7.5)), (2L, 1, Some(-3.0)), (2L, 2, Some(0.0)),
+      (3L, 1, None), (3L, 2, Some(2.25)))
+    val df = rows.toDF("k", "i", "x")
+    val w = Window.partitionBy(col("k")).orderBy(col("i"))
+    val got = df.select(col("k"), col("i"),
+        graft.functions.GraftWindowFunctions.ewma(col("x"), 0.3).over(w)
+          .as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val exp = rows.groupBy(_._1).flatMap { case (k, g) =>
+      var e: Option[Double] = None
+      g.sortBy(_._2).map { case (_, i, x) =>
+        e = (e, x) match {
+          case (None, vx) => vx
+          case (prev, None) => prev
+          case (Some(p), Some(vx)) => Some(0.3 * vx + (1.0 - 0.3) * p)
+        }
+        (k, i) -> e
+      }
+    }
+    assert(got == exp)
+  }
 }
