@@ -48,7 +48,7 @@ object Similarity {
     * driver-side from a splitmix64-style hash of (salt, plane, dim) — the
     * whole matrix ships as a literal (16×64 doubles ≈ 8 KB), so signature
     * evaluation is pure arithmetic, no per-element hashing. */
-  private[pipeline] def planeMatrix(
+  private[graft] def planeMatrix(
       salt: Int, planes: Int, dim: Int): Seq[Seq[Double]] = {
     def mix(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
@@ -91,19 +91,23 @@ object Similarity {
       asDouble(col(vecCol)).as("vec")).persist()
     graft.functions.Sketches.register(corpus.sparkSession)
     val mask = (1L << bandBits) - 1
+    // signatures are computed ONCE and the slim (id, rot, band, bucket)
+    // rows cached: the self-join below would otherwise recompute the
+    // whole signature pipeline for each join side (2× the map work, and
+    // AQE would materialize both copies as separate stages)
     val bucketed = Seq.range(0, rotations).map { rot =>
       // packed signature via the codegen'd expression (tight JVM loop)
-      base.select(col("id"), col("vec"), lit(rot).as("rot"),
+      base.select(col("id"), lit(rot).as("rot"),
           graft.functions.Sketches.hyperplaneSignature(col("vec"),
             typedlit(planeMatrix(rot, planes, dim))).as("sig"))
-        .select(col("id"), col("vec"), col("rot"),
+        .select(col("id"), col("rot"),
           explode(sequence(lit(0), lit(bands - 1))).as("band"),
           col("sig"))
-        .select(col("id"), col("vec"), col("rot"), col("band"),
+        .select(col("id"), col("rot"), col("band"),
           xxhash64(col("rot"), col("band"),
             expr(s"shiftright(sig, CAST(band * $bandBits AS INT)) & ${mask}L"))
             .as("bucket"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _).persist()
     // dedup candidates on the id pair BEFORE fetching vectors — hashing
     // (long, long) in the distinct shuffle, not 64-double arrays
     val cand = bucketed.select(col("id").as("id_a"), col("rot"), col("band"),
@@ -114,9 +118,17 @@ object Similarity {
           col("l.bucket") === col("r.bucket") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // Explicit numbered repartition before the exact-cosine verify:
+    // candidate-pair rows are tiny in BYTES, so AQE's size-based
+    // coalescing would pack the whole CPU-bound cosine stage into a
+    // couple of partitions; a user repartition(n) is honored by AQE and
+    // keeps the verify at full parallelism. (Same reasoning at cluster
+    // scale: cost here is per-row compute, not bytes.)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     cand
       .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
       .join(base.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .repartition(par, col("id_a"), col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)

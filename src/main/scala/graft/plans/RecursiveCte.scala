@@ -17,7 +17,15 @@ import org.apache.spark.sql.DataFrame
 object RecursiveCte {
 
   /** UNION (distinct) semantics fixpoint: rows already produced don't
-    * re-enter the frontier. */
+    * re-enter the frontier.
+    *
+    * One Spark job per iteration: the new frontier is lazily
+    * local-checkpointed and materialized by the emptiness count itself
+    * (an eager checkpoint + separate isEmpty would be 2-3 jobs per
+    * iteration — driver-loop job launch dominates deep recursions).
+    * `acc` is a union over already-checkpointed frontiers, so its
+    * lineage stays flat without re-checkpointing.
+    */
   def fixpoint(
       init: DataFrame,
       step: DataFrame => DataFrame,
@@ -25,9 +33,22 @@ object RecursiveCte {
     var acc = init.localCheckpoint(eager = true)
     var frontier = acc
     var i = 0
-    while (i < maxIter && !frontier.isEmpty) {
-      frontier = step(frontier).except(acc).localCheckpoint(eager = true)
-      if (!frontier.isEmpty) acc = acc.union(frontier).localCheckpoint(eager = true)
+    var unionDepth = 0
+    var done = frontier.isEmpty
+    while (i < maxIter && !done) {
+      val next = step(frontier).except(acc).localCheckpoint(eager = false)
+      if (next.count() == 0) done = true
+      else {
+        frontier = next
+        acc = acc.union(next)
+        unionDepth += 1
+        // bound the union fan-in: an unbounded union tree makes each
+        // iteration's analyze/optimize pass O(depth), i.e. O(n^2) total
+        if (unionDepth >= 8) {
+          acc = acc.localCheckpoint(eager = true)
+          unionDepth = 0
+        }
+      }
       i += 1
     }
     acc

@@ -182,16 +182,22 @@ object WindowQueries {
     // fold. Oracle re-derives it via list(x) OVER running window +
     // list_reduce; both engines fold the same doubles in the same order,
     // so raw double output is bit-identical (no rounding needed).
+    // ordering includes l_quantity: testdata lineitem has duplicate
+    // (orderkey, linenumber) pairs, and a tie in the fold ORDER would be
+    // resolved differently per engine; ties in quantity itself cannot
+    // change the fold value.
     "window_udwf_ewma" -> Q("""
       |SELECT l_orderkey, l_linenumber,
       |       list_reduce(
       |         list(CAST(l_quantity AS DOUBLE))
-      |           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |           OVER (PARTITION BY l_orderkey
+      |                 ORDER BY l_linenumber, l_quantity
       |                 ROWS UNBOUNDED PRECEDING),
       |         (acc, x) -> 0.3*x + (1.0-0.3)*acc) AS ewma
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
       GraftWindowFunctions.register(s)
-      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"))
       Engine.table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           GraftWindowFunctions.ewma(col("l_quantity"), 0.3).over(w).as("ewma"))
