@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
 import org.apache.spark.sql.types.LongType
 
 import graft.functions.{Gcd, Lcm}
+import graft.plans.{TopKAggregationRule, TopKAggStrategy}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`
   * (reference analogue: SessionContext::register_udf* —
@@ -23,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lcm"),
       new ExpressionInfo(classOf[Lcm].getName, "graft_lcm"),
       exprs => Lcm(Cast(exprs(0), LongType), Cast(exprs(1), LongType))))
+    // TopK aggregation fusion: limit-sort-aggregate → bounded top-k
+    // operator (custom LogicalPlan + Strategy + SparkPlan, plans/
+    // TopKAggregate.scala)
+    e.injectOptimizerRule(_ => TopKAggregationRule)
+    e.injectPlannerStrategy(_ => TopKAggStrategy)
   }
 }

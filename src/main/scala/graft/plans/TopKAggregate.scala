@@ -1,0 +1,299 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Ascending, Attribute, AttributeReference, BindReferences, Descending,
+  Expression, NullsFirst, NullsLast, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Max}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Sort, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  AllTuples, Distribution, Partitioning, SinglePartition,
+  UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+/** TopK aggregation fusion (reference: DataFusion's TopKAggregation
+  * physical rule + priority-map aggregate —
+  * datafusion/core/src/physical_optimizer/topk_aggregation.rs:40,
+  * physical-plan/src/aggregates/topk/{heap,hash_table,priority_map}.rs).
+  *
+  * `SELECT g, max(v) FROM t GROUP BY g ORDER BY max(v) DESC LIMIT k`
+  * normally hash-aggregates EVERY group and then sorts; when only the k
+  * best groups are wanted, per-partition state can be bounded at k
+  * entries (prune-safety: the true i-th best group's defining row makes
+  * it at least i-th best within its own partition, so the k-entry
+  * partial state never discards a global top-k group).
+  *
+  * Spark-first shape: custom LogicalPlan node + planner Strategy + two
+  * custom SparkPlans (partial per-partition priority map → AllTuples
+  * exchange of ≤ k·P slim rows → final priority map), plus a
+  * Rule[LogicalPlan] that pattern-matches Limit(Sort(Aggregate)) and
+  * fuses — the full custom-operator tier of the architecture, wired via
+  * SparkSessionExtensions or ExperimentalMethods.
+  *
+  * Ordering semantics: value descending, NULLS LAST; ties broken by the
+  * group columns ascending (NULLS FIRST) — i.e. `ORDER BY m DESC, g`.
+  * Null aggregate values rank last, which keeps the bounded-state
+  * pruning safe (a null-valued entry can never evict a real candidate).
+  *
+  * Scale: state is O(k) per task instead of O(#groups); the exchange
+  * ships ≤ k rows per partition instead of every group — the difference
+  * between a 100 TB cardinality-10^9 group-by and a k-row shuffle.
+  */
+case class TopKAggregate(
+    groupCols: Seq[Attribute],
+    valueCol: Attribute,
+    outGroup: Seq[Attribute],
+    outValue: Attribute,
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = outGroup :+ outValue
+  // only attrs NOT consumed from the child (outValue; outGroup normally
+  // reuses child exprIds): including child attrs here would subtract
+  // them from `references` and let ColumnPruning drop the group columns
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output) --
+      child.outputSet
+  override def maxRows: Option[Long] = Some(k.toLong)
+  override protected def withNewChildInternal(c: LogicalPlan): TopKAggregate =
+    copy(child = c)
+}
+
+object TopKAggExec {
+  /** Comparator over (aggValue, groupFields): value DESC NULLS LAST,
+    * then group fields ASC NULLS FIRST. "Less" = ranks earlier. */
+  private[plans] final class EntryOrdering(
+      valueOrd: Ordering[Any], groupOrds: Seq[Ordering[Any]],
+      groupTypes: Seq[org.apache.spark.sql.types.DataType])
+      extends Ordering[(Any, UnsafeRow)] {
+    override def compare(a: (Any, UnsafeRow), b: (Any, UnsafeRow)): Int = {
+      val c = (a._1, b._1) match {
+        case (null, null) => 0
+        case (null, _) => 1 // nulls last
+        case (_, null) => -1
+        case (x, y) => -valueOrd.compare(x, y) // descending
+      }
+      if (c != 0) return c
+      var i = 0
+      while (i < groupOrds.length) {
+        val x = a._2.get(i, groupTypes(i))
+        val y = b._2.get(i, groupTypes(i))
+        val gc = (x, y) match {
+          case (null, null) => 0
+          case (null, _) => -1 // nulls first
+          case (_, null) => 1
+          case _ => groupOrds(i).compare(x, y)
+        }
+        if (gc != 0) return gc
+        i += 1
+      }
+      0
+    }
+  }
+}
+
+/** One phase of the bounded top-k group aggregate. Partial runs
+  * per-partition; the final phase requires AllTuples and emits the k
+  * best (group, max) rows in rank order. */
+case class TopKAggExec(
+    groupCols: Seq[Attribute],
+    valueCol: Attribute,
+    output: Seq[Attribute],
+    k: Int,
+    finalPhase: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (finalPhase) AllTuples :: Nil else UnspecifiedDistribution :: Nil
+
+  override def outputPartitioning: Partitioning =
+    if (finalPhase) SinglePartition else child.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (finalPhase)
+      SortOrder(output.last, Descending, NullsLast, Seq.empty) +:
+        output.dropRight(1).map(a => SortOrder(a, Ascending, NullsFirst, Seq.empty))
+    else Nil
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val groupTypes = groupCols.map(_.dataType)
+    val valueType = valueCol.dataType
+    val kk = k
+    val boundGroup = groupCols.map(a =>
+      BindReferences.bindReference(a: Expression, child.output))
+    val boundValue =
+      BindReferences.bindReference(valueCol: Expression, child.output)
+    val outTypes = output.map(_.dataType)
+    child.execute().mapPartitions { iter =>
+      val valueOrd =
+        TypeUtils.getInterpretedOrdering(valueType).asInstanceOf[Ordering[Any]]
+      val groupOrds = groupTypes.map(t =>
+        TypeUtils.getInterpretedOrdering(t).asInstanceOf[Ordering[Any]])
+      val ord = new TopKAggExec.EntryOrdering(valueOrd, groupOrds, groupTypes)
+      val groupProj = UnsafeProjection.create(boundGroup)
+      val tree = mutable.TreeSet.empty[(Any, UnsafeRow)](ord)
+      val best = mutable.HashMap.empty[UnsafeRow, (Any, UnsafeRow)]
+      iter.foreach { row =>
+        // copyValue: non-primitive results (UTF8String etc.) may be
+        // views into the current row's buffer — unsafe to retain
+        val v = InternalRow.copyValue(boundValue.eval(row))
+        val gKey = groupProj(row)
+        best.get(gKey) match {
+          case Some(e @ (old, g)) =>
+            // max semantics: null state absorbs any value
+            val better = old == null ||
+              (v != null && valueOrd.compare(v, old) > 0)
+            if (better) {
+              tree.remove(e)
+              val e2 = (v, g)
+              tree.add(e2)
+              best.update(g, e2)
+            }
+          case None =>
+            val g = gKey.copy()
+            val e = (v, g)
+            if (best.size < kk) {
+              best.put(g, e); tree.add(e)
+            } else {
+              val worst = tree.last
+              if (ord.compare(e, worst) < 0) {
+                tree.remove(worst); best.remove(worst._2)
+                best.put(g, e); tree.add(e)
+              }
+            }
+        }
+      }
+      val toRow = UnsafeProjection.create(outTypes.toArray)
+      val outRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        outTypes.length)
+      tree.iterator.map { case (v, g) =>
+        var i = 0
+        while (i < groupTypes.length) {
+          outRow.update(i, g.get(i, groupTypes(i))); i += 1
+        }
+        outRow.update(groupTypes.length, v)
+        toRow(outRow).copy(): InternalRow
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKAggExec =
+    copy(child = c)
+}
+
+/** Plans TopKAggregate as partial → (exchange via EnsureRequirements) →
+  * final. */
+object TopKAggStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case t: TopKAggregate =>
+      val partial = TopKAggExec(t.groupCols, t.valueCol, t.output, t.k,
+        finalPhase = false, planLater(t.child))
+      TopKAggExec(t.outGroup, t.outValue, t.output, t.k,
+        finalPhase = true, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Fuses `GlobalLimit(n, LocalLimit(n, Sort(max_attr DESC NULLS LAST
+  * [, group ASC...], Aggregate(groups, groups :+ max(v)))))` into the
+  * bounded TopKAggregate (the Sort/Limit stay on top — over ≤ n rows
+  * they are free — so downstream attribute ids are untouched). Fires
+  * only on the null-safe pattern: a single non-distinct MAX over an
+  * attribute, attribute-only grouping, descending NULLS LAST primary
+  * sort on the max, and optional ascending group-attr tiebreaks. */
+object TopKAggregationRule extends Rule[LogicalPlan] {
+  private val MaxK = 100000
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case gl @ GlobalLimit(Literal(n: Int, _),
+        ll @ LocalLimit(Literal(n2: Int, _),
+        sort @ Sort(orders, true, agg: Aggregate, _)))
+        if n == n2 && n > 0 && n <= MaxK =>
+      fuse(n, orders, agg) match {
+        case Some(topk) =>
+          GlobalLimit(Literal(n), LocalLimit(Literal(n),
+            Sort(orders, global = true, topk)))
+        case None => gl
+      }
+  }
+
+  private def fuse(n: Int, orders: Seq[SortOrder],
+      agg: Aggregate): Option[TopKAggregate] = {
+    // attribute-only grouping
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: Attribute => a
+      case _ => return None
+    }
+    // result = grouping attrs + exactly one alias(max(attr))
+    val (groupResults, aggResults) = agg.aggregateExpressions.partition {
+      case a: Attribute => groupAttrs.exists(_.exprId == a.exprId)
+      case _ => false
+    }
+    if (groupResults.length != groupAttrs.length) return None
+    val (maxAlias, maxInput) = aggResults match {
+      case Seq(al @ Alias(AggregateExpression(
+          Max(v: Attribute), Complete, false, None, _), _)) => (al, v)
+      case _ => return None
+    }
+    val outGroup = groupResults.map(_.asInstanceOf[Attribute])
+    val outValue = maxAlias.toAttribute
+    // primary sort: the max, descending, nulls last
+    orders.headOption match {
+      case Some(SortOrder(a: Attribute, Descending, NullsLast, _))
+          if a.exprId == outValue.exprId => ()
+      case _ => return None
+    }
+    // optional tiebreaks: ascending nulls-first group attrs, in order
+    val ties = orders.tail
+    val tieAttrs = ties.map {
+      case SortOrder(a: Attribute, Ascending, NullsFirst, _) => a
+      case _ => return None
+    }
+    if (!tieAttrs.map(_.exprId).sameElements(
+        outGroup.take(tieAttrs.length).map(_.exprId))) return None
+    // without full tiebreaks the boundary pick is one valid choice among
+    // the tied groups — allowed for a nondeterministic ORDER BY prefix
+    Some(TopKAggregate(groupAttrs, maxInput, outGroup, outValue, n,
+      agg.child))
+  }
+}
+
+/** Library surface + registration. */
+object TopKAgg {
+  /** Append the strategy + fusion rule to a session (idempotent). Also
+    * injectable via GraftExtensions for extension-built sessions. */
+  def register(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(TopKAggStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKAggStrategy
+    if (!exp.extraOptimizations.contains(TopKAggregationRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ TopKAggregationRule
+  }
+
+  /** Direct API: the k groups with the largest max(valueCol), ranked
+    * (max DESC NULLS LAST, groups ASC). Output: groupCols :+ maxAlias. */
+  def topKGroupsByMax(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int, maxAlias: String = "max_value"): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output
+      .find(a => spark.sessionState.conf.resolver(a.name, n))
+      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val gAttrs = groupCols.map(attr)
+    val vAttr = attr(valueCol)
+    val outValue = AttributeReference(maxAlias, vAttr.dataType,
+      nullable = true)()
+    GraftSqlShim.ofRows(spark,
+      TopKAggregate(gAttrs, vAttr, gAttrs, outValue, k, analyzed))
+  }
+}

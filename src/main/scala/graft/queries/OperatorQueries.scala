@@ -129,6 +129,21 @@ object OperatorQueries {
         .orderBy(col("source"))
     },
 
+    // ── TopK aggregation fusion (custom LogicalPlan+Strategy+SparkPlan;
+    //    reference: topk_aggregation.rs:40 + aggregates/topk/) ────────────
+    // Bounded k-entry state per partition; the oracle is the unfused
+    // groupBy + order + limit with the same (m DESC NULLS LAST, key ASC)
+    // tie policy.
+    "topk_aggregation" -> Q("""
+      |SELECT l_partkey, max(l_extendedprice) AS m
+      |FROM lineitem GROUP BY l_partkey
+      |ORDER BY m DESC NULLS LAST, l_partkey ASC LIMIT 10""") { (s, d) =>
+      graft.plans.TopKAgg.topKGroupsByMax(
+        Engine.table(s, d, "lineitem"), Seq("l_partkey"),
+        "l_extendedprice", 10, "m")
+        .orderBy(col("m").desc_nulls_last, col("l_partkey"))
+    },
+
     // ── catalog surface (information_schema analogue) ────────────────────
     "catalog_tables" -> Q.noOracle { (s, d) =>
       Engine.registerAll(s, d)

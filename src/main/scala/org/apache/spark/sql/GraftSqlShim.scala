@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge into `private[sql]` Spark internals: build a DataFrame
+  * from a custom LogicalPlan (needed by graft's custom operators, e.g.
+  * the TopK-aggregation node) and append experimental rules/strategies.
+  * Lives in the org.apache.spark.sql package solely for access; contains
+  * no logic.
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.plans.{TopKAgg, TopKAggExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKAggSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val spark = SparkTestSession.spark
+
+  test("topKGroupsByMax == groupBy + orderBy + limit (ranked rows)") {
+    val li = Engine.table(spark, sf, "lineitem")
+    val got = TopKAgg.topKGroupsByMax(li, Seq("l_partkey"),
+        "l_extendedprice", 25, "m")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exp = li.groupBy(col("l_partkey"))
+      .agg(max(col("l_extendedprice")).as("m"))
+      .orderBy(col("m").desc_nulls_last, col("l_partkey"))
+      .limit(25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exp)
+  }
+
+  test("bounded state survives tiny k and ties across partitions") {
+    import spark.implicits._
+    TopKAgg.register(spark)
+    // many duplicate values → boundary ties decided by group asc
+    val df = (1 to 1000).map(i => (i.toLong, (i % 7).toDouble))
+      .toDF("g", "v").repartition(13)
+    val got = TopKAgg.topKGroupsByMax(df, Seq("g"), "v", 5, "m")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exp = df.groupBy(col("g")).agg(max(col("v")).as("m"))
+      .orderBy(col("m").desc_nulls_last, col("g")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exp)
+  }
+
+  test("null aggregate values rank last and merge correctly") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[Double])](
+      (1L, None), (1L, Some(5.0)), (2L, None), (3L, Some(1.0)),
+      (4L, Some(9.0)), (4L, None)).toDF("g", "v").repartition(3)
+    val got = TopKAgg.topKGroupsByMax(df, Seq("g"), "v", 4, "m")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(got == Seq(4L -> Some(9.0), 1L -> Some(5.0), 3L -> Some(1.0),
+      2L -> None))
+  }
+
+  test("fusion rule rewrites limit-sort-aggregate into TopKAggExec") {
+    TopKAgg.register(spark)
+    Engine.registerAll(spark, sf)
+    val df = spark.sql("""
+      SELECT l_partkey, max(l_extendedprice) AS m
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY m DESC NULLS LAST, l_partkey LIMIT 10""")
+    df.collect() // force AQE to finalize the plan
+    assert(df.queryExecution.executedPlan.toString.contains("TopKAgg"),
+      df.queryExecution.executedPlan.toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exp = spark.sql("""
+      SELECT l_partkey, max(l_extendedprice) AS m
+      FROM (SELECT * FROM lineitem) GROUP BY l_partkey""")
+      .orderBy(col("m").desc_nulls_last, col("l_partkey")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exp)
+  }
+
+  test("rule does NOT fire on unsupported patterns") {
+    TopKAgg.register(spark)
+    Engine.registerAll(spark, sf)
+    // ascending order on the max → not the top-k-desc pattern
+    val df = spark.sql("""
+      SELECT l_partkey, max(l_extendedprice) AS m
+      FROM lineitem GROUP BY l_partkey ORDER BY m ASC LIMIT 10""")
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKAgg"))
+    // min aggregate → unsupported
+    val df2 = spark.sql("""
+      SELECT l_partkey, min(l_extendedprice) AS m
+      FROM lineitem GROUP BY l_partkey ORDER BY m DESC NULLS LAST LIMIT 10""")
+    df2.collect()
+    assert(!df2.queryExecution.executedPlan.toString.contains("TopKAgg"))
+  }
+}
