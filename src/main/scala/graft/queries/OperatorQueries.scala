@@ -144,10 +144,37 @@ object OperatorQueries {
         .orderBy(col("m").desc_nulls_last, col("l_partkey"))
     },
 
-    // ── catalog surface (information_schema analogue) ────────────────────
-    "catalog_tables" -> Q.noOracle { (s, d) =>
+    // ── catalog surface (information_schema analogue; reference:
+    //    core/src/catalog/information_schema.rs) — both engines list the
+    //    same 10 registered tables/views (isTemporary filters out any
+    //    managed tables other queries create, e.g. insert_into's) ────────
+    "catalog_tables" -> Q("""
+      |SELECT table_name AS "tableName" FROM information_schema.tables
+      |ORDER BY 1""") { (s, d) =>
       Engine.registerAll(s, d)
-      s.sql("SHOW TABLES").select(col("tableName")).orderBy(col("tableName"))
+      s.sql("SHOW TABLES").filter(col("isTemporary"))
+        .select(col("tableName")).orderBy(col("tableName"))
+    },
+
+    // ── INSERT INTO a managed table (reference: DataSinkExec,
+    //    physical-plan/src/insert.rs:83 + dml.rs) — saveAsTable creates,
+    //    insertInto appends, read back through the catalog ───────────────
+    "insert_into" -> Q("""
+      |SELECT k, name FROM (
+      |  SELECT n_nationkey AS k, n_name AS name FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey + 100, n_name FROM nation WHERE n_nationkey < 5)
+      |ORDER BY k""") { (s, d) =>
+      s.sql("DROP TABLE IF EXISTS graft_insert_demo")
+      Engine.table(s, d, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"))
+        // external path: immune to orphaned warehouse dirs across runs
+        .write.mode("overwrite").option("path", "/tmp/graft_io/insert_demo")
+        .saveAsTable("graft_insert_demo")
+      Engine.table(s, d, "nation").filter(col("n_nationkey") < 5)
+        .select((col("n_nationkey") + 100).as("k"), col("n_name").as("name"))
+        .write.mode("append").insertInto("graft_insert_demo")
+      s.table("graft_insert_demo").orderBy(col("k"))
     }
   )
 }
