@@ -137,6 +137,67 @@ case class HyperplaneSignature(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature (array<bigint>, length k) of an array<string> of
+  * shingles — bit-identical to the HOF formulation
+  * `aggregate(transform(sh, xxhash64), repeat(MaxValue, k),
+  *  (acc,h) -> zip_with(acc, 0..k-1, (m,i) -> least(m, xxhash64(i,h))))`
+  * but as one tight loop: the HOF version allocates a fresh k-array and
+  * runs k generic expression evals per shingle (the dedup-pipeline
+  * hotspot). Per-position hash = xxhash64(i:int, h:long) with Spark's
+  * standard seed chain; a null shingle hashes to the seed (42), exactly
+  * as the null-skipping xxhash64 expression does. */
+case class MinHash64(child: Expression, kExpr: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash64"
+
+  @transient private lazy val k: Int =
+    kExpr.eval(InternalRow.empty).asInstanceOf[Int]
+  // seed chain prefix for position i: xxhash64's fold over (i, h) starts
+  // at hash(i:int, 42); precomputed once per operator instance
+  @transient private lazy val posSeeds: Array[Long] =
+    Array.tabulate(k)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
+  def compute(a: ArrayData): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = a.numElements()
+    var j = 0
+    while (j < n) {
+      val h =
+        if (a.isNullAt(j)) 42L
+        else XxHash64Function.hash(a.getUTF8String(j),
+          org.apache.spark.sql.types.StringType, 42L)
+      var i = 0
+      while (i < k) {
+        val cand = XxHash64Function.hash(h, LongType, posSeeds(i))
+        if (cand < sig(i)) sig(i) = cand
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any, unused: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftMinhash", this,
+      classOf[MinHash64].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, kExpr = newRight)
+}
+
 object Sketches {
   def simhash63(tokenHashes: Column): Column =
     call_function("graft_simhash63", tokenHashes)
@@ -144,11 +205,17 @@ object Sketches {
   def hyperplaneSignature(vec: Column, matrix: Column): Column =
     call_function("graft_hyperplane_sig", vec, matrix)
 
+  def minhash64(shingles: Column, k: Int): Column =
+    call_function("graft_minhash64", shingles,
+      org.apache.spark.sql.functions.lit(k))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash63", exprs => SimHash63(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane_sig",
       exprs => HyperplaneSignature(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash64", exprs => MinHash64(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -31,12 +31,18 @@ object Dedup {
       1))
   }
 
-  /** k-wide MinHash signature over a shingle array: each shingle is hashed
-    * ONCE (xxhash64 on the string), then a single fold over the hash array
-    * updates all k family minima per element (least(m, xxhash64(i, h))) —
-    * the shingle/hash arrays are aggregate inputs, evaluated once, never
-    * re-evaluated per family. No explode, no shuffle. */
+  /** k-wide MinHash signature over a shingle array, as the codegen'd
+    * MinHash64 expression (functions/SketchExpressions.scala): one tight
+    * shingles×k loop per row, bit-identical to the HOF fold it replaced
+    * (equivalence asserted in OperatorSpec). No explode, no shuffle.
+    * Requires Sketches.register on the session (call sites do). */
   def minhashSignature(sh: Column, k: Int): Column =
+    graft.functions.Sketches.minhash64(sh, k)
+
+  /** The original higher-order-function formulation, kept as the
+    * executable spec for the MinHash64 expression: each shingle hashed
+    * once, a single fold updates all k family minima per element. */
+  private[graft] def minhashSignatureHof(sh: Column, k: Int): Column =
     aggregate(
       transform(sh, s => xxhash64(s)),
       array_repeat(lit(Long.MaxValue), k),
@@ -67,6 +73,7 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    graft.functions.Sketches.register(df.sparkSession)
     val r = numHashes / bands
     // persist: signatures feed the band explode AND both sides of the
     // candidate join AND the verify join — without it the shingling +

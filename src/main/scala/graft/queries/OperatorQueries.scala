@@ -117,6 +117,7 @@ object OperatorQueries {
     //  rows-only outputs and can't hash list columns — CORRECTNESS_r01)
     "agg_group_minhash" -> Q.noOracle { (s, d) =>
       val k = 32
+      graft.functions.Sketches.register(s)
       Engine.table(s, d, "documents")
         .select(col("source"),
           Dedup.minhashSignature(

@@ -62,6 +62,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaAgg == viaExplode)
   }
 
+  test("codegen MinHash64 == interpreted HOF minhash, bit for bit") {
+    graft.functions.Sketches.register(spark)
+    val k = 32
+    val both = Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"),
+        Dedup.minhashSignature(col("sh"), k).as("fast"),
+        Dedup.minhashSignatureHof(col("sh"), k).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("Ewma UDWF == driver-side fold, bit for bit, nulls carried") {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftWindowFunctions.register(spark)
