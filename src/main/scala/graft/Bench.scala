@@ -50,7 +50,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // context: TPC-H subtotal (the BASELINE.md comparison set) and the
+    // per-query fixed floor (job-launch + noop-sink cost at local scale,
+    // measured by the cheapest query)
+    val tpchTotal = results.collect {
+      case (k, v) if k.startsWith("tpch_") => v }.sum
+    val floor = results.map(_._2).min
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tpch_total":$tpchTotal,"per_query_floor":$floor,"iters":$iters}""")
     spark.stop()
   }
 }

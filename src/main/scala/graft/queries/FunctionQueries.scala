@@ -68,6 +68,42 @@ object FunctionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ── string stragglers (overlay/find_in_set/nanvl/… — §2.9 rows with
+    //    no DuckDB builtin are emulated in the oracle SQL) ────────────────
+    "func_string2" -> Q("""
+      |SELECT doc_id,
+      |       substr(source, 1, 1) || 'XX' || substr(source, 5) AS ovl,
+      |       CAST(coalesce(list_position(string_split('web,books,src,wiki', ','),
+      |                                   source), 0) AS BIGINT) AS fis,
+      |       CASE WHEN isnan(CASE WHEN doc_id % 2 = 0 THEN 'nan'::DOUBLE
+      |                            ELSE 1.5 END)
+      |            THEN -1.0 ELSE (CASE WHEN doc_id % 2 = 0 THEN 'nan'::DOUBLE
+      |                                 ELSE 1.5 END) END AS nv,
+      |       CAST(bit_length(source) AS BIGINT)   AS bl,
+      |       CAST(strlen(source) AS BIGINT)       AS ol,
+      |       trim(source, 'sw')                   AS bt,
+      |       CAST(strpos(text, 'a') AS BIGINT)    AS sp,
+      |       array_to_string(string_split(text, ' ')[1:2], ' ') AS si,
+      |       length(CAST(uuid() AS VARCHAR)) = 36 AS u36,
+      |       strftime(to_timestamp(doc_id * 3600), '%Y-%m-%d %H:%M:%S') AS fut
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"),
+          overlay(col("source"), lit("XX"), lit(2), lit(3)).as("ovl"),
+          find_in_set(col("source"), lit("web,books,src,wiki")).cast("long")
+            .as("fis"),
+          nanvl(when(col("doc_id") % 2 === 0, lit(Double.NaN))
+            .otherwise(lit(1.5)), lit(-1.0)).as("nv"),
+          bit_length(col("source")).cast("long").as("bl"),
+          octet_length(col("source")).cast("long").as("ol"),
+          expr("btrim(source, 'sw')").as("bt"),
+          locate("a", col("text")).cast("long").as("sp"),
+          substring_index(col("text"), " ", 2).as("si"),
+          (length(expr("uuid()")) === 36).as("u36"),
+          from_unixtime(col("doc_id") * 3600).as("fut"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── crypto / encoding ────────────────────────────────────────────────
     "func_crypto" -> Q("""
       |SELECT doc_id,
