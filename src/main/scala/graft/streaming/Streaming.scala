@@ -71,6 +71,18 @@ object Streaming {
         col("p_ts") <= col("c_ts") + expr("INTERVAL '30' MINUTE"))
   }
 
+  /** Streaming deduplication — the training-pipeline staple: duplicate
+    * records arriving within the watermark window are dropped by key;
+    * state is bounded by the watermark (reference has no streaming dedup
+    * — an extension, like as-of join). Batch mode degenerates to
+    * dropDuplicates. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user event
     * count + cumulative value, emitting one update per input row batch.
     * (Reference has no equivalent — UDAF-over-stream is the closest.) */

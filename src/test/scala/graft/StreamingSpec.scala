@@ -114,6 +114,31 @@ class StreamingSpec extends AnyFunSuite {
       s"late event must not change the finalized window: $out")
   }
 
+  test("streaming dedup drops duplicate keys across microbatches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    def ev(id: Long, offsetMin: Int): Ev =
+      Ev(id, new java.sql.Timestamp(base.getTime + offsetMin * 60000L),
+        id % 3, "click", 1.0)
+    val ms = MemoryStream[Ev]
+    val q = Streaming.dedupStream(ms.toDF(), Seq("event_id"))
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    ms.addData(ev(1, 0), ev(2, 1), ev(1, 2)) // dup inside one batch
+    q.processAllAvailable()
+    ms.addData(ev(2, 3), ev(3, 4)) // dup across batches + a new key
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup").collect().map(_.getLong(0)).toSeq
+    assert(out.sorted == Seq(1L, 2L, 3L), s"got $out")
+    // batch mode degenerates to dropDuplicates
+    val batch = Streaming.dedupStream(
+      Seq(ev(1, 0), ev(1, 2), ev(2, 1)).toDF(), Seq("event_id"))
+    assert(batch.count() == 2)
+  }
+
   test("session windows produce per-user sessions in batch mode") {
     import spark.implicits._
     val out = Streaming.sessionCounts(rows.toDF()).collect()
