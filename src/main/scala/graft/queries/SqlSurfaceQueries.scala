@@ -76,6 +76,23 @@ object SqlSurfaceQueries {
       |       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net,
       |       CAST(l_shipdate AS DATE) AS ship_day
       |FROM lineitem WHERE l_orderkey < 100
-      |ORDER BY l_orderkey, l_linenumber""")
+      |ORDER BY l_orderkey, l_linenumber"""),
+
+    // ── parameterized query (reference: prepared statements,
+    //    expr/src/logical_plan/statement.rs + Expr::Placeholder) — Spark's
+    //    named-parameter spark.sql; the oracle inlines the bindings ───────
+    "sql_parameterized" -> Q("""
+      |SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE o_totalprice > 3000.0 AND o_orderstatus = 'O'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders
+          |WHERE o_totalprice > :minPrice AND o_orderstatus = :status
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("minPrice" -> 3000.0, "status" -> "O"))
+    }
   )
 }
