@@ -172,16 +172,22 @@ object AggQueries {
         .orderBy(col("c_nationkey"))
     },
 
-    // ── ordered array_agg (flattened to a joined string: the driver's
-    //    comparator can't hash list columns — ADVICE r01) ─────────────────
+    // ── ordered array_agg + nth_value-as-aggregate (flattened to a
+    //    joined string: the driver's comparator can't hash list columns
+    //    — ADVICE r01; nth = reference's nth_value agg via
+    //    element_at(sorted collect_list, n)) ──────────────────────────────
     "agg_array_agg" -> Q("""
-      |SELECT s_nationkey, array_to_string(list_sort(list(s_suppkey)), ',') AS supps
+      |SELECT s_nationkey, array_to_string(list_sort(list(s_suppkey)), ',') AS supps,
+      |       list_sort(list(s_suppkey))[2] AS nth2
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, d) =>
       Engine.table(s, d, "supplier")
         .groupBy(col("s_nationkey"))
         .agg(array_join(
           transform(array_sort(collect_list(col("s_suppkey"))),
-            x => x.cast("string")), ",").as("supps"))
+            x => x.cast("string")), ",").as("supps"),
+          // try_: groups with <2 rows yield NULL (= DuckDB list[2] OOB)
+          try_element_at(array_sort(collect_list(col("s_suppkey"))), lit(2))
+            .as("nth2"))
         .orderBy(col("s_nationkey"))
     },
 
