@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Alias, Ascending, Attribute, AttributeReference, BindReferences, Descending,
   Expression, NullsFirst, NullsLast, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Max}
+  AggregateExpression, Complete, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Sort, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -54,6 +54,7 @@ case class TopKAggregate(
     outGroup: Seq[Attribute],
     outValue: Attribute,
     k: Int,
+    desc: Boolean,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
   override def output: Seq[Attribute] = outGroup :+ outValue
@@ -69,18 +70,22 @@ case class TopKAggregate(
 }
 
 object TopKAggExec {
-  /** Comparator over (aggValue, groupFields): value DESC NULLS LAST,
-    * then group fields ASC NULLS FIRST. "Less" = ranks earlier. */
+  /** Comparator over (aggValue, groupFields): value DESC (or ASC when
+    * desc=false) NULLS LAST, then group fields ASC NULLS FIRST.
+    * "Less" = ranks earlier. */
   private[plans] final class EntryOrdering(
       valueOrd: Ordering[Any], groupOrds: Seq[Ordering[Any]],
-      groupTypes: Seq[org.apache.spark.sql.types.DataType])
+      groupTypes: Seq[org.apache.spark.sql.types.DataType],
+      desc: Boolean)
       extends Ordering[(Any, UnsafeRow)] {
     override def compare(a: (Any, UnsafeRow), b: (Any, UnsafeRow)): Int = {
       val c = (a._1, b._1) match {
         case (null, null) => 0
         case (null, _) => 1 // nulls last
         case (_, null) => -1
-        case (x, y) => -valueOrd.compare(x, y) // descending
+        case (x, y) =>
+          val c0 = valueOrd.compare(x, y)
+          if (desc) -c0 else c0
       }
       if (c != 0) return c
       var i = 0
@@ -109,6 +114,7 @@ case class TopKAggExec(
     valueCol: Attribute,
     output: Seq[Attribute],
     k: Int,
+    desc: Boolean,
     finalPhase: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -120,7 +126,8 @@ case class TopKAggExec(
 
   override def outputOrdering: Seq[SortOrder] =
     if (finalPhase)
-      SortOrder(output.last, Descending, NullsLast, Seq.empty) +:
+      SortOrder(output.last, if (desc) Descending else Ascending,
+        NullsLast, Seq.empty) +:
         output.dropRight(1).map(a => SortOrder(a, Ascending, NullsFirst, Seq.empty))
     else Nil
 
@@ -128,6 +135,7 @@ case class TopKAggExec(
     val groupTypes = groupCols.map(_.dataType)
     val valueType = valueCol.dataType
     val kk = k
+    val descFlag = desc
     val boundGroup = groupCols.map(a =>
       BindReferences.bindReference(a: Expression, child.output))
     val boundValue =
@@ -138,7 +146,8 @@ case class TopKAggExec(
         TypeUtils.getInterpretedOrdering(valueType).asInstanceOf[Ordering[Any]]
       val groupOrds = groupTypes.map(t =>
         TypeUtils.getInterpretedOrdering(t).asInstanceOf[Ordering[Any]])
-      val ord = new TopKAggExec.EntryOrdering(valueOrd, groupOrds, groupTypes)
+      val ord = new TopKAggExec.EntryOrdering(valueOrd, groupOrds,
+        groupTypes, descFlag)
       val groupProj = UnsafeProjection.create(boundGroup)
       val tree = mutable.TreeSet.empty[(Any, UnsafeRow)](ord)
       val best = mutable.HashMap.empty[UnsafeRow, (Any, UnsafeRow)]
@@ -149,9 +158,11 @@ case class TopKAggExec(
         val gKey = groupProj(row)
         best.get(gKey) match {
           case Some(e @ (old, g)) =>
-            // max semantics: null state absorbs any value
+            // max/min semantics: null state absorbs any value
+            val cmpVal = if (old == null || v == null) 0
+              else valueOrd.compare(v, old)
             val better = old == null ||
-              (v != null && valueOrd.compare(v, old) > 0)
+              (v != null && (if (descFlag) cmpVal > 0 else cmpVal < 0))
             if (better) {
               tree.remove(e)
               val e2 = (v, g)
@@ -196,9 +207,9 @@ object TopKAggStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKAggregate =>
       val partial = TopKAggExec(t.groupCols, t.valueCol, t.output, t.k,
-        finalPhase = false, planLater(t.child))
+        t.desc, finalPhase = false, planLater(t.child))
       TopKAggExec(t.outGroup, t.outValue, t.output, t.k,
-        finalPhase = true, partial) :: Nil
+        t.desc, finalPhase = true, partial) :: Nil
     case _ => Nil
   }
 }
@@ -239,17 +250,22 @@ object TopKAggregationRule extends Rule[LogicalPlan] {
       case _ => false
     }
     if (groupResults.length != groupAttrs.length) return None
-    val (maxAlias, maxInput) = aggResults match {
+    val (aggAlias, aggInput, desc) = aggResults match {
       case Seq(al @ Alias(AggregateExpression(
-          Max(v: Attribute), Complete, false, None, _), _)) => (al, v)
+          Max(v: Attribute), Complete, false, None, _), _)) => (al, v, true)
+      case Seq(al @ Alias(AggregateExpression(
+          Min(v: Attribute), Complete, false, None, _), _)) => (al, v, false)
       case _ => return None
     }
     val outGroup = groupResults.map(_.asInstanceOf[Attribute])
-    val outValue = maxAlias.toAttribute
-    // primary sort: the max, descending, nulls last
+    val outValue = aggAlias.toAttribute
+    // primary sort: the agg value — max DESC NULLS LAST or min ASC NULLS
+    // LAST (nulls-last is what keeps the bounded-state pruning safe)
     orders.headOption match {
       case Some(SortOrder(a: Attribute, Descending, NullsLast, _))
-          if a.exprId == outValue.exprId => ()
+          if desc && a.exprId == outValue.exprId => ()
+      case Some(SortOrder(a: Attribute, Ascending, NullsLast, _))
+          if !desc && a.exprId == outValue.exprId => ()
       case _ => return None
     }
     // optional tiebreaks: ascending nulls-first group attrs, in order
@@ -262,7 +278,7 @@ object TopKAggregationRule extends Rule[LogicalPlan] {
         outGroup.take(tieAttrs.length).map(_.exprId))) return None
     // without full tiebreaks the boundary pick is one valid choice among
     // the tied groups — allowed for a nondeterministic ORDER BY prefix
-    Some(TopKAggregate(groupAttrs, maxInput, outGroup, outValue, n,
+    Some(TopKAggregate(groupAttrs, aggInput, outGroup, outValue, n, desc,
       agg.child))
   }
 }
@@ -280,9 +296,19 @@ object TopKAgg {
   }
 
   /** Direct API: the k groups with the largest max(valueCol), ranked
-    * (max DESC NULLS LAST, groups ASC). Output: groupCols :+ maxAlias. */
+    * (max DESC NULLS LAST, groups ASC). Output: groupCols :+ aggAlias. */
   def topKGroupsByMax(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      k: Int, maxAlias: String = "max_value"): DataFrame = {
+      k: Int, aggAlias: String = "max_value"): DataFrame =
+    topKGroups(df, groupCols, valueCol, k, aggAlias, desc = true)
+
+  /** The k groups with the smallest min(valueCol), ranked
+    * (min ASC NULLS LAST, groups ASC). */
+  def topKGroupsByMin(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int, aggAlias: String = "min_value"): DataFrame =
+    topKGroups(df, groupCols, valueCol, k, aggAlias, desc = false)
+
+  private def topKGroups(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int, aggAlias: String, desc: Boolean): DataFrame = {
     val spark = df.sparkSession
     register(spark)
     val analyzed = df.queryExecution.analyzed
@@ -291,9 +317,9 @@ object TopKAgg {
       .getOrElse(throw new IllegalArgumentException(s"no column $n"))
     val gAttrs = groupCols.map(attr)
     val vAttr = attr(valueCol)
-    val outValue = AttributeReference(maxAlias, vAttr.dataType,
+    val outValue = AttributeReference(aggAlias, vAttr.dataType,
       nullable = true)()
     GraftSqlShim.ofRows(spark,
-      TopKAggregate(gAttrs, vAttr, gAttrs, outValue, k, analyzed))
+      TopKAggregate(gAttrs, vAttr, gAttrs, outValue, k, desc, analyzed))
   }
 }

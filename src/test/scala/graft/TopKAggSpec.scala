@@ -66,18 +66,39 @@ class TopKAggSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("topKGroupsByMin == groupBy + orderBy-asc + limit, and rule fires") {
+    TopKAgg.register(spark)
+    Engine.registerAll(spark, sf)
+    val li = Engine.table(spark, sf, "lineitem")
+    val got = TopKAgg.topKGroupsByMin(li, Seq("l_partkey"),
+        "l_extendedprice", 25, "m")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exp = li.groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("m"))
+      .orderBy(col("m").asc_nulls_last, col("l_partkey"))
+      .limit(25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exp)
+    val df = spark.sql("""
+      SELECT l_partkey, min(l_extendedprice) AS m
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY m ASC NULLS LAST, l_partkey LIMIT 10""")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TopKAgg"))
+  }
+
   test("rule does NOT fire on unsupported patterns") {
     TopKAgg.register(spark)
     Engine.registerAll(spark, sf)
-    // ascending order on the max → not the top-k-desc pattern
+    // ascending order on a MAX → not the top-k pattern
     val df = spark.sql("""
       SELECT l_partkey, max(l_extendedprice) AS m
       FROM lineitem GROUP BY l_partkey ORDER BY m ASC LIMIT 10""")
     df.collect()
     assert(!df.queryExecution.executedPlan.toString.contains("TopKAgg"))
-    // min aggregate → unsupported
+    // non-min/max aggregate → unsupported
     val df2 = spark.sql("""
-      SELECT l_partkey, min(l_extendedprice) AS m
+      SELECT l_partkey, avg(l_extendedprice) AS m
       FROM lineitem GROUP BY l_partkey ORDER BY m DESC NULLS LAST LIMIT 10""")
     df2.collect()
     assert(!df2.queryExecution.executedPlan.toString.contains("TopKAgg"))
