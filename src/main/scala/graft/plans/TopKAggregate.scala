@@ -319,7 +319,12 @@ object TopKAgg {
     val vAttr = attr(valueCol)
     val outValue = AttributeReference(aggAlias, vAttr.dataType,
       nullable = true)()
+    // explicit Project under the node: scan-level column pruning is
+    // driven by the Project/Filter chain directly above the relation
+    // (PhysicalOperation), which a custom node interrupts
+    val pruned = org.apache.spark.sql.catalyst.plans.logical.Project(
+      (gAttrs :+ vAttr).distinct, analyzed)
     GraftSqlShim.ofRows(spark,
-      TopKAggregate(gAttrs, vAttr, gAttrs, outValue, k, desc, analyzed))
+      TopKAggregate(gAttrs, vAttr, gAttrs, outValue, k, desc, pruned))
   }
 }
