@@ -160,6 +160,28 @@ object AggQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ── weighted percentile (reference: approx_percentile_cont_with_
+    //    weight, functions-aggregate/src/approx_percentile_cont.rs; here
+    //    the EXACT form — Spark's percentile frequency arg; the oracle
+    //    expands each row `weight` times via unnest(range(w))) ────────────
+    "agg_weighted_percentile" -> Q("""
+      |SELECT l_returnflag,
+      |       round(quantile_cont(v, 0.5), 4) AS wmed,
+      |       round(quantile_cont(v, 0.9), 4) AS wp90
+      |FROM (SELECT l_returnflag, l_quantity AS v,
+      |             unnest(range(l_linenumber)) AS rep
+      |      FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      Engine.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5, l_linenumber)"), 4)
+            .as("wmed"),
+          round(expr("percentile(l_quantity, 0.9, l_linenumber)"), 4)
+            .as("wp90"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ── ordered string_agg equivalent ────────────────────────────────────
     "agg_string_agg" -> Q("""
       |SELECT c_nationkey,
