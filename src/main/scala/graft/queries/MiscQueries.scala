@@ -100,6 +100,27 @@ object MiscQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ── COPY TO Arrow IPC → distributed read back → aggregate ────────────
+    // (reference: ArrowExec, arrow_file.rs:49 — closes the Arrow-IPC-scan
+    //  gap; round-trip identity makes the parquet-sourced oracle exact)
+    "copyto_arrow" -> Q("""
+      |SELECT n_regionkey, count(*) AS n,
+      |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+      |       min(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { (s, d) =>
+      val path = scratch("nation_arrow")
+      graft.sources.ArrowIpc.write(
+        Engine.table(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        path)
+      graft.sources.ArrowIpc.read(s, path)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey")).as("key_sum"),
+          min(col("n_name")).as("first_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
     // ── COPY TO hive-partitioned parquet, pruned read-back ───────────────
     "copyto_partitioned" -> Q("""
       |SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty

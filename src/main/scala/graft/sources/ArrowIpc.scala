@@ -1,0 +1,162 @@
+package graft.sources
+
+import scala.collection.JavaConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{
+  BigIntVector, BitVector, FieldVector, Float4Vector, Float8Vector,
+  IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{
+  ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC file source/sink (reference: ArrowExec —
+  * datafusion/core/src/datasource/physical_plan/arrow_file.rs:49). Spark
+  * has no built-in Arrow *file* format, but bundles arrow-vector, so the
+  * bridge is small: the sink writes one IPC file per partition (the same
+  * parallel-demux shape as any file sink), the scan distributes whole
+  * files to tasks via the binaryFile source and streams record batches
+  * through ArrowFileReader.
+  *
+  * Supported column types: Long, Int, Double, Float, String, Boolean
+  * (nullable) — the reference's ArrowExec is likewise a niche bridge, not
+  * a primary format (parquet is). Scale: one file per task on both
+  * sides; batches stream (default 4096 rows), so memory is O(batch), and
+  * a directory of files parallelizes across the cluster.
+  */
+object ArrowIpc {
+
+  private val BatchRows = 4096
+
+  private def toArrowField(f: StructField): Field = {
+    val t = f.dataType match {
+      case LongType => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case StringType => ArrowType.Utf8.INSTANCE
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case other => throw new IllegalArgumentException(
+        s"ArrowIpc: unsupported type $other for column ${f.name}")
+    }
+    new Field(f.name, new FieldType(f.nullable, t, null), null)
+  }
+
+  private def toSparkType(f: Field): DataType = f.getType match {
+    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Bool => BooleanType
+    case other => throw new IllegalArgumentException(
+      s"ArrowIpc: unsupported arrow type $other for column ${f.getName}")
+  }
+
+  private def setValue(v: FieldVector, i: Int, value: Any): Unit =
+    if (value == null) v match {
+      case x: BigIntVector => x.setNull(i)
+      case x: IntVector => x.setNull(i)
+      case x: Float8Vector => x.setNull(i)
+      case x: Float4Vector => x.setNull(i)
+      case x: VarCharVector => x.setNull(i)
+      case x: BitVector => x.setNull(i)
+    } else v match {
+      case x: BigIntVector => x.setSafe(i, value.asInstanceOf[Long])
+      case x: IntVector => x.setSafe(i, value.asInstanceOf[Int])
+      case x: Float8Vector => x.setSafe(i, value.asInstanceOf[Double])
+      case x: Float4Vector => x.setSafe(i, value.asInstanceOf[Float])
+      case x: VarCharVector =>
+        x.setSafe(i, value.asInstanceOf[String].getBytes("UTF-8"))
+      case x: BitVector =>
+        x.setSafe(i, if (value.asInstanceOf[Boolean]) 1 else 0)
+    }
+
+  private def getValue(v: FieldVector, i: Int): Any =
+    if (v.isNull(i)) null
+    else v match {
+      case x: BigIntVector => x.get(i)
+      case x: IntVector => x.get(i)
+      case x: Float8Vector => x.get(i)
+      case x: Float4Vector => x.get(i)
+      case x: VarCharVector => new String(x.get(i), "UTF-8")
+      case x: BitVector => x.get(i) == 1
+    }
+
+  /** Write `df` as a directory of Arrow IPC files, one per partition. */
+  def write(df: DataFrame, dir: String): Unit = {
+    val schema = df.schema // serializable; arrow Fields are built per task
+    new java.io.File(dir).mkdirs()
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val arrowFields = schema.fields.map(toArrowField).toList
+      val allocator = new RootAllocator()
+      val root = VectorSchemaRoot.create(
+        new ArrowSchema(arrowFields.asJava), allocator)
+      val out = new java.io.FileOutputStream(
+        s"$dir/part-$idx.arrow")
+      val writer = new ArrowFileWriter(root, null, out.getChannel)
+      writer.start()
+      var n = 0
+      val vecs = root.getFieldVectors.asScala.toArray
+      rows.foreach { row =>
+        var c = 0
+        while (c < vecs.length) { setValue(vecs(c), n, row.get(c)); c += 1 }
+        n += 1
+        if (n == BatchRows) {
+          root.setRowCount(n); writer.writeBatch(); root.allocateNew(); n = 0
+        }
+      }
+      if (n > 0) { root.setRowCount(n); writer.writeBatch() }
+      writer.end(); writer.close(); out.close(); root.close(); allocator.close()
+      Iterator.empty
+    }.count() // materialize the write
+    ()
+  }
+
+  /** Distributed scan of a directory of Arrow IPC files: schema from the
+    * first file's footer (driver-side), whole files distributed to tasks
+    * via binaryFile, batches streamed through ArrowFileReader. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val first = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".arrow")).minBy(_.getName)
+    val sparkSchema = {
+      val alloc = new RootAllocator()
+      val ch = new java.io.FileInputStream(first).getChannel
+      val r = new ArrowFileReader(ch, alloc)
+      val fields = r.getVectorSchemaRoot.getSchema.getFields.asScala
+        .map(f => StructField(f.getName, toSparkType(f), f.isNullable))
+      r.close(); ch.close(); alloc.close()
+      StructType(fields.toSeq)
+    }
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.arrow").load(dir)
+      .select("content").rdd
+      .flatMap { fileRow =>
+        val bytes = fileRow.getAs[Array[Byte]](0)
+        val alloc = new RootAllocator()
+        val reader = new ArrowFileReader(
+          new ByteArrayReadableSeekableByteChannel(bytes), alloc)
+        val root = reader.getVectorSchemaRoot
+        val out = Iterator.unfold(()) { _ =>
+          if (reader.loadNextBatch()) {
+            val vecs = root.getFieldVectors.asScala.toArray
+            val batch = Array.tabulate(root.getRowCount) { i =>
+              Row.fromSeq(vecs.toSeq.map(v => getValue(v, i)))
+            }
+            Some((batch, ()))
+          } else {
+            reader.close(); alloc.close()
+            None
+          }
+        }
+        out.flatten
+      }
+    spark.createDataFrame(rows, sparkSchema)
+  }
+}
