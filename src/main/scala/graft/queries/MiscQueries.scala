@@ -121,6 +121,42 @@ object MiscQueries {
         .orderBy(col("n_regionkey"))
     },
 
+    // ── federated multi-format join: parquet ⋈ csv ⋈ arrow in ONE plan ──
+    // (reference: heterogeneous TableProviders in one SessionContext;
+    //  each side round-trips the same source tables so the
+    //  parquet-oracled result is exact)
+    "federated_formats" -> Q("""
+      |SELECT r_name, count(*) AS n_nations,
+      |       CAST(sum(s_cnt) AS BIGINT) AS n_suppliers
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN (SELECT s_nationkey, count(*) AS s_cnt
+      |      FROM supplier GROUP BY s_nationkey) s ON s_nationkey = n_nationkey
+      |GROUP BY r_name ORDER BY r_name""") { (s, d) =>
+      val csvPath = scratch("nation_fed_csv")
+      val arrowPath = scratch("supplier_fed_arrow")
+      CopyTo.copyTo(
+        Engine.table(s, d, "nation")
+          .select(col("n_nationkey"), col("n_regionkey")),
+        csvPath, "csv", options = Map("header" -> "true"))
+      graft.sources.ArrowIpc.write(
+        Engine.table(s, d, "supplier").select(col("s_nationkey")), arrowPath)
+      val nationCsv = CopyTo.readBack(s, csvPath, "csv",
+        Some(StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_regionkey", LongType)))),
+        Map("header" -> "true"))
+      val supplierArrow = graft.sources.ArrowIpc.read(s, arrowPath)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("s_cnt"))
+      Engine.table(s, d, "region") // parquet side
+        .join(nationCsv, col("n_regionkey") === col("r_regionkey"))
+        .join(supplierArrow, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("s_cnt")).as("n_suppliers"))
+        .orderBy(col("r_name"))
+    },
+
     // ── COPY TO hive-partitioned parquet, pruned read-back ───────────────
     "copyto_partitioned" -> Q("""
       |SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
