@@ -96,4 +96,35 @@ class PropertySpec extends AnyFunSuite {
       assert(inter + diff == a.size)
     }
   }
+
+  test("TopKAgg == unfused groupBy+sort+limit on random data w/ nulls+ties") {
+    import spark.implicits._
+    // few distinct groups + a narrow value range → heavy boundary ties;
+    // ~1/8 of values null
+    val gen: Gen[List[(Long, Option[Double])]] =
+      Gen.listOfN(80, Gen.zip(Gen.choose(0L, 12L),
+        Gen.frequency(
+          1 -> Gen.const(Option.empty[Double]),
+          7 -> Gen.choose(0, 6).map(v => Some(v.toDouble)))))
+    forAllSeeded(Gen.zip(gen, Gen.choose(1, 8)), 8) { case (rows, k) =>
+      val df = rows.toDF("g", "v").repartition(7)
+      val got = graft.plans.TopKAgg.topKGroupsByMax(df, Seq("g"), "v", k, "m")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+      val exp = df.groupBy(col("g")).agg(max(col("v")).as("m"))
+        .orderBy(col("m").desc_nulls_last, col("g")).limit(k)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+      assert(got == exp, s"k=$k rows=$rows")
+      val gotMin = graft.plans.TopKAgg
+        .topKGroupsByMin(df, Seq("g"), "v", k, "m")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+      val expMin = df.groupBy(col("g")).agg(min(col("v")).as("m"))
+        .orderBy(col("m").asc_nulls_last, col("g")).limit(k)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+      assert(gotMin == expMin, s"min k=$k rows=$rows")
+    }
+  }
 }
