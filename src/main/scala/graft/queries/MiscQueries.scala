@@ -65,10 +65,13 @@ object MiscQueries {
       |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, d) =>
       val path = scratch("orders_csv")
+      // gzip: exercises the compression codec path (reference CsvExec
+      // supports compressed scan); Spark reads .csv.gz transparently
       CopyTo.copyTo(
         Engine.table(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
-        path, "csv", options = Map("header" -> "true"))
+        path, "csv",
+        options = Map("header" -> "true", "compression" -> "gzip"))
       CopyTo.readBack(s, path, "csv",
           Some(StructType(Seq(
             StructField("o_orderkey", LongType),
