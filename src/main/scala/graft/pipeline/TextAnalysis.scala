@@ -78,4 +78,21 @@ object TextAnalysis {
     aggregate(
       transform(split(text, "\\s+"), w => pmod(xxhash64(w), lit(1000000007L))),
       lit(0L), (acc, h) => pmod(acc * 31 + h, lit(1000000007L)))
+
+  /** Engine-portable rolling fingerprint: word hash = codepoint
+    * polynomial (acc*131 + cp) mod 1e9+7, document fingerprint =
+    * (acc*31 + h(word)) mod 1e9+7 — no engine-specific hash, so an
+    * external oracle (DuckDB list_reduce over unicode()) reproduces it
+    * bit-for-bit. Slower than the xxhash64 variant (per-char lambda
+    * evals); use fingerprintRolling for production pipelines. */
+  def fingerprintPortable(text: Column): Column = {
+    val p = 1000000007L
+    aggregate(
+      transform(
+        filter(split(text, "\\s+"), w => w =!= ""),
+        w => aggregate(
+          transform(split(w, ""), c => ascii(c).cast("long")),
+          lit(0L), (acc, cp) => (acc * 131 + cp) % p)),
+      lit(0L), (acc, h) => (acc * 31 + h) % p)
+  }
 }

@@ -157,6 +157,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ── portable rolling fingerprint (oracled: codepoint polynomial the
+    //    oracle recomputes with list_reduce/unicode — the xxhash64-seeded
+    //    production variant stays in pipe_text_rolling_fp) ───────────────
+    "pipe_text_fingerprint" -> Q("""
+      |SELECT doc_id,
+      |  CASE WHEN len(ws) = 0 THEN 0 ELSE
+      |    list_reduce(
+      |      list_transform(ws,
+      |        w -> list_reduce(
+      |               list_transform(string_split_regex(w, ''),
+      |                 c -> CAST(unicode(c) AS BIGINT)),
+      |               (acc, cp) -> (acc * 131 + cp) % 1000000007)),
+      |      (acc, h) -> (acc * 31 + h) % 1000000007)
+      |  END AS fp
+      |FROM (SELECT doc_id,
+      |             list_filter(string_split_regex(text, '\s+'),
+      |                         w -> w <> '') AS ws
+      |      FROM documents)
+      |ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintPortable(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── multimodal decode plumbing (stubbed codec, real dataflow) ────────
     "pipe_multimodal" -> Q.noOracle { (s, d) =>
       Multimodal.featureSummary(s, Engine.table(s, d, "documents"))
