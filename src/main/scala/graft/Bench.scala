@@ -57,6 +57,7 @@ object Bench {
       case (k, v) if k.startsWith("tpch_") => v }.sum
     val floor = results.map(_._2).min
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tpch_total":$tpchTotal,"per_query_floor":$floor,"iters":$iters}""")
+    Engine.clearCache(spark)
     spark.stop()
   }
 }

@@ -52,10 +52,24 @@ object Engine {
   // files and re-parses footers on every call, which at ~115 queries per
   // Verify/Bench run is pure repeated driver work. The cached DataFrame
   // is an immutable logical plan over immutable files — safe to share.
+  // Entries strongly retain the session (DataFrame → QueryExecution →
+  // session), so a long-lived multi-session JVM must release them:
+  // clearCache(session) drops one session's entries, and table() evicts
+  // entries of any already-stopped session as a safety net.
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Drop all cached table plans belonging to `spark` — call at session
+    * stop (Verify/Bench do) or before discarding a session object. */
+  def clearCache(spark: SparkSession): Unit =
+    tableCache.keys.filter(_._1 eq spark).foreach(tableCache.remove)
+
+  private def evictStopped(): Unit =
+    tableCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(tableCache.remove)
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    evictStopped()
     tableCache.getOrElseUpdate((spark, sfDir, name),
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -63,6 +77,7 @@ object Engine {
           .withColumn("ts",
             org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       } else spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   /** Register every table as a temp view (SQL entry point parity with the
     * reference's `ctx.register_parquet`). */

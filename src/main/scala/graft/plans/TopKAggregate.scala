@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Ascending, Attribute, AttributeReference, BindReferences, Descending,
-  Expression, NullsFirst, NullsLast, SortOrder, UnsafeProjection, UnsafeRow}
+  Expression, NamedExpression, NullsFirst, NullsLast, SortOrder,
+  UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{
@@ -101,7 +102,24 @@ object TopKAggExec {
         if (gc != 0) return gc
         i += 1
       }
-      0
+      // Ordering-equal but byte-distinct group keys (e.g. -0.0 vs 0.0
+      // doubles reaching the direct API unnormalized): fall back to the
+      // UnsafeRow bytes so this ordering agrees with the HashMap's byte
+      // equality — otherwise the TreeSet collapses two live map entries
+      // and a group is silently dropped.
+      val ar = a._2; val br = b._2
+      if (ar.equals(br)) 0
+      else {
+        val ab = ar.getBytes; val bb = br.getBytes
+        val lim = math.min(ab.length, bb.length)
+        var j = 0
+        while (j < lim) {
+          val d = (ab(j) & 0xff) - (bb(j) & 0xff)
+          if (d != 0) return d
+          j += 1
+        }
+        ab.length - bb.length
+      }
     }
   }
 }
@@ -219,8 +237,13 @@ object TopKAggStrategy extends SparkStrategy {
   * bounded TopKAggregate (the Sort/Limit stay on top — over ≤ n rows
   * they are free — so downstream attribute ids are untouched). Fires
   * only on the null-safe pattern: a single non-distinct MAX over an
-  * attribute, attribute-only grouping, descending NULLS LAST primary
-  * sort on the max, and optional ascending group-attr tiebreaks. */
+  * attribute, attribute-only grouping (bare or aliased in the result
+  * list), descending NULLS LAST primary sort on the max, and optional
+  * ascending group-attr tiebreaks. The fused node always lays out
+  * `groups :+ value`; when the original result list interleaves (agg
+  * before/between group columns) a Project restores the aggregate's
+  * exact output order, so positional consumers (UNION, insertInto,
+  * root schema) are unaffected. */
 object TopKAggregationRule extends Rule[LogicalPlan] {
   private val MaxK = 100000
 
@@ -238,26 +261,44 @@ object TopKAggregationRule extends Rule[LogicalPlan] {
   }
 
   private def fuse(n: Int, orders: Seq[SortOrder],
-      agg: Aggregate): Option[TopKAggregate] = {
+      agg: Aggregate): Option[LogicalPlan] = {
     // attribute-only grouping
     val groupAttrs = agg.groupingExpressions.map {
       case a: Attribute => a
       case _ => return None
     }
-    // result = grouping attrs + exactly one alias(max(attr))
-    val (groupResults, aggResults) = agg.aggregateExpressions.partition {
-      case a: Attribute => groupAttrs.exists(_.exprId == a.exprId)
-      case _ => false
-    }
-    if (groupResults.length != groupAttrs.length) return None
-    val (aggAlias, aggInput, desc) = aggResults match {
-      case Seq(al @ Alias(AggregateExpression(
-          Max(v: Attribute), Complete, false, None, _), _)) => (al, v, true)
-      case Seq(al @ Alias(AggregateExpression(
-          Min(v: Attribute), Complete, false, None, _), _)) => (al, v, false)
+    // Each result is (an alias of) a grouping attribute, or the single
+    // min/max aggregate. Collect (childAttr, outAttr) pairs in RESULT
+    // order: the exec writes rows positionally as groups :+ value, so
+    // the node's groupCols must follow the result list, not GROUP BY
+    // order (SELECT b, a, max(v) ... GROUP BY a, b).
+    var aggResult: Option[(Alias, Attribute, Boolean)] = None
+    val pairs = mutable.ArrayBuffer.empty[(Attribute, Attribute)]
+    agg.aggregateExpressions.foreach {
+      case a: Attribute if groupAttrs.exists(_.exprId == a.exprId) =>
+        pairs += ((a, a))
+      case al @ Alias(a: Attribute, _)
+          if groupAttrs.exists(_.exprId == a.exprId) =>
+        pairs += ((a, al.toAttribute))
+      case al @ Alias(AggregateExpression(
+          Max(v: Attribute), Complete, false, None, _), _) =>
+        if (aggResult.isDefined) return None
+        aggResult = Some((al, v, true))
+      case al @ Alias(AggregateExpression(
+          Min(v: Attribute), Complete, false, None, _), _) =>
+        if (aggResult.isDefined) return None
+        aggResult = Some((al, v, false))
       case _ => return None
     }
-    val outGroup = groupResults.map(_.asInstanceOf[Attribute])
+    if (pairs.length != groupAttrs.length ||
+        pairs.map(_._1.exprId).distinct.length != groupAttrs.length)
+      return None
+    val (aggAlias, aggInput, desc) = aggResult match {
+      case Some(t) => t
+      case None => return None
+    }
+    val groupCols = pairs.map(_._1).toSeq
+    val outGroup = pairs.map(_._2).toSeq
     val outValue = aggAlias.toAttribute
     // primary sort: the agg value — max DESC NULLS LAST or min ASC NULLS
     // LAST (nulls-last is what keeps the bounded-state pruning safe)
@@ -278,8 +319,13 @@ object TopKAggregationRule extends Rule[LogicalPlan] {
         outGroup.take(tieAttrs.length).map(_.exprId))) return None
     // without full tiebreaks the boundary pick is one valid choice among
     // the tied groups — allowed for a nondeterministic ORDER BY prefix
-    Some(TopKAggregate(groupAttrs, aggInput, outGroup, outValue, n, desc,
-      agg.child))
+    val topk = TopKAggregate(groupCols, aggInput, outGroup, outValue, n,
+      desc, agg.child)
+    // preserve the aggregate's exact output column order for positional
+    // consumers (the fused layout is always groups :+ value)
+    if (topk.output.map(_.exprId) == agg.output.map(_.exprId)) Some(topk)
+    else Some(org.apache.spark.sql.catalyst.plans.logical.Project(
+      agg.output, topk))
   }
 }
 
@@ -319,12 +365,29 @@ object TopKAgg {
     val vAttr = attr(valueCol)
     val outValue = AttributeReference(aggAlias, vAttr.dataType,
       nullable = true)()
+    // Group keys are compared as raw UnsafeRow bytes in the exec:
+    // normalize float/double keys (NaN payloads, -0.0 vs 0.0) the same
+    // way Spark's NormalizeFloatingNumbers rule does for groupBy — the
+    // SQL rule path gets this from the optimizer, the direct API must
+    // do it itself.
+    val normPairs: Seq[(NamedExpression, Attribute)] = gAttrs.map { a =>
+      a.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          val al = Alias(
+            org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(a),
+            a.name)()
+          (al, al.toAttribute)
+        case _ => (a, a)
+      }
+    }
+    val gNorm = normPairs.map(_._2)
     // explicit Project under the node: scan-level column pruning is
     // driven by the Project/Filter chain directly above the relation
     // (PhysicalOperation), which a custom node interrupts
     val pruned = org.apache.spark.sql.catalyst.plans.logical.Project(
-      (gAttrs :+ vAttr).distinct, analyzed)
+      (normPairs.map(_._1) :+ (vAttr: NamedExpression)).distinct, analyzed)
     GraftSqlShim.ofRows(spark,
-      TopKAggregate(gAttrs, vAttr, gAttrs, outValue, k, desc, pruned))
+      TopKAggregate(gNorm, vAttr, gNorm, outValue, k, desc, pruned))
   }
 }

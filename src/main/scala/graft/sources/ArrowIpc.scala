@@ -89,18 +89,61 @@ object ArrowIpc {
       case x: BitVector => x.get(i) == 1
     }
 
-  /** Write `df` as a directory of Arrow IPC files, one per partition. */
+  /** Minimal read-only SeekableByteChannel over a Hadoop
+    * FSDataInputStream — lets ArrowFileReader do its footer seek against
+    * any Hadoop filesystem (driver-side schema discovery; executors
+    * stream whole files via the binaryFile source, which is already
+    * Hadoop-FS-backed). */
+  private final class HadoopSeekableByteChannel(
+      in: org.apache.hadoop.fs.FSDataInputStream, fileSize: Long)
+      extends java.nio.channels.SeekableByteChannel {
+    private var stillOpen = true
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      val buf = new Array[Byte](dst.remaining())
+      val n = in.read(buf, 0, buf.length)
+      if (n > 0) dst.put(buf, 0, n)
+      n
+    }
+    override def write(src: java.nio.ByteBuffer): Int =
+      throw new UnsupportedOperationException("read-only channel")
+    override def position(): Long = in.getPos
+    override def position(p: Long): java.nio.channels.SeekableByteChannel = {
+      in.seek(p); this
+    }
+    override def size(): Long = fileSize
+    override def truncate(s: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException("read-only channel")
+    override def isOpen: Boolean = stillOpen
+    override def close(): Unit = { stillOpen = false; in.close() }
+  }
+
+  /** Write `df` as a directory of Arrow IPC files, one per partition.
+    * All filesystem access goes through the Hadoop FileSystem API — the
+    * driver mkdirs and each task creates its part file on the filesystem
+    * named by `dir`'s scheme (HDFS/S3A/file alike), never an
+    * executor-local java.io path. */
   def write(df: DataFrame, dir: String): Unit = {
     val schema = df.schema // serializable; arrow Fields are built per task
-    new java.io.File(dir).mkdirs()
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(hconf).mkdirs(dirPath)
+    // Configuration is not serializable: ship its entries and rebuild
+    // per task (the same trick Spark's own SerializableConfiguration
+    // plays, without reaching into a private[spark] class)
+    val confEntries = hconf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val taskConf = new org.apache.hadoop.conf.Configuration(false)
+      confEntries.foreach { case (k, v) => taskConf.set(k, v) }
+      val partPath = new org.apache.hadoop.fs.Path(dir, s"part-$idx.arrow")
+      val fs = partPath.getFileSystem(taskConf)
       val arrowFields = schema.fields.map(toArrowField).toList
       val allocator = new RootAllocator()
       val root = VectorSchemaRoot.create(
         new ArrowSchema(arrowFields.asJava), allocator)
-      val out = new java.io.FileOutputStream(
-        s"$dir/part-$idx.arrow")
-      val writer = new ArrowFileWriter(root, null, out.getChannel)
+      val out = fs.create(partPath, true)
+      val writer = new ArrowFileWriter(root, null,
+        java.nio.channels.Channels.newChannel(out))
       writer.start()
       var n = 0
       val vecs = root.getFieldVectors.asScala.toArray
@@ -120,14 +163,22 @@ object ArrowIpc {
   }
 
   /** Distributed scan of a directory of Arrow IPC files: schema from the
-    * first file's footer (driver-side), whole files distributed to tasks
-    * via binaryFile, batches streamed through ArrowFileReader. */
+    * first file's footer (driver-side, via the Hadoop FileSystem API so
+    * remote filesystems work), whole files distributed to tasks via
+    * binaryFile, batches streamed through ArrowFileReader. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val first = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".arrow")).minBy(_.getName)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(hconf)
+    require(fs.exists(dirPath), s"ArrowIpc.read: no such directory $dir")
+    val statuses = fs.listStatus(dirPath)
+      .filter(_.getPath.getName.endsWith(".arrow"))
+    require(statuses.nonEmpty, s"ArrowIpc.read: no .arrow files under $dir")
+    val first = statuses.minBy(_.getPath.getName)
     val sparkSchema = {
       val alloc = new RootAllocator()
-      val ch = new java.io.FileInputStream(first).getChannel
+      val ch = new HadoopSeekableByteChannel(
+        fs.open(first.getPath), first.getLen)
       val r = new ArrowFileReader(ch, alloc)
       val fields = r.getVectorSchemaRoot.getSchema.getFields.asScala
         .map(f => StructField(f.getName, toSparkType(f), f.isNullable))

@@ -87,6 +87,88 @@ class TopKAggSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("TopKAgg"))
   }
 
+  test("fusion preserves interleaved output column order (agg first)") {
+    TopKAgg.register(spark)
+    Engine.registerAll(spark, sf)
+    val df = spark.sql("""
+      SELECT max(l_extendedprice) AS m, l_partkey
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY m DESC NULLS LAST, l_partkey LIMIT 10""")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TopKAgg"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.columns.toSeq == Seq("m", "l_partkey"))
+    val got = df.collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val exp = spark.sql("""
+      SELECT max(l_extendedprice) AS m, l_partkey
+      FROM (SELECT * FROM lineitem) GROUP BY l_partkey""")
+      .orderBy(col("m").desc_nulls_last, col("l_partkey")).limit(10)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(got == exp)
+  }
+
+  test("fusion handles SELECT order differing from GROUP BY order") {
+    import spark.implicits._
+    TopKAgg.register(spark)
+    val df = (1 to 300).map(i => (i % 5, i % 11, i.toDouble))
+      .toDF("a", "b", "v").repartition(7)
+    df.createOrReplaceTempView("swap_t")
+    val q = spark.sql("""
+      SELECT b, a, max(v) AS m FROM swap_t GROUP BY a, b
+      ORDER BY m DESC NULLS LAST LIMIT 6""")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("TopKAgg"))
+    assert(q.columns.toSeq == Seq("b", "a", "m"))
+    val got = q.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .toSet
+    val exp = spark.sql("""
+      SELECT b, a, max(v) AS m FROM (SELECT * FROM swap_t) GROUP BY a, b
+      ORDER BY m DESC NULLS LAST LIMIT 6""")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    // boundary ties are nondeterministic without full tiebreaks; the max
+    // values must agree and every (b,a,m) row must be a valid top row
+    assert(got.map(_._3).toSeq.sorted == exp.map(_._3).toSeq.sorted)
+    val all = spark.sql(
+      "SELECT b, a, max(v) AS m FROM swap_t GROUP BY a, b")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got.subsetOf(all))
+  }
+
+  test("fusion accepts aliased grouping attributes") {
+    TopKAgg.register(spark)
+    Engine.registerAll(spark, sf)
+    val df = spark.sql("""
+      SELECT l_partkey AS pk, max(l_extendedprice) AS m
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY m DESC NULLS LAST, pk LIMIT 10""")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TopKAgg"),
+      df.queryExecution.executedPlan.toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exp = spark.sql("""
+      SELECT l_partkey AS pk, max(l_extendedprice) AS m
+      FROM (SELECT * FROM lineitem) GROUP BY l_partkey""")
+      .orderBy(col("m").desc_nulls_last, col("pk")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exp)
+  }
+
+  test("direct API normalizes -0.0/0.0 and NaN-payload group keys") {
+    import spark.implicits._
+    val weirdNaN = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val df = Seq((-0.0, 1.0), (0.0, 2.0), (Double.NaN, 3.0),
+      (weirdNaN, 4.0), (5.0, 5.0)).toDF("g", "v").repartition(3)
+    val got = TopKAgg.topKGroupsByMax(df, Seq("g"), "v", 10, "m")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val exp = df.groupBy(col("g")).agg(max(col("v")).as("m"))
+      .orderBy(col("m").desc_nulls_last, col("g")).limit(10)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    // -0.0/0.0 collapse to one group, both NaN payloads to one group
+    assert(got.length == 3)
+    assert(got.map { case (g, m) => (if (g.isNaN) "nan" else g.toString, m) }
+      == exp.map { case (g, m) => (if (g.isNaN) "nan" else g.toString, m) })
+  }
+
   test("rule does NOT fire on unsupported patterns") {
     TopKAgg.register(spark)
     Engine.registerAll(spark, sf)

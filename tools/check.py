@@ -26,7 +26,9 @@ def nested_cols(df: pd.DataFrame):
     bad = []
     for c in df.columns:
         if df[c].dtype == object:
-            for v in df[c].head(50):
+            # dropna first: a nested column whose first rows are all null
+            # would otherwise slip past the gate (ADVICE r02)
+            for v in df[c].dropna().head(50):
                 if isinstance(v, (list, np.ndarray, dict)):
                     bad.append(c)
                     break
