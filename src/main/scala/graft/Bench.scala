@@ -39,7 +39,11 @@ object Bench {
       try run(q) catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // optional comma-separated query-name filter for targeted local runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val times = (1 to math.max(1, iters)).map { _ =>
         val t0 = System.nanoTime()
         try run(name) catch { case _: Throwable => () }

@@ -91,31 +91,35 @@ object Similarity {
       asDouble(col(vecCol)).as("vec")).persist()
     graft.functions.Sketches.register(corpus.sparkSession)
     val mask = (1L << bandBits) - 1
-    // signatures are computed ONCE and the slim (id, rot, band, bucket)
-    // rows cached: the self-join below would otherwise recompute the
-    // whole signature pipeline for each join side (2× the map work, and
-    // AQE would materialize both copies as separate stages)
-    val bucketed = Seq.range(0, rotations).map { rot =>
+    // All rotations' signatures are computed in ONE pass over the corpus
+    // (an array-of-structs explode), not a per-rotation unionAll — one
+    // scan + one cache write instead of `rotations` branches. The slim
+    // (id, bucket) rows are cached: the self-join below would otherwise
+    // recompute the whole signature pipeline for each join side.
+    val rotSigs = array(Seq.range(0, rotations).map { rot =>
       // packed signature via the codegen'd expression (tight JVM loop)
-      base.select(col("id"), lit(rot).as("rot"),
-          graft.functions.Sketches.hyperplaneSignature(col("vec"),
-            typedlit(planeMatrix(rot, planes, dim))).as("sig"))
-        .select(col("id"), col("rot"),
-          explode(sequence(lit(0), lit(bands - 1))).as("band"),
-          col("sig"))
-        .select(col("id"), col("rot"), col("band"),
-          xxhash64(col("rot"), col("band"),
-            expr(s"shiftright(sig, CAST(band * $bandBits AS INT)) & ${mask}L"))
-            .as("bucket"))
-    }.reduce(_ unionAll _).persist()
+      struct(lit(rot).as("rot"),
+        graft.functions.Sketches.hyperplaneSignature(col("vec"),
+          typedlit(planeMatrix(rot, planes, dim))).as("sig"))
+    }: _*)
+    val bucketed = base
+      .select(col("id"), explode(rotSigs).as("rs"))
+      .select(col("id"), col("rs.rot").as("rot"), col("rs.sig").as("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      // xxhash64 over (rot, band, bits) namespaces the bands, so the
+      // single `bucket` long is the whole join key; a cross-namespace
+      // hash collision can only ADD a candidate pair, which the exact
+      // cosine verify below discards — recall is unaffected
+      .select(col("id"),
+        xxhash64(col("rot"), col("band"),
+          expr(s"shiftright(sig, CAST(band * $bandBits AS INT)) & ${mask}L"))
+          .as("bucket"))
+      .persist()
     // dedup candidates on the id pair BEFORE fetching vectors — hashing
     // (long, long) in the distinct shuffle, not 64-double arrays
-    val cand = bucketed.select(col("id").as("id_a"), col("rot"), col("band"),
-        col("bucket")).as("l")
-      .join(bucketed.select(col("id").as("id_b"), col("rot"), col("band"),
-        col("bucket")).as("r"),
-        col("l.rot") === col("r.rot") && col("l.band") === col("r.band") &&
-          col("l.bucket") === col("r.bucket") && col("id_a") < col("id_b"))
+    val cand = bucketed.select(col("id").as("id_a"), col("bucket")).as("l")
+      .join(bucketed.select(col("id").as("id_b"), col("bucket")).as("r"),
+        col("l.bucket") === col("r.bucket") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     // Explicit numbered repartition before the exact-cosine verify:

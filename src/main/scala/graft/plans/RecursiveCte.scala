@@ -53,4 +53,53 @@ object RecursiveCte {
     }
     acc
   }
+
+  /** UNION ALL semantics fixpoint: every produced row is kept, no
+    * dedup against prior iterations (the SQL `WITH RECURSIVE ... UNION
+    * ALL` form; terminates when a step yields no rows, so the step must
+    * be contracting — same contract as the reference's worktable
+    * execution of UNION ALL CTEs).
+    *
+    * Because there is no cross-iteration dedup, several steps can run
+    * inside ONE Spark job: step(∅) = ∅, so chaining `batch` step
+    * applications and unioning their outputs is semantics-preserving
+    * even when the fixpoint lands mid-batch (the tail contributes
+    * nothing, as narrow no-op work). This cuts the driver's
+    * job-per-iteration floor by `batch`× — the dominant cost of deep,
+    * narrow recursions — while each job stays fully distributed.
+    */
+  def fixpointAll(
+      init: DataFrame,
+      step: DataFrame => DataFrame,
+      maxIter: Int = 100,
+      batch: Int = 8): DataFrame = {
+    require(batch >= 1, "batch must be >= 1")
+    var acc = init.localCheckpoint(eager = true)
+    var frontier = acc
+    var i = 0
+    var unionDepth = 0
+    var done = frontier.isEmpty
+    while (i < maxIter && !done) {
+      val k = math.min(batch, maxIter - i)
+      val steps = Iterator.iterate(frontier)(step).drop(1).take(k).toVector
+      // one job materializes the batch's last frontier (the emptiness
+      // probe + next iteration's input) …
+      val next = steps.last.localCheckpoint(eager = false)
+      val lastEmpty = next.count() == 0
+      // … and one job materializes the batch's accumulated rows (the
+      // intermediate steps recompute narrowly from the checkpointed
+      // frontier — no shuffle, no lineage growth)
+      val newRows = steps.reduce(_ unionAll _).localCheckpoint(eager = true)
+      acc = acc.union(newRows)
+      unionDepth += 1
+      if (unionDepth >= 8) {
+        acc = acc.localCheckpoint(eager = true)
+        unionDepth = 0
+      }
+      frontier = next
+      done = lastEmpty
+      i += k
+    }
+    acc
+  }
 }

@@ -23,8 +23,13 @@ object MiscQueries {
       |  UNION ALL
       |  SELECT n + 1 FROM t WHERE n < 30)
       |SELECT n FROM t ORDER BY n""") { (s, d) =>
-      val init = s.range(1, 2).toDF("n")
-      RecursiveCte.fixpoint(init,
+      // single-partition seed: a 1-row frontier scheduled as 32 tasks
+      // per iteration is pure overhead (narrow steps preserve the
+      // partitioning, so the whole recursion stays 1-task-per-job)
+      val init = s.range(1, 2, 1, 1).toDF("n")
+      // UNION ALL in the SQL → the batched all-rows fixpoint (no
+      // cross-iteration dedup, several steps per Spark job)
+      RecursiveCte.fixpointAll(init,
           frontier => frontier.filter(col("n") < 30)
             .select((col("n") + 1).as("n")))
         .orderBy(col("n"))

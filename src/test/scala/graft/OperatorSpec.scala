@@ -77,6 +77,37 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("fixpointAll == fixpoint on acyclic recursion, any batch size") {
+    import graft.plans.RecursiveCte
+    import spark.implicits._
+    val init = spark.range(1, 2).toDF("n")
+    def step(f: org.apache.spark.sql.DataFrame) =
+      f.filter(col("n") < 23).select((col("n") + 1).as("n"))
+    val exp = (1L to 23L).toSeq
+    // batch sizes that divide, straddle, and exceed the 22-step depth
+    for (b <- Seq(1, 4, 8, 64)) {
+      val got = RecursiveCte.fixpointAll(init, step, maxIter = 100, batch = b)
+        .orderBy(col("n")).collect().map(_.getLong(0)).toSeq
+      assert(got == exp, s"batch=$b")
+    }
+    val viaDistinct = RecursiveCte.fixpoint(init, step)
+      .orderBy(col("n")).collect().map(_.getLong(0)).toSeq
+    assert(viaDistinct == exp)
+  }
+
+  test("fixpointAll keeps duplicate rows (UNION ALL) and respects maxIter") {
+    import graft.plans.RecursiveCte
+    import spark.implicits._
+    // step maps every row to a constant → duplicates must accumulate
+    val init = Seq(0L, 0L).toDF("n")
+    val got = RecursiveCte.fixpointAll(init,
+        f => f.select(lit(0L).as("n")), maxIter = 5, batch = 2)
+      .collect()
+    // 2 initial + 5 iterations × 2 rows
+    assert(got.length == 12)
+    assert(got.forall(_.getLong(0) == 0L))
+  }
+
   test("Ewma UDWF == driver-side fold, bit for bit, nulls carried") {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftWindowFunctions.register(spark)
