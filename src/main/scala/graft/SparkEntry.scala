@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.MiscQueries.defs,
     graft.queries.OperatorQueries.defs,
     graft.queries.SqlSurfaceQueries.defs,
-    graft.queries.ExtrasQueries.defs
+    graft.queries.ExtrasQueries.defs,
+    graft.queries.H2oClickQueries.defs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

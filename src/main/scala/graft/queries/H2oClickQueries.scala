@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.{Engine, Q}
+
+/** Benchmark-suite breadth: the reference ships h2o.ai db-benchmark
+  * group-by queries (benchmarks/src/bin/h2o.rs) and the ClickBench suite
+  * (benchmarks/src/clickbench.rs, benchmarks/queries/clickbench/
+  * queries.sql). Those run on external datasets (x.csv, hits.parquet)
+  * we don't have, so each family is re-expressed faithfully over the
+  * driver-provided `events` and `documents` tables: the h2o queries map
+  * x's id1..id6/v1..v3 onto (event_type, day-of-week, user_id) and
+  * (value, event_id, length(props)); ClickBench's hits columns map onto
+  * events/documents equivalents, keeping each query's SHAPE (the
+  * aggregate mix, filters, LIMIT/OFFSET paging, regex key extraction).
+  *
+  * All plan as two-phase HashAggregate / TakeOrderedAndProject in Spark;
+  * the ORDER BY ... LIMIT k group rankings are exactly the pattern the
+  * TopKAggregationRule fuses when the aggregate is a bare min/max.
+  */
+object H2oClickQueries {
+
+  private def sql(sparkSql: String, duckSql: String = null): Q =
+    Q(Option(duckSql).getOrElse(sparkSql)) { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql(sparkSql.stripMargin)
+    }
+
+  val defs: Map[String, Q] = Map(
+    // ── h2o groupby: q1 — sum by low-cardinality key ─────────────────────
+    "h2o_g1" -> sql("""
+      |SELECT event_type, round(sum(value), 2) AS v1
+      |FROM events GROUP BY event_type ORDER BY event_type"""),
+
+    // ── h2o q2 — sum by two keys ─────────────────────────────────────────
+    "h2o_g2" -> sql(
+      """
+      |SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+      |       round(sum(value), 2) AS v1
+      |FROM events GROUP BY event_type, dayofweek(ts)
+      |ORDER BY event_type, dow""",
+      """
+      |SELECT event_type, date_part('dow', ts) + 1 AS dow,
+      |       round(sum(value), 2) AS v1
+      |FROM events GROUP BY event_type, date_part('dow', ts) + 1
+      |ORDER BY event_type, dow"""),
+
+    // ── h2o q3 — sum + mean by higher-cardinality key ────────────────────
+    "h2o_g3" -> sql("""
+      |SELECT user_id, round(sum(value), 2) AS v1, round(avg(value) + 1e-9, 4) AS v3
+      |FROM events GROUP BY user_id ORDER BY user_id"""),
+
+    // ── h2o q4 — three means by low-cardinality key ──────────────────────
+    "h2o_g4" -> sql("""
+      |SELECT event_type, round(avg(value) + 1e-9, 4) AS v1,
+      |       round(avg(event_id) + 1e-9, 4) AS v2, round(avg(length(props)) + 1e-9, 4) AS v3
+      |FROM events GROUP BY event_type ORDER BY event_type"""),
+
+    // ── h2o q5 — three sums by higher-cardinality key ────────────────────
+    "h2o_g5" -> sql("""
+      |SELECT user_id, round(sum(value), 2) AS v1,
+      |       CAST(sum(event_id) AS BIGINT) AS v2,
+      |       CAST(sum(length(props)) AS BIGINT) AS v3
+      |FROM events GROUP BY user_id ORDER BY user_id"""),
+
+    // ── h2o q6 — median + stddev by two keys ─────────────────────────────
+    "h2o_g6" -> sql(
+      """
+      |SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+      |       round(median(value) + 1e-9, 4) AS median_v3,
+      |       round(stddev(value) + 1e-9, 4) AS sd_v3
+      |FROM events GROUP BY event_type, dayofweek(ts)
+      |ORDER BY event_type, dow""",
+      """
+      |SELECT event_type, date_part('dow', ts) + 1 AS dow,
+      |       round(median(value) + 1e-9, 4) AS median_v3,
+      |       round(stddev(value) + 1e-9, 4) AS sd_v3
+      |FROM events GROUP BY event_type, date_part('dow', ts) + 1
+      |ORDER BY event_type, dow"""),
+
+    // ── h2o q7 — max-min range per key ───────────────────────────────────
+    "h2o_g7" -> sql("""
+      |SELECT user_id, round(max(value) - min(value) + 1e-9, 4) AS range_v1_v2
+      |FROM events GROUP BY user_id ORDER BY user_id"""),
+
+    // ── h2o q8 — top-2 rows per group via row_number window ──────────────
+    "h2o_g8" -> sql("""
+      |SELECT event_type, largest2_v3 FROM (
+      |  SELECT event_type, value AS largest2_v3,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value DESC, event_id) AS order_v3
+      |  FROM events WHERE value IS NOT NULL) sub_query
+      |WHERE order_v3 <= 2 ORDER BY event_type, largest2_v3 DESC"""),
+
+    // ── h2o q9 — r² of two value columns by two keys ─────────────────────
+    "h2o_g9" -> sql(
+      """
+      |SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+      |       round(pow(corr(value, user_id), 2) + 1e-9, 6) AS r2
+      |FROM events GROUP BY event_type, dayofweek(ts)
+      |ORDER BY event_type, dow""",
+      """
+      |SELECT event_type, date_part('dow', ts) + 1 AS dow,
+      |       round(pow(corr(value, user_id), 2) + 1e-9, 6) AS r2
+      |FROM events GROUP BY event_type, date_part('dow', ts) + 1
+      |ORDER BY event_type, dow"""),
+
+    // ── h2o q10 — sum + count over the full grouping set ─────────────────
+    "h2o_g10" -> sql(
+      """
+      |SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow, user_id,
+      |       round(sum(value), 2) AS v3, count(*) AS cnt
+      |FROM events GROUP BY event_type, dayofweek(ts), user_id
+      |ORDER BY event_type, dow, user_id""",
+      """
+      |SELECT event_type, date_part('dow', ts) + 1 AS dow, user_id,
+      |       round(sum(value), 2) AS v3, count(*) AS cnt
+      |FROM events GROUP BY event_type, date_part('dow', ts) + 1, user_id
+      |ORDER BY event_type, dow, user_id"""),
+
+    // ── ClickBench q2/q3 shape — global sum/count/avg in one pass ────────
+    "click_global_aggs" -> sql("""
+      |SELECT CAST(sum(user_id) AS BIGINT) AS s, count(*) AS c,
+      |       round(avg(value) + 1e-9, 4) AS a
+      |FROM events"""),
+
+    // ── ClickBench q4-q6 shape — global count distinct ───────────────────
+    "click_count_distinct" -> sql("""
+      |SELECT count(DISTINCT user_id) AS users,
+      |       count(DISTINCT event_type) AS types
+      |FROM events"""),
+
+    // ── ClickBench q7 shape — min/max of a date column ───────────────────
+    "click_minmax_date" -> sql("""
+      |SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+      |FROM events"""),
+
+    // ── ClickBench q8 shape — filtered group-by ordered by count ─────────
+    "click_top_groups" -> sql("""
+      |SELECT event_type, count(*) AS c
+      |FROM events WHERE event_type <> 'click'
+      |GROUP BY event_type ORDER BY c DESC, event_type"""),
+
+    // ── ClickBench q9/q11 shape — count(distinct) per group, top-10 ──────
+    "click_group_distinct_users" -> sql("""
+      |SELECT event_type, count(DISTINCT user_id) AS u
+      |FROM events GROUP BY event_type ORDER BY u DESC, event_type
+      |LIMIT 10"""),
+
+    // ── ClickBench q22 shape — LIKE filter + grouped min/count ───────────
+    "click_phrase_like" -> sql("""
+      |SELECT lang, CAST(min(doc_id) AS BIGINT) AS first_doc, count(*) AS c
+      |FROM documents WHERE text LIKE '%the%'
+      |GROUP BY lang ORDER BY c DESC, lang LIMIT 10"""),
+
+    // ── ClickBench q25 shape — filter + order by time, first rows ────────
+    "click_sort_by_time" -> sql(
+      """
+      |SELECT event_id, CAST(unix_timestamp(ts) AS BIGINT) AS t
+      |FROM events WHERE event_type <> 'click'
+      |ORDER BY t, event_id LIMIT 10""",
+      """
+      |SELECT event_id, epoch_us(ts) // 1000000 AS t
+      |FROM events WHERE event_type <> 'click'
+      |ORDER BY t, event_id LIMIT 10"""),
+
+    // ── ClickBench q31 shape — wide list of arithmetic sums, one pass ────
+    "click_wide_sums" -> sql(
+      Seq.range(0, 10).map(i => s"round(sum(value + $i), 2) AS s$i")
+        .mkString("\n      |SELECT ", ",\n      |       ", "\n      |FROM events")),
+
+    // ── ClickBench q28 shape — regex key extraction + HAVING + top-25 ────
+    "click_regex_key" -> sql("""
+      |SELECT regexp_extract(props, '([0-9]+)', 1) AS k,
+      |       round(avg(length(props)) + 1e-9, 4) AS l, count(*) AS c,
+      |       min(props) AS first_props
+      |FROM events GROUP BY regexp_extract(props, '([0-9]+)', 1)
+      |HAVING count(*) > 5 ORDER BY l DESC, k LIMIT 25"""),
+
+    // ── ClickBench q35 shape — paged group ranking (LIMIT + OFFSET) ──────
+    "click_offset_page" -> sql("""
+      |SELECT user_id, count(*) AS c
+      |FROM events GROUP BY user_id ORDER BY c DESC, user_id
+      |LIMIT 10 OFFSET 100"""),
+
+    // ── ClickBench q42 shape — per-minute time series, paged ─────────────
+    "click_minute_series" -> sql(
+      """
+      |SELECT CAST(unix_timestamp(date_trunc('minute', ts)) AS BIGINT) AS m,
+      |       count(*) AS views
+      |FROM events GROUP BY date_trunc('minute', ts)
+      |ORDER BY m LIMIT 10 OFFSET 60""",
+      """
+      |SELECT epoch_us(date_trunc('minute', ts)) // 1000000 AS m,
+      |       count(*) AS views
+      |FROM events GROUP BY date_trunc('minute', ts)
+      |ORDER BY m LIMIT 10 OFFSET 60""")
+  )
+}
