@@ -163,6 +163,29 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate dedup: a row is DROPPED when any
+    * smaller-id row has cosine >= threshold (deterministic greedy
+    * representative selection, pairwise — exactly the SQL
+    * `NOT EXISTS (smaller neighbor)` formulation, so the semantics are
+    * oracle-checkable).
+    *
+    * exact=true finds pairs via a broadcast O(n²) self-join (the
+    * verification path); exact=false uses banded hyperplane LSH
+    * (Similarity.lshNearPairs) — the 100 TB path: only bucket-mates
+    * meet, and since every candidate is verified with the exact cosine,
+    * false positives are impossible; recall is the tuned quantity
+    * (at threshold→1 near-dup pairs are caught deterministically:
+    * positive scaling preserves hyperplane signs bit-for-bit). */
+  def embeddingDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, exact: Boolean = false): DataFrame = {
+    val pairs =
+      if (exact) Similarity.exactNearPairs(df, idCol, vecCol, threshold)
+      else Similarity.lshNearPairs(df, idCol, vecCol, threshold = threshold)
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard pairs (the oracle-able ground truth for the
     * approximate methods): explode shingles, self-join on shingle,
     * jaccard = |∩| / (|A| + |B| - |∩|). Quadratic in docs sharing a

@@ -138,6 +138,22 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** All pairs (id_a < id_b) with cosine >= threshold, by brute-force
+    * broadcast self-join — the O(n²) verification/oracle path (the LSH
+    * path above is the scale path; this one exists so approximate
+    * results have an exact ground truth to compare against). */
+  def exactNearPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    c.select(col("id").as("id_a"), col("vec").as("va"))
+      .crossJoin(broadcast(c.select(col("id").as("id_b"), col("vec").as("vb"))))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Index of the centroid (1-based) nearest to `vec` by cosine, given a
     * literal centroid matrix. */
   private def nearestCells(vec: Column, centroids: Seq[Seq[Double]],

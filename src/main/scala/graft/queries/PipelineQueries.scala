@@ -61,6 +61,39 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ── embedding-cosine near-dup dedup (LSH scale path, oracled) ────────
+    // Corpus = embeddings ∪ positively-scaled copies of every 10th vector
+    // (scaling preserves hyperplane signs bit-for-bit, so the LSH
+    // candidate generation catches every planted near-dup
+    // deterministically; natural pairs top out at cos ≈ 0.60, far below
+    // θ=0.99). A row is dropped iff a smaller-id row has cos >= θ — the
+    // oracle states the same rule as NOT EXISTS over the brute-force
+    // O(n²) pair set.
+    "pipe_dedup_embedding" -> Q("""
+      |WITH corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.001)
+      |  FROM embeddings WHERE vec_id % 10 = 0)
+      |SELECT c.vec_id FROM corpus c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM corpus o
+      |  WHERE o.vec_id < c.vec_id
+      |    AND round(list_cosine_similarity(o.v, c.v), 6) >= 0.99)
+      |ORDER BY c.vec_id""") { (s, d) =>
+      val emb = Engine.table(s, d, "embeddings")
+      val corpus = emb
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .unionAll(emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => x.cast("double") * 1.001)
+              .as("v")))
+      Dedup.embeddingDedup(corpus, "vec_id", "v", threshold = 0.99)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+
     // ── brute-force cosine top-k (exact ANN baseline) ────────────────────
     "pipe_sim_topk" -> Q("""
       |WITH e AS (SELECT vec_id,

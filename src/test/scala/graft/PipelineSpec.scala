@@ -66,6 +66,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding dedup: LSH path == exact path, planted dups dropped") {
+    // corpus = originals + positively-scaled copies of every 10th vector
+    // (cos = 1 with the original; scaling preserves hyperplane signs, so
+    // the LSH candidate step is deterministically complete here)
+    val corpus = emb
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .unionAll(emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * 1.001).as("v")))
+    val exact = Dedup.embeddingDedup(corpus, "vec_id", "v", 0.99, exact = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lsh = Dedup.embeddingDedup(corpus, "vec_id", "v", 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lsh == exact)
+    val originals = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    // every original survives; every planted copy (id+100000) is dropped
+    assert(exact == originals)
+  }
+
   test("brute-force top-k is deterministic and ranked") {
     val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", 5).collect()
