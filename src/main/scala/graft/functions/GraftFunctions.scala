@@ -86,6 +86,40 @@ object GraftFunctions {
       case a => throw new IllegalArgumentException(s"bad algorithm: $a")
     }
 
+  /** arrow_typeof (functions/src/core/arrow_typeof.rs) — the engine's
+    * type-introspection function, mapped to Spark's `typeof`. */
+  def arrow_typeof(c: Column): Column = call_function("typeof", c)
+
+  /** arrow_cast(value, 'ArrowType') (functions/src/core/arrow_cast.rs):
+    * cast by Arrow type NAME, translated per the SURVEY §1 mapping
+    * policy (unsigned ints widen, Utf8 family → string, Timestamp* →
+    * µs timestamp). */
+  def arrow_cast(c: Column, arrowType: String): Column = {
+    val t = arrowType.trim match {
+      case "Int8"  => "tinyint"
+      case "Int16" => "smallint"
+      case "Int32" => "int"
+      case "Int64" => "bigint"
+      case "UInt8"  => "smallint" // no unsigned in Spark: widen
+      case "UInt16" => "int"
+      case "UInt32" => "bigint"
+      case "UInt64" => "decimal(20,0)"
+      case "Float16" | "Float32" => "float"
+      case "Float64" => "double"
+      case "Utf8" | "LargeUtf8" | "Utf8View" => "string"
+      case "Boolean" => "boolean"
+      case "Date32" | "Date64" => "date"
+      case "Binary" | "LargeBinary" | "BinaryView" | "FixedSizeBinary" =>
+        "binary"
+      case s if s.startsWith("Timestamp") => "timestamp"
+      case s if s.startsWith("Decimal128") =>
+        s.replaceAll("Decimal128\\((\\d+),\\s*(\\d+)\\)", "decimal($1,$2)")
+      case other =>
+        throw new IllegalArgumentException(s"arrow_cast: unsupported $other")
+    }
+    c.cast(t)
+  }
+
   // ── regex ─────────────────────────────────────────────────────────────
   /** regexp_match (functions/src/regex/regexpmatch.rs): list of matches of
     * the first occurrence, NULL when no match. */

@@ -405,6 +405,32 @@ object FunctionQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ── arrow_typeof / arrow_cast (type introspection + Arrow-name cast,
+    //    reference functions/src/core/{arrow_typeof,arrow_cast}.rs; the
+    //    SURVEY §1 type-mapping policy, executable) ─────────────────────
+    "func_typeof" -> Q("""
+      |SELECT DISTINCT
+      |  lower(typeof(l_orderkey)) AS t_key,
+      |  lower(typeof(l_quantity)) AS t_qty,
+      |  CASE lower(typeof(l_returnflag)) WHEN 'varchar' THEN 'string'
+      |       ELSE lower(typeof(l_returnflag)) END AS t_flag,
+      |  lower(typeof(CAST(l_linenumber AS BIGINT))) AS t_cast64,
+      |  CASE lower(typeof(CAST(l_quantity AS VARCHAR)))
+      |       WHEN 'varchar' THEN 'string' END AS t_caststr,
+      |  lower(typeof(CAST(l_orderkey AS DECIMAL(20,0)))) AS t_castu64
+      |FROM lineitem""") { (s, d) =>
+      import graft.functions.GraftFunctions._
+      Engine.table(s, d, "lineitem")
+        .select(
+          arrow_typeof(col("l_orderkey")).as("t_key"),
+          arrow_typeof(col("l_quantity")).as("t_qty"),
+          arrow_typeof(col("l_returnflag")).as("t_flag"),
+          arrow_typeof(arrow_cast(col("l_linenumber"), "Int64")).as("t_cast64"),
+          arrow_typeof(arrow_cast(col("l_quantity"), "Utf8")).as("t_caststr"),
+          arrow_typeof(arrow_cast(col("l_orderkey"), "UInt64")).as("t_castu64"))
+        .distinct()
+    },
+
     // ── struct construction + field access ───────────────────────────────
     // (struct result flattened through to_json — both engines emit
     //  compact {"k":v} JSON in declaration order for scalar fields)

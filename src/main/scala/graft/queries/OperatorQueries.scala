@@ -157,6 +157,24 @@ object OperatorQueries {
         .select(col("tableName")).orderBy(col("tableName"))
     },
 
+    // ── information_schema.columns (reference:
+    //    core/src/catalog/information_schema.rs columns table) —
+    //    DESCRIBE through the catalog vs DuckDB's information_schema,
+    //    with the dialects' type names mapped to Spark's ─────────────────
+    "catalog_columns" -> Q("""
+      |SELECT column_name AS col_name,
+      |       CASE lower(data_type) WHEN 'integer' THEN 'int'
+      |            WHEN 'varchar' THEN 'string'
+      |            WHEN 'timestamp' THEN 'timestamp_ntz'
+      |            ELSE lower(data_type) END AS data_type
+      |FROM information_schema.columns WHERE table_name = 'lineitem'
+      |ORDER BY col_name""") { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql("DESCRIBE TABLE lineitem")
+        .select(col("col_name"), col("data_type"))
+        .orderBy(col("col_name"))
+    },
+
     // ── INSERT INTO a managed table (reference: DataSinkExec,
     //    physical-plan/src/insert.rs:83 + dml.rs) — saveAsTable creates,
     //    insertInto appends, read back through the catalog ───────────────
