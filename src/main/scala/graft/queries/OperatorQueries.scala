@@ -153,7 +153,11 @@ object OperatorQueries {
       |SELECT table_name AS "tableName" FROM information_schema.tables
       |ORDER BY 1""") { (s, d) =>
       Engine.registerAll(s, d)
+      // pin to the registered source tables: other queries may create
+      // their own temp views/tables in the shared session, and the
+      // oracle's DuckDB catalog only ever holds these ten
       s.sql("SHOW TABLES").filter(col("isTemporary"))
+        .filter(col("tableName").isin(Engine.tableNames: _*))
         .select(col("tableName")).orderBy(col("tableName"))
     },
 

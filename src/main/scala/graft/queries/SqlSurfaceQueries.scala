@@ -93,6 +93,39 @@ object SqlSurfaceQueries {
           |WHERE o_totalprice > :minPrice AND o_orderstatus = :status
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
         Map("minPrice" -> 3000.0, "status" -> "O"))
+    },
+
+    // ── CREATE EXTERNAL TABLE over existing parquet (reference: CREATE
+    //    EXTERNAL TABLE parser extension, sql/src/parser.rs:182-233 +
+    //    ListingTable) — LOCATION-based, so DROP never touches the data;
+    //    the catalog resolves the scan exactly like a registered view ────
+    "ddl_external_table" -> Q("""
+      |SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql("DROP TABLE IF EXISTS graft_ext_nation")
+      s.sql(s"CREATE TABLE graft_ext_nation USING parquet " +
+        s"LOCATION '$d/nation.parquet'")
+      s.sql("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+              |FROM graft_ext_nation GROUP BY n_regionkey
+              |ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // ── CREATE TEMPORARY VIEW + query through it (reference: ViewTable,
+    //    core/src/datasource/view.rs — views inline into the plan) ───────
+    "ddl_view" -> Q("""
+      |WITH supp_per_nation AS (
+      |  SELECT s_nationkey, count(*) AS n FROM supplier GROUP BY s_nationkey)
+      |SELECT n_name, n FROM supp_per_nation
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE n >= 2 ORDER BY n_name""") { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW supp_per_nation AS
+              |SELECT s_nationkey, count(*) AS n
+              |FROM supplier GROUP BY s_nationkey""".stripMargin)
+      s.sql("""SELECT n_name, n FROM supp_per_nation
+              |JOIN nation ON n_nationkey = s_nationkey
+              |WHERE n >= 2 ORDER BY n_name""".stripMargin)
     }
   )
 }
