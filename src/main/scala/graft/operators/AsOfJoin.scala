@@ -61,4 +61,42 @@ object AsOfJoin {
       .select(lCols.map(col) ++
         rightPayload.map { case (_, a) => col("__matched").getField(a).as(a) }: _*)
   }
+
+  /** Forward as-of: for each left row, attach the EARLIEST right row with
+    * rightTs >= leftTs within the same partition keys (right rows at
+    * exactly leftTs DO match; payload null when no later right row —
+    * left-outer semantics). Same union+window shape as `backward`, with
+    * the frame flipped to [current row, unbounded following] and the
+    * side tags swapped so a right row at equal ts sorts after its left
+    * row and lands inside the frame. Among right rows tied on
+    * (keys, ts) the minimal payload struct wins (first() over the
+    * payload-ascending order) — deterministic. */
+  def forward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[(String, String)]): DataFrame = {
+    val keyCols = keys.map(col)
+    val lCols = left.columns.toSeq
+    // side: left=0 sorts before right=1 at equal ts → equality matches
+    val r = right.select(
+      keyCols ++ Seq(col(rightTs).as("__ts"), lit(1).as("__side"),
+        struct(rightPayload.map { case (c, a) => col(c).as(a) }: _*)
+          .as("__payload")): _*)
+    val l = left.select(
+      keyCols ++ Seq(col(leftTs).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(r.schema("__payload").dataType).as("__payload")) ++
+        lCols.filterNot(keys.contains).map(col): _*)
+    val rAligned = r.select(l.columns.map(c =>
+      if (r.columns.contains(c)) col(c)
+      else lit(null).cast(l.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), col("__side"), col("__payload"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(rAligned)
+      .withColumn("__matched",
+        first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(lCols.map(col) ++
+        rightPayload.map { case (_, a) => col("__matched").getField(a).as(a) }: _*)
+  }
 }

@@ -98,6 +98,25 @@ object OperatorQueries {
         .orderBy(col("p_id"))
     },
 
+    // ── forward as-of join: earliest right row at-or-after each left ─────
+    "asof_join_forward" -> Q("""
+      |SELECT p.event_id AS p_id, p.user_id,
+      |       c.event_id AS c_id, c.value AS c_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+      |ORDER BY p_id""") { (s, d) =>
+      val ev = Engine.table(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOfJoin.forward(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("event_id" -> "c_id", "value" -> "c_value"))
+        .select(col("p_id"), col("user_id"), col("c_id"), col("c_value"))
+        .orderBy(col("p_id"))
+    },
+
     // ── deterministic per-group sample (reproducible across engines) ─────
     "sample_per_group" -> Q("""
       |SELECT lang, doc_id FROM documents

@@ -33,6 +33,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(asof == naive)
   }
 
+  test("forward as-of join matches the naive per-row min-later computation") {
+    val ev = Engine.table(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    // naive O(n^2): join all later clicks, keep the earliest per purchase
+    val naive = p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("ts"), "left")
+      .groupBy(col("p_id"))
+      .agg(min_by(col("c_id"), struct(col("c_ts"), col("c_id"))).as("c_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val asof = AsOfJoin.forward(p, c.select(col("c_id").as("event_id"),
+        col("c_user").as("user_id"), col("c_ts").as("ts")),
+        Seq("user_id"), "ts", "ts", Seq("event_id" -> "c_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(asof == naive)
+  }
+
   test("codegen SimHash63 == interpreted HOF simhash, bit for bit") {
     graft.functions.Sketches.register(spark)
     val both = Engine.table(spark, sf, "documents")
