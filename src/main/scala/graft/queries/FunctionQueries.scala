@@ -405,6 +405,39 @@ object FunctionQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ── math stragglers: hyperbolic family + decode roundtrips ───────────
+    // (reference math list functions/src/math/mod.rs includes sinh..atanh;
+    //  encoding decode functions/src/encoding. DuckDB has no hyperbolics —
+    //  the oracle emulates them with exp/ln; differences are ~1 ulp, far
+    //  inside the rounding epsilon)
+    "func_math2" -> Q("""
+      |SELECT l_orderkey, l_linenumber,
+      |  round((exp(l_discount) - exp(-l_discount)) / 2 + 1e-9, 6) AS sh,
+      |  round((exp(l_discount) + exp(-l_discount)) / 2 + 1e-9, 6) AS ch,
+      |  round((exp(2*l_discount) - 1) / (exp(2*l_discount) + 1) + 1e-9, 6) AS th,
+      |  round(ln(l_tax + sqrt(l_tax*l_tax + 1)) + 1e-9, 6) AS ash,
+      |  round(ln((1.0+l_quantity)
+      |        + sqrt((1.0+l_quantity)*(1.0+l_quantity) - 1)) + 1e-9, 6) AS ach,
+      |  round(0.5 * ln((1+l_discount)/(1-l_discount)) + 1e-9, 6) AS ath,
+      |  decode(from_base64(base64(encode(l_returnflag)))) AS b64_rt,
+      |  decode(unhex(hex(l_linestatus))) AS hex_rt
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      Engine.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sinh(col("l_discount")) + 1e-9, 6).as("sh"),
+          round(cosh(col("l_discount")) + 1e-9, 6).as("ch"),
+          round(tanh(col("l_discount")) + 1e-9, 6).as("th"),
+          round(asinh(col("l_tax")) + 1e-9, 6).as("ash"),
+          round(acosh(col("l_quantity") + 1.0) + 1e-9, 6).as("ach"),
+          round(atanh(col("l_discount")) + 1e-9, 6).as("ath"),
+          unbase64(base64(col("l_returnflag").cast("binary")))
+            .cast("string").as("b64_rt"),
+          unhex(hex(col("l_linestatus"))).cast("string").as("hex_rt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // ── arrow_typeof / arrow_cast (type introspection + Arrow-name cast,
     //    reference functions/src/core/{arrow_typeof,arrow_cast}.rs; the
     //    SURVEY §1 type-mapping policy, executable) ─────────────────────
