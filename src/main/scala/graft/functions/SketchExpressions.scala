@@ -198,9 +198,61 @@ case class MinHash64(child: Expression, kExpr: Expression)
     copy(child = newLeft, kExpr = newRight)
 }
 
+/** Exact cosine similarity of two array<double> vectors — the verify
+  * stage of every similarity/dedup operator. The HOF formulation
+  * (`aggregate(zip_with(a,b,*)) / (sqrt(aggregate(a,x²)) * ...)`) is
+  * CodegenFallback: it allocates a zipped array per pair and evaluates
+  * generic expression trees per element. This expression runs the
+  * identical left-to-right folds as one loop (bit-identical result —
+  * asserted in OperatorSpec). Mirrors the HOF null semantics exactly:
+  * any null element, or a length mismatch (zip_with pads with nulls),
+  * yields null. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCosine", this,
+      classOf[CosineSim].getName)
+    val r = ctx.freshName("r")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |java.lang.Double $r = $ref.compute($a, $b);
+       |if ($r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = $r.doubleValue(); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Sketches {
   def simhash63(tokenHashes: Column): Column =
     call_function("graft_simhash63", tokenHashes)
+
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   def hyperplaneSignature(vec: Column, matrix: Column): Column =
     call_function("graft_hyperplane_sig", vec, matrix)
@@ -217,5 +269,7 @@ object Sketches {
       exprs => HyperplaneSignature(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash64", exprs => MinHash64(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
   }
 }

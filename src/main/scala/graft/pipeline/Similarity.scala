@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double arrays as a single expression. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two double arrays — the codegen'd CosineSim
+    * expression (functions/SketchExpressions.scala). Requires
+    * Sketches.register on the session; every Similarity entry point
+    * registers, so only direct Column-level use needs to. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.Sketches.cosine(a, b)
+
+  /** The higher-order-function formulation, kept as the executable spec
+    * for CosineSim (bit-for-bit equivalence asserted in OperatorSpec):
+    * identical left-to-right folds, interpreted per element. */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
@@ -31,6 +40,7 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.Sketches.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
     val w = Window.partitionBy(col("qid"))
@@ -145,6 +155,7 @@ object Similarity {
   def exactNearPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    graft.functions.Sketches.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
     c.select(col("id").as("id_a"), col("vec").as("va"))
       .crossJoin(broadcast(c.select(col("id").as("id_b"), col("vec").as("vb"))))
@@ -177,6 +188,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.Sketches.register(corpus.sparkSession)
     val base = corpus.select(col(idCol).as("id"),
       asDouble(col(vecCol)).as("vec"))
     // deterministic "centroids": nCells corpus vectors by md5-rank

@@ -84,6 +84,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaAgg == viaExplode)
   }
 
+  test("codegen CosineSim == interpreted HOF cosine, bit for bit") {
+    import graft.pipeline.Similarity
+    graft.functions.Sketches.register(spark)
+    val e = Engine.table(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val pairs = e.select(col("vec_id").as("ida"), col("v").as("va"))
+      .crossJoin(e.select(col("vec_id").as("idb"), col("v").as("vb"))
+        .filter(col("idb") < 40))
+      .filter(col("ida") < 40 && col("ida") < col("idb"))
+    val diff = pairs.select(
+        Similarity.cosine(col("va"), col("vb")).as("fast"),
+        Similarity.cosineHof(col("va"), col("vb")).as("slow"))
+      .filter(col("fast") =!= col("slow") ||
+        col("fast").isNull =!= col("slow").isNull)
+    assert(diff.count() == 0)
+    // null semantics: a null element and a length mismatch both give null
+    import spark.implicits._
+    val weird = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+    val w = weird.select(
+      Similarity.cosine(col("a"), col("b")).as("fast"),
+      Similarity.cosineHof(col("a"), col("b")).as("slow")).collect()
+    w.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
   test("codegen MinHash64 == interpreted HOF minhash, bit for bit") {
     graft.functions.Sketches.register(spark)
     val k = 32

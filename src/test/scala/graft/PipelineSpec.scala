@@ -44,6 +44,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("LSH near-pairs recall vs brute-force (cos >= 0.2 band)") {
+    graft.functions.Sketches.register(spark)
     // ground truth: all pairs among vec_id < 60 with cosine >= 0.2
     val sub = emb.filter(col("vec_id") < 60)
     val a = sub.select(col("vec_id").as("id_a"),
