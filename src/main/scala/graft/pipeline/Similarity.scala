@@ -80,8 +80,12 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
   }
 
-  /** Random-hyperplane signature packed into a long (≤ 62 planes). */
-  def lshSignature(vec: Column, planes: Int, salt: Int = 0): Column =
+  /** Random-hyperplane signature packed into a long (≤ 62 planes) — the
+    * HOF formulation, kept as the executable spec for the codegen'd
+    * HyperplaneSignature expression (bit-for-bit equivalence asserted in
+    * OperatorSpec; the library path uses the expression). */
+  private[graft] def lshSignature(vec: Column, planes: Int,
+      salt: Int = 0): Column =
     aggregate(lshBits(vec, planeMatrix(salt, planes, 64)),
       lit(0L), (acc, b) => acc * 2 + b)
 

@@ -111,6 +111,20 @@ class OperatorSpec extends AnyFunSuite {
     w.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
   }
 
+  test("codegen HyperplaneSignature == interpreted HOF lshSignature") {
+    import graft.pipeline.Similarity
+    graft.functions.Sketches.register(spark)
+    val diff = Engine.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"),
+        graft.functions.Sketches.hyperplaneSignature(col("v"),
+          typedlit(Similarity.planeMatrix(7, 16, 64))).as("fast"),
+        Similarity.lshSignature(col("v"), 16, salt = 7).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+  }
+
   test("codegen MinHash64 == interpreted HOF minhash, bit for bit") {
     graft.functions.Sketches.register(spark)
     val k = 32
