@@ -198,6 +198,65 @@ case class MinHash64(child: Expression, kExpr: Expression)
     copy(child = newLeft, kExpr = newRight)
 }
 
+/** Distinct word n-gram shingles of a string — the per-row front of the
+  * text-dedup pipeline. The HOF formulation (split → per-position
+  * slice/array_join → array_distinct) is CodegenFallback and allocates
+  * a token array plus one joined string per position per row; this
+  * expression produces the identical result (same split-on-single-space
+  * semantics including empty tokens, same first-occurrence distinct
+  * order) in one pass. */
+case class Shingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  @transient private lazy val n: Int =
+    right.eval(InternalRow.empty).asInstanceOf[Int]
+
+  def compute(text: UTF8String): ArrayData = {
+    // identical to Spark's split(text, " ") — regex on a single space,
+    // limit -1 (trailing empty tokens kept)
+    val tokens = text.toString.split(" ", -1)
+    val count = math.max(tokens.length - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, tokens.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(text: Any, unused: Any): Any =
+    compute(text.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftShingles", this,
+      classOf[Shingles].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $ref.compute($t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Exact cosine similarity of two array<double> vectors — the verify
   * stage of every similarity/dedup operator. The HOF formulation
   * (`aggregate(zip_with(a,b,*)) / (sqrt(aggregate(a,x²)) * ...)`) is
@@ -254,6 +313,10 @@ object Sketches {
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  def shingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", text,
+      org.apache.spark.sql.functions.lit(n))
+
   def hyperplaneSignature(vec: Column, matrix: Column): Column =
     call_function("graft_hyperplane_sig", vec, matrix)
 
@@ -271,5 +334,7 @@ object Sketches {
       "graft_minhash64", exprs => MinHash64(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => Shingles(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a text column.
-    *
+  /** Distinct word n-gram shingles of a text column — the codegen'd
+    * Shingles expression (functions/SketchExpressions.scala): one pass,
+    * no per-position array allocation. Requires Sketches.register on
+    * the session (all Dedup entry points register). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Sketches.shingles(text, n)
+
+  /** The higher-order-function formulation, kept as the executable spec
+    * for the Shingles expression (equivalence asserted in OperatorSpec).
     * The word array is LET-BOUND via a 1-element wrapper transform —
     * a lambda body that referenced `split(text)` directly would
     * re-evaluate the split once per shingle position (HOF lambdas aren't
     * CSE'd): measured 8× slowdown at sf0.1. */
-  def shingles(text: Column, n: Int): Column = {
+  private[graft] def shinglesHof(text: Column, n: Int): Column = {
     val ws = split(text, " ")
     array_distinct(element_at(
       transform(array(ws), w =>
@@ -193,6 +200,7 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.6): DataFrame = {
+    graft.functions.Sketches.register(df.sparkSession)
     val sh = df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleSize)).as("s"))
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))

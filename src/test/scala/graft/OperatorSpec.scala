@@ -66,8 +66,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(both.count() == 0)
   }
 
+  test("codegen Shingles == interpreted HOF shingles, element for element") {
+    graft.functions.Sketches.register(spark)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val diff = Engine.table(spark, sf, "documents")
+        .select(col("doc_id"),
+          Dedup.shingles(col("text"), n).as("fast"),
+          graft.pipeline.Dedup.shinglesHof(col("text"), n).as("slow"))
+        .filter(col("fast") =!= col("slow"))
+      assert(diff.count() == 0, s"n=$n")
+    }
+    // edge shapes: empty string, multiple/trailing spaces, short text
+    import spark.implicits._
+    val edge = Seq("", " ", "a", "a b", "a  b ", "a b c d").toDF("text")
+    val rows = edge.select(
+      Dedup.shingles(col("text"), 3).as("fast"),
+      graft.pipeline.Dedup.shinglesHof(col("text"), 3).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+  }
+
   test("group minhash aggregate == per-position min over row signatures") {
     val k = 16
+    graft.functions.Sketches.register(spark)
     val sigs = Engine.table(spark, sf, "documents")
       .select(col("source"),
         Dedup.minhashSignature(Dedup.shingles(col("text"), 3), k).as("sig"))
