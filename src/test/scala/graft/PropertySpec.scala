@@ -97,6 +97,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast-hash == sort-merge join on random data (join fuzz)") {
+    import spark.implicits._
+    // mirrors fuzz_cases/join_fuzz.rs: same random inputs through two
+    // physical strategies must agree, for inner/left/semi/anti
+    forAllSeeded(Gen.zip(rowsGen, rowsGen), 5) { case (a, b) =>
+      val left = a.toDF("k", "id", "v").repartition(5)
+      val right = b.map(x => (x._1, x._2)).toDF("k", "rid").repartition(3)
+      for (joinType <- Seq("inner", "left", "left_semi", "left_anti")) {
+        val bhj = left.join(broadcast(right), Seq("k"), joinType)
+        val smj = left.hint("merge").join(right.hint("merge"),
+          Seq("k"), joinType)
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+            .sorted.toSeq
+        assert(canon(bhj) == canon(smj), joinType)
+      }
+    }
+  }
+
+  test("sliding rows-frame window == naive per-row slice (window fuzz)") {
+    import spark.implicits._
+    // mirrors fuzz_cases/window_fuzz.rs: frame-decomposed execution must
+    // equal the naive recomputation of each row's frame
+    forAllSeeded(rowsGen, 6) { rows =>
+      locally {
+        val df = rows.toDF("k", "id", "v").repartition(7)
+        val w = Window.partitionBy(col("k")).orderBy(col("id"), col("v"))
+          .rowsBetween(-2, 1)
+        val got = df
+          .withColumn("s", sum(col("v")).over(w))
+          .withColumn("m", min(col("v")).over(w))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)) ->
+            ((r.getDouble(3), r.getDouble(4)))).toMap
+        rows.groupBy(_._1).foreach { case (k, vs) =>
+          val sorted = vs.map(x => (x._2, x._3)).sorted
+          sorted.zipWithIndex.foreach { case ((id, v), i) =>
+            val frame = sorted.slice(math.max(i - 2, 0), i + 2).map(_._2)
+            val (s, m) = got((k, id, v))
+            assert(math.abs(s - frame.sum) < 1e-9, s"sum k=$k id=$id")
+            assert(m == frame.min, s"min k=$k id=$id")
+          }
+        }
+      }
+    }
+  }
+
   test("TopKAgg == unfused groupBy+sort+limit on random data w/ nulls+ties") {
     import spark.implicits._
     // few distinct groups + a narrow value range → heavy boundary ties;
