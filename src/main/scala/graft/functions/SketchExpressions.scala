@@ -257,6 +257,160 @@ case class Shingles(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-dictionary membership counts: for a words array and a literal
+  * array of dictionaries (array<array<string>>), returns array<long>
+  * where element d = number of words contained in dictionary d. One
+  * pass over the words against prebuilt hash sets — replaces the
+  * per-dictionary interpreted `filter(words, isInCollection)` HOFs
+  * (language-ID evaluated its tokenization 5× because CodegenFallback
+  * defeats subexpression elimination). Null words count for no
+  * dictionary. */
+case class InSetCounts(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.ArrayType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_inset_counts"
+
+  @transient private lazy val dicts: Array[java.util.HashSet[UTF8String]] = {
+    val m = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    Array.tabulate(m.numElements()) { d =>
+      val set = new java.util.HashSet[UTF8String]()
+      val row = m.getArray(d)
+      var j = 0
+      while (j < row.numElements()) {
+        if (!row.isNullAt(j)) set.add(row.getUTF8String(j).clone())
+        j += 1
+      }
+      set
+    }
+  }
+
+  def compute(words: ArrayData): ArrayData = {
+    val counts = new Array[Long](dicts.length)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        var d = 0
+        while (d < dicts.length) {
+          if (dicts(d).contains(w)) counts(d) += 1
+          d += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(words: Any, unused: Any): Any =
+    compute(words.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftInSet", this,
+      classOf[InSetCounts].getName)
+    nullSafeCodeGen(ctx, ev, (w, _) => s"${ev.value} = $ref.compute($w);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Polynomial rolling fingerprint over pre-hashed words:
+  * fold (acc*31 + pmod(xxhash64(word), 1e9+7)) mod 1e9+7 — bit-identical
+  * to the HOF formulation in TextAnalysis.fingerprintRolling (same
+  * xxhash64 seed chain, same pmod semantics for negative hashes). */
+case class RollingFpXx(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_fp"
+
+  private val P = 1000000007L
+
+  def compute(words: ArrayData): Any = {
+    val n = words.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      // HOF spec: a null word makes xxhash64 return the seed (42)
+      val h =
+        if (words.isNullAt(i)) 42L
+        else XxHash64Function.hash(words.getUTF8String(i), StringType, 42L)
+      val hm = java.lang.Math.floorMod(h, P)
+      acc = java.lang.Math.floorMod(acc * 31 + hm, P)
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(words: Any): Any =
+    compute(words.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftRollingFp", this,
+      classOf[RollingFpXx].getName)
+    nullSafeCodeGen(ctx, ev,
+      w => s"${ev.value} = (Long) $ref.compute($w);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Engine-portable rolling fingerprint over words: per-word hash =
+  * codepoint polynomial (acc*131 + cp) mod 1e9+7, document fingerprint
+  * = (acc*31 + wordHash) mod 1e9+7 — matches the HOF spec (which splits
+  * each word into per-codepoint strings and folds ascii()); empty words
+  * are skipped, exactly like the spec's filter(w =!= ""). */
+case class RollingFpPortable(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_fp_portable"
+
+  private val P = 1000000007L
+
+  def compute(words: ArrayData): Any = {
+    val n = words.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val s = words.getUTF8String(i).toString
+        if (s.nonEmpty) {
+          var h = 0L
+          var j = 0
+          while (j < s.length) {
+            val cp = s.codePointAt(j)
+            h = (h * 131 + cp) % P
+            j += Character.charCount(cp)
+          }
+          acc = (acc * 31 + h) % P
+        }
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(words: Any): Any =
+    compute(words.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftRollingFpP", this,
+      classOf[RollingFpPortable].getName)
+    nullSafeCodeGen(ctx, ev,
+      w => s"${ev.value} = (Long) $ref.compute($w);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Exact cosine similarity of two array<double> vectors — the verify
   * stage of every similarity/dedup operator. The HOF formulation
   * (`aggregate(zip_with(a,b,*)) / (sqrt(aggregate(a,x²)) * ...)`) is
@@ -317,6 +471,16 @@ object Sketches {
     call_function("graft_shingles", text,
       org.apache.spark.sql.functions.lit(n))
 
+  def inSetCounts(words: Column, dicts: Seq[Seq[String]]): Column =
+    call_function("graft_inset_counts", words,
+      org.apache.spark.sql.functions.typedlit(dicts))
+
+  def rollingFp(words: Column): Column =
+    call_function("graft_rolling_fp", words)
+
+  def rollingFpPortable(words: Column): Column =
+    call_function("graft_rolling_fp_portable", words)
+
   def hyperplaneSignature(vec: Column, matrix: Column): Column =
     call_function("graft_hyperplane_sig", vec, matrix)
 
@@ -336,5 +500,13 @@ object Sketches {
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => Shingles(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_inset_counts",
+      exprs => InSetCounts(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_fp", exprs => RollingFpXx(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_fp_portable",
+      exprs => RollingFpPortable(exprs.head), "built-in")
   }
 }

@@ -22,7 +22,11 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: length saturation, low punctuation
     * noise, stopword presence, mean word length sanity. Deterministic and
-    * SQL-expressible (oracled in PipelineQueries). */
+    * SQL-expressible (oracled in PipelineQueries). The stopword count
+    * goes through the codegen'd InSetCounts expression (an interpreted
+    * `filter(words, isInCollection)` HOF dominated the scan otherwise);
+    * requires Sketches.register on the session — TextAnalysis call sites
+    * in the query corpus register. */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val nChars = length(text).cast("double")
     val words = split(text, "\\s+")
@@ -30,8 +34,9 @@ object TextAnalysis {
     val lenScore = least(nChars / 400.0, lit(1.0))
     val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
     val punctScore = greatest(lit(1.0) - punct / greatest(nChars, lit(1.0)) * 10.0, lit(0.0))
-    val stops = size(filter(words,
-      w => w.isInCollection(stopwords))).cast("double")
+    val stops = element_at(
+      graft.functions.Sketches.inSetCounts(words, Seq(stopwords)), 1)
+      .cast("double")
     val stopScore = least(stops / greatest(nWords, lit(1.0)) * 5.0, lit(1.0))
     val meanLen = nChars / greatest(nWords, lit(1.0))
     val lenSanity = when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.5)
@@ -51,11 +56,29 @@ object TextAnalysis {
 
   /** Dictionary language-ID: score = stopword hits per language; argmax
     * with deterministic tie-break (dictionary order). Returns a struct
-    * (lang, score). A char-n-gram model would drop in the same shape. */
+    * (lang, score). A char-n-gram model would drop in the same shape.
+    * All dictionaries are scored in ONE pass over one tokenization via
+    * InSetCounts (the HOF formulation re-tokenized per language because
+    * CodegenFallback defeats subexpression elimination). */
   def langId(text: Column): Column = {
-    val words = split(lower(text), "\\s+")
+    val scores = graft.functions.Sketches.inSetCounts(
+      split(lower(text), "\\s+"), langDicts.map(_._2))
     // array of (score, rankDesc, lang); array_max picks lexicographic max:
     // highest score, then lowest dictionary index (rankDesc = -index).
+    val scored = array(langDicts.zipWithIndex.map { case ((lang, _), i) =>
+      struct(
+        element_at(scores, i + 1).as("score"),
+        lit(-i).as("rank_desc"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    struct(best.getField("lang").as("lang"), best.getField("score").as("score"))
+  }
+
+  /** The HOF formulation of langId, kept as the executable spec for the
+    * InSetCounts path (equivalence asserted in OperatorSpec). */
+  private[graft] def langIdHof(text: Column): Column = {
+    val words = split(lower(text), "\\s+")
     val scored = array(langDicts.zipWithIndex.map { case ((lang, dict), i) =>
       struct(
         size(filter(words, w => w.isInCollection(dict))).cast("long").as("score"),
@@ -71,10 +94,15 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Polynomial rolling hash over words, mod 1e9+7 (overflow-safe under
-    * ANSI: acc < 1e9+7, acc*31 + h < 2^63). Word hashes come from
-    * xxhash64 folded into [0, 1e9+7). */
+  /** Polynomial rolling hash over words, mod 1e9+7: word hashes from
+    * xxhash64 folded into [0, 1e9+7) — via the codegen'd RollingFpXx
+    * expression (bit-identical to the HOF spec below). */
   def fingerprintRolling(text: Column): Column =
+    graft.functions.Sketches.rollingFp(split(text, "\\s+"))
+
+  /** HOF spec for fingerprintRolling (overflow-safe under ANSI:
+    * acc < 1e9+7, acc*31 + h < 2^63). */
+  private[graft] def fingerprintRollingHof(text: Column): Column =
     aggregate(
       transform(split(text, "\\s+"), w => pmod(xxhash64(w), lit(1000000007L))),
       lit(0L), (acc, h) => pmod(acc * 31 + h, lit(1000000007L)))
@@ -83,9 +111,13 @@ object TextAnalysis {
     * polynomial (acc*131 + cp) mod 1e9+7, document fingerprint =
     * (acc*31 + h(word)) mod 1e9+7 — no engine-specific hash, so an
     * external oracle (DuckDB list_reduce over unicode()) reproduces it
-    * bit-for-bit. Slower than the xxhash64 variant (per-char lambda
-    * evals); use fingerprintRolling for production pipelines. */
-  def fingerprintPortable(text: Column): Column = {
+    * bit-for-bit. Via the codegen'd RollingFpPortable expression (the
+    * HOF spec below ran one interpreted lambda per CHARACTER). */
+  def fingerprintPortable(text: Column): Column =
+    graft.functions.Sketches.rollingFpPortable(split(text, "\\s+"))
+
+  /** HOF spec for fingerprintPortable. */
+  private[graft] def fingerprintPortableHof(text: Column): Column = {
     val p = 1000000007L
     aggregate(
       transform(

@@ -141,6 +141,7 @@ object PipelineQueries {
       |         + 0.000000001, 4) AS quality,
       |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents ORDER BY doc_id""") { (s, d) =>
+      graft.functions.Sketches.register(s)
       Engine.table(s, d, "documents")
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -169,6 +170,7 @@ object PipelineQueries {
       |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted,
       |  CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS BIGINT) AS score
       |FROM s ORDER BY doc_id""") { (s, d) =>
+      graft.functions.Sketches.register(s)
       Engine.table(s, d, "documents")
         .select(col("doc_id"), col("lang").as("actual"),
           TextAnalysis.langId(col("text")).as("lid"))
@@ -209,6 +211,7 @@ object PipelineQueries {
       |                         w -> w <> '') AS ws
       |      FROM documents)
       |ORDER BY doc_id""") { (s, d) =>
+      graft.functions.Sketches.register(s)
       Engine.table(s, d, "documents")
         .select(col("doc_id"),
           TextAnalysis.fingerprintPortable(col("text")).as("fp"))

@@ -87,6 +87,35 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen langId/rolling fingerprints == interpreted HOF specs") {
+    import graft.pipeline.TextAnalysis
+    graft.functions.Sketches.register(spark)
+    val docs5 = Engine.table(spark, sf, "documents")
+    val diff = docs5.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("fast"),
+        TextAnalysis.langIdHof(col("text")).as("slow"),
+        TextAnalysis.fingerprintRolling(col("text")).as("fpFast"),
+        TextAnalysis.fingerprintRollingHof(col("text")).as("fpSlow"),
+        TextAnalysis.fingerprintPortable(col("text")).as("ppFast"),
+        TextAnalysis.fingerprintPortableHof(col("text")).as("ppSlow"))
+      .filter(col("fast") =!= col("slow") ||
+        col("fpFast") =!= col("fpSlow") || col("ppFast") =!= col("ppSlow"))
+    assert(diff.count() == 0)
+    // edge shapes: empty, whitespace-only, mixed-script text
+    import spark.implicits._
+    val edge = Seq("", "   ", "the der el 的", "a  b", " leading trailing ")
+      .toDF("text")
+    val rows = edge.select(
+      TextAnalysis.langId(col("text")).as("f"),
+      TextAnalysis.langIdHof(col("text")).as("s"),
+      TextAnalysis.fingerprintPortable(col("text")).as("pf"),
+      TextAnalysis.fingerprintPortableHof(col("text")).as("ps")).collect()
+    rows.foreach { r =>
+      assert(r.getStruct(0) == r.getStruct(1), r.toString)
+      assert(r.getLong(2) == r.getLong(3), r.toString)
+    }
+  }
+
   test("group minhash aggregate == per-position min over row signatures") {
     val k = 16
     graft.functions.Sketches.register(spark)
