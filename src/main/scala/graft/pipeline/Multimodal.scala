@@ -59,13 +59,70 @@ object Multimodal {
         // per-partition decoder setup happens once here (stub: nothing)
         rows.map { case (id, bytes, (fmt, w, h, n)) =>
           // STUB decode: real impl would decompress and measure pixels.
+          // Modular fold (no wrapping overflow) so an external engine
+          // can reproduce the value exactly — the pipe_multimodal
+          // oracle recomputes this in DuckDB from the hex payload.
           var acc = 0L
           var i = 0
-          while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xff); i += 1 }
-          val brightness = math.abs(acc % 1000000) / 1000000.0
+          while (i < bytes.length) {
+            acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
+            i += 1
+          }
+          val brightness = (acc % 1000000) / 1000000.0
           MediaFeature(id, fmt, w, h, n, brightness)
         }
       }
+  }
+
+  /** Resize plumbing: deterministic nearest-neighbor byte resample of the
+    * payload to a fixed target (stub for a real scaler — the real impl
+    * would decode, scale pixels, re-encode). Output keeps the columnar
+    * binary + refreshed metadata shape so downstream stages are
+    * unchanged. newLen bytes, out[i] = in[i*len/newLen]. */
+  def resizeStub(
+      df: DataFrame, targetW: Int, targetH: Int,
+      payloadBytes: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"), col("media_meta"))
+      .as[(Long, Array[Byte], (String, Int, Int, Long))]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, (fmt, _, _, _)) =>
+          val out = new Array[Byte](payloadBytes)
+          var i = 0
+          while (i < payloadBytes) {
+            out(i) = if (bytes.isEmpty) 0
+              else bytes((i.toLong * bytes.length / payloadBytes).toInt)
+            i += 1
+          }
+          (id, fmt, targetW, targetH, out.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "n_bytes", "media")
+  }
+
+  /** Frame-sample plumbing for video-like payloads: split the payload
+    * into `frameBytes` chunks, keep every `everyNth`-th chunk up to
+    * `maxFrames` — the bounded 1→N explode shape real frame sampling
+    * has at scale (fan-out is capped per row, so a shuffle after this
+    * stage is ≤ maxFrames× the input rows, never payload-proportional). */
+  def sampleFrames(
+      df: DataFrame, frameBytes: Int = 16, everyNth: Int = 2,
+      maxFrames: Int = 4): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0 && maxFrames > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          bytes.grouped(frameBytes).zipWithIndex
+            .filter { case (_, idx) => idx % everyNth == 0 }
+            .take(maxFrames)
+            .map { case (frame, idx) => (id, idx, frame) }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame")
   }
 
   /** End-to-end demo used by the rows-only query: synth media → decode →
@@ -75,8 +132,9 @@ object Multimodal {
     decodeFeatures(media, parallelism = 8).toDF()
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("brightness")), 4).as("avg_brightness"),
-        max(col("width")).as("max_w"), max(col("height")).as("max_h"))
+        round(avg(col("brightness")) + 1e-9, 4).as("avg_brightness"),
+        max(col("width")).cast("long").as("max_w"),
+        max(col("height")).cast("long").as("max_h"))
       .orderBy(col("format"))
   }
 }

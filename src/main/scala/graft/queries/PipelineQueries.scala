@@ -219,7 +219,43 @@ object PipelineQueries {
     },
 
     // ── multimodal decode plumbing (stubbed codec, real dataflow) ────────
-    "pipe_multimodal" -> Q.noOracle { (s, d) =>
+    // ── multimodal decode plumbing, fully oracled: DuckDB rebuilds the
+    //    synthetic payload (8 concatenated md5 hex chunks), re-derives
+    //    the byte values from hex pairs, and replays the stub decoder's
+    //    modular fold (list_reduce's first-element init == Spark's
+    //    aggregate from 0, since (0*31+b)%P = b) ────────────────────────
+    "pipe_multimodal" -> Q("""
+      |WITH media AS (
+      |  SELECT doc_id,
+      |         md5(CAST(doc_id AS VARCHAR) || '_chunk0')
+      |      || md5(CAST(doc_id AS VARCHAR) || '_chunk1')
+      |      || md5(CAST(doc_id AS VARCHAR) || '_chunk2')
+      |      || md5(CAST(doc_id AS VARCHAR) || '_chunk3')
+      |      || md5(CAST(doc_id AS VARCHAR) || '_chunk4')
+      |      || md5(CAST(doc_id AS VARCHAR) || '_chunk5')
+      |      || md5(CAST(doc_id AS VARCHAR) || '_chunk6')
+      |      || md5(CAST(doc_id AS VARCHAR) || '_chunk7') AS hexstr,
+      |         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |              ELSE 'wav' END AS format,
+      |         (doc_id % 64) * 16 + 64 AS width,
+      |         (doc_id % 48) * 16 + 64 AS height
+      |  FROM documents),
+      |dec AS (
+      |  SELECT format, width, height,
+      |         list_reduce(
+      |           list_transform(generate_series(1, len(hexstr) // 2),
+      |             i -> CAST((unicode(substr(hexstr, 2*i-1, 1))
+      |                   - CASE WHEN substr(hexstr, 2*i-1, 1) <= '9'
+      |                          THEN 48 ELSE 87 END) * 16
+      |                + (unicode(substr(hexstr, 2*i, 1))
+      |                   - CASE WHEN substr(hexstr, 2*i, 1) <= '9'
+      |                          THEN 48 ELSE 87 END) AS BIGINT)),
+      |           (acc, b) -> (acc * 31 + b) % 1000000007) AS acc
+      |  FROM media)
+      |SELECT format, count(*) AS n,
+      |       round(avg((acc % 1000000) / 1000000.0) + 1e-9, 4) AS avg_brightness,
+      |       max(width) AS max_w, max(height) AS max_h
+      |FROM dec GROUP BY format ORDER BY format""") { (s, d) =>
       Multimodal.featureSummary(s, Engine.table(s, d, "documents"))
     }
   )

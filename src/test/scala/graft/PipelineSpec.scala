@@ -107,6 +107,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("multimodal resize + frame sampling: deterministic, bounded fan-out") {
+    val media = Multimodal.withSyntheticMedia(
+      docs.select(col("doc_id")).limit(50), "doc_id")
+    val resized = Multimodal.resizeStub(media, 32, 32, payloadBytes = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4),
+          r.getAs[Array[Byte]](5).toSeq)).toMap
+    assert(resized.size == 50)
+    resized.values.foreach { case (w, h, n, bytes) =>
+      assert(w == 32 && h == 32 && n == 64 && bytes.length == 64)
+    }
+    // resample rerun is byte-identical (determinism)
+    val again = Multimodal.resizeStub(media, 32, 32, payloadBytes = 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](5).toSeq).toMap
+    assert(again == resized.view.mapValues(_._4).toMap)
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16,
+        everyNth = 2, maxFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq))
+    // payload = 128 bytes -> 8 chunks, every 2nd -> 4, capped at 3
+    val byDoc = frames.groupBy(_._1)
+    assert(byDoc.size == 50)
+    byDoc.values.foreach { fs =>
+      assert(fs.length == 3)
+      assert(fs.map(_._2).sorted.toSeq == Seq(0, 2, 4))
+      fs.foreach { case (_, _, frame) => assert(frame.length == 16) }
+    }
+  }
+
   test("multimodal decode is deterministic and partition-count independent") {
     val media = Multimodal.withSyntheticMedia(docs.select(col("doc_id")), "doc_id")
     val f1 = Multimodal.decodeFeatures(media, parallelism = 2).collect()
