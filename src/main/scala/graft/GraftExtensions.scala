@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{Gcd, Lcm}
+import graft.functions.{
+  CosineSim, Gcd, HyperplaneSignature, InSetCounts, Lcm, MinHash64,
+  RollingFpPortable, RollingFpXx, Shingles, SimHash63}
 import graft.plans.{TopKAggregationRule, TopKAggStrategy}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`
@@ -24,6 +26,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lcm"),
       new ExpressionInfo(classOf[Lcm].getName, "graft_lcm"),
       exprs => Lcm(Cast(exprs(0), LongType), Cast(exprs(1), LongType))))
+    // codegen'd sketch/pipeline primitives (same factories as
+    // Sketches.register, available to every extension-built session)
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash63"),
+      new ExpressionInfo(classOf[SimHash63].getName, "graft_simhash63"),
+      exprs => SimHash63(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName,
+        "graft_hyperplane_sig"),
+      exprs => HyperplaneSignature(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash64"),
+      new ExpressionInfo(classOf[MinHash64].getName, "graft_minhash64"),
+      exprs => MinHash64(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      exprs => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      exprs => Shingles(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_inset_counts"),
+      new ExpressionInfo(classOf[InSetCounts].getName, "graft_inset_counts"),
+      exprs => InSetCounts(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_rolling_fp"),
+      new ExpressionInfo(classOf[RollingFpXx].getName, "graft_rolling_fp"),
+      exprs => RollingFpXx(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_rolling_fp_portable"),
+      new ExpressionInfo(classOf[RollingFpPortable].getName,
+        "graft_rolling_fp_portable"),
+      exprs => RollingFpPortable(exprs.head)))
     // TopK aggregation fusion: limit-sort-aggregate → bounded top-k
     // operator (custom LogicalPlan + Strategy + SparkPlan, plans/
     // TopKAggregate.scala)

@@ -25,6 +25,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getLong(0) == 6L && row.getLong(1) == 12L)
       // null propagation through the custom expressions
       assert(s.sql("SELECT graft_gcd(NULL, 18)").head().isNullAt(0))
+      // sketch/pipeline primitives resolve too
+      val r2 = s.sql("""SELECT
+        graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        graft_shingles('a b c', 2) AS sh,
+        graft_inset_counts(array('the', 'x'), array(array('the'))) AS ic,
+        graft_rolling_fp_portable(array('ab')) AS fp""").head()
+      assert(r2.getDouble(0) == 1.0)
+      assert(r2.getSeq[String](1) == Seq("a b", "b c"))
+      assert(r2.getSeq[Long](2) == Seq(1L))
+      assert(r2.getLong(3) == (97L * 131 + 98) % 1000000007L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
