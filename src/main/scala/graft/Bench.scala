@@ -42,11 +42,17 @@ object Bench {
     // optional comma-separated query-name filter for targeted local runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a failing query must not silently report its near-zero failure
+    // time as a benchmark result — track and surface it in the JSON
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n))).map { name =>
       val times = (1 to math.max(1, iters)).map { _ =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
+        try run(name) catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -60,7 +66,8 @@ object Bench {
     val tpchTotal = results.collect {
       case (k, v) if k.startsWith("tpch_") => v }.sum
     val floor = results.map(_._2).min
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tpch_total":$tpchTotal,"per_query_floor":$floor,"iters":$iters}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tpch_total":$tpchTotal,"per_query_floor":$floor,"iters":$iters,"failed":$errs}""")
     Engine.clearCache(spark)
     spark.stop()
   }

@@ -48,6 +48,29 @@ class SpillSpec extends AnyFunSuite {
     assert(spilled == inMem)
   }
 
+  test("Analyze reports per-operator runtime metrics incl. spills") {
+    val q = SparkEntry.all("tpch_q6").build(spark, sf)
+    val report = Analyze.analyze(q)
+    assert(report.nonEmpty)
+    val scan = report.find(_._2.toLowerCase.contains("scan"))
+    assert(scan.isDefined, report.map(_._2).mkString(", "))
+    assert(scan.get._3.getOrElse("numOutputRows", 0L) > 0L)
+    // a forced-spill window run must surface spill metrics
+    val ev = Engine.table(spark, sf, "events")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spilled = withForcedSpills {
+      Analyze.analyze(
+        ev.select(col("event_id"), sum(col("value")).over(w).as("rs")))
+    }
+    val windowNode = spilled.find(_._2.toLowerCase.contains("window"))
+    assert(windowNode.isDefined)
+    assert(windowNode.get._3.getOrElse("spillSize", 0L) > 0L,
+      windowNode.get._3.toString)
+  }
+
   test("sort-merge join spills produce identical results") {
     val orders = Engine.table(spark, sf, "orders")
     val lineitem = Engine.table(spark, sf, "lineitem")
