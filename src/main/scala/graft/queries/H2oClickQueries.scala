@@ -182,6 +182,16 @@ object H2oClickQueries {
       |FROM events GROUP BY user_id ORDER BY c DESC, user_id
       |LIMIT 10 OFFSET 100"""),
 
+    // ── ClickBench extended.sql shape — several count(DISTINCT) per
+    //    group (plans as a 3-way expand + reshuffle in Spark) ────────────
+    "click_multi_distinct" -> sql("""
+      |SELECT event_type,
+      |       count(DISTINCT user_id) AS u,
+      |       count(DISTINCT CAST(ts AS DATE)) AS days,
+      |       count(DISTINCT regexp_extract(props, '([0-9]+)', 1)) AS ks
+      |FROM events GROUP BY event_type
+      |ORDER BY u DESC, event_type LIMIT 10"""),
+
     // ── ClickBench q42 shape — per-minute time series, paged ─────────────
     "click_minute_series" -> sql(
       """

@@ -65,6 +65,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static join enriches streaming rows from a static table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // static dimension derived from the same events (user → first type)
+    val dim = rows.groupBy(_.user_id)
+      .map { case (u, es) => (u, es.minBy(_.event_id).event_type) }
+      .toSeq.toDF("user_id", "first_type")
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .join(dim, Seq("user_id")) // stream-static: dim is broadcast/reread
+      .select(col("event_id"), col("user_id"), col("first_type"))
+      .writeStream.format("memory").queryName("ssj_static")
+      .outputMode("append").start()
+    val (a, b) = rows.splitAt(rows.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj_static").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = rows.toDF().join(dim, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("first_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
