@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.functions.{
   CosineSim, Gcd, HyperplaneSignature, InSetCounts, Lcm, MinHash64,
-  RollingFpPortable, RollingFpXx, Shingles, SimHash63}
+  NGramsGenerator, RollingFpPortable, RollingFpXx, Shingles, SimHash63}
 import graft.plans.{TopKAggregationRule, TopKAggStrategy}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`
@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingFpPortable].getName,
         "graft_rolling_fp_portable"),
       exprs => RollingFpPortable(exprs.head)))
+    // table function (UDTF analogue): custom Generator
+    e.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGramsGenerator].getName, "graft_ngrams"),
+      exprs => NGramsGenerator(exprs(0), exprs(1))))
     // TopK aggregation fusion: limit-sort-aggregate → bounded top-k
     // operator (custom LogicalPlan + Strategy + SparkPlan, plans/
     // TopKAggregate.scala)

@@ -205,21 +205,14 @@ case class MinHash64(child: Expression, kExpr: Expression)
   * expression produces the identical result (same split-on-single-space
   * semantics including empty tokens, same first-occurrence distinct
   * order) in one pass. */
-case class Shingles(left: Expression, right: Expression)
-    extends BinaryExpression {
-  import org.apache.spark.sql.catalyst.util.GenericArrayData
-  import org.apache.spark.sql.types.{ArrayType, StringType}
+object Shingles {
   import org.apache.spark.unsafe.types.UTF8String
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "graft_shingles"
-
-  @transient private lazy val n: Int =
-    right.eval(InternalRow.empty).asInstanceOf[Int]
-
-  def compute(text: UTF8String): ArrayData = {
-    // identical to Spark's split(text, " ") — regex on a single space,
-    // limit -1 (trailing empty tokens kept)
+  /** Distinct word n-grams in first-occurrence order — identical to
+    * Spark's split(text, " ") tokenization (regex on a single space,
+    * limit -1, trailing empty tokens kept) followed by per-position
+    * joins and array_distinct. */
+  def shingleStrings(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
     val tokens = text.toString.split(" ", -1)
     val count = math.max(tokens.length - (n - 1), 1)
     val seen = new java.util.LinkedHashSet[String]()
@@ -236,6 +229,24 @@ case class Shingles(left: Expression, right: Expression)
       seen.add(sb.toString)
       i += 1
     }
+    seen
+  }
+}
+
+case class Shingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  @transient private lazy val n: Int =
+    right.eval(InternalRow.empty).asInstanceOf[Int]
+
+  def compute(text: UTF8String): ArrayData = {
+    val seen = Shingles.shingleStrings(text, n)
     val out = new Array[Any](seen.size())
     val it = seen.iterator()
     var k = 0
@@ -508,5 +519,8 @@ object Sketches {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_fp_portable",
       exprs => RollingFpPortable(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams",
+      exprs => NGramsGenerator(exprs(0), exprs(1)), "built-in")
   }
 }

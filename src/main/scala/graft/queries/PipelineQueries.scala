@@ -219,6 +219,24 @@ object PipelineQueries {
     },
 
     // ── multimodal decode plumbing (stubbed codec, real dataflow) ────────
+    // ── custom table function (UDTF tier — reference register_udtf,
+    //    core/src/datasource/function.rs): graft_ngrams Generator via
+    //    LATERAL VIEW, vs DuckDB unnest of the same shingle list ────────
+    // (pos is emitted by the generator but excluded from the compare:
+    //  DuckDB's list_distinct does not preserve first-occurrence order —
+    //  the position semantics are covered by the posexplode-equivalence
+    //  test in OperatorSpec instead)
+    "udtf_ngrams" -> Q(s"""
+      |WITH sh0 AS (SELECT * FROM ($shingleSqlDuck) WHERE doc_id < 50)
+      |SELECT doc_id, unnest(sh) AS shingle
+      |FROM sh0 ORDER BY doc_id, shingle""") { (s, d) =>
+      Engine.registerAll(s, d)
+      graft.functions.Sketches.register(s)
+      s.sql("""SELECT doc_id, shingle FROM documents
+              |LATERAL VIEW graft_ngrams(text, 3) t AS pos, shingle
+              |WHERE doc_id < 50 ORDER BY doc_id, shingle""".stripMargin)
+    },
+
     // ── multimodal decode plumbing, fully oracled: DuckDB rebuilds the
     //    synthetic payload (8 concatenated md5 hex chunks), re-derives
     //    the byte values from hex pairs, and replays the stub decoder's

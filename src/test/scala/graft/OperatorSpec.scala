@@ -87,6 +87,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_ngrams generator == posexplode of the scalar shingles") {
+    graft.functions.Sketches.register(spark)
+    Engine.registerAll(spark, sf)
+    val viaUdtf = spark.sql("""
+      SELECT doc_id, pos, shingle FROM documents
+      LATERAL VIEW graft_ngrams(text, 3) t AS pos, shingle""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaScalar = spark.sql("""
+      SELECT doc_id, pos, shingle FROM documents
+      LATERAL VIEW posexplode(graft_shingles(text, 3)) t AS pos, shingle""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaUdtf == viaScalar)
+    assert(viaUdtf.nonEmpty)
+  }
+
   test("codegen langId/rolling fingerprints == interpreted HOF specs") {
     import graft.pipeline.TextAnalysis
     graft.functions.Sketches.register(spark)
