@@ -144,6 +144,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join fwd/bwd == naive computation on random data with ties") {
+    import graft.operators.AsOfJoin
+    import spark.implicits._
+    // small ts range → many exact-ts ties; some keys one-sided
+    val sideGen: Gen[List[(Int, Int, Long)]] =
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 4), Gen.choose(0, 12),
+        Gen.choose(0L, 1000L)))
+    forAllSeeded(Gen.zip(sideGen, sideGen), 6) { case (l, r) =>
+      val left = l.zipWithIndex
+        .map { case ((k, ts, _), i) => (k, ts, i.toLong) }
+        .toDF("k", "ts", "lid").repartition(5)
+      val right = r.zipWithIndex
+        .map { case ((k, ts, p), i) => (k, ts, 10000L + i, p) }
+        .toDF("k", "ts", "rid", "payload").repartition(3)
+      val rTagged = r.zipWithIndex
+        .map { case ((k, ts, p), i) => (k, ts, 10000L + i, p) }
+
+      val bwd = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts",
+          Seq("rid" -> "rid", "payload" -> "p"))
+        .collect().map(x => x.getLong(2) ->
+          (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      // naive: max (ts, payload-struct) among right rows with ts <= lts;
+      // the payload struct is (rid, p) in declaration order and rid is
+      // unique, so ties resolve on rid
+      val expB = l.zipWithIndex.map { case ((k, lts, _), i) =>
+        val cands = rTagged.filter(t => t._1 == k && t._2 <= lts)
+        i.toLong -> (if (cands.isEmpty) -1L
+          else cands.maxBy(t => (t._2, t._3))._3)
+      }.toMap
+      assert(bwd == expB)
+
+      val fwd = AsOfJoin.forward(left, right, Seq("k"), "ts", "ts",
+          Seq("rid" -> "rid", "payload" -> "p"))
+        .collect().map(x => x.getLong(2) ->
+          (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      // forward picks the min (ts, payload-struct) among ts >= lts
+      val expF = l.zipWithIndex.map { case ((k, lts, _), i) =>
+        val cands = rTagged.filter(t => t._1 == k && t._2 >= lts)
+        i.toLong -> (if (cands.isEmpty) -1L
+          else cands.minBy(t => (t._2, t._3))._3)
+      }.toMap
+      assert(fwd == expF)
+    }
+  }
+
   test("TopKAgg == unfused groupBy+sort+limit on random data w/ nulls+ties") {
     import spark.implicits._
     // few distinct groups + a narrow value range → heavy boundary ties;
