@@ -118,6 +118,26 @@ object ExtrasQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ── count-min sketch (custom TypedImperativeAggregate — the binary-
+    //    state UDAF tier; merge is elementwise addition so estimates are
+    //    deterministic under any partitioning). 5 keys against a 4×1024
+    //    sketch → collision-free, so the estimates EQUAL exact counts
+    //    and the query oracles against plain GROUP BY ──────────────────
+    "agg_countmin" -> Q("""
+      |SELECT event_type, count(*) AS est
+      |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      graft.functions.CountMin.register(s)
+      val ev = Engine.table(s, d, "events")
+      val sk = ev.agg(graft.functions.CountMin.sketch(col("event_type"))
+        .as("sk"))
+      ev.select(col("event_type")).distinct()
+        .crossJoin(sk)
+        .select(col("event_type"),
+          graft.functions.CountMin.estimate(col("sk"), col("event_type"))
+            .as("est"))
+        .orderBy(col("event_type"))
+    },
+
     // ── IVF approximate top-k (cell-probed ANN) ──────────────────────────
     "pipe_sim_ivf" -> Q.noOracle { (s, d) =>
       val emb = Engine.table(s, d, "embeddings")

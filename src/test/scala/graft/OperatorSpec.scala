@@ -87,6 +87,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch: estimate >= exact, partition-independent") {
+    import graft.functions.CountMin
+    CountMin.register(spark)
+    val ev = Engine.table(spark, sf, "events")
+    val exact = ev.groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def estimates(parts: Int): Map[Long, Long] = {
+      val sk = ev.repartition(parts)
+        .agg(CountMin.sketch(col("user_id"), depth = 4, width = 512).as("sk"))
+      ev.select(col("user_id")).distinct().crossJoin(sk)
+        .select(col("user_id"),
+          CountMin.estimate(col("sk"), col("user_id")).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val est = estimates(7)
+    // count-min never underestimates
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"user $k: est ${est(k)} < exact $n")
+    }
+    // the e/width * N error bound is probabilistic (holds per key with
+    // prob 1 - e^-depth): assert the violation RATE, not every key
+    val n = exact.values.sum
+    val bound = math.ceil(math.E / 512 * n).toLong
+    val violations = est.count { case (k, e) => e - exact(k) > bound }
+    assert(violations <= math.max(3, exact.size / 20),
+      s"$violations of ${exact.size} keys exceed the CM error bound")
+    // merge order/partitioning must not change a single estimate
+    assert(estimates(2) == est)
+  }
+
   test("graft_ngrams generator == posexplode of the scalar shingles") {
     graft.functions.Sketches.register(spark)
     Engine.registerAll(spark, sf)
