@@ -45,7 +45,7 @@ object AsOfJoin {
       keyCols ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
         lit(null).cast(r.schema("__payload").dataType).as("__payload")) ++
         lCols.filterNot(keys.contains).map(col): _*)
-    val rAligned = r.select(l.columns.map(c =>
+    val rAligned = r.select(l.columns.toIndexedSeq.map(c =>
       if (r.columns.contains(c)) col(c)
       else lit(null).cast(l.schema(c).dataType).as(c)): _*)
     // __payload as the final sort key makes the pick among right rows
@@ -86,7 +86,7 @@ object AsOfJoin {
       keyCols ++ Seq(col(leftTs).as("__ts"), lit(0).as("__side"),
         lit(null).cast(r.schema("__payload").dataType).as("__payload")) ++
         lCols.filterNot(keys.contains).map(col): _*)
-    val rAligned = r.select(l.columns.map(c =>
+    val rAligned = r.select(l.columns.toIndexedSeq.map(c =>
       if (r.columns.contains(c)) col(c)
       else lit(null).cast(l.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(keyCols: _*)

@@ -219,6 +219,22 @@ object PipelineQueries {
     },
 
     // ── multimodal decode plumbing (stubbed codec, real dataflow) ────────
+    // ── heavy-hitter tokens: explode → two-phase count → top-20 ─────────
+    // (the exact corpus-frequency shape; at 100 TB the map-side partial
+    //  count keeps the shuffle ∝ vocabulary, not token count)
+    "pipe_text_top_tokens" -> Q("""
+      |SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+      |      FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    },
+
     // ── custom table function (UDTF tier — reference register_udtf,
     //    core/src/datasource/function.rs): graft_ngrams Generator via
     //    LATERAL VIEW, vs DuckDB unnest of the same shingle list ────────
