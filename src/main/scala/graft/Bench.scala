@@ -46,7 +46,7 @@ object Bench {
     // time as a benchmark result — track and surface it in the JSON
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n))).map { name =>
+      .filter(n => only.forall(_.contains(n))).flatMap { name =>
       val times = (1 to math.max(1, iters)).map { _ =>
         val t0 = System.nanoTime()
         try run(name) catch { case e: Throwable =>
@@ -55,7 +55,9 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // exclude failed queries entirely: their near-zero exception time
+      // must not shrink total/tpch_total or fake the per-query floor
+      if (failed.contains(name)) None else Some(name -> times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -65,7 +67,7 @@ object Bench {
     // measured by the cheapest query)
     val tpchTotal = results.collect {
       case (k, v) if k.startsWith("tpch_") => v }.sum
-    val floor = results.map(_._2).min
+    val floor = if (results.isEmpty) 0.0 else results.map(_._2).min
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tpch_total":$tpchTotal,"per_query_floor":$floor,"iters":$iters,"failed":$errs}""")
     Engine.clearCache(spark)

@@ -157,6 +157,15 @@ case class MinHash64(child: Expression, kExpr: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash64"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (kExpr.dataType != IntegerType || !kExpr.foldable ||
+        kExpr.eval(InternalRow.empty) == null)
+      TypeCheckFailure(s"$prettyName expects a non-null int literal k")
+    else TypeCheckSuccess
+  }
+
   @transient private lazy val k: Int =
     kExpr.eval(InternalRow.empty).asInstanceOf[Int]
   // seed chain prefix for position i: xxhash64's fold over (i, h) starts
@@ -242,6 +251,20 @@ case class Shingles(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 
+  // n must be a non-null int literal: reject at analysis time with a
+  // clear message instead of evaluating a column against EmptyRow
+  // mid-task (same contract as NGramsGenerator)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (left.dataType != StringType)
+      TypeCheckFailure(s"$prettyName expects a string column")
+    else if (right.dataType != org.apache.spark.sql.types.IntegerType ||
+        !right.foldable || right.eval(InternalRow.empty) == null)
+      TypeCheckFailure(s"$prettyName expects a non-null int literal n")
+    else TypeCheckSuccess
+  }
+
   @transient private lazy val n: Int =
     right.eval(InternalRow.empty).asInstanceOf[Int]
 
@@ -284,6 +307,22 @@ case class InSetCounts(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_inset_counts"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val okLeft = left.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    if (!okLeft)
+      TypeCheckFailure(s"$prettyName expects an array<string> of words")
+    else if (!right.foldable || right.eval(InternalRow.empty) == null)
+      TypeCheckFailure(
+        s"$prettyName expects a non-null array<array<string>> literal")
+    else TypeCheckSuccess
+  }
 
   @transient private lazy val dicts: Array[java.util.HashSet[UTF8String]] = {
     val m = right.eval(InternalRow.empty).asInstanceOf[ArrayData]

@@ -76,9 +76,10 @@ object Multimodal {
 
   /** Resize plumbing: deterministic nearest-neighbor byte resample of the
     * payload to a fixed target (stub for a real scaler — the real impl
-    * would decode, scale pixels, re-encode). Output keeps the columnar
-    * binary + refreshed metadata shape so downstream stages are
-    * unchanged. newLen bytes, out[i] = in[i*len/newLen]. */
+    * would decode, scale pixels, re-encode). Output keeps the exact
+    * (doc_id, media, media_meta) shape of withSyntheticMedia, so it
+    * chains straight into decodeFeatures and any other downstream
+    * stage. newLen bytes, out[i] = in[i*len/newLen]. */
   def resizeStub(
       df: DataFrame, targetW: Int, targetH: Int,
       payloadBytes: Int = 64): DataFrame = {
@@ -95,10 +96,15 @@ object Multimodal {
               else bytes((i.toLong * bytes.length / payloadBytes).toInt)
             i += 1
           }
-          (id, fmt, targetW, targetH, out.length.toLong, out)
+          (id, fmt, out)
         }
       }
-      .toDF("doc_id", "format", "width", "height", "n_bytes", "media")
+      .toDF("doc_id", "format", "media")
+      .select(col("doc_id"), col("media"), struct(
+        col("format"),
+        lit(targetW).as("width"),
+        lit(targetH).as("height"),
+        length(col("media")).cast("long").as("n_bytes")).as("media_meta"))
   }
 
   /** Frame-sample plumbing for video-like payloads: split the payload

@@ -1,6 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, GraftSqlShim}
 
 /** WITH RECURSIVE support (reference: RecursiveQueryExec + WorkTableExec,
   * datafusion/physical-plan/src/recursive_query.rs:57, work_table.rs:97;
@@ -13,8 +15,15 @@ import org.apache.spark.sql.DataFrame
   * the full row); `localCheckpoint` cuts the growing lineage so iteration
   * N doesn't replay 1..N-1. Total work = sum of frontier sizes — same as
   * the reference's worktable algorithm, just scheduled as Spark jobs.
+  * Superseded checkpoint blocks are unpersisted as soon as nothing can
+  * reference them (a re-checkpointed accumulator COPIES every row, so
+  * the pieces it replaced are dead) — without this a deep recursion
+  * retains every frontier for the life of the session.
   */
 object RecursiveCte {
+
+  private def release(df: DataFrame): Unit =
+    GraftSqlShim.unpersistLocalCheckpoint(df)
 
   /** UNION (distinct) semantics fixpoint: rows already produced don't
     * re-enter the frontier.
@@ -31,26 +40,46 @@ object RecursiveCte {
       step: DataFrame => DataFrame,
       maxIter: Int = 100): DataFrame = {
     var acc = init.localCheckpoint(eager = true)
+    // checkpointed pieces the CURRENT acc still references
+    val accPieces = mutable.Buffer[DataFrame](acc)
+    // a frontier that outlived its membership in accPieces (it was
+    // superseded by an acc re-checkpoint but is still the next step's
+    // input) — released once the following iteration has consumed it
+    var dangling: Option[DataFrame] = None
     var frontier = acc
     var i = 0
     var unionDepth = 0
     var done = frontier.isEmpty
     while (i < maxIter && !done) {
       val next = step(frontier).except(acc).localCheckpoint(eager = false)
-      if (next.count() == 0) done = true
-      else {
+      if (next.count() == 0) {
+        release(next) // empty, never joins acc
+        done = true
+      } else {
+        // the count materialized `next`; the previous frontier is no
+        // longer an input to anything unless acc still unions it
+        dangling.foreach(release)
+        dangling = None
         frontier = next
         acc = acc.union(next)
+        accPieces += next
         unionDepth += 1
         // bound the union fan-in: an unbounded union tree makes each
         // iteration's analyze/optimize pass O(depth), i.e. O(n^2) total
         if (unionDepth >= 8) {
           acc = acc.localCheckpoint(eager = true)
+          // the re-checkpoint copied every row: superseded pieces are
+          // dead — except the current frontier, still the next input
+          accPieces.filterNot(_ eq frontier).foreach(release)
+          accPieces.clear()
+          accPieces += acc
+          dangling = Some(frontier)
           unionDepth = 0
         }
       }
       i += 1
     }
+    dangling.foreach(release)
     acc
   }
 
@@ -75,6 +104,11 @@ object RecursiveCte {
       batch: Int = 8): DataFrame = {
     require(batch >= 1, "batch must be >= 1")
     var acc = init.localCheckpoint(eager = true)
+    val accPieces = mutable.Buffer[DataFrame](acc)
+    // frontier checkpoints never join acc here (newRows does), so the
+    // previous frontier dies as soon as the current batch's two jobs
+    // have consumed it
+    var prevFrontier: Option[DataFrame] = None
     var frontier = acc
     var i = 0
     var unionDepth = 0
@@ -90,16 +124,23 @@ object RecursiveCte {
       // intermediate steps recompute narrowly from the checkpointed
       // frontier — no shuffle, no lineage growth)
       val newRows = steps.reduce(_ unionAll _).localCheckpoint(eager = true)
+      prevFrontier.foreach(release)
+      prevFrontier = Some(next)
       acc = acc.union(newRows)
+      accPieces += newRows
       unionDepth += 1
       if (unionDepth >= 8) {
         acc = acc.localCheckpoint(eager = true)
+        accPieces.foreach(release)
+        accPieces.clear()
+        accPieces += acc
         unionDepth = 0
       }
       frontier = next
       done = lastEmpty
       i += k
     }
+    prevFrontier.foreach(release)
     acc
   }
 }

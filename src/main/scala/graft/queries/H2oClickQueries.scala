@@ -118,8 +118,12 @@ object H2oClickQueries {
       |ORDER BY event_type, dow, user_id"""),
 
     // ── ClickBench q2/q3 shape — global sum/count/avg in one pass ────────
+    // (sum over a BOUNDED per-row term: a raw sum(user_id) would wrap in
+    //  Spark's non-ANSI long arithmetic at large scale while DuckDB's
+    //  HUGEINT sum stays exact — an oracle divergence that only appears
+    //  at scale)
     "click_global_aggs" -> sql("""
-      |SELECT CAST(sum(user_id) AS BIGINT) AS s, count(*) AS c,
+      |SELECT CAST(sum(user_id % 100) AS BIGINT) AS s, count(*) AS c,
       |       round(avg(value) + 1e-9, 4) AS a
       |FROM events"""),
 

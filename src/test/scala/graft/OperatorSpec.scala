@@ -254,6 +254,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaDistinct == exp)
   }
 
+  test("fixpoint checkpoints release superseded blocks (no storage leak)") {
+    import graft.plans.RecursiveCte
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val init = spark.range(0, 4, 1, 2).toDF("n")
+    def stepFn(f: org.apache.spark.sql.DataFrame) =
+      f.filter(col("n") < 200).select((col("n") + 1).as("n"))
+    val all = RecursiveCte.fixpointAll(init, stepFn, maxIter = 100, batch = 4)
+    assert(all.count() == 4 * 101)
+    val mid = spark.sparkContext.getPersistentRDDs.size
+    // without release: ~25 newRows + 3 re-checkpoints + 25 frontiers;
+    // with release: only the pieces behind the final acc remain
+    assert(mid - before <= 12, s"fixpointAll leaked: $before -> $mid")
+    val dis = RecursiveCte.fixpoint(
+      spark.range(0, 1, 1, 1).toDF("n"), stepFn, maxIter = 50)
+    assert(dis.count() == 51)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - mid <= 12, s"fixpoint leaked: $mid -> $after")
+  }
+
   test("fixpointAll keeps duplicate rows (UNION ALL) and respects maxIter") {
     import graft.plans.RecursiveCte
     import spark.implicits._

@@ -110,18 +110,25 @@ class PipelineSpec extends AnyFunSuite {
   test("multimodal resize + frame sampling: deterministic, bounded fan-out") {
     val media = Multimodal.withSyntheticMedia(
       docs.select(col("doc_id")).limit(50), "doc_id")
-    val resized = Multimodal.resizeStub(media, 32, 32, payloadBytes = 64)
-      .collect().map(r => r.getLong(0) ->
-        (r.getInt(2), r.getInt(3), r.getLong(4),
-          r.getAs[Array[Byte]](5).toSeq)).toMap
+    val resizedDf = Multimodal.resizeStub(media, 32, 32, payloadBytes = 64)
+    val resized = resizedDf
+      .collect().map { r =>
+        val m = r.getStruct(2)
+        r.getLong(0) -> ((m.getInt(1), m.getInt(2), m.getLong(3),
+          r.getAs[Array[Byte]](1).toSeq))
+      }.toMap
     assert(resized.size == 50)
     resized.values.foreach { case (w, h, n, bytes) =>
       assert(w == 32 && h == 32 && n == 64 && bytes.length == 64)
     }
     // resample rerun is byte-identical (determinism)
     val again = Multimodal.resizeStub(media, 32, 32, payloadBytes = 64)
-      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](5).toSeq).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(again == resized.view.mapValues(_._4).toMap)
+    // output shape chains straight into the decode stage
+    val chained = Multimodal.decodeFeatures(resizedDf).collect()
+    assert(chained.length == 50)
+    chained.foreach(f => assert(f.width == 32 && f.n_bytes == 64))
 
     val frames = Multimodal.sampleFrames(media, frameBytes = 16,
         everyNth = 2, maxFrames = 3)
