@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Engine, Q}
 import graft.functions.GroupMinHash
-import graft.operators.{AsOfJoin, Sampling}
+import graft.operators.{AsOfJoin, RangeJoin, Sampling}
 import graft.pipeline.Dedup
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,79 @@ object OperatorQueries {
           Seq("event_id" -> "c_id", "value" -> "c_value"))
         .select(col("p_id"), col("user_id"), col("c_id"), col("c_value"))
         .orderBy(col("p_id"))
+    },
+
+    // ── range join (point-in-interval, binned equi-join scale path;
+    //    oracle: DuckDB's native IEJoin on the BETWEEN predicate).
+    //    Dates travel as epoch days on both sides; windows are derived
+    //    from a sampled orders slice with varying widths (3..25 days) ─────
+    "range_join" -> Q("""
+      |WITH iv AS (
+      |  SELECT o_orderkey AS win_id,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |           + o_orderkey % 23 + 3 AS hi
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |pt AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS p
+      |  FROM lineitem WHERE l_orderkey % 89 = 0)
+      |SELECT pt.l_orderkey, pt.l_linenumber, count(*) AS n_windows,
+      |       CAST(min(iv.win_id) AS BIGINT) AS first_win
+      |FROM pt JOIN iv ON pt.p BETWEEN iv.lo AND iv.hi
+      |GROUP BY pt.l_orderkey, pt.l_linenumber
+      |ORDER BY pt.l_orderkey, pt.l_linenumber""") { (s, d) =>
+      val epoch = lit("1970-01-01").cast("date")
+      val iv = Engine.table(s, d, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + col("win_id") % 23 + 3)
+      val pt = Engine.table(s, d, "lineitem")
+        .filter(col("l_orderkey") % 89 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("p"))
+      RangeJoin.pointInInterval(pt, iv, Nil, "p", "lo", "hi", binWidth = 14)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n_windows"),
+          min(col("win_id")).cast("long").as("first_win"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ── range join (interval-overlap, bin-deduped both-side replication;
+    //    per-pair emission at the first shared bin — no distinct) ─────────
+    "range_join_overlap" -> Q("""
+      |WITH a AS (
+      |  SELECT o_orderkey AS a_id,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS a_lo,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |           + o_orderkey % 17 + 2 AS a_hi
+      |  FROM orders WHERE o_orderkey % 131 = 0),
+      |b AS (
+      |  SELECT o_orderkey AS b_id,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS b_lo,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |           + o_orderkey % 29 + 1 AS b_hi
+      |  FROM orders WHERE o_orderkey % 113 = 0)
+      |SELECT a.a_id, count(*) AS n_overlaps, CAST(min(b.b_id) AS BIGINT) AS first_b
+      |FROM a JOIN b ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+      |GROUP BY a.a_id ORDER BY a.a_id""") { (s, d) =>
+      val epoch = lit("1970-01-01").cast("date")
+      def windows(mod: Int, widthMod: Int, widthMin: Int, p: String) =
+        Engine.table(s, d, "orders")
+          .filter(col("o_orderkey") % mod === 0)
+          .select(col("o_orderkey").as(s"${p}_id"),
+            datediff(col("o_orderdate").cast("date"), epoch).cast("long")
+              .as(s"${p}_lo"))
+          .withColumn(s"${p}_hi",
+            col(s"${p}_lo") + col(s"${p}_id") % widthMod + widthMin)
+      RangeJoin.intervalOverlap(
+          windows(131, 17, 2, "a"), windows(113, 29, 1, "b"), Nil,
+          "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 10)
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          min(col("b_id")).cast("long").as("first_b"))
+        .orderBy(col("a_id"))
     },
 
     // ── deterministic per-group sample (reproducible across engines) ─────
