@@ -259,6 +259,45 @@ object FunctionQueries {
         .orderBy(col("bucket"))
     },
 
+    // ── interval arithmetic family (reference: IntervalYearMonth/DayTime
+    //    scalars + datetime arithmetic, common/src/scalar/mod.rs:271-286).
+    //    Month adds clamp to month-end in BOTH engines; next-Monday is
+    //    emulated in DuckDB from date_part('dow'); month deltas use
+    //    month-start anchors so months_between is exactly integral;
+    //    make_dt_interval is exercised through timestamp arithmetic and
+    //    read back as epoch-second deltas ───────────────────────────────────
+    "func_interval" -> Q("""
+      |SELECT o_orderkey,
+      |       CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+      |       CAST(o_orderdate - INTERVAL 2 MONTH AS DATE) AS minus2m,
+      |       CAST(o_orderdate + (o_orderkey % 30) * INTERVAL 1 DAY AS DATE) AS plusvd,
+      |       CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS minus45d,
+      |       CAST(o_orderdate + (((1 - date_part('dow', o_orderdate) + 6) % 7) + 1)
+      |            * INTERVAL 1 DAY AS DATE) AS next_mon,
+      |       dayname(CAST(o_orderdate AS DATE)) AS dname,
+      |       monthname(CAST(o_orderdate AS DATE)) AS mname,
+      |       CAST(date_diff('month', DATE '1995-01-01',
+      |            date_trunc('month', CAST(o_orderdate AS DATE))) AS BIGINT) AS months_since,
+      |       CAST((o_orderkey % 10) * 86400 + 3 * 3600 AS BIGINT) AS dt_secs
+      |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      val dt = col("o_orderdate").cast("date")
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          add_months(dt, 2).as("plus2m"),
+          add_months(dt, -2).as("minus2m"),
+          date_add(dt, (col("o_orderkey") % 30).cast("int")).as("plusvd"),
+          date_sub(dt, 45).as("minus45d"),
+          next_day(dt, "Mon").as("next_mon"),
+          date_format(dt, "EEEE").as("dname"),
+          date_format(dt, "MMMM").as("mname"),
+          months_between(date_trunc("month", dt), lit("1995-01-01").cast("date"))
+            .cast("long").as("months_since"),
+          (unix_timestamp(col("o_orderdate").cast("timestamp") +
+              expr("make_dt_interval(o_orderkey % 10, 3, 0, 0)")) -
+            unix_timestamp(col("o_orderdate").cast("timestamp"))).as("dt_secs"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ── conditional / null-handling core fns ─────────────────────────────
     "func_conditional" -> Q("""
       |SELECT o_orderkey,

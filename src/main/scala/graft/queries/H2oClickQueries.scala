@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Engine, Q}
+import org.apache.spark.sql.functions._
 
 /** Benchmark-suite breadth: the reference ships h2o.ai db-benchmark
   * group-by queries (benchmarks/src/bin/h2o.rs) and the ClickBench suite
@@ -116,6 +117,92 @@ object H2oClickQueries {
       |       round(sum(value), 2) AS v3, count(*) AS cnt
       |FROM events GROUP BY event_type, date_part('dow', ts) + 1, user_id
       |ORDER BY event_type, dow, user_id"""),
+
+    // ── h2o join family (db-benchmark join task; the reference ships only
+    //    the groupby half in benchmarks/src/bin/h2o.rs — the join queries
+    //    are re-expressed over TPC-H: lineitem as x, supplier/part/orders
+    //    as the small/medium/big rhs, p_brand as the factor key). Small
+    //    and medium dims broadcast; the big-big join shuffles on the key ──
+    "h2o_j1" -> Q("""
+      |SELECT s_nationkey, round(sum(l_quantity), 2) AS v1,
+      |       round(sum(s_acctbal), 2) AS v2, count(*) AS c
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, d) =>
+      Engine.table(s, d, "lineitem")
+        .join(broadcast(Engine.table(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("v1"),
+          round(sum(col("s_acctbal")), 2).as("v2"), count(lit(1)).as("c"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    "h2o_j2" -> Q("""
+      |SELECT p_brand, round(sum(l_extendedprice), 2) AS v1,
+      |       round(sum(p_retailprice), 2) AS v2, count(*) AS c
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""") { (s, d) =>
+      Engine.table(s, d, "lineitem")
+        .join(broadcast(Engine.table(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("v1"),
+          round(sum(col("p_retailprice")), 2).as("v2"), count(lit(1)).as("c"))
+        .orderBy(col("p_brand"))
+    },
+
+    // left-outer variant: the rhs is filtered so ~half the probe rows have
+    // no match — null-skipping sums and a matched-row count on both engines
+    "h2o_j3" -> Q("""
+      |SELECT coalesce(p_brand, '__none__') AS brand,
+      |       round(sum(l_extendedprice), 2) AS v1,
+      |       round(sum(p_retailprice), 2) AS v2,
+      |       count(p_partkey) AS matched, count(*) AS c
+      |FROM lineitem LEFT JOIN (SELECT * FROM part WHERE p_size < 15) p
+      |  ON l_partkey = p_partkey
+      |GROUP BY coalesce(p_brand, '__none__') ORDER BY brand""") { (s, d) =>
+      Engine.table(s, d, "lineitem")
+        .join(broadcast(Engine.table(s, d, "part").filter(col("p_size") < 15)),
+          col("l_partkey") === col("p_partkey"), "left")
+        .groupBy(coalesce(col("p_brand"), lit("__none__")).as("brand"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("v1"),
+          round(sum(col("p_retailprice")), 2).as("v2"),
+          count(col("p_partkey")).as("matched"), count(lit(1)).as("c"))
+        .orderBy(col("brand"))
+    },
+
+    // factor (string) key join: part against a per-brand dim derived from
+    // itself (exact min, no intermediate rounding)
+    "h2o_j4" -> Q("""
+      |WITH dim AS (SELECT p_brand AS b, min(p_retailprice) AS floor_price
+      |             FROM part GROUP BY p_brand)
+      |SELECT b, round(sum(p_retailprice), 2) AS v1,
+      |       round(sum(floor_price), 2) AS v2, count(*) AS c
+      |FROM part JOIN dim ON p_brand = b
+      |GROUP BY b ORDER BY b""") { (s, d) =>
+      val part = Engine.table(s, d, "part")
+      val dim = part.groupBy(col("p_brand").as("b"))
+        .agg(min(col("p_retailprice")).as("floor_price"))
+      part.join(broadcast(dim), col("p_brand") === col("b"))
+        .groupBy(col("b"))
+        .agg(round(sum(col("p_retailprice")), 2).as("v1"),
+          round(sum(col("floor_price")), 2).as("v2"), count(lit(1)).as("c"))
+        .orderBy(col("b"))
+    },
+
+    "h2o_j5" -> Q("""
+      |SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS v1,
+      |       round(sum(o_totalprice), 2) AS v2, count(*) AS c
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+      Engine.table(s, d, "lineitem")
+        .join(Engine.table(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("v1"),
+          round(sum(col("o_totalprice")), 2).as("v2"), count(lit(1)).as("c"))
+        .orderBy(col("o_orderpriority"))
+    },
 
     // ── ClickBench q2/q3 shape — global sum/count/avg in one pass ────────
     // (sum over a BOUNDED per-row term: a raw sum(user_id) would wrap in

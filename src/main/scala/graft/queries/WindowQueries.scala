@@ -111,6 +111,35 @@ object WindowQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // ── RANGE frame with an INTERVAL bound over timestamp ordering (the
+    //    typed-bound variant of window_frame_range; reference:
+    //    expr/src/window_frame.rs:313-327 coerces RANGE bounds to the
+    //    order column's type — for timestamps that is an interval).
+    //    ts anchors to whole seconds on both engines (ns-vs-µs parquet
+    //    truncation would otherwise shift frame boundaries) ────────────────
+    "window_range_interval" -> Q("""
+      |SELECT event_id,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |       round(sum(value) OVER w + 0.000000001, 2) AS v_1h
+      |FROM (SELECT event_id, user_id, value,
+      |             date_trunc('second', CAST(ts AS TIMESTAMP)) AS t
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY t
+      |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""") { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql("""
+        SELECT event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(sum(value) OVER w + 1e-9, 2) AS v_1h
+        FROM (SELECT event_id, user_id, value,
+                     date_trunc('second', ts) AS t
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY t
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")
+    },
+
     // ── first_value / last_value / nth_value over full-partition frame ───
     "window_first_last_nth" -> Q("""
       |SELECT o_orderkey,
