@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{Engine, Q}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over the documents/embeddings tables:
@@ -45,6 +46,68 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Engine.table(s, d, "documents"),
           "doc_id", "text", shingleSize = 3, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ── duplicate-cluster assignment: exact ngram pairs → connected
+    //    components (large-star/small-star; oracle: DuckDB recursive-CTE
+    //    min-label closure over the SAME pair list) ─────────────────────────
+    "pipe_dedup_cluster" -> Q(s"""
+      |WITH RECURSIVE sh0 AS ($shingleSqlDuck),
+      |sh AS (SELECT doc_id, unnest(sh) s FROM sh0),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM inter
+      |          JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |          WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6),
+      |sym AS (SELECT id_a u, id_b v FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |cc(id, comp) AS (
+      |  SELECT DISTINCT u, u FROM sym
+      |  UNION
+      |  SELECT s.u, cc.comp FROM sym s JOIN cc ON cc.id = s.v),
+      |comp AS (SELECT id, min(comp) AS component FROM cc GROUP BY id)
+      |SELECT id AS doc_id, component,
+      |       count(*) OVER (PARTITION BY component) AS n_members
+      |FROM comp ORDER BY doc_id""") { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(Engine.table(s, d, "documents"),
+        "doc_id", "text", shingleSize = 3, threshold = 0.6)
+      Clustering.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"),
+          count(lit(1)).over(Window.partitionBy(col("component")))
+            .as("n_members"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── cluster-and-keep dedup: only the min-id doc of each duplicate
+    //    cluster survives; unpaired docs pass through ──────────────────────
+    "pipe_dedup_cluster_keep" -> Q(s"""
+      |WITH RECURSIVE sh0 AS ($shingleSqlDuck),
+      |sh AS (SELECT doc_id, unnest(sh) s FROM sh0),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM inter
+      |          JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |          WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6),
+      |sym AS (SELECT id_a u, id_b v FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |cc(id, comp) AS (
+      |  SELECT DISTINCT u, u FROM sym
+      |  UNION
+      |  SELECT s.u, cc.comp FROM sym s JOIN cc ON cc.id = s.v),
+      |drop_ids AS (SELECT id FROM cc GROUP BY id HAVING id <> min(comp))
+      |SELECT doc_id, lang, length(text) AS len
+      |FROM documents WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+      |ORDER BY doc_id""") { (s, d) =>
+      val docs = Engine.table(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.6)
+      Clustering.dedupByPairs(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len"))
+        .orderBy(col("doc_id"))
     },
 
     // ── MinHash + LSH banding near-dup pairs (the 100 TB path) ───────────
