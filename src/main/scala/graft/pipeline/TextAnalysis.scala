@@ -127,4 +127,23 @@ object TextAnalysis {
           lit(0L), (acc, cp) => (acc * 131 + cp) % p)),
       lit(0L), (acc, h) => (acc * 31 + h) % p)
   }
+
+  /** Markup cleanup for crawled text: drop HTML/XML tags, collapse runs
+    * of whitespace, trim. Pure codegen'd regexp_replace chain (Java and
+    * RE2 agree on every construct used — no backreferences/lookaround,
+    * so an external oracle reproduces it exactly). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
+
+  /** PII redaction: emails → <EMAIL>, IPv4 → <IP>, phone-shaped digit
+    * runs → <PHONE>. Order matters — emails first (their domains would
+    * otherwise feed the looser patterns). Per-row codegen'd regex work,
+    * no shuffle: at 100 TB this runs map-side in the scan stage. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+      "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
 }

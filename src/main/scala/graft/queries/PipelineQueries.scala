@@ -185,6 +185,50 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ── markup cleanup + PII redaction over deterministically dirtied
+    //    text (the raw docs carry no HTML/PII, so both engines inject the
+    //    same tags/email/IP/phone derived from doc_id — the compare then
+    //    exercises the full regex chain, not a no-op) ──────────────────────
+    "pipe_text_clean" -> Q("""
+      |WITH dirty AS (
+      |  SELECT doc_id,
+      |         '<div class="doc"> ' || substr(text, 1, 80)
+      |           || ' </div><br/>Contact: user' || doc_id
+      |           || '@mail.example.org or 10.2.' || (doc_id % 200)
+      |           || '.77 / tel +1 (555) 010-'
+      |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents),
+      |clean AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(regexp_replace(t, '<[^>]*>', ' ', 'g'),
+      |                             '\s+', ' ', 'g')) AS clean
+      |  FROM dirty)
+      |SELECT doc_id, clean,
+      |       regexp_replace(regexp_replace(regexp_replace(clean,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |         '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+      |         '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+      |       CAST(len(string_split_regex(regexp_replace(regexp_replace(
+      |         regexp_replace(clean,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+      |           '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+      |         '\s+')) AS BIGINT) AS n_tok
+      |FROM clean ORDER BY doc_id""") { (s, d) =>
+      val dirty = concat(
+        lit("<div class=\"doc\"> "), substring(col("text"), 1, 80),
+        lit(" </div><br/>Contact: user"), col("doc_id"),
+        lit("@mail.example.org or 10.2."), pmod(col("doc_id"), lit(200)),
+        lit(".77 / tel +1 (555) 010-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.cleanText(dirty).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          TextAnalysis.redactPii(col("clean")).as("redacted"))
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("redacted")))
+        .orderBy(col("doc_id"))
+    },
+
     // ── text statistics: tokens / bpe-ish / quality / md5 fingerprint ────
     "pipe_text_stats" -> Q("""
       |SELECT doc_id,
