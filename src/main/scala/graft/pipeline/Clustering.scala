@@ -80,7 +80,7 @@ object Clustering {
     // edge-set fingerprint: (count, xor of row hashes) — order-free,
     // overflow-free under ANSI; probe job doubles as materializer
     def probe(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var e = edges.select(col(aCol).as("u"), col(bCol).as("v"))

@@ -13,6 +13,55 @@ import org.apache.spark.sql.functions._
 object ExtrasQueries {
 
   val defs: Map[String, Q] = Map(
+    // ── pivot: long→wide reshaping (beyond the reference — DataFusion
+    //    has no PIVOT; Spark's groupBy().pivot() with an EXPLICIT value
+    //    list plans one two-phase hash aggregate, no driver-side distinct
+    //    scan — the oracle is portable conditional aggregation) ───────────
+    "pivot_events" -> Q("""
+      |SELECT user_id,
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Engine.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        // absent (user, type) combos pivot to NULL; the oracle's ELSE 0
+        .select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("user_id"))
+    },
+
+    // ── unpivot: wide→long reshaping (Dataset.unpivot; oracle is the
+    //    portable UNION ALL expansion) ─────────────────────────────────────
+    "unpivot_lineitem" -> Q("""
+      |SELECT l_orderkey, l_linenumber, metric, val FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+      |  FROM lineitem WHERE l_orderkey % 199 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey % 199 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey % 199 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      |  FROM lineitem WHERE l_orderkey % 199 = 0)
+      |ORDER BY l_orderkey, l_linenumber, metric""") { (s, d) =>
+      Engine.table(s, d, "lineitem")
+        .filter(col("l_orderkey") % 199 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    },
+
     // ── Q2 (adapted): correlated min — cheapest supplier per large part ──
     "tpch_q2" -> Q("""
       |SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal
