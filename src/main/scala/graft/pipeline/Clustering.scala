@@ -83,7 +83,13 @@ object Clustering {
       val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    // materialize the pair list ONCE: it feeds the loop seed, the vertex
+    // set, and the caller's final materialization — without this a costly
+    // candidate-generation plan (e.g. exact ngram pairs) re-executes per
+    // consumer. Stays checkpointed for the life of the returned plan.
+    val ein = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint(eager = true)
+    var e = ein
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(eager = false)
@@ -101,8 +107,8 @@ object Clustering {
     }
     // star forest: every non-root has exactly one edge (id → root);
     // min() guards the maxIter-truncated case, roots map to themselves
-    val verts = edges.select(col(aCol).as("id"))
-      .union(edges.select(col(bCol).as("id")))
+    val verts = ein.select(col("u").as("id"))
+      .union(ein.select(col("v").as("id")))
       .distinct()
     val assign = e.groupBy(col("u").as("id")).agg(min(col("v")).as("cc"))
     verts.join(assign, Seq("id"), "left")
