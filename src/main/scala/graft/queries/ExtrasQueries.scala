@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Engine, Q}
+import graft.functions.Bloom
 import graft.pipeline.Similarity
 import org.apache.spark.sql.functions._
 
@@ -13,6 +14,30 @@ import org.apache.spark.sql.functions._
 object ExtrasQueries {
 
   val defs: Map[String, Q] = Map(
+    // ── broadcast-bloom semi-join prefilter: build-side keys aggregate
+    //    into a 64Kbit sketch (one driver-collected row — the broadcast
+    //    analogue), fact rows are dropped map-side in the scan stage, and
+    //    the exact semi-join runs only over the sketch's survivors. Same
+    //    rows as the plain semi-join (bloom has no false negatives; FPs
+    //    die in the join) — the oracle IS the plain semi-join ────────────
+    "join_bloom_prefilter" -> Q("""
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+      |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      Bloom.register(s)
+      val sel = Engine.table(s, d, "part")
+        .filter(col("p_size") === 15).select(col("p_partkey"))
+      val sketch = sel.agg(Bloom.sketch(col("p_partkey"), 1 << 16, 5))
+        .head().getAs[Array[Byte]](0)
+      Engine.table(s, d, "lineitem")
+        .filter(Bloom.contains(lit(sketch), col("l_partkey")))
+        .join(sel, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // ── pivot: long→wide reshaping (beyond the reference — DataFusion
     //    has no PIVOT; Spark's groupBy().pivot() with an EXPLICIT value
     //    list plans one two-phase hash aggregate, no driver-side distinct
