@@ -35,6 +35,22 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Symmetric int8 quantization of an embedding: q_i = round(x_i ·
+    * 127 / max|x|) — 4× storage reduction for float vectors (the
+    * standard compression step before ANN indexing at scale). The
+    * per-vector scale is let-bound via the 1-element wrapper transform
+    * (HOF lambdas are not CSE'd — see SCALE.md), so max|x| is computed
+    * once per row, not once per element. Only IEEE mul/div/round are
+    * used — no libm — so results are bit-identical across engines. */
+  def quantizeInt8(vec: Column): Column = {
+    val v = asDouble(vec)
+    element_at(
+      transform(
+        array(greatest(array_max(transform(v, x => abs(x))), lit(1e-12))),
+        s => transform(v, x => round(x * 127 / s, 0).cast("int"))),
+      1)
+  }
+
   /** Exact top-k neighbors for each query vector (brute force).
     * `queries` is expected to be small → broadcast; the big side streams. */
   def bruteForceTopK(

@@ -146,4 +146,32 @@ object TextAnalysis {
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
       "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
+
+  /** Per-document top-k salient terms with smoothed TF-IDF scores.
+    * Ranking is by (raw tf desc, term asc) — integer-deterministic, so
+    * the selected rows can never flip on a floating-point ulp; the
+    * tf·idf score is an output column only. Shuffles: tokenize →
+    * (doc, term) count, term document-frequency (vocabulary-sized),
+    * join back, one window per doc. The doc-count joins in as a
+    * broadcast 1-row aggregate — no driver action, no collect. */
+  def tfIdfTopTerms(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("term"))
+    val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term"))
+      .agg(count_distinct(col("id")).as("dfq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * (log((col("n_docs") + 1).cast("double")
+          / (col("dfq") + 1)) + 1) + lit(1e-9), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("tf").desc, col("term"))))
+      .filter(col("rn") <= k)
+      .select(col("id"), col("term"), col("tf"), col("score"))
+  }
 }

@@ -229,6 +229,47 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ── per-doc top-3 TF-IDF terms (rank by integer tf so row selection
+    //    can't flip on a libm ulp; the ln-based score is output-only) ─────
+    "pipe_text_tfidf" -> Q("""
+      |WITH tok AS (SELECT doc_id AS id,
+      |             unnest(string_split_regex(text, '\s+')) AS term
+      |             FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(DISTINCT id) AS dfq FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT id, tf.term AS term, tf,
+      |         round(tf * (ln((n_docs + 1.0) / (dfq + 1.0)) + 1) + 1e-9, 4)
+      |           AS score,
+      |         row_number() OVER (PARTITION BY id
+      |                            ORDER BY tf DESC, tf.term) AS rn
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+      |SELECT id AS doc_id, term, CAST(tf AS BIGINT) AS tf, score
+      |FROM scored WHERE rn <= 3 ORDER BY doc_id, term""") { (s, d) =>
+      TextAnalysis.tfIdfTopTerms(
+          Engine.table(s, d, "documents"), "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("score"))
+        .orderBy(col("doc_id"), col("term"))
+    },
+
+    // ── symmetric int8 embedding quantization (IEEE mul/div/round only —
+    //    bit-identical across engines; string-joined for the flat-output
+    //    comparator) ────────────────────────────────────────────────────────
+    "pipe_embed_quantize" -> Q("""
+      |SELECT vec_id,
+      |       coalesce(array_to_string(list_transform(embedding,
+      |         x -> CAST(round(CAST(x AS DOUBLE) * 127 / greatest(
+      |                list_max(list_transform(embedding,
+      |                  y -> abs(CAST(y AS DOUBLE)))), 1e-12)) AS INT)),
+      |         ','), '') AS q
+      |FROM embeddings ORDER BY vec_id""") { (s, d) =>
+      Engine.table(s, d, "embeddings")
+        .select(col("vec_id"),
+          array_join(Similarity.quantizeInt8(col("embedding")), ",").as("q"))
+        .orderBy(col("vec_id"))
+    },
+
     // ── text statistics: tokens / bpe-ish / quality / md5 fingerprint ────
     "pipe_text_stats" -> Q("""
       |SELECT doc_id,
