@@ -140,6 +140,42 @@ object WindowQueries {
         ORDER BY event_id""")
     },
 
+    // ── IGNORE NULLS variants (reference: ignore_nulls on window exprs,
+    //    expr/src/expr.rs WindowFunction + physical-expr nth_value/lead_lag
+    //    evaluators). Spark: first/last/nth_value/lag/lead all take an
+    //    ignoreNulls flag; lag/lead need a frameless window spec (Spark
+    //    rejects explicit frames on offset functions — DuckDB ignores
+    //    the frame for them, so one named window serves its side) ─────────
+    "window_ignore_nulls" -> Q("""
+      |SELECT o_orderkey,
+      |       first_value(v IGNORE NULLS) OVER w AS fv,
+      |       last_value(v IGNORE NULLS) OVER w AS lv,
+      |       nth_value(v, 2 IGNORE NULLS) OVER w AS nv2,
+      |       lag(v, 1 IGNORE NULLS) OVER w AS lg,
+      |       lead(v, 1 IGNORE NULLS) OVER w AS ld
+      |FROM (SELECT o_orderkey, o_custkey,
+      |             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |                  ELSE o_totalprice END AS v
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""") { (s, d) =>
+      val framed = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offset = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 3 === 0, lit(null))
+            .otherwise(col("o_totalprice")).as("v"))
+        .select(col("o_orderkey"),
+          first(col("v"), ignoreNulls = true).over(framed).as("fv"),
+          last(col("v"), ignoreNulls = true).over(framed).as("lv"),
+          nth_value(col("v"), 2, ignoreNulls = true).over(framed).as("nv2"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(offset).as("lg"),
+          lead(col("v"), 1, null, ignoreNulls = true).over(offset).as("ld"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ── first_value / last_value / nth_value over full-partition frame ───
     "window_first_last_nth" -> Q("""
       |SELECT o_orderkey,
