@@ -477,6 +477,40 @@ object FunctionQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // ── decimal arithmetic (reference: decimal.slt, Decimal128 kernels;
+    //    SURVEY §1 maps Decimal128(p,s) → Spark DecimalType(p,s)). Sum /
+    //    multiply with scale propagation; every result is explicitly CAST
+    //    to a fixed DECIMAL(p,s) — the engines' intermediate precision
+    //    rules differ (Spark p1+p2+1 vs DuckDB w1+w2) but agree after the
+    //    final cast — then to string, since pandas decimal dtypes are not
+    //    comparable across the two readers ─────────────────────────────────
+    "func_decimal" -> Q("""
+      |SELECT l_returnflag,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |       AS DECIMAL(20,2)) AS VARCHAR) AS sum_price,
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                     * CAST(1 - l_discount AS DECIMAL(5,3))
+      |                     AS DECIMAL(18,4)))
+      |       AS DECIMAL(22,4)) AS VARCHAR) AS sum_gross,
+      |  CAST(min(CAST(l_quantity AS DECIMAL(10,2))) AS VARCHAR) AS min_qty,
+      |  CAST(max(CAST(l_tax AS DECIMAL(6,3))) AS VARCHAR) AS max_tax,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql("""
+        SELECT l_returnflag,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+               AS DECIMAL(20,2)) AS STRING) AS sum_price,
+          CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - l_discount AS DECIMAL(5,3))
+                             AS DECIMAL(18,4)))
+               AS DECIMAL(22,4)) AS STRING) AS sum_gross,
+          CAST(min(CAST(l_quantity AS DECIMAL(10,2))) AS STRING) AS min_qty,
+          CAST(max(CAST(l_tax AS DECIMAL(6,3))) AS STRING) AS max_tax,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
     // ── arrow_typeof / arrow_cast (type introspection + Arrow-name cast,
     //    reference functions/src/core/{arrow_typeof,arrow_cast}.rs; the
     //    SURVEY §1 type-mapping policy, executable) ─────────────────────

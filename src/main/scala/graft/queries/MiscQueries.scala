@@ -64,6 +64,30 @@ object MiscQueries {
         .orderBy(col("start"), col("node"))
     },
 
+    // ── parquet schema evolution (reference: schema_evolution.slt) —
+    //    two file generations with different schemas read as one table
+    //    via mergeSchema; rows from the old generation surface NULL for
+    //    the added column. The oracle replays the union semantics over
+    //    the base table (both engines' sides derive the same two
+    //    generations deterministically) ────────────────────────────────────
+    "schema_evolution" -> Q("""
+      |SELECT r_regionkey, r_name, pop FROM (
+      |  SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS pop FROM region
+      |  UNION ALL
+      |  SELECT r_regionkey, r_name, r_regionkey * 100 AS pop FROM region)
+      |ORDER BY r_regionkey, pop NULLS FIRST""") { (s, d) =>
+      val (g1, g2) = (scratch("schevo_g1"), scratch("schevo_g2"))
+      val r = Engine.table(s, d, "region")
+      r.select(col("r_regionkey"), col("r_name"))
+        .write.mode("overwrite").parquet(g1)
+      r.select(col("r_regionkey"), col("r_name"),
+          (col("r_regionkey") * 100).as("pop"))
+        .write.mode("overwrite").parquet(g2)
+      s.read.option("mergeSchema", "true").parquet(g1, g2)
+        .select(col("r_regionkey"), col("r_name"), col("pop"))
+        .orderBy(col("r_regionkey"), col("pop").asc_nulls_first)
+    },
+
     // ── COPY TO csv → read back → aggregate ──────────────────────────────
     "copyto_csv" -> Q("""
       |SELECT o_orderstatus, count(*) AS n,
