@@ -477,6 +477,31 @@ object FunctionQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // ── JSON value functions over the events.props JSON column (beyond
+    //    the reference: DataFusion v39 treats JSON as a FILE FORMAT only
+    //    — functions/src/lib.rs has no json_* scalar; Spark's
+    //    get_json_object / from_json / to_json are the library surface a
+    //    training pipeline uses for metadata columns) ──────────────────────
+    "func_json" -> Q("""
+      |SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k1,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
+      |       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS kmiss,
+      |       CAST(json_object('k',
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) * 2)
+      |         AS VARCHAR) AS rebuilt
+      |FROM events ORDER BY event_id""") { (s, d) =>
+      Engine.table(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k1"),
+          expr("from_json(props, 'k BIGINT').k").as("k2"),
+          get_json_object(col("props"), "$.missing").cast("long").as("kmiss"),
+          to_json(struct(
+            (get_json_object(col("props"), "$.k").cast("long") * 2).as("k")))
+            .as("rebuilt"))
+        .orderBy(col("event_id"))
+    },
+
     // ── decimal arithmetic (reference: decimal.slt, Decimal128 kernels;
     //    SURVEY §1 maps Decimal128(p,s) → Spark DecimalType(p,s)). Sum /
     //    multiply with scale propagation; every result is explicitly CAST
