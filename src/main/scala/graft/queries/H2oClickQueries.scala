@@ -283,6 +283,37 @@ object H2oClickQueries {
       |FROM events GROUP BY event_type
       |ORDER BY u DESC, event_type LIMIT 10"""),
 
+    // ── conversion funnel (ClickHouse windowFunnel shape): first signup
+    //    per user, then first purchase at-or-after it; non-converting
+    //    signups keep NULL purchase. Two small grouped aggregates + a
+    //    broadcast-sized join — the fact table is scanned twice but never
+    //    shuffled whole (both aggregates reduce to per-user rows) ─────────
+    "click_funnel" -> Q("""
+      |WITH ev AS (SELECT user_id, event_type,
+      |                   epoch_us(ts) // 1000000 AS es FROM events),
+      |s AS (SELECT user_id, min(es) AS st FROM ev
+      |      WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT ev.user_id, min(es) AS pt FROM ev
+      |      JOIN s ON ev.user_id = s.user_id
+      |      WHERE ev.event_type = 'purchase' AND ev.es >= s.st
+      |      GROUP BY ev.user_id)
+      |SELECT s.user_id, st, pt, pt - st AS secs_to_convert
+      |FROM s LEFT JOIN p ON s.user_id = p.user_id
+      |ORDER BY s.user_id""") { (s, d) =>
+      val ev = Engine.table(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("es"))
+      val sgn = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("es")).as("st"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .join(sgn, "user_id").filter(col("es") >= col("st"))
+        .groupBy(col("user_id")).agg(min(col("es")).as("pt"))
+      sgn.join(pur, Seq("user_id"), "left")
+        .select(col("user_id"), col("st"), col("pt"),
+          (col("pt") - col("st")).as("secs_to_convert"))
+        .orderBy(col("user_id"))
+    },
+
     // ── ClickBench q42 shape — per-minute time series, paged ─────────────
     "click_minute_series" -> sql(
       """
