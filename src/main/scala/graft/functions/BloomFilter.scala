@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType,
+  DataType, IntegerType, LongType, ShortType}
 
 /** Bloom filter — a second TypedImperativeAggregate with binary state
   * (reference surface: AggregateUDFImpl, datafusion/expr/src/udaf.rs:317),
@@ -47,8 +48,8 @@ case class BloomFilterAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h1 = XxHash64Function.hash(v, child.dataType, 0L)
-      val h2 = XxHash64Function.hash(v, child.dataType, 1L) | 1L
+      val h1 = Bloom.keyHash(v, child.dataType, 0L)
+      val h2 = Bloom.keyHash(v, child.dataType, 1L) | 1L
       var i = 0
       while (i < numHashes) {
         val bit = java.lang.Math.floorMod(h1 + i * h2, numBits.toLong).toInt
@@ -101,8 +102,12 @@ case class BloomContains(left: Expression, right: Expression)
   def compute(bytes: Array[Byte], key: Any): Boolean = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val numBits = bb.getInt(); val numHashes = bb.getInt()
-    val h1 = XxHash64Function.hash(key, right.dataType, 0L)
-    val h2 = XxHash64Function.hash(key, right.dataType, 1L) | 1L
+    // fail loudly on a truncated or non-sketch binary instead of
+    // reading garbage membership answers out of it
+    require(numBits > 0 && bytes.length == 8 + numBits / 8,
+      s"not a graft_bloom sketch: ${bytes.length} bytes, header $numBits bits")
+    val h1 = Bloom.keyHash(key, right.dataType, 0L)
+    val h2 = Bloom.keyHash(key, right.dataType, 1L) | 1L
     var i = 0
     while (i < numHashes) {
       val bit = java.lang.Math.floorMod(h1 + i * h2, numBits.toLong).toInt
@@ -129,6 +134,25 @@ case class BloomContains(left: Expression, right: Expression)
 }
 
 object Bloom {
+  /** Hash a key for the bloom bit positions, widening integral types
+    * to long first — a sketch built over an INT column probed with a
+    * BIGINT key (or vice versa) must agree, or every probe would be a
+    * silent false negative (xxhash64 hashes 4- and 8-byte ints
+    * differently). Non-integral types hash by their own layout. */
+  private[functions] def keyHash(v: Any, dt: DataType, seed: Long): Long =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val widened = v match {
+          case b: java.lang.Byte => b.longValue()
+          case s: java.lang.Short => s.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l
+          case other => other
+        }
+        XxHash64Function.hash(widened, LongType, seed)
+      case _ => XxHash64Function.hash(v, dt, seed)
+    }
+
   /** Aggregate a column into a serialized bloom filter. Size for ~10
     * bits per expected distinct key (fp ≈ 1% at numHashes=5). */
   def sketch(c: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =

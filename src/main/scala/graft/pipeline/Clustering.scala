@@ -84,9 +84,10 @@ object Clustering {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     // materialize the pair list ONCE: it feeds the loop seed, the vertex
-    // set, and the caller's final materialization — without this a costly
-    // candidate-generation plan (e.g. exact ngram pairs) re-executes per
-    // consumer. Stays checkpointed for the life of the returned plan.
+    // set, and the final assignment — without this a costly candidate-
+    // generation plan (e.g. exact ngram pairs) re-executes per consumer.
+    // Released before returning: the returned frame is its own (vertex-
+    // sized) checkpoint, so no edge-sized blocks outlive the call.
     val ein = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .localCheckpoint(eager = true)
     var e = ein
@@ -111,8 +112,14 @@ object Clustering {
       .union(ein.select(col("v").as("id")))
       .distinct()
     val assign = e.groupBy(col("u").as("id")).agg(min(col("v")).as("cc"))
-    verts.join(assign, Seq("id"), "left")
+    val out = verts.join(assign, Seq("id"), "left")
       .select(col("id"), coalesce(col("cc"), col("id")).as("component"))
+      .localCheckpoint(eager = true)
+    // the eager output copy owns the data now — drop the (edge-sized)
+    // intermediate checkpoints instead of leaving them to driver GC
+    release(e)
+    release(ein)
+    out
   }
 
   /** Cluster-and-keep: drop every row whose id sits in a pair cluster

@@ -211,9 +211,13 @@ object Dedup {
     inter
       .join(cnt.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(cnt.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      // threshold on the RAW ratio (the oracle's filter); rounding is
+      // display-only — filtering on the rounded value would admit pairs
+      // in [threshold - 5e-5, threshold) that the oracle rejects
+      .withColumn("jacc_raw", col("inter").cast("double")
+        / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jacc_raw") >= threshold)
       .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double")
-          / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        round(col("jacc_raw"), 4).as("jaccard"))
   }
 }

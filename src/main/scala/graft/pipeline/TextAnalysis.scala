@@ -161,8 +161,9 @@ object TextAnalysis {
     val tok = df.select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("term"))
     val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy(col("term"))
-      .agg(count_distinct(col("id")).as("dfq"))
+    // document frequency from tf (one row per (doc, term) already) —
+    // recomputing it from `tok` would tokenize the whole corpus twice
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfq"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))

@@ -266,7 +266,11 @@ object PipelineQueries {
       |FROM embeddings ORDER BY vec_id""") { (s, d) =>
       Engine.table(s, d, "embeddings")
         .select(col("vec_id"),
-          array_join(Similarity.quantizeInt8(col("embedding")), ",").as("q"))
+          // coalesce matches the oracle's: a NULL embedding must compare
+          // as '' on both engines (DuckDB array_to_string of NULL is NULL)
+          coalesce(
+            array_join(Similarity.quantizeInt8(col("embedding")), ","),
+            lit("")).as("q"))
         .orderBy(col("vec_id"))
     },
 

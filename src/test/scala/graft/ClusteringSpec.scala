@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ClusteringSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -38,7 +38,7 @@ class ClusteringSpec extends AnyFunSuite {
       val edges = Seq.fill(n) {
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
       }.filter(e => e._1 != e._2)
-      assert(ccOf(edges) === unionFind(n, edges), s"trial $trial")
+      assert(ccOf(edges) === unionFind(edges), s"trial $trial")
     }
   }
 
@@ -72,6 +72,6 @@ class ClusteringSpec extends AnyFunSuite {
     val cc = Clustering.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     pairs.unpersist()
-    assert(cc === unionFind(0, edges))
+    assert(cc === unionFind(edges))
   }
 }
