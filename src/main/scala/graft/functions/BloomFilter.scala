@@ -100,10 +100,12 @@ case class BloomContains(left: Expression, right: Expression)
   override def prettyName: String = "graft_bloom_contains"
 
   def compute(bytes: Array[Byte], key: Any): Boolean = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val numBits = bb.getInt(); val numHashes = bb.getInt()
     // fail loudly on a truncated or non-sketch binary instead of
     // reading garbage membership answers out of it
+    require(bytes.length >= 8,
+      s"not a graft_bloom sketch: ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val numBits = bb.getInt(); val numHashes = bb.getInt()
     require(numBits > 0 && bytes.length == 8 + numBits / 8,
       s"not a graft_bloom sketch: ${bytes.length} bytes, header $numBits bits")
     val h1 = Bloom.keyHash(key, right.dataType, 0L)

@@ -110,6 +110,56 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ── end-to-end curation pipeline: normalize-fingerprint exact dedup →
+    //    ngram-pair cluster dedup (min-id representative survives) → token
+    //    stats on the survivors. Composes the individually-oracled stages
+    //    into the one flow a curation job actually runs; the oracle replays
+    //    every stage in a single recursive-CTE SQL ─────────────────────────
+    "pipe_curate_e2e" -> Q("""
+      |WITH RECURSIVE
+      |norm AS (SELECT doc_id, lang, text,
+      |                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp
+      |         FROM documents),
+      |keep1 AS (SELECT * FROM norm WHERE doc_id IN
+      |          (SELECT min(doc_id) FROM norm GROUP BY fp)),
+      |sh0 AS (SELECT doc_id,
+      |        list_distinct(list_transform(
+      |          generate_series(1, greatest(len(ws) - 2, 1)),
+      |          i -> array_to_string(ws[i:i+2], ' '))) sh
+      |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM keep1)),
+      |sh AS (SELECT doc_id, unnest(sh) s FROM sh0),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM inter
+      |          JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |          WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6),
+      |sym AS (SELECT id_a u, id_b v FROM pairs
+      |        UNION SELECT id_b, id_a FROM pairs),
+      |cc(id, comp) AS (
+      |  SELECT DISTINCT u, u FROM sym
+      |  UNION
+      |  SELECT s.u, cc.comp FROM sym s JOIN cc ON cc.id = s.v),
+      |drop_ids AS (SELECT id FROM cc GROUP BY id HAVING id <> min(comp))
+      |SELECT doc_id, lang, fp,
+      |       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      |FROM keep1 WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+      |ORDER BY doc_id""") { (s, d) =>
+      val docs = Engine.table(s, d, "documents")
+        .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+      val keepExact = docs.join(
+        docs.groupBy(col("fp").as("kfp")).agg(min(col("doc_id")).as("keep_id")),
+        col("doc_id") === col("keep_id") && col("fp") === col("kfp"))
+        .select(col("doc_id"), col("lang"), col("text"), col("fp"))
+      val pairs = Dedup.ngramJaccardPairs(keepExact, "doc_id", "text",
+        shingleSize = 3, threshold = 0.6)
+      Clustering.dedupByPairs(keepExact, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"), col("fp"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── MinHash + LSH banding near-dup pairs (the 100 TB path) ───────────
     "pipe_dedup_minhash" -> Q.noOracle { (s, d) =>
       Dedup.minhashPairs(Engine.table(s, d, "documents"), "doc_id", "text",

@@ -45,6 +45,30 @@ class BloomSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(sketchOf(keys, 1), sketchOf(keys, 16)))
   }
 
+  test("a sketch built over INT keys matches BIGINT probes (and back)") {
+    import spark.implicits._
+    Bloom.register(spark)
+    val intSketch = (1 to 300).toDF("id")
+      .agg(Bloom.sketch(col("id"), 1 << 14, 5)).head().getAs[Array[Byte]](0)
+    val missesWide = (1L to 300L).toDF("id")
+      .filter(!Bloom.contains(lit(intSketch), col("id"))).count()
+    assert(missesWide === 0, "INT-built sketch must accept BIGINT probes")
+    val longSketch = (1L to 300L).toDF("id")
+      .agg(Bloom.sketch(col("id"), 1 << 14, 5)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(intSketch, longSketch))
+  }
+
+  test("garbage binary input fails loudly, not with wrong answers") {
+    import spark.implicits._
+    Bloom.register(spark)
+    val err = intercept[Exception] {
+      Seq(1L).toDF("id")
+        .select(Bloom.contains(lit(Array[Byte](1, 2, 3)), col("id")))
+        .head()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("SQL registration works end to end") {
     import spark.implicits._
     Bloom.register(spark)
