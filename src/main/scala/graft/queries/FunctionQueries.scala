@@ -477,6 +477,43 @@ object FunctionQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // ── array mutation stragglers from the §2.9 inventory:
+    //    array_append/prepend/remove/insert + sort_array desc, plus
+    //    named_struct field access and to_date. DuckDB lacks
+    //    list_remove/list_insert — emulated with list_filter and slice
+    //    concatenation; arrays travel as joined strings (flat-output
+    //    comparator) ─────────────────────────────────────────────────────
+    "func_array_mut" -> Q("""
+      |WITH t AS (SELECT o_orderkey, o_orderdate,
+      |                  [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3] AS arr
+      |           FROM orders)
+      |SELECT o_orderkey,
+      |       array_to_string(list_append(arr, 9), ',') AS ap,
+      |       array_to_string(list_prepend(0, arr), ',') AS pre,
+      |       coalesce(array_to_string(list_filter(arr, x -> x <> 2), ','), '')
+      |         AS rem,
+      |       array_to_string(arr[1:1] || [99] || arr[2:], ',') AS ins,
+      |       array_to_string(list_sort(arr, 'DESC'), ',') AS srt,
+      |       o_orderkey % 5 + 100 AS nsf,
+      |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+      |FROM t ORDER BY o_orderkey""") { (s, d) =>
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          array(col("o_orderkey") % 7, col("o_orderkey") % 5,
+            col("o_orderkey") % 3).as("arr"))
+        .select(col("o_orderkey"),
+          array_join(array_append(col("arr"), lit(9L)), ",").as("ap"),
+          array_join(array_prepend(col("arr"), lit(0L)), ",").as("pre"),
+          array_join(array_remove(col("arr"), lit(2L)), ",").as("rem"),
+          array_join(array_insert(col("arr"), lit(2), lit(99L)), ",").as("ins"),
+          array_join(sort_array(col("arr"), asc = false), ",").as("srt"),
+          (expr("named_struct('a', o_orderkey % 5, 'b', 100L)").getField("a")
+            + expr("named_struct('a', o_orderkey % 5, 'b', 100L)")
+              .getField("b")).as("nsf"),
+          to_date(col("o_orderdate")).cast("string").as("d"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ── JSON value functions over the events.props JSON column (beyond
     //    the reference: DataFusion v39 treats JSON as a FILE FORMAT only
     //    — functions/src/lib.rs has no json_* scalar; Spark's
