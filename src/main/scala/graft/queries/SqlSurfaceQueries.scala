@@ -30,6 +30,25 @@ object SqlSurfaceQueries {
       |FROM big_cust JOIN customer ON c_custkey = o_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
 
+    // ── modern SQL sugar: GROUP BY ALL / ORDER BY ALL / correlated
+    //    LATERAL derived column — supported verbatim by both engines
+    //    (QUALIFY is NOT in Spark 4.1; window-in-subquery covers it) ───────
+    "sql_modern_surface" -> sql("""
+      |SELECT g, c, twice FROM (
+      |  SELECT o_orderstatus AS g, count(*) AS c
+      |  FROM orders GROUP BY ALL) t,
+      |  LATERAL (SELECT t.c * 2 AS twice)
+      |ORDER BY ALL"""),
+
+    // ── range() table function (reference: generate_series/range UDTFs,
+    //    datafusion table functions) — DuckDB names the column `range` ────
+    "sql_range_tf" -> sql(
+      """
+      |SELECT id, id * id AS sq FROM range(0, 50, 3) ORDER BY id""",
+      """
+      |SELECT r.range AS id, r.range * r.range AS sq
+      |FROM range(0, 50, 3) r ORDER BY id"""),
+
     // ── correlated EXISTS + scalar subquery through SQL ──────────────────
     "sql_subqueries" -> sql("""
       |SELECT s_suppkey, s_name
