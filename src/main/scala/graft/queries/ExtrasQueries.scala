@@ -183,6 +183,22 @@ object ExtrasQueries {
     },
 
     // ── HLL sketch aggregate (datasketches; fixed-size mergeable state) ──
+    // ── approx_top_k heavy-hitter aggregate (Spark 4 datasketches
+    //    frequent-items; with 5 distinct values it is EXACT, so the
+    //    oracle is the exact grouped top-3 — counts are distinct in the
+    //    testdata, and the event_type tiebreak pins any future tie) ───────
+    "agg_approx_top_k" -> Q("""
+      |SELECT event_type, CAST(c AS BIGINT) AS c FROM (
+      |  SELECT event_type, count(*) AS c FROM events GROUP BY event_type
+      |  ORDER BY c DESC, event_type LIMIT 3)
+      |ORDER BY c DESC, event_type""") { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql("""
+        SELECT item AS event_type, count AS c FROM (
+          SELECT inline(approx_top_k(event_type, 3)) FROM events)
+        ORDER BY c DESC, event_type""")
+    },
+
     "agg_hll_sketch" -> Q.noOracle { (s, d) =>
       Engine.table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -539,6 +539,26 @@ object FunctionQueries {
         .orderBy(col("event_id"))
     },
 
+    // ── VARIANT type surface (Spark 4 semi-structured values — beyond
+    //    the reference's JSON-as-file-format): parse_json → typed
+    //    variant_get extraction, try_ error-safety, to_json rebuild ───────
+    "func_variant" -> Q("""
+      |SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |       CAST(NULL AS BIGINT) AS kmiss,
+      |       CAST(json_object('k',
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |         AS VARCHAR) AS vstr
+      |FROM events ORDER BY event_id""") { (s, d) =>
+      Engine.table(s, d, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+            .as("kmiss"),
+          expr("to_json(parse_json(props))").as("vstr"))
+        .orderBy(col("event_id"))
+    },
+
     // ── decimal arithmetic (reference: decimal.slt, Decimal128 kernels;
     //    SURVEY §1 maps Decimal128(p,s) → Spark DecimalType(p,s)). Sum /
     //    multiply with scale propagation; every result is explicitly CAST
