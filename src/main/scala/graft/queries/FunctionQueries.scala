@@ -539,6 +539,33 @@ object FunctionQueries {
         .orderBy(col("event_id"))
     },
 
+    // ── URL parsing + string-to-map (web-corpus curation surface; the
+    //    reference has neither — Spark's parse_url/url_decode/str_to_map.
+    //    URLs are built deterministically from row data; DuckDB has no
+    //    URL functions, so the oracle reconstructs each component from
+    //    the same fields) ───────────────────────────────────────────────────
+    "func_url_map" -> Q("""
+      |SELECT doc_id,
+      |       'cdn' || (doc_id % 5) || '.example.org' AS host,
+      |       '/docs/' || lang || '/' || doc_id AS path,
+      |       CAST(doc_id % 7 AS VARCHAR) AS page,
+      |       'name ' || doc_id AS dec,
+      |       CAST(doc_id % 5 AS VARCHAR) AS mq
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Engine.table(s, d, "documents")
+        .withColumn("url", concat(lit("https://cdn"), pmod(col("doc_id"), lit(5)),
+          lit(".example.org/docs/"), col("lang"), lit("/"), col("doc_id"),
+          lit("?page="), pmod(col("doc_id"), lit(7)), lit("&ref=rss")))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'page')").as("page"),
+          expr("url_decode(concat('name%20', doc_id))").as("dec"),
+          expr("str_to_map(concat('p:', doc_id % 7, ',q:', doc_id % 5))['q']")
+            .as("mq"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── VARIANT type surface (Spark 4 semi-structured values — beyond
     //    the reference's JSON-as-file-format): parse_json → typed
     //    variant_get extraction, try_ error-safety, to_json rebuild ───────
