@@ -128,6 +128,23 @@ object AggQueries {
     },
 
     // ── min_by / max_by (argmin/argmax) ───────────────────────────────────
+    // ── mode(): engines break ties arbitrarily, so the modal value is
+    //    constructed to strictly dominate (quantity 1..50 uniform →
+    //    'lo' ≈ 60% of every multi-thousand-row group) ─────────────────────
+    "agg_mode" -> Q("""
+      |SELECT l_returnflag,
+      |       mode(CASE WHEN l_quantity <= 30 THEN 'lo' ELSE 'hi' END) AS m,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      Engine.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          mode(when(col("l_quantity") <= 30, lit("lo")).otherwise(lit("hi")))
+            .as("m"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "agg_minmax_by" -> Q("""
       |SELECT c_nationkey,
       |       max_by(c_custkey, c_acctbal) AS richest_cust,
