@@ -310,6 +310,54 @@ object AggQueries {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ── bitmap exact-distinct family: bit_position/bucket_number slice
+    //    the key domain into 32768-bit buckets, construct_agg builds the
+    //    partition-local bitmap, or_agg re-merges — an exact count-distinct
+    //    whose shuffle payload is fixed-size bitmaps, not keys (the
+    //    re-aggregatable pattern that survives 100 TB; the inner grouping
+    //    stands in for per-partition / per-day pre-aggregation). Keys are
+    //    spread (*13) so several buckets appear. Oracle: plain
+    //    count(DISTINCT) per the same bucket arithmetic. ──────────────────
+    "agg_bitmap" -> Q("""
+      |SELECT CAST((o_orderkey * 13) // 32768 + 1 AS BIGINT) AS bucket,
+      |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+      |FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val key = col("o_orderkey") * 13 + 1 // > 0 (o_orderkey starts at 0)
+      Engine.table(s, d, "orders")
+        .groupBy(bitmap_bucket_number(key).as("bucket"), col("o_orderpriority"))
+        .agg(bitmap_construct_agg(bitmap_bit_position(key)).as("bm"))
+        .groupBy(col("bucket"))
+        .agg(bitmap_count(bitmap_or_agg(col("bm"))).as("n_distinct"))
+        .orderBy(col("bucket"))
+    },
+
+    // ── FILTER clause on aggregates (reference: Expr::AggregateFunction
+    //    filter field, expr/src/expr.rs — SELECT agg(x) FILTER (WHERE p)).
+    //    Still one two-phase hash aggregate: each FILTER gates only its own
+    //    accumulator, no extra scan or shuffle. Spark disallows FILTER
+    //    together with DISTINCT, so the distinct variant uses the
+    //    documented CASE-projection equivalent (count distinct skips the
+    //    NULLs the CASE emits). ─────────────────────────────────────────
+    "agg_filter_clause" -> Q("""
+      |SELECT o_orderpriority,
+      |       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |       round(sum(o_totalprice) FILTER (WHERE o_totalprice > 150000), 2) AS sum_big,
+      |       round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS avg_open,
+      |       CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_cust_big
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+      Engine.table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_f"),
+          round(expr("sum(o_totalprice) FILTER (WHERE o_totalprice > 150000)"), 2)
+            .as("sum_big"),
+          round(expr("avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O')"), 2)
+            .as("avg_open"),
+          expr("count(DISTINCT CASE WHEN o_totalprice > 100000 THEN o_custkey END)")
+            .as("n_cust_big"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 }

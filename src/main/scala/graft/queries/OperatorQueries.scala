@@ -290,6 +290,28 @@ object OperatorQueries {
         .select((col("n_nationkey") + 100).as("k"), col("n_name").as("name"))
         .write.mode("append").insertInto("graft_insert_demo")
       s.table("graft_insert_demo").orderBy(col("k"))
+    },
+
+    // ── explode (unnest) a MAP column into key/value rows (reference:
+    //    UnnestExec's struct path has no map analogue — Arrow MapArray is
+    //    list<struct<key,value>>; here the map is built from columns and
+    //    exploded, one row per entry, same Generate machinery as list
+    //    explode. Oracle replays the two entries as a UNION ALL. ──────────
+    "unnest_map" -> Q("""
+      |SELECT l_orderkey, l_linenumber, k AS key, v AS value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'qty' AS k, l_quantity AS v
+      |  FROM lineitem WHERE l_orderkey < 500
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'price' AS k, l_extendedprice AS v
+      |  FROM lineitem WHERE l_orderkey < 500)
+      |ORDER BY l_orderkey, l_linenumber, key""") { (s, d) =>
+      Engine.table(s, d, "lineitem").filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          map(lit("qty"), col("l_quantity"),
+            lit("price"), col("l_extendedprice")).as("m"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(col("m")).as(Seq("key", "value")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("key"))
     }
   )
 }

@@ -267,6 +267,55 @@ object WindowQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           GraftWindowFunctions.ewma(col("l_quantity"), 0.3).over(w).as("ewma"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ── frame EXCLUDE clause, emulated (reference: WindowFrame has no
+    //    EXCLUDE either — SQL:2016 feature; DuckDB runs it natively, which
+    //    makes it the oracle). Spark rewrite over the SAME shuffled
+    //    partitioning (one Exchange, extra window columns are free):
+    //      EXCLUDE CURRENT ROW  = frame_sum − own value   (NULL if frame
+    //                             held only the current row)
+    //      EXCLUDE GROUP        = frame_sum − peer_sum    (NULL if frame
+    //                             was exactly the peer group)
+    //      EXCLUDE TIES         = frame_sum − peer_sum + own value
+    //    l_quantity is integral, so double sums are exact and the
+    //    subtraction form is bit-equal to summing the remaining set. ──────
+    "window_exclude_emulated" -> Q("""
+      |SELECT l_orderkey, l_linenumber,
+      |       sum(l_quantity) OVER wrx AS sum_rows_excl_cur,
+      |       sum(l_quantity) OVER wgx AS sum_range_excl_group,
+      |       sum(l_quantity) OVER wtx AS sum_range_excl_ties
+      |FROM lineitem
+      |WINDOW
+      |  wrx AS (PARTITION BY l_suppkey
+      |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW),
+      |  wgx AS (PARTITION BY l_suppkey
+      |          ORDER BY date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+      |          RANGE BETWEEN 7 PRECEDING AND 7 FOLLOWING EXCLUDE GROUP),
+      |  wtx AS (PARTITION BY l_suppkey
+      |          ORDER BY date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+      |          RANGE BETWEEN 7 PRECEDING AND 7 FOLLOWING EXCLUDE TIES)
+      |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      val qty = col("l_quantity")
+      val wRows = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-3, 3)
+      val wRange = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+        .rangeBetween(-7, 7)
+      val wPeers = Window.partitionBy(col("l_suppkey"), col("day"))
+      Engine.table(s, d, "lineitem")
+        .withColumn("day",
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(count(qty).over(wRows) === 1, lit(null))
+            .otherwise(sum(qty).over(wRows) - qty).as("sum_rows_excl_cur"),
+          when(count(qty).over(wRange) === count(qty).over(wPeers), lit(null))
+            .otherwise(sum(qty).over(wRange) - sum(qty).over(wPeers))
+            .as("sum_range_excl_group"),
+          (sum(qty).over(wRange) - sum(qty).over(wPeers) + qty)
+            .as("sum_range_excl_ties"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 }

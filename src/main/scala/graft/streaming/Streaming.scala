@@ -102,4 +102,17 @@ object Streaming {
           Iterator((user, n, math.round(v * 100) / 100.0))
       }
   }
+
+  /** Idempotent foreachBatch parquet sink: each micro-batch lands in its
+    * own `batch_id=<id>` partition directory with overwrite semantics, so
+    * a replayed batch (failure after write, before the checkpoint commit)
+    * overwrites its previous attempt instead of duplicating rows. This is
+    * the standard exactly-once recipe for sinks without transactional
+    * commit — Structured Streaming guarantees foreachBatch sees each
+    * batchId at-least-once with identical content; overwrite-by-batchId
+    * upgrades that to exactly-once. Readers see the sink as one
+    * partitioned table (`spark.read.parquet(sinkDir)`). */
+  def idempotentParquetSink(sinkDir: String): (DataFrame, Long) => Unit =
+    (df: DataFrame, batchId: Long) =>
+      df.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
 }

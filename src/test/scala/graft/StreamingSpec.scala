@@ -212,4 +212,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toMap.keySet === (0L until 200L).toSet)
     assert(out.toMap.forall { case (k, v) => v == k * 1.0 })
   }
+
+  test("foreachBatch idempotent sink stays exactly-once through batch replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft_stream_feb"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("value", DoubleType)))
+    def addFile(ids: Range): Unit =
+      ids.map(i => (i.toLong, i * 0.5)).toDF("event_id", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream
+        .foreachBatch(Streaming.idempotentParquetSink(sink))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    addFile(0 until 100); runOnce()
+    addFile(100 until 150); runOnce()
+    // simulate "wrote the sink, died before committing": delete the LAST
+    // batch's commit marker — on restart Structured Streaming re-runs that
+    // batchId through foreachBatch with the same content
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    // also drop the ChecksumFs .crc sidecar, or the replay's rename-commit
+    // fails on the stale checksum (local-FS artifact only)
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+      .delete()
+    commits.last.delete()
+    runOnce() // replays the last batch → overwrite, not append
+    val out = spark.read.parquet(sink)
+    assert(out.count() === 150, "replayed batch must not duplicate rows")
+    assert(out.select(col("event_id")).as[Long].collect().toSet ===
+      (0L until 150L).toSet)
+    // the sink reads as a batch_id-partitioned table with ≥ 2 batches
+    assert(out.select(col("batch_id")).distinct().count() >= 2)
+  }
 }
