@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MERGE-shaped upsert over immutable columnar storage (neither Spark-on-
+  * parquet nor the reference has MERGE INTO — DataFusion's DML surface is
+  * INSERT only, datafusion/core/src/dataframe/mod.rs write_table; engines
+  * with MERGE rewrite it to exactly this join):
+  *
+  *   merge(target, source, keys) =
+  *     WHEN MATCHED     THEN UPDATE SET * (source wins)
+  *     WHEN NOT MATCHED THEN INSERT *
+  *     (unmatched target rows pass through)
+  *
+  * One shuffled full-outer join on the key — both sides hash-partition, so
+  * at 100 TB the cost is a single co-partitioned exchange of each side;
+  * AQE handles skewed keys. The rewritten table is the join output, ready
+  * for a partitioned overwrite (the classic copy-on-write merge).
+  */
+object Upsert {
+
+  /** Full MERGE: source rows replace matched target rows, new source keys
+    * are appended, unmatched target rows survive. Schemas must agree on
+    * `keys` ++ `valueCols` (the non-key columns to carry). */
+  def merge(target: DataFrame, source: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val valueCols = target.columns.filterNot(keys.contains)
+    require(valueCols.forall(source.columns.contains),
+      s"source is missing value columns: ${valueCols.mkString(",")}")
+    val t = target.as("t")
+    // presence marker instead of key-null tests: NULL key values stay
+    // correct under the null-safe join below
+    val s = source.withColumn("__src", lit(1)).as("s")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    // matched → source value; source-only → source; target-only → target
+    val merged: Seq[Column] =
+      keys.map(k =>
+        when(col("s.__src").isNotNull, col(s"s.$k"))
+          .otherwise(col(s"t.$k")).as(k)) ++
+        valueCols.map(c =>
+          when(col("s.__src").isNotNull, col(s"s.$c"))
+            .otherwise(col(s"t.$c")).as(c))
+    t.join(s, cond, "full_outer").select(merged: _*)
+  }
+
+  /** MERGE ... WHEN MATCHED THEN DELETE: drop target rows whose key occurs
+    * in source (an anti join — the dedup/retraction path). */
+  def antiMerge(target: DataFrame, source: DataFrame,
+      keys: Seq[String]): DataFrame =
+    target.join(source.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Engine, Q}
 import graft.functions.GroupMinHash
-import graft.operators.{AsOfJoin, RangeJoin, Sampling}
+import graft.operators.{AsOfJoin, RangeJoin, Sampling, Upsert, ZOrder}
 import graft.pipeline.Dedup
 import org.apache.spark.sql.functions._
 
@@ -312,6 +312,68 @@ object OperatorQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           explode(col("m")).as(Seq("key", "value")))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("key"))
+    },
+
+    // ── MERGE-shaped upsert (operators/Upsert): source updates matched
+    //    keys, inserts new ones, target-only rows survive — one full-outer
+    //    join. The +1000 delta is exact IEEE addition, so raw doubles
+    //    compare bit-equal. Oracle is the textbook MERGE rewrite. ─────────
+    "upsert_merge" -> Q("""
+      |WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |           FROM orders WHERE o_orderkey < 10000),
+      |     s AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+      |                  o_totalprice + 1000 AS o_totalprice
+      |           FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 15000)
+      |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+      |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+      |            ELSE t.o_orderstatus END AS o_orderstatus,
+      |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+      |            ELSE t.o_totalprice END AS o_totalprice
+      |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+      |ORDER BY o_orderkey""") { (s, d) =>
+      val orders = Engine.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val target = orders.filter(col("o_orderkey") < 10000)
+      val source = orders
+        .filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 15000)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      Upsert.merge(target, source, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ── MERGE ... WHEN MATCHED THEN DELETE (anti-join retraction) ────────
+    "upsert_delete" -> Q("""
+      |SELECT o_orderkey, o_totalprice FROM orders t
+      |WHERE o_orderkey < 10000 AND NOT EXISTS (
+      |  SELECT 1 FROM orders s
+      |  WHERE s.o_orderkey = t.o_orderkey AND s.o_custkey < 750)
+      |ORDER BY o_orderkey""") { (s, d) =>
+      val orders = Engine.table(s, d, "orders")
+      Upsert.antiMerge(
+        orders.filter(col("o_orderkey") < 10000)
+          .select(col("o_orderkey"), col("o_totalprice")),
+        orders.filter(col("o_custkey") < 750).select(col("o_orderkey")),
+        Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ── Z-order (Morton) clustering key (operators/ZOrder): pure
+    //    shift/mask bit interleave, fully codegen'd; the oracle replays
+    //    the same 16 terms with DuckDB's bit operators. The layout story
+    //    (repartitionByRange on z + per-file span shrink) is ZOrderSpec. ──
+    "zorder_key" -> Q({
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"((((o_custkey >> $i) & 1)) << ${2 * i + 1})",
+        s"((((o_orderkey >> $i) & 1)) << ${2 * i})"))
+      s"""SELECT o_orderkey,
+         CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+         FROM orders ORDER BY o_orderkey"""
+    }) { (s, d) =>
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          ZOrder.zValue(Seq(col("o_custkey"), col("o_orderkey")), 8).as("z"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Upsert, ZOrder}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-layout + MERGE operators: z-order clustering tightens per-file
+  * min/max spans on every clustered column (the file-skipping property),
+  * and Upsert.merge obeys the MERGE algebra. */
+class LayoutSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val spark = SparkTestSession.spark
+
+  test("zValue is a bijection of the masked key pair") {
+    val orders = Engine.table(spark, sf, "orders")
+    val masked = orders.select(
+      (col("o_custkey").bitwiseAND(lit(255L))).as("x"),
+      (col("o_orderkey").bitwiseAND(lit(255L))).as("y"))
+    val nPairs = masked.distinct().count()
+    val nZ = orders.select(
+      ZOrder.zValue(Seq(col("o_custkey"), col("o_orderkey")), 8).as("z"))
+      .distinct().count()
+    assert(nZ == nPairs, "distinct z-values must equal distinct key pairs")
+  }
+
+  test("z-order clustering tightens per-partition spans on BOTH columns") {
+    val orders = Engine.table(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    // per-partition normalized span of a column, averaged over partitions
+    def avgSpan(df: org.apache.spark.sql.DataFrame, c: String,
+        total: Double): Double = {
+      val spans = df
+        .withColumn("pid", spark_partition_id())
+        .groupBy(col("pid"))
+        .agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getLong(1).toDouble / total)
+      spans.sum / spans.length
+    }
+    val totCust = 1499.0
+    val totOrd = 14999.0
+    val zClustered = ZOrder.cluster(orders, Seq("o_custkey", "o_orderkey"),
+      numFiles = 16, bits = 16)
+    // single-column sort: perfect on the sort column, useless on the other
+    val singleSorted = orders.repartitionByRange(16, col("o_orderkey"))
+    val zWorst = math.max(avgSpan(zClustered, "o_custkey", totCust),
+      avgSpan(zClustered, "o_orderkey", totOrd))
+    val sWorst = math.max(avgSpan(singleSorted, "o_custkey", totCust),
+      avgSpan(singleSorted, "o_orderkey", totOrd))
+    // z-order: every partition covers ~a quadrant of the (cust, ord) plane
+    // → both spans shrink; single-col sort leaves o_custkey at ~full span
+    assert(zWorst < 0.5, s"z-order worst-column avg span $zWorst")
+    assert(sWorst > 0.9, s"single-sort worst-column avg span $sWorst")
+  }
+
+  test("merge with an empty source is the identity") {
+    val t = Engine.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).limit(500)
+    val empty = t.filter(lit(false))
+    val merged = Upsert.merge(t, empty, Seq("o_orderkey"))
+    assert(merged.exceptAll(t).isEmpty && t.exceptAll(merged).isEmpty)
+  }
+
+  test("self-merge is the identity and merge is upsert-idempotent") {
+    val t = Engine.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).limit(500)
+    val once = Upsert.merge(t, t, Seq("o_orderkey"))
+    assert(once.exceptAll(t).isEmpty && t.exceptAll(once).isEmpty)
+    val s = t.withColumn("o_totalprice", col("o_totalprice") + 1)
+    val m1 = Upsert.merge(t, s, Seq("o_orderkey"))
+    val m2 = Upsert.merge(m1, s, Seq("o_orderkey"))
+    assert(m2.exceptAll(m1).isEmpty && m1.exceptAll(m2).isEmpty)
+  }
+
+  test("antiMerge removes exactly the matched keys") {
+    val t = Engine.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val del = t.filter(col("o_orderkey") % 3 === 0).select(col("o_orderkey"))
+    val kept = Upsert.antiMerge(t, del, Seq("o_orderkey"))
+    assert(kept.count() == t.count() - del.distinct().count())
+    assert(kept.filter(col("o_orderkey") % 3 === 0).isEmpty)
+  }
+}
