@@ -661,6 +661,30 @@ object FunctionQueries {
           struct(col("lang").as("lang"), col("n_chars").as("n"))
             .getField("lang").as("lang_out"))
         .orderBy(col("doc_id"))
+    },
+
+    // ── bit manipulation family: bit_count / bit_get / shifts / xor /
+    //    not+mask (reference: bit_and/or/xor exprs + DuckDB-style bit ops;
+    //    all codegen'd comparisons/arithmetic in Spark) ────────────────────
+    "func_bits" -> Q("""
+      |SELECT o_orderkey,
+      |       CAST(bit_count(o_orderkey) AS BIGINT) AS n_bits,
+      |       CAST((o_orderkey >> 3) & 1 AS BIGINT) AS bit3,
+      |       CAST((o_orderkey & 255) << 3 AS BIGINT) AS shl,
+      |       CAST(o_orderkey >> 2 AS BIGINT) AS shr,
+      |       CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS keys_xor,
+      |       CAST((~o_orderkey) & 1023 AS BIGINT) AS inv_mask
+      |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""") { (s, d) =>
+      Engine.table(s, d, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          bit_count(col("o_orderkey")).cast("long").as("n_bits"),
+          expr("bit_get(o_orderkey, 3)").cast("long").as("bit3"),
+          shiftleft(col("o_orderkey").bitwiseAND(lit(255L)), 3).as("shl"),
+          shiftright(col("o_orderkey"), 2).as("shr"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("keys_xor"),
+          expr("~o_orderkey").bitwiseAND(lit(1023L)).as("inv_mask"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Engine, Q}
-import graft.pipeline.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Clustering, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -493,6 +493,34 @@ object PipelineQueries {
       |       max(width) AS max_w, max(height) AS max_h
       |FROM dec GROUP BY format ORDER BY format""") { (s, d) =>
       Multimodal.featureSummary(s, Engine.table(s, d, "documents"))
+    },
+
+    // ── one-pass data-quality profile (pipeline/Quality): per-column
+    //    null/distinct counts + type-appropriate stats, long-format.
+    //    exactDistinct here so DuckDB hashes match; the default is HLL
+    //    (see Quality scaladoc for the Expand-factor tradeoff). ───────────
+    "pipe_quality_report" -> Q({
+      def num(c: String) = Seq(
+        s"SELECT '$c' AS col_name, 'n_nulls' AS metric, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM documents",
+        s"SELECT '$c', 'n_distinct', CAST(count(DISTINCT $c) AS DOUBLE) FROM documents",
+        s"SELECT '$c', 'min', round(CAST(min($c) AS DOUBLE), 4) FROM documents",
+        s"SELECT '$c', 'max', round(CAST(max($c) AS DOUBLE), 4) FROM documents",
+        s"SELECT '$c', 'avg', round(avg($c) + 1e-9, 4) FROM documents")
+      def str(c: String) = Seq(
+        s"SELECT '$c' AS col_name, 'n_nulls' AS metric, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM documents",
+        s"SELECT '$c', 'n_distinct', CAST(count(DISTINCT $c) AS DOUBLE) FROM documents",
+        s"SELECT '$c', 'len_min', CAST(min(length($c)) AS DOUBLE) FROM documents",
+        s"SELECT '$c', 'len_max', CAST(max(length($c)) AS DOUBLE) FROM documents",
+        s"SELECT '$c', 'len_avg', round(avg(length($c)) + 1e-9, 4) FROM documents")
+      (num("doc_id") ++ num("n_chars") ++ str("text") ++ str("lang") ++
+        str("source"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL ",
+          "\n) ORDER BY col_name, metric")
+    }) { (s, d) =>
+      Quality.profile(Engine.table(s, d, "documents"),
+        Seq("doc_id", "n_chars", "text", "lang", "source"),
+        approxDistinct = false)
+        .orderBy(col("col_name"), col("metric"))
     }
   )
 }

@@ -71,6 +71,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(m2.exceptAll(m1).isEmpty && m1.exceptAll(m2).isEmpty)
   }
 
+  test("compaction rewrites many small files into few, content-preserving") {
+    import graft.sources.Compaction
+    val base = "/tmp/graft_compact"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    val li = Engine.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    li.repartition(64).write.parquet(s"$base/small")
+    val (totalBytes, before) = Compaction.stats(spark, s"$base/small")
+    assert(before == 64)
+    val (_, after) = Compaction.compact(spark, s"$base/small",
+      s"$base/compacted", targetFileBytes = totalBytes / 4)
+    assert(after <= 8, s"expected ~4-5 files, got $after")
+    val out = spark.read.parquet(s"$base/compacted")
+    assert(out.count() == li.count())
+    assert(out.exceptAll(li).isEmpty && li.exceptAll(out).isEmpty)
+  }
+
   test("antiMerge removes exactly the matched keys") {
     val t = Engine.table(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
