@@ -146,6 +146,24 @@ object JoinSetSortQueries {
         .orderBy(col("c_custkey"))
     },
 
+    // ── UNION by column NAME (schema-aligned, missing cols → NULL):
+    //    Spark unionByName(allowMissingColumns) ≡ DuckDB UNION ALL BY NAME.
+    //    The branches disagree on column order AND width on purpose. ──────
+    "setop_union_by_name" -> Q("""
+      |SELECT n_nationkey AS k, n_name AS name, NULL AS src FROM nation
+      |UNION ALL BY NAME
+      |(SELECT r_name AS name, r_regionkey + 100 AS k, 'region' AS src
+      | FROM region)
+      |ORDER BY k, name""") { (s, d) =>
+      val a = Engine.table(s, d, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"))
+      val b = Engine.table(s, d, "region")
+        .select(col("r_name").as("name"),
+          (col("r_regionkey") + 100).as("k"), lit("region").as("src"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("k"), col("name"))
+    },
+
     "setop_union_distinct" -> Q("""
       |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       |UNION

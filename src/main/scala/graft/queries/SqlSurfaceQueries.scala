@@ -145,6 +145,30 @@ object SqlSurfaceQueries {
       s.sql("""SELECT n_name, n FROM supp_per_nation
               |JOIN nation ON n_nationkey = s_nationkey
               |WHERE n >= 2 ORDER BY n_name""".stripMargin)
+    },
+
+    // ── CREATE TABLE AS SELECT (CTAS — reference: LogicalPlan::Ddl
+    //    CreateMemoryTable with input plan; here a parquet-backed external
+    //    table materialized from a query, then queried back) ──────────────
+    "ddl_ctas" -> Q("""
+      |SELECT r_name, n_nations FROM (
+      |  SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
+      |  FROM nation JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name)
+      |ORDER BY r_name""") { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql("DROP TABLE IF EXISTS graft_ctas_demo")
+      // CTAS requires an empty LOCATION; clear leftovers from prior runs
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File("/tmp/graft_io/ctas_demo"))
+      s.sql("""CREATE TABLE graft_ctas_demo
+              |USING parquet LOCATION '/tmp/graft_io/ctas_demo'
+              |AS SELECT r_name, count(*) AS n_nations
+              |   FROM nation JOIN region ON n_regionkey = r_regionkey
+              |   GROUP BY r_name""".stripMargin)
+      s.sql("SELECT r_name, n_nations FROM graft_ctas_demo ORDER BY r_name")
     }
   )
 }
