@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -58,5 +58,18 @@ object Quality {
     wide.select(explode(array(entries: _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.metric").as("metric"),
         col("e.value").as("value"))
+  }
+
+  /** Piggyback quality metrics onto a query the pipeline runs ANYWAY:
+    * df.observe collects the aggregates on the rows flowing through the
+    * plan — zero extra scan, zero extra shuffle (an accumulator per
+    * metric). At 100 TB this is how a write job also produces its row
+    * count / null rate / value bounds; `profile` is the standalone
+    * alternative when no carrier query exists. Returns the instrumented
+    * frame plus the Observation to read AFTER an action runs it. */
+  def observed(df: DataFrame, name: String,
+      metrics: Seq[Column]): (DataFrame, Observation) = {
+    val obs = Observation(name)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 }

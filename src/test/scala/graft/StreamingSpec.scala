@@ -213,6 +213,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toMap.forall { case (k, v) => v == k * 1.0 })
   }
 
+  test("Trigger.AvailableNow drains the backlog then stops on its own") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft_stream_avail"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    val schema = StructType(Seq(StructField("event_id", LongType)))
+    (0L until 300L).toDF("event_id").coalesce(3)
+      .write.parquet(s"$base/src")
+    // the backfill pattern: bounded catch-up over existing files with
+    // streaming semantics (checkpoint, batching), then clean exit
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "query must self-terminate")
+    val out = spark.read.parquet(s"$base/sink")
+    assert(out.count() == 300)
+    // maxFilesPerTrigger=1 → the drain ran as multiple micro-batches
+    val nBatches = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(_.getName.forall(_.isDigit))
+    assert(nBatches >= 3, s"expected >=3 micro-batches, got $nBatches")
+  }
+
   test("foreachBatch idempotent sink stays exactly-once through batch replay") {
     import spark.implicits._
     import org.apache.spark.sql.types._
