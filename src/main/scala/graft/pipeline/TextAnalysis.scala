@@ -165,14 +165,18 @@ object TextAnalysis {
     // recomputing it from `tok` would tokenize the whole corpus twice
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfq"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, "term")
+    // rank BEFORE the dfreq join: the ranking key is tf alone, so the
+    // term-keyed join only ever sees k rows per doc instead of the whole
+    // (doc, term) matrix — at corpus scale that join's shuffle drops from
+    // O(total terms) to O(k * docs) on the left side
+    tf.withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("tf").desc, col("term"))))
+      .filter(col("rn") <= k)
+      .join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * (log((col("n_docs") + 1).cast("double")
           / (col("dfq") + 1)) + 1) + lit(1e-9), 4))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("tf").desc, col("term"))))
-      .filter(col("rn") <= k)
       .select(col("id"), col("term"), col("tf"), col("score"))
   }
 }
