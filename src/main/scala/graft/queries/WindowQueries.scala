@@ -288,7 +288,7 @@ object WindowQueries {
       |FROM lineitem
       |WINDOW
       |  wrx AS (PARTITION BY l_suppkey
-      |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW),
       |  wgx AS (PARTITION BY l_suppkey
       |          ORDER BY date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
@@ -298,12 +298,21 @@ object WindowQueries {
       |          RANGE BETWEEN 7 PRECEDING AND 7 FOLLOWING EXCLUDE TIES)
       |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
       val qty = col("l_quantity")
+      // l_quantity in the ORDER BY: lineitem has duplicate (orderkey,
+      // linenumber) pairs, and a ROWS frame needs a TOTAL order over the
+      // summed value or frame contents depend on physical row order
       val wRows = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(-3, 3)
       val wRange = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
         .rangeBetween(-7, 7)
-      val wPeers = Window.partitionBy(col("l_suppkey"), col("day"))
+      // peer-group aggregates as a zero-width RANGE frame — same
+      // partitioning AND ordering as wRange, so Catalyst plans ONE
+      // exchange+sort for both (a partitionBy(suppkey, day) window would
+      // add a third shuffle)
+      val wPeers = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+        .rangeBetween(0, 0)
       Engine.table(s, d, "lineitem")
         .withColumn("day",
           datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date")))
