@@ -228,6 +228,53 @@ object ExtrasQueries {
         .orderBy(col("event_type"))
     },
 
+    // ── KMV theta sketch (custom TypedImperativeAggregate): distinct
+    //    sketches that compose under set algebra. ~150 distinct user_ids
+    //    against k=4096 → the sketch retains every hash, so estimates are
+    //    EXACT and both queries oracle against count(DISTINCT). The
+    //    saturated (estimating) regime is covered by ThetaSpec ───────────
+    "agg_theta_sketch" -> Q("""
+      |SELECT event_type, count(DISTINCT user_id) AS users
+      |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      graft.functions.Theta.register(s)
+      Engine.table(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.functions.Theta.estimate(
+          graft.functions.Theta.sketch(col("user_id"))).as("users"))
+        .orderBy(col("event_type"))
+    },
+
+    // ── theta set algebra over ALREADY-AGGREGATED sketches: one scan
+    //    builds both cohort sketches (conditional inputs — the aggregate
+    //    skips nulls), union/intersection read pure sketch bytes ─────────
+    "agg_theta_setops" -> Q("""
+      |SELECT
+      |  (SELECT count(DISTINCT user_id) FROM events
+      |     WHERE event_type = 'click') AS click_users,
+      |  (SELECT count(DISTINCT user_id) FROM events
+      |     WHERE event_type = 'purchase') AS purchase_users,
+      |  (SELECT count(DISTINCT user_id) FROM events
+      |     WHERE event_type IN ('click', 'purchase')) AS union_users,
+      |  (SELECT count(DISTINCT user_id) FROM (
+      |     SELECT user_id FROM events WHERE event_type = 'click'
+      |     INTERSECT
+      |     SELECT user_id FROM events WHERE event_type = 'purchase'))
+      |    AS both_users""") { (s, d) =>
+      import graft.functions.Theta
+      Theta.register(s)
+      Engine.table(s, d, "events")
+        .agg(
+          Theta.sketch(when(col("event_type") === "click", col("user_id")))
+            .as("a"),
+          Theta.sketch(when(col("event_type") === "purchase", col("user_id")))
+            .as("b"))
+        .select(
+          Theta.estimate(col("a")).as("click_users"),
+          Theta.estimate(col("b")).as("purchase_users"),
+          Theta.estimate(Theta.union(col("a"), col("b"))).as("union_users"),
+          Theta.intersect(col("a"), col("b")).as("both_users"))
+    },
+
     // ── IVF approximate top-k (cell-probed ANN) ──────────────────────────
     "pipe_sim_ivf" -> Q.noOracle { (s, d) =>
       val emb = Engine.table(s, d, "embeddings")
