@@ -78,6 +78,23 @@ object StreamingQueries {
         .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
           col("value"))
         .orderBy(col("c_id"), col("p_id"))
+    },
+
+    // ── LEFT OUTER stream-stream interval join: clicks with no purchase
+    //    in the window survive with NULLs (watermark-evicted emission in
+    //    stream mode — StreamingSpec; plain outer join in batch) ─────────
+    "stream_join_outer" -> Q("""
+      |SELECT c.event_id AS c_id, p.event_id AS p_id, c.user_id, p.value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+      |ORDER BY c_id, p_id NULLS FIRST""") { (s, d) =>
+      Streaming.clickToPurchaseLeftOuter(Engine.table(s, d, "events"))
+        .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
+          col("value"))
+        .orderBy(col("c_id"), col("p_id").asc_nulls_first)
     }
   )
 }

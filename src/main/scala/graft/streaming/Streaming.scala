@@ -57,7 +57,20 @@ object Streaming {
     * user within [0, 30 min] after the click (reference capability:
     * SymmetricHashJoinExec with interval-pruned state). */
   def clickToPurchase(events: DataFrame,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour"): DataFrame =
+    intervalJoin(events, watermark, "inner")
+
+  /** LEFT OUTER stream-stream interval join: every click emits exactly
+    * once — matched rows immediately, unmatched rows with NULL purchase
+    * columns once the watermark closes their 30-min match interval (the
+    * reference's SymmetricHashJoinExec is inner-only; outer emission on
+    * state eviction is the extension Structured Streaming adds). */
+  def clickToPurchaseLeftOuter(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    intervalJoin(events, watermark, "left_outer")
+
+  private def intervalJoin(events: DataFrame, watermark: String,
+      joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
@@ -69,7 +82,8 @@ object Streaming {
     clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL '30' MINUTE"))
+        col("p_ts") <= col("c_ts") + expr("INTERVAL '30' MINUTE"),
+      joinType)
   }
 
   /** Streaming deduplication — the training-pipeline staple: duplicate
@@ -104,6 +118,25 @@ object Streaming {
       }
   }
 
+  /** Running per-user totals via transformWithState — Spark 4's arbitrary
+    * stateful processing API (successor to flatMapGroupsWithState): named
+    * typed state handles (ValueState here; ListState/MapState/timers on the
+    * same handle), per-state TTL, RocksDB-backed store. Output contract is
+    * identical to runningUserTotals, and StreamingSpec asserts both paths
+    * converge to the batch aggregate.
+    *
+    * Scale: state lives in the executor-local RocksDB instance keyed by
+    * shuffle partition — per-key state never transits the driver, and
+    * changelog checkpointing ships deltas, not full snapshots. */
+  def runningUserTotalsTws(
+      events: Dataset[(Long, Double)]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Idempotent foreachBatch parquet sink: each micro-batch lands in its
     * own `batch_id=<id>` partition directory with overwrite semantics, so
     * a replayed batch (failure after write, before the checkpoint commit)
@@ -116,4 +149,24 @@ object Streaming {
   def idempotentParquetSink(sinkDir: String): (DataFrame, Long) => Unit =
     (df: DataFrame, batchId: Long) =>
       df.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+}
+
+/** (user, value) rows → running (user, count, rounded total); the count
+  * and sum fold lives in one named ValueState handle. */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+      timers: TimerValues): Iterator[(Long, Long, Double)] = {
+    val (n0, v0) = Option(totals.get()).getOrElse((0L, 0.0))
+    var n = n0; var v = v0
+    rows.foreach { case (_, value) => n += 1; v += value }
+    totals.update((n, v))
+    Iterator((user, n, math.round(v * 100) / 100.0))
+  }
 }

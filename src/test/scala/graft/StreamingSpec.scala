@@ -112,6 +112,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("left-outer interval join emits unmatched clicks after watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    def ev(id: Long, offsetMin: Int, user: Long, typ: String): Ev =
+      Ev(id, new java.sql.Timestamp(base.getTime + offsetMin * 60000L),
+        user, typ, id * 1.0)
+    val data = Seq(
+      ev(1, 0, 1, "click"), ev(2, 10, 1, "purchase"), // matched pair
+      ev(3, 5, 2, "click"),                           // no purchase → NULL
+      ev(4, 50, 3, "purchase"))                       // purchase w/o click
+    val ms = MemoryStream[Ev]
+    val q = Streaming.clickToPurchaseLeftOuter(ms.toDF(), watermark = "10 minutes")
+      .select(col("c_id"), col("p_id"))
+      .writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    ms.addData(data)
+    q.processAllAvailable()
+    // unmatched rows need the watermark to pass c_ts + 30min + delay;
+    // push it far ahead, then one more batch to flush evictions
+    ms.addData(ev(9, 600, 9, "click"))
+    q.processAllAvailable()
+    ms.addData(ev(10, 1200, 9, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj_outer").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // batch truth over the original rows (flush clicks 9/10 excluded —
+    // their own intervals never close before the stream stops)
+    val batch = Streaming.clickToPurchaseLeftOuter(data.toDF())
+      .select(col("c_id"), col("p_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(streamed.filter(_._1 < 9L) == batch)
+    assert(batch.contains((3L, -1L)), "unmatched click must carry NULL")
+  }
+
+  test("transformWithState running totals equal flatMapGroupsWithState and batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val pairs = rows.map(e => (e.user_id, e.value))
+      val ms = MemoryStream[(Long, Double)]
+      val q = Streaming.runningUserTotalsTws(ms.toDS())
+        .toDF("user_id", "n", "total")
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("update").start()
+      val (a, b) = pairs.splitAt(pairs.size / 2)
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+      q.stop()
+      // final update per user == batch aggregate == fMGWS contract
+      val streamed = spark.table("tws")
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = pairs.groupBy(_._1)
+        .map { case (u, vs) => u -> vs.size.toLong }
+      assert(streamed == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("watermark discards late data in append-mode aggregation") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
