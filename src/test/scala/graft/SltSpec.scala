@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SLT-style golden-file runner (reference test backbone:
+  * datafusion/sqllogictest/test_files (.slt corpus) run against DataFusion AND a
+  * Postgres oracle). Our corpus lives in src/test/resources/slt :
+  * portable ANSI SQL whose goldens were computed by DuckDB
+  * (tools/gen_slt.py) — here each query replays through spark.sql over
+  * the same sf0.001 tables and must reproduce the golden byte-for-byte
+  * under the shared value formatting (NULL / %.4f floats / true/false /
+  * ISO dates, tab-joined, ordered compare).
+  *
+  * This is a different axis from the Verify gate: ONE SQL text, two
+  * engines — it pins Spark's SQL-dialect semantics (null sorting,
+  * FILTER clauses, set-op duplicate handling, window frames) against
+  * an independent implementation.
+  */
+class SltSpec extends AnyFunSuite {
+  private val families = Seq("scalar_string", "scalar_math",
+    "scalar_datetime", "agg", "join_setop", "window", "subquery",
+    "null_sort")
+
+  private lazy val spark = {
+    val s = SparkTestSession.spark.newSession()
+    Engine.registerAll(s, "/root/testdata/sf0.001")
+    s
+  }
+
+  private def fmt(v: Any): String = v match {
+    case null => "NULL"
+    case b: Boolean => if (b) "true" else "false"
+    case d: java.lang.Double => "%.4f".format(d)
+    case f: java.lang.Float => "%.4f".format(f.toDouble)
+    case bd: java.math.BigDecimal => "%.4f".format(bd.doubleValue())
+    case d: java.sql.Date => d.toString
+    case t: java.sql.Timestamp =>
+      fail(s"raw timestamp in SLT output ($t) — corpus rule violation")
+    case other => other.toString
+  }
+
+  private case class Case(sql: String, golden: Seq[String], line: Int)
+
+  private def parse(family: String): Seq[Case] = {
+    val in = getClass.getResourceAsStream(s"/slt/$family.slt")
+    require(in != null, s"missing /slt/$family.slt")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val cases = Vector.newBuilder[Case]
+    var i = 0
+    while (i < lines.length) {
+      if (lines(i).trim == "query") {
+        val start = i
+        i += 1
+        val sql = new StringBuilder
+        while (lines(i).trim != "----") {
+          sql.append(lines(i)).append('\n'); i += 1
+        }
+        i += 1 // skip ----
+        val golden = Vector.newBuilder[String]
+        while (i < lines.length && lines(i).nonEmpty) {
+          golden += lines(i); i += 1
+        }
+        cases += Case(sql.toString.trim, golden.result(), start + 1)
+      } else i += 1
+    }
+    cases.result()
+  }
+
+  families.foreach { family =>
+    test(s"slt/$family matches DuckDB goldens") {
+      val cases = parse(family)
+      assert(cases.nonEmpty)
+      cases.foreach { c =>
+        val got = spark.sql(c.sql).collect()
+          .map(r => (0 until r.length).map(i => fmt(r.get(i))).mkString("\t"))
+          .toSeq
+        assert(got == c.golden,
+          s"\n$family.slt line ${c.line}:\n${c.sql}\n" +
+            s"expected:\n${c.golden.mkString("\n")}\ngot:\n${got.mkString("\n")}")
+      }
+    }
+  }
+}
