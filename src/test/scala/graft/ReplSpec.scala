@@ -1,0 +1,38 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CLI loop (reference: datafusion-cli) over piped input: statement
+  * execution, multi-line statements, catalog commands, graceful errors,
+  * and clean \q exit. */
+class ReplSpec extends AnyFunSuite {
+  test("repl executes statements, commands, and errors gracefully") {
+    val ctx = GraftContext(SparkTestSession.spark.newSession())
+    ctx.registerTestdata("/root/testdata/sf0.001")
+    val script =
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey;
+        |\d
+        |\d region
+        |SELECT count(*) AS n
+        |FROM nation;
+        |SELECT bogus FROM nowhere;
+        |\explain SELECT count(*) FROM region
+        |\q
+        |SELECT 'after-quit';
+        |""".stripMargin
+    val bytes = new ByteArrayOutputStream()
+    Repl.run(ctx, new BufferedReader(new StringReader(script)),
+      new PrintStream(bytes, true, "UTF-8"))
+    val out = bytes.toString("UTF-8")
+    assert(out.contains("AFRICA"), s"region rows missing:\n$out")
+    assert(out.contains("(5 rows)"))
+    assert(out.contains("region"), "\\d must list tables")
+    assert(out.contains("r_regionkey"), "\\d region must describe columns")
+    assert(out.contains("| 25"), "multi-line statement must execute")
+    assert(out.contains("Error:"), "bad SQL must not kill the loop")
+    assert(out.contains("Physical Plan"), "\\explain must print a plan")
+    assert(!out.contains("after-quit"), "\\q must stop the loop")
+  }
+}
