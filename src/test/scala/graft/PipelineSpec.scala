@@ -22,6 +22,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"minhash missed exact pairs: $missed")
   }
 
+  test("curation scale path (minhash pairs → cluster dedup) == exact path") {
+    import graft.pipeline.{Clustering, TextAnalysis}
+    // same first stage as pipe_curate_e2e: exact-fingerprint dedup
+    val fp = docs.withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+    val keep = fp.join(
+      fp.groupBy(col("fp").as("kfp")).agg(min(col("doc_id")).as("keep_id")),
+      col("doc_id") === col("keep_id") && col("fp") === col("kfp"))
+      .select(col("doc_id"), col("text"))
+    // at jaccard >= 0.9 the 16x4 banding has ~100% recall (asserted
+    // above) and minhashPairs verifies candidates with EXACT jaccard →
+    // zero false positives: the quadratic pair-gen and the LSH path must
+    // produce identical survivor sets
+    val exactPairs = Dedup.ngramJaccardPairs(keep, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b")
+    val lshPairs = Dedup.minhashPairs(keep, "doc_id", "text", 3, 64, 16, 0.9)
+      .select("id_a", "id_b")
+    val exactSurvivors = Clustering.dedupByPairs(keep, "doc_id", exactPairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lshSurvivors = Clustering.dedupByPairs(keep, "doc_id", lshPairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactSurvivors == lshSurvivors)
+    assert(exactSurvivors.size < keep.count(), "dedup must drop something")
+  }
+
   test("minhash est_jaccard tracks exact jaccard") {
     val rows = Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
       .select("est_jaccard", "jaccard").collect()
