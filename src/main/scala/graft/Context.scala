@@ -75,6 +75,14 @@ class GraftContext(val spark: SparkSession) {
   def tableNames(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq.sorted
 
+  /** information_schema.df_settings analogue
+    * (core/src/catalog/information_schema.rs): the session's SQL config
+    * as a (name, value) relation; SET statements go through sql(). */
+  def settings(): DataFrame = {
+    import spark.implicits._
+    spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "value")
+  }
+
   // ── CopyTo (COPY (df) TO path ...) ──────────────────────────────────
   /** csv defaults to a header row (the reference's csv writer default,
     * common/src/config.rs CsvOptions) so readCsv round-trips. */

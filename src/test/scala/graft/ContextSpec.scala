@@ -51,6 +51,14 @@ class ContextSpec extends AnyFunSuite {
     assert(ctx.readArrow(s"$dir/arrow").count() == src.count())
   }
 
+  test("settings relation reflects SET statements (df_settings)") {
+    ctx.sql("SET spark.sql.shuffle.partitions=7")
+    val v = ctx.settings().filter(col("name") === "spark.sql.shuffle.partitions")
+      .head().getString(1)
+    assert(v == "7")
+    ctx.sql("SET spark.sql.shuffle.partitions=4")
+  }
+
   test("registerTable exposes an in-memory DataFrame (MemTable)") {
     import ctx.spark.implicits._
     ctx.registerTable("ctx_mem", Seq((1, "a"), (2, "b")).toDF("id", "s"))

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error semantics (reference: sqllogictest/test_files/errors.slt — the
+  * engine must fail LOUDLY and typed, not return wrong answers): under
+  * Spark 4's default ANSI mode, arithmetic/cast/access violations raise
+  * classed errors, and each has a documented `try_` escape hatch that
+  * degrades to NULL instead. Both halves are the contract a pipeline
+  * author relies on. */
+class ErrorSemanticsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark.newSession()
+    assert(s.conf.get("spark.sql.ansi.enabled") == "true")
+    s
+  }
+
+  private def failsWith(clazz: String)(sql: String): Unit = {
+    val e = intercept[Exception](spark.sql(sql).collect())
+    val msg = e match {
+      case se: SparkException => se.getMessage
+      case other => other.getMessage
+    }
+    assert(msg != null && msg.contains(clazz),
+      s"expected $clazz from: $sql\ngot: $msg")
+  }
+
+  private def nullOf(sql: String): Unit = {
+    val r = spark.sql(sql).head()
+    assert(r.isNullAt(0), s"expected NULL from: $sql, got ${r.get(0)}")
+  }
+
+  test("division by zero errors; try_divide returns NULL") {
+    failsWith("DIVIDE_BY_ZERO")("SELECT 1 / 0")
+    nullOf("SELECT try_divide(1, 0)")
+  }
+
+  test("integer overflow errors; try_add/try_multiply return NULL") {
+    failsWith("ARITHMETIC_OVERFLOW")(
+      "SELECT 9223372036854775807 + CAST(1 AS BIGINT)")
+    nullOf("SELECT try_add(9223372036854775807, CAST(1 AS BIGINT))")
+    nullOf("SELECT try_multiply(9223372036854775807, CAST(2 AS BIGINT))")
+  }
+
+  test("invalid cast errors; try_cast returns NULL") {
+    failsWith("CAST_INVALID_INPUT")("SELECT CAST('abc' AS INT)")
+    nullOf("SELECT try_cast('abc' AS INT)")
+    failsWith("CAST_OVERFLOW")("SELECT CAST(300 AS TINYINT)")
+    nullOf("SELECT try_cast(300 AS TINYINT)")
+  }
+
+  test("array index out of bounds errors; try_element_at returns NULL") {
+    failsWith("INVALID_ARRAY_INDEX")("SELECT array(1, 2)[5]")
+    nullOf("SELECT try_element_at(array(1, 2), 5)")
+  }
+
+  test("aggregate sum overflow errors; try_sum returns NULL") {
+    failsWith("ARITHMETIC_OVERFLOW")(
+      "SELECT sum(v) FROM VALUES (9223372036854775807), (1) t(v)")
+    nullOf("SELECT try_sum(v) FROM VALUES (9223372036854775807), (1) t(v)")
+  }
+
+  test("malformed query fails at analysis with a typed error") {
+    val e = intercept[Exception](spark.sql("SELECT no_such_col FROM range(1)"))
+    assert(e.getMessage.contains("UNRESOLVED_COLUMN"))
+    val p = intercept[Exception](spark.sql("SELEC 1"))
+    assert(p.getMessage.contains("PARSE_SYNTAX_ERROR"))
+  }
+}
