@@ -19,7 +19,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SltSpec extends AnyFunSuite {
   private val families = Seq("scalar_string", "scalar_math",
     "scalar_datetime", "agg", "join_setop", "window", "subquery",
-    "null_sort")
+    "bits_binary", "predicates", "grouping", "null_sort")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -241,6 +241,76 @@ CORPUS = {
              FROM orders GROUP BY o_orderpriority) x
            WHERE x.n > 100 ORDER BY x.o_orderpriority""",
     ],
+    # ── bit ops + hex/binary surfaces ────────────────────────────────
+    "bits_binary": [
+        """SELECT n_nationkey, n_nationkey & 12 AS band, n_nationkey | 3 AS bor,
+                  (n_nationkey | 255) - (n_nationkey & 255) AS bxor
+           FROM nation ORDER BY n_nationkey LIMIT 12""",
+        """SELECT n_nationkey, CAST(n_nationkey << 3 AS BIGINT) AS shl,
+                  CAST(n_nationkey >> 1 AS BIGINT) AS shr
+           FROM nation ORDER BY n_nationkey LIMIT 12""",
+        """SELECT o_orderkey, bit_count(o_orderkey) AS pop
+           FROM orders ORDER BY o_orderkey LIMIT 12""",
+        """SELECT n_name, md5(n_name) AS h FROM nation
+           ORDER BY n_name LIMIT 8""",
+        """SELECT l_returnflag,
+                  CAST(bit_and(l_linenumber) AS BIGINT) AS ba,
+                  CAST(bit_or(l_linenumber) AS BIGINT) AS bo,
+                  CAST(bit_xor(l_linenumber) AS BIGINT) AS bx
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ],
+    # ── predicates / filter shapes ───────────────────────────────────
+    "predicates": [
+        """SELECT p_partkey, p_type FROM part
+           WHERE p_size IN (5, 10, 15) AND p_type LIKE '%BRASS'
+           ORDER BY p_partkey LIMIT 10""",
+        """SELECT o_orderkey FROM orders
+           WHERE o_totalprice BETWEEN 100000 AND 100500
+           ORDER BY o_orderkey LIMIT 10""",
+        """SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+             AND c_custkey % 50 = 0
+           ORDER BY c_custkey LIMIT 10""",
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+           WHERE (l_quantity > 45 AND l_discount < 0.02)
+              OR (l_quantity < 2 AND l_discount > 0.08)
+           ORDER BY l_orderkey, l_linenumber LIMIT 12""",
+        """SELECT p_partkey, p_name FROM part
+           WHERE p_name LIKE '%green%' AND p_name NOT LIKE 'green%'
+           ORDER BY p_partkey LIMIT 10""",
+        """SELECT count(*) AS n FROM lineitem
+           WHERE l_shipdate >= DATE '1994-01-01'
+             AND l_shipdate < DATE '1995-01-01'
+             AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+        """SELECT s_suppkey FROM supplier
+           WHERE CASE WHEN s_nationkey < 10 THEN s_acctbal > 0
+                      ELSE s_acctbal < 5000 END
+           ORDER BY s_suppkey LIMIT 12""",
+    ],
+    # ── grouping sets / rollup / cube ────────────────────────────────
+    "grouping": [
+        """SELECT coalesce(l_returnflag, '<all>') AS rf,
+                  coalesce(l_linestatus, '<all>') AS ls,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           ORDER BY rf, ls""",
+        """SELECT coalesce(l_returnflag, '<all>') AS rf,
+                  coalesce(l_linestatus, '<all>') AS ls,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           ORDER BY rf, ls""",
+        """SELECT coalesce(l_returnflag, '<rf>') AS rf,
+                  coalesce(l_linestatus, '<ls>') AS ls,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+           ORDER BY rf, ls""",
+        """SELECT coalesce(l_returnflag, '<all>') AS rf,
+                  CAST(grouping(l_returnflag) AS BIGINT) AS g,
+                  CAST(sum(l_quantity) AS BIGINT) AS qty
+           FROM lineitem GROUP BY ROLLUP (l_returnflag)
+           ORDER BY rf""",
+    ],
     # ── null semantics + sorting ─────────────────────────────────────
     "null_sort": [
         """SELECT s_name, s_acctbal < 0 AS overdrawn,
