@@ -68,37 +68,47 @@ object Bench {
     val tpchTotal = results.collect {
       case (k, v) if k.startsWith("tpch_") => v }.sum
     val floor = if (results.isEmpty) 0.0 else results.map(_._2).min
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // in-memory TPC-H variant (reference: tpch_mem in BASELINE.md —
-    // MemTable inputs): cache every table, force materialization, rerun
-    // the 22 queries. Reported separately; "total" stays comparable
-    // across rounds. Engine.table memoizes plans per (session, dir), so
-    // the cached InMemoryRelation is picked up by the same query builders.
+    // MemTable inputs): cache the TPC-H tables only (caching events/
+    // documents/embeddings would waste cache-build jobs and evict the
+    // blocks this pass measures), force materialization, rerun the 22
+    // queries. Reported separately; "total" stays comparable across
+    // rounds. Engine.table memoizes plans per (session, dir), so the
+    // cached InMemoryRelation is picked up by the same query builders.
     val tpchNames = results.collect {
       case (k, _) if k.startsWith("tpch_") => k }
+    val tpchTables = Seq("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem")
     val memQs =
       if (tpchNames.isEmpty || only.isDefined) Map.empty[String, Double]
       else {
-        Engine.tableNames.foreach { t =>
+        tpchTables.foreach { t =>
           val df = Engine.table(spark, sfDir, t)
           df.cache(); df.count()
         }
-        val m = tpchNames.map { name =>
+        // same failure rule as the disk pass: a failed query's near-zero
+        // exception time must not enter the reported numbers
+        val m = tpchNames.flatMap { name =>
           val times = (1 to math.max(1, iters)).map { _ =>
             val t0 = System.nanoTime()
-            try run(name) catch { case _: Throwable => () }
+            try run(name) catch { case e: Throwable =>
+              failed += s"mem:$name"
+              System.err.println(s"[bench] mem:$name failed: ${e.getMessage}")
+            }
             (System.nanoTime() - t0) / 1e9
           }
-          name -> times.min
+          if (failed.contains(s"mem:$name")) None else Some(name -> times.min)
         }.toMap
-        Engine.tableNames.foreach(t =>
-          Engine.table(spark, sfDir, t).unpersist())
+        tpchTables.foreach(t => Engine.table(spark, sfDir, t).unpersist())
         m
       }
     val memStr = memQs.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val memTotal = memQs.values.sum
+    // null (not 0.0) when the pass was skipped or produced nothing — a
+    // consumer must not read "not run" as an impossibly-fast measurement
+    val memTotal = if (memQs.isEmpty) "null" else memQs.values.sum.toString
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tpch_total":$tpchTotal,"tpch_mem_total":$memTotal,"tpch_mem":$memStr,"per_query_floor":$floor,"iters":$iters,"failed":$errs}""")
     Engine.clearCache(spark)

@@ -40,7 +40,8 @@ object Explain {
           f"${count("HashAggregate") - count("ObjectHashAggregate")}%7d " +
           f"${count("ObjectHashAggregate")}%6d ${count("SortAggregate")}%7d")
       } catch {
-        case e: Throwable => println(f"$n%-28s PLAN-ERROR ${e.getMessage.take(60)}")
+        case e: Throwable =>
+          println(f"$n%-28s PLAN-ERROR ${String.valueOf(e.getMessage).take(60)}")
       }
     }
   }

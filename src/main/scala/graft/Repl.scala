@@ -31,6 +31,12 @@ object Repl {
     while ({ line = in.readLine(); line != null }) {
       val trimmed = line.trim
       if (trimmed.startsWith("\\")) {
+        // a command aborts any half-typed statement — otherwise the
+        // stale prefix would silently corrupt the next statement
+        if (buf.nonEmpty) {
+          out.println("(discarded incomplete statement)")
+          buf.clear()
+        }
         if (!command(ctx, trimmed, out)) return
       } else {
         buf.append(line).append('\n')

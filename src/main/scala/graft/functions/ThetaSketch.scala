@@ -243,12 +243,15 @@ object Theta {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_sketch", exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_theta_sketch(col, k) takes 2 arguments, got ${exprs.length}")
         val kExpr = exprs(1)
         val ok = kExpr.foldable &&
           kExpr.dataType == org.apache.spark.sql.types.IntegerType
         val v = if (ok) kExpr.eval(InternalRow.empty) else null
         if (v == null) throw new IllegalArgumentException(
-          "graft_theta_sketch: k must be a non-null int literal")
+          "graft_theta_sketch: k must be a non-null INT literal " +
+            s"(got ${kExpr.dataType.simpleString})")
         ThetaSketchAgg(exprs(0), v.asInstanceOf[Int]).toAggregateExpression()
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

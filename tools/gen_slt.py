@@ -370,7 +370,12 @@ def main():
             out.append("query")
             out.append(sql)
             out.append("----")
-            out.extend("\t".join(fmt(v) for v in r) for r in rows)
+            for r in rows:
+                line = "\t".join(fmt(v) for v in r)
+                # SltSpec's parser treats an empty line as end-of-golden:
+                # a row formatting to "" would silently truncate the block
+                assert line != "", f"empty-formatted row in: {sql}"
+                out.append(line)
             out.append("")
             total += 1
         with open(f"{OUT}/{family}.slt", "w") as f:
