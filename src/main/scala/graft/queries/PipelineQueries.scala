@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{Engine, Q}
-import graft.pipeline.{Clustering, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Clustering, Dedup, Multimodal, Packing,
+  Quality, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,6 +23,53 @@ object PipelineQueries {
       |FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    // ── document chunking: overlapping 64-token windows, 48-token step —
+    //    pure map-side Column algebra (tokenize once, sequence+slice);
+    //    chunk text goes out as md5 so the compare stays row-shaped ───────
+    "pipe_chunk_docs" -> Q("""
+      |WITH s AS (SELECT doc_id, string_split_regex(text, '\s+') toks,
+      |                  len(string_split_regex(text, '\s+')) n
+      |           FROM documents),
+      |c AS (SELECT doc_id, n, toks,
+      |             unnest(generate_series(0,
+      |               CAST(greatest(ceil((n - 64)::DOUBLE / 48), 0) AS INT) * 48,
+      |               48)) AS chunk_start
+      |      FROM s)
+      |SELECT doc_id, chunk_start // 48 AS chunk_id, chunk_start,
+      |       CAST(least(n - chunk_start, 64) AS BIGINT) AS n_chunk_tokens,
+      |       md5(array_to_string(toks[chunk_start+1:chunk_start+64], ' ')) AS h
+      |FROM c ORDER BY doc_id, chunk_id""") { (s, d) =>
+      Chunking.chunkDocs(Engine.table(s, d, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          col("n_chunk_tokens"), md5(col("chunk_text")).as("h"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ── token-stream packing: distributed two-phase prefix sum (NOT a
+    //    global window — SCALE.md); oracle is the global-window form ─────
+    "pipe_pack_stream" -> Q("""
+      |SELECT doc_id,
+      |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |            - n_chars AS BIGINT) AS tok_start,
+      |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |            AS BIGINT) AS tok_end,
+      |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |            - n_chars) // 4096 AS BIGINT) AS seq_first,
+      |       CAST(greatest(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED
+      |              PRECEDING) - 1,
+      |            sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |              - n_chars) // 4096 AS BIGINT) AS seq_last
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Packing.packTokenStream(
+          Engine.table(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", budget = 4096)
+        .select(col("doc_id"), col("tok_start"), col("tok_end"),
+          col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── exact dedup (hash-groupBy) ───────────────────────────────────────
     "pipe_dedup_exact" -> Q("""
       |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1,0 +1,98 @@
+package graft
+
+import graft.pipeline.{Chunking, Packing}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Token-stream packing and document chunking properties: the
+  * distributed prefix sum must equal the global-window formulation and
+  * be partition-count independent; chunk windows must tile documents
+  * exactly. */
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    // deterministic pseudo-random token counts incl. 0 and budget-sized
+    (0 until n).map { i =>
+      (i.toLong, ((i * 2654435761L) % 997 + (if (i % 97 == 0) 0 else 1)).abs)
+    }.toDF("id", "n")
+  }
+
+  test("two-phase prefix sum == global window, any partition count") {
+    val df = docs(5000)
+    val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val expected = df.withColumn("tok_end", sum(col("n")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n"))
+      .select(col("id"), col("tok_start"), col("tok_end"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (parts <- Seq(1, 16)) {
+      val got = Packing.packTokenStream(df, "id", "n", budget = 512,
+          partitions = parts)
+        .select(col("id"), col("tok_start"), col("tok_end"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"partitions=$parts")
+    }
+  }
+
+  test("sequence ids: contiguous coverage, straddlers span bins") {
+    val rows = Packing.packTokenStream(docs(2000), "id", "n", budget = 512)
+      .select(col("id"), col("tok_start"), col("tok_end"),
+        col("seq_first"), col("seq_last"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // stream is gapless: each doc starts where the previous ended
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._3, s"gap between ${a._1} and ${b._1}")
+    }
+    rows.foreach { case (id, s, e, f, l) =>
+      assert(f == s / 512, s"doc $id seq_first")
+      assert(l == math.max(e - 1, s) / 512, s"doc $id seq_last")
+      assert(l >= f)
+    }
+    // at 997-max token counts over 512-token sequences, straddlers exist
+    assert(rows.exists { case (_, _, _, f, l) => l > f })
+  }
+
+  test("chunking tiles documents: no overlap=0 token lost or duplicated") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g"),          // n=7 > chunk
+      (2L, "x y z"),                  // n=3 < chunk
+      (3L, "p q r s"),                // n=4 == chunk (exact cover)
+      (4L, (1 to 100).map("t" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val chunks = Chunking.chunkDocs(df, "doc_id", "text",
+        chunkTokens = 4, overlap = 0)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .select(col("doc_id"), col("chunk_text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val reassembled = chunks.groupBy(_._1).view
+      .mapValues(_.map(_._2).mkString(" ")).toMap
+    df.collect().foreach { r =>
+      assert(reassembled(r.getLong(0)) == r.getString(1),
+        s"doc ${r.getLong(0)} must reassemble")
+    }
+    // exact-coverage doc yields exactly one chunk, no empty tail
+    assert(chunks.count(_._1 == 3L) == 1)
+  }
+
+  test("overlap windows share exactly `overlap` tokens") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 20).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunkDocs(df, "doc_id", "text",
+        chunkTokens = 8, overlap = 3)
+      .orderBy(col("chunk_id"))
+      .select(col("chunk_text")).collect().map(_.getString(0))
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      assert(a.split(" ").takeRight(3).toSeq == b.split(" ").take(3).toSeq)
+    }
+    // every token appears in at least one chunk
+    val all = chunks.flatMap(_.split(" ")).toSet
+    assert(all == (1 to 20).map("w" + _).toSet)
+  }
+}
