@@ -22,4 +22,48 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Rebalance to a target class mix (the training-mix op: "make the
+    * corpus 30% code, 50% web, 20% books"): downsample-only — the
+    * largest total is kept that satisfies the exact mix, limited by the
+    * scarcest class (quota_c = floor(min_c(n_c / share_c)) · share_c).
+    * Selection inside a class is the same deterministic md5 ranking as
+    * deterministicSamplePerGroup, so reruns and the oracle agree.
+    *
+    * Scale: one count aggregate (tiny — one row per class, collected to
+    * compute quotas), then one window ranked by content hash per class
+    * — the same single-exchange shape as any per-group top-n.
+    *
+    * @param targets class → share; shares must sum to ~1. Classes
+    *        absent from `targets` are dropped.
+    */
+  def rebalanceToTarget(df: DataFrame, classCol: String, idCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0) &&
+      math.abs(targets.values.sum - 1.0) < 1e-6,
+      "targets must be positive shares summing to 1")
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targets.keySet.filterNot(counts.contains)
+    require(missing.isEmpty, s"no rows for target classes: $missing")
+    // decimal, not double, arithmetic: 70/0.2 is 349.99…994 in binary
+    // floating point but exactly 350 in decimal — quota boundaries must
+    // be reproducible by any decimal-arithmetic engine (the oracle)
+    def dec(d: Double) = BigDecimal(d.toString)
+    val total = targets.map { case (c, share) =>
+      (BigDecimal(counts(c)) / dec(share))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR)
+    }.min
+    val quotas = targets.map { case (c, share) =>
+      c -> (total * dec(share))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong }
+    val quotaDf = df.sparkSession
+      .createDataFrame(quotas.toSeq).toDF(classCol, "__quota")
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(quotaDf), Seq(classCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__rk", "__quota")
+  }
 }

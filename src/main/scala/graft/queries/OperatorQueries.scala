@@ -202,6 +202,28 @@ object OperatorQueries {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // ── rebalance to a target class mix (training-mix op): largest
+    //    exact-mix subset bounded by the scarcest class; deterministic
+    //    md5-ranked selection — the oracle recomputes quota + ranking
+    //    with decimal arithmetic, matching the operator's BigDecimal ────
+    "sample_rebalance" -> Q("""
+      |WITH c AS (SELECT lang, count(*) n FROM documents
+      |           WHERE lang IN ('en', 'de', 'fr') GROUP BY lang),
+      |t(lang, share) AS (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.3)),
+      |tot AS (SELECT min(floor(n / share)) AS total FROM c JOIN t USING (lang)),
+      |q AS (SELECT t.lang, floor(tot.total * t.share) AS quota FROM t, tot),
+      |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM documents WHERE lang IN ('en', 'de', 'fr'))
+      |SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
+      |WHERE r.rk <= q.quota
+      |ORDER BY r.lang, r.doc_id""") { (s, d) =>
+      Sampling.rebalanceToTarget(Engine.table(s, d, "documents"),
+          "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3))
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // ── group-level MinHash via custom typed Aggregator ──────────────────
     // (elementwise-min of row signatures = signature of the union of the
     // groups' shingle sets; property-tested in OperatorSpec)

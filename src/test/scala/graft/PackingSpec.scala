@@ -80,6 +80,30 @@ class PackingSpec extends AnyFunSuite {
     assert(chunks.count(_._1 == 3L) == 1)
   }
 
+  test("rebalanceToTarget hits the exact mix, bounded by the scarcest class") {
+    import spark.implicits._
+    val df = (
+      (1 to 900).map(i => (i.toLong, "web")) ++
+      (1001 to 1300).map(i => (i.toLong, "code")) ++
+      (2001 to 2080).map(i => (i.toLong, "books"))).toDF("id", "cls")
+    val out = graft.operators.Sampling.rebalanceToTarget(
+      df, "cls", "id", Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2))
+    val mix = out.groupBy(col("cls")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // books is scarcest: total = floor(80/0.2) = 400
+    assert(mix == Map("web" -> 200L, "code" -> 120L, "books" -> 80L))
+    // deterministic: rerun returns the same ids
+    val again = graft.operators.Sampling.rebalanceToTarget(
+      df, "cls", "id", Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2))
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.rebalanceToTarget(
+        df, "cls", "id", Map("web" -> 0.5, "absent" -> 0.5)).count()
+    }
+    assert(err.getMessage.contains("absent"))
+  }
+
   test("overlap windows share exactly `overlap` tokens") {
     import spark.implicits._
     val df = Seq((1L, (1 to 20).map("w" + _).mkString(" ")))
