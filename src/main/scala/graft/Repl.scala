@@ -27,7 +27,8 @@ object Repl {
       out: java.io.PrintStream): Unit = {
     val buf = new StringBuilder
     var line: String = null
-    out.println("graft SQL — \\d tables, \\q quit, statements end with ;")
+    timing = false
+    out.println("graft SQL — \\d tables, \\timing, \\q quit, statements end with ;")
     while ({ line = in.readLine(); line != null }) {
       val trimmed = line.trim
       if (trimmed.startsWith("\\")) {
@@ -49,12 +50,18 @@ object Repl {
     }
   }
 
+  private var timing = false
+
   /** @return false to quit */
   private def command(ctx: GraftContext, cmd: String,
       out: java.io.PrintStream): Boolean = cmd.split("\\s+", 2) match {
     case Array("\\q") => false
     case Array("\\d") =>
       ctx.tableNames().foreach(out.println)
+      true
+    case Array("\\timing") =>
+      timing = !timing
+      out.println(s"timing ${if (timing) "on" else "off"}")
       true
     case Array("\\d", table) =>
       execute(ctx, s"DESCRIBE $table", out)
@@ -72,8 +79,10 @@ object Repl {
   private def execute(ctx: GraftContext, sql: String,
       out: java.io.PrintStream): Unit =
     try {
+      val t0 = System.nanoTime()
       val df = ctx.sql(sql)
       val rows = df.limit(51).collect()
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
       val shown = rows.take(50)
       val cells = df.columns +:
         shown.map(r => (0 until r.length).map(i =>
@@ -89,6 +98,7 @@ object Repl {
       out.println(rule)
       out.println(
         if (rows.length > 50) "(first 50 rows)" else s"(${shown.length} rows)")
+      if (timing) out.println(f"Time: $elapsedMs%.1f ms")
     } catch {
       case NonFatal(e) => out.println(s"Error: ${e.getMessage}")
     }

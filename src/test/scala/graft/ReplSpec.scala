@@ -19,6 +19,11 @@ class ReplSpec extends AnyFunSuite {
         |FROM nation;
         |SELECT bogus FROM nowhere;
         |\explain SELECT count(*) FROM region
+        |\timing
+        |SELECT 1 AS one;
+        |SELECT count(*)
+        |\d
+        |FROM supplier;
         |\q
         |SELECT 'after-quit';
         |""".stripMargin
@@ -33,6 +38,11 @@ class ReplSpec extends AnyFunSuite {
     assert(out.contains("| 25"), "multi-line statement must execute")
     assert(out.contains("Error:"), "bad SQL must not kill the loop")
     assert(out.contains("Physical Plan"), "\\explain must print a plan")
+    assert(out.contains("timing on") && out.contains("Time:"),
+      "\\timing must toggle and print elapsed time")
+    assert(out.contains("(discarded incomplete statement)"),
+      "a command mid-statement must discard the stale buffer")
+    assert(out.contains("Error:"), "the orphaned FROM must error, not corrupt")
     assert(!out.contains("after-quit"), "\\q must stop the loop")
   }
 }
