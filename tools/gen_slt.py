@@ -105,6 +105,28 @@ CORPUS = {
                   CAST(count(*) AS BIGINT) AS n
            FROM orders WHERE extract(year FROM o_orderdate) = 1995
            GROUP BY date_part('quarter', o_orderdate) ORDER BY q""",
+        """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders WHERE extract(year FROM o_orderdate) = 1997
+           GROUP BY date_trunc('month', o_orderdate) ORDER BY m""",
+        """SELECT CAST(date_trunc('year', l_shipdate) AS DATE) AS y,
+                  round(sum(l_quantity), 4) AS qty
+           FROM lineitem GROUP BY date_trunc('year', l_shipdate) ORDER BY y""",
+        """SELECT o_orderkey,
+                  CAST(o_orderdate + INTERVAL '1' MONTH AS DATE) AS plus_m,
+                  CAST(o_orderdate - INTERVAL '7' DAY AS DATE) AS minus_w
+           FROM orders ORDER BY o_orderkey LIMIT 10""",
+        """SELECT CAST(greatest(DATE '1995-06-15',
+                                CAST(min(o_orderdate) AS DATE)) AS DATE) AS g,
+                  CAST(least(DATE '1995-06-15',
+                             CAST(max(o_orderdate) AS DATE)) AS DATE) AS l
+           FROM orders""",
+        """SELECT o_orderkey FROM orders
+           WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+           ORDER BY o_orderkey LIMIT 5""",
+        """SELECT CAST(extract(hour FROM ts) AS BIGINT) AS h,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY extract(hour FROM ts) ORDER BY h LIMIT 24""",
     ],
     # ── aggregates ───────────────────────────────────────────────────
     "agg": [
