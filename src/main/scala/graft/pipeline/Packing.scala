@@ -35,50 +35,51 @@ object Packing {
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
 
-    // id-contiguous blocks; __n pinned to long so the partition fold
-    // doesn't depend on the input column's integer width
+    // id-contiguous blocks; __n pinned to long so the partition folds
+    // don't depend on the input column's integer width. NOTE: `ranged`
+    // is evaluated once per phase below (totals, then cumsum) — persist
+    // the INPUT before calling if it is expensive to recompute; the
+    // operator deliberately holds no cache of its own (a library-held
+    // persist has no owner to release it and leaks for the session).
     val ranged = df.withColumn("__n", col(nTokensCol).cast("long"))
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(col(idCol))
     val nIdx = ranged.schema.fieldIndex("__n")
 
-    // phase 1: per-partition running totals (one narrow pass)
-    val schema = org.apache.spark.sql.types.StructType(
-      ranged.schema.fields ++ Seq(
-        StructField("__pid", LongType, nullable = false),
-        StructField("__local_cum", LongType, nullable = false)))
-    val withLocal = spark.createDataFrame(
-      ranged.rdd.mapPartitionsWithIndex { (pid, rows) =>
-        var cum = 0L
-        rows.map { r =>
-          cum += r.getLong(nIdx)
-          Row.fromSeq(r.toSeq ++ Seq(pid.toLong, cum))
-        }
-      }, schema)
-      .persist()
-
-    // phase 2: P partition totals → exclusive prefix offsets (driver
-    // scan over P longs, rebroadcast as a tiny join)
-    val totals = withLocal.groupBy(col("__pid"))
-      .agg(max(col("__local_cum")).as("__ptotal"))
-      .orderBy(col("__pid"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // phase 1: per-partition token totals — a fold that carries ONE long
+    // per partition to the driver
+    val totals = ranged.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var t = 0L
+      rows.foreach(r => t += r.getLong(nIdx))
+      Iterator((pid.toLong, t))
+    }.collect().sortBy(_._1)
     val offsets = totals
       .scanLeft((-1L, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
       .init.zip(totals)
-      .map { case ((_, prefix), (pid, _)) => (pid, prefix) }
-    val offsetDf = spark.createDataFrame(offsets.toSeq)
-      .toDF("__pid", "__offset")
+      .map { case ((_, prefix), (pid, _)) => (pid, prefix) }.toMap
 
-    withLocal
-      .join(broadcast(offsetDf), Seq("__pid"))
-      .withColumn("tok_end", col("__local_cum") + col("__offset"))
+    // phase 2: local cumsum + broadcast offset in one pass (the range
+    // partitioner is deterministic, so both passes see identical blocks)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields ++ Seq(
+        StructField("tok_end", LongType, nullable = false)))
+    val withEnd = spark.createDataFrame(
+      ranged.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        var cum = bOffsets.value.getOrElse(pid.toLong, 0L)
+        rows.map { r =>
+          cum += r.getLong(nIdx)
+          Row.fromSeq(r.toSeq :+ cum)
+        }
+      }, schema)
+
+    withEnd
       .withColumn("tok_start", col("tok_end") - col("__n"))
       // integer DIV, not floor(double /): offsets in a 100 TB stream
       // exceed the 2^53 range where double division stays exact
       .withColumn("seq_first", expr(s"tok_start div ${budget}L"))
       .withColumn("seq_last", greatest(col("tok_end") - 1, col("tok_start")))
       .withColumn("seq_last", expr(s"seq_last div ${budget}L"))
-      .drop("__pid", "__local_cum", "__offset", "__n")
+      .drop("__n")
   }
 }
