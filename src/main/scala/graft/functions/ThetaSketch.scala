@@ -254,12 +254,22 @@ object Theta {
             s"(got ${kExpr.dataType.simpleString})")
         ThetaSketchAgg(exprs(0), v.asInstanceOf[Int]).toAggregateExpression()
       }, "built-in")
+    def arity(name: String, n: Int)(
+        build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+      exprs => {
+        if (exprs.length != n) throw new IllegalArgumentException(
+          s"$name takes $n argument(s), got ${exprs.length}")
+        build(exprs)
+      }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_theta_estimate", exprs => ThetaEstimate(exprs(0)), "built-in")
+      "graft_theta_estimate",
+      arity("graft_theta_estimate", 1)(e => ThetaEstimate(e(0))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_theta_union", exprs => ThetaUnion(exprs(0), exprs(1)), "built-in")
+      "graft_theta_union",
+      arity("graft_theta_union", 2)(e => ThetaUnion(e(0), e(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_intersect",
-      exprs => ThetaIntersect(exprs(0), exprs(1)), "built-in")
+      arity("graft_theta_intersect", 2)(e => ThetaIntersect(e(0), e(1))),
+      "built-in")
   }
 }

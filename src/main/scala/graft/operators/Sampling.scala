@@ -26,37 +26,35 @@ object Sampling {
   /** Rebalance to a target class mix (the training-mix op: "make the
     * corpus 30% code, 50% web, 20% books"): downsample-only — the
     * largest total is kept that satisfies the exact mix, limited by the
-    * scarcest class (quota_c = floor(min_c(n_c / share_c)) · share_c).
-    * Selection inside a class is the same deterministic md5 ranking as
-    * deterministicSamplePerGroup, so reruns and the oracle agree.
+    * scarcest class. Selection inside a class is the same deterministic
+    * md5 ranking as deterministicSamplePerGroup, so reruns and the
+    * oracle agree.
+    *
+    * Targets are INTEGER weights (web→5, code→3, books→2), not float
+    * shares: quota boundaries then stay in BIGINT arithmetic
+    * (total = min_c(n_c·W div w_c), quota_c = total·w_c div W) and are
+    * bit-reproducible by any engine — float shares put floor() next to
+    * a rounding boundary where engines legitimately disagree.
     *
     * Scale: one count aggregate (tiny — one row per class, collected to
     * compute quotas), then one window ranked by content hash per class
     * — the same single-exchange shape as any per-group top-n.
     *
-    * @param targets class → share; shares must sum to ~1. Classes
-    *        absent from `targets` are dropped.
+    * @param weights class → positive integer weight; classes absent
+    *        from `weights` are dropped.
     */
   def rebalanceToTarget(df: DataFrame, classCol: String, idCol: String,
-      targets: Map[String, Double]): DataFrame = {
-    require(targets.nonEmpty && targets.values.forall(_ > 0) &&
-      math.abs(targets.values.sum - 1.0) < 1e-6,
-      "targets must be positive shares summing to 1")
+      weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive integers")
+    val targets = weights
+    val wSum = weights.values.map(_.toLong).sum
     val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = targets.keySet.filterNot(counts.contains)
     require(missing.isEmpty, s"no rows for target classes: $missing")
-    // decimal, not double, arithmetic: 70/0.2 is 349.99…994 in binary
-    // floating point but exactly 350 in decimal — quota boundaries must
-    // be reproducible by any decimal-arithmetic engine (the oracle)
-    def dec(d: Double) = BigDecimal(d.toString)
-    val total = targets.map { case (c, share) =>
-      (BigDecimal(counts(c)) / dec(share))
-        .setScale(0, BigDecimal.RoundingMode.FLOOR)
-    }.min
-    val quotas = targets.map { case (c, share) =>
-      c -> (total * dec(share))
-        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong }
+    val total = targets.map { case (c, wc) => counts(c) * wSum / wc }.min
+    val quotas = targets.map { case (c, wc) => c -> total * wc / wSum }
     val quotaDf = df.sparkSession
       .createDataFrame(quotas.toSeq).toDF(classCol, "__quota")
     val w = Window.partitionBy(col(classCol))

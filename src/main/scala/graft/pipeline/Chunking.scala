@@ -20,7 +20,7 @@ object Chunking {
     * `chunkTokens - overlap`; the final window may be short; documents
     * with at most `chunkTokens` tokens yield exactly one chunk.
     */
-  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+  def chunkDocs(df: DataFrame, textCol: String,
       chunkTokens: Int, overlap: Int = 0): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "need 0 <= overlap < chunkTokens")

@@ -47,10 +47,20 @@ object Packing {
     val nIdx = ranged.schema.fieldIndex("__n")
 
     // phase 1: per-partition token totals — a fold that carries ONE long
-    // per partition to the driver
+    // per partition to the driver. NULL token counts fail fast with a
+    // named error (Row.getLong alone would die with an opaque task NPE).
+    // A function VALUE capturing only locals: task closures must not
+    // drag the enclosing module in.
+    val nullMsg =
+      s"packTokenStream: NULL $nTokensCol — fill or filter nulls first"
+    val idx = nIdx
+    val tokensOf: Row => Long = r => {
+      if (r.isNullAt(idx)) throw new IllegalArgumentException(nullMsg)
+      r.getLong(idx)
+    }
     val totals = ranged.rdd.mapPartitionsWithIndex { (pid, rows) =>
       var t = 0L
-      rows.foreach(r => t += r.getLong(nIdx))
+      rows.foreach(r => t += tokensOf(r))
       Iterator((pid.toLong, t))
     }.collect().sortBy(_._1)
     val offsets = totals
@@ -68,7 +78,7 @@ object Packing {
       ranged.rdd.mapPartitionsWithIndex { (pid, rows) =>
         var cum = bOffsets.value.getOrElse(pid.toLong, 0L)
         rows.map { r =>
-          cum += r.getLong(nIdx)
+          cum += tokensOf(r)
           Row.fromSeq(r.toSeq :+ cum)
         }
       }, schema)

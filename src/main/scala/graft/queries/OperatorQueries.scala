@@ -204,14 +204,15 @@ object OperatorQueries {
 
     // ── rebalance to a target class mix (training-mix op): largest
     //    exact-mix subset bounded by the scarcest class; deterministic
-    //    md5-ranked selection — the oracle recomputes quota + ranking
-    //    with decimal arithmetic, matching the operator's BigDecimal ────
+    //    md5-ranked selection. Targets are INTEGER weights (5:2:3) so
+    //    quota boundaries stay in BIGINT floor-division on BOTH engines
+    //    — float shares would park floor() on a rounding boundary ───────
     "sample_rebalance" -> Q("""
       |WITH c AS (SELECT lang, count(*) n FROM documents
       |           WHERE lang IN ('en', 'de', 'fr') GROUP BY lang),
-      |t(lang, share) AS (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.3)),
-      |tot AS (SELECT min(floor(n / share)) AS total FROM c JOIN t USING (lang)),
-      |q AS (SELECT t.lang, floor(tot.total * t.share) AS quota FROM t, tot),
+      |t(lang, w) AS (VALUES ('en', 5), ('de', 2), ('fr', 3)),
+      |tot AS (SELECT min(n * 10 // w) AS total FROM c JOIN t USING (lang)),
+      |q AS (SELECT t.lang, tot.total * t.w // 10 AS quota FROM t, tot),
       |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
       |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
       |      FROM documents WHERE lang IN ('en', 'de', 'fr'))
@@ -219,7 +220,7 @@ object OperatorQueries {
       |WHERE r.rk <= q.quota
       |ORDER BY r.lang, r.doc_id""") { (s, d) =>
       Sampling.rebalanceToTarget(Engine.table(s, d, "documents"),
-          "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3))
+          "lang", "doc_id", Map("en" -> 5, "de" -> 2, "fr" -> 3))
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))
     },

@@ -39,7 +39,7 @@ object PipelineQueries {
       |       CAST(least(n - chunk_start, 64) AS BIGINT) AS n_chunk_tokens,
       |       md5(array_to_string(toks[chunk_start+1:chunk_start+64], ' ')) AS h
       |FROM c ORDER BY doc_id, chunk_id""") { (s, d) =>
-      Chunking.chunkDocs(Engine.table(s, d, "documents"), "doc_id", "text",
+      Chunking.chunkDocs(Engine.table(s, d, "documents"), "text",
           chunkTokens = 64, overlap = 16)
         .select(col("doc_id"), col("chunk_id"),
           col("chunk_start").cast("long").as("chunk_start"),

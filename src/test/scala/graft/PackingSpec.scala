@@ -65,7 +65,7 @@ class PackingSpec extends AnyFunSuite {
       (3L, "p q r s"),                // n=4 == chunk (exact cover)
       (4L, (1 to 100).map("t" + _).mkString(" "))
     ).toDF("doc_id", "text")
-    val chunks = Chunking.chunkDocs(df, "doc_id", "text",
+    val chunks = Chunking.chunkDocs(df, "text",
         chunkTokens = 4, overlap = 0)
       .orderBy(col("doc_id"), col("chunk_id"))
       .select(col("doc_id"), col("chunk_text"))
@@ -87,19 +87,19 @@ class PackingSpec extends AnyFunSuite {
       (1001 to 1300).map(i => (i.toLong, "code")) ++
       (2001 to 2080).map(i => (i.toLong, "books"))).toDF("id", "cls")
     val out = graft.operators.Sampling.rebalanceToTarget(
-      df, "cls", "id", Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2))
+      df, "cls", "id", Map("web" -> 5, "code" -> 3, "books" -> 2))
     val mix = out.groupBy(col("cls")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // books is scarcest: total = floor(80/0.2) = 400
+    // books is scarcest: total = 80*10 div 2 = 400
     assert(mix == Map("web" -> 200L, "code" -> 120L, "books" -> 80L))
     // deterministic: rerun returns the same ids
     val again = graft.operators.Sampling.rebalanceToTarget(
-      df, "cls", "id", Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2))
+      df, "cls", "id", Map("web" -> 5, "code" -> 3, "books" -> 2))
     assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
     val err = intercept[IllegalArgumentException] {
       graft.operators.Sampling.rebalanceToTarget(
-        df, "cls", "id", Map("web" -> 0.5, "absent" -> 0.5)).count()
+        df, "cls", "id", Map("web" -> 1, "absent" -> 1)).count()
     }
     assert(err.getMessage.contains("absent"))
   }
@@ -108,7 +108,7 @@ class PackingSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq((1L, (1 to 20).map("w" + _).mkString(" ")))
       .toDF("doc_id", "text")
-    val chunks = Chunking.chunkDocs(df, "doc_id", "text",
+    val chunks = Chunking.chunkDocs(df, "text",
         chunkTokens = 8, overlap = 3)
       .orderBy(col("chunk_id"))
       .select(col("chunk_text")).collect().map(_.getString(0))

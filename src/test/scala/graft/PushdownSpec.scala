@@ -84,8 +84,12 @@ class PushdownSpec extends AnyFunSuite {
     val l = Engine.table(spark, sf, "lineitem")
     val p = Engine.table(spark, sf, "part").filter(col("p_size") === 15)
     val plan = planOf(l.join(p, col("l_partkey") === col("p_partkey")))
+    // pin the FACT scan's own PushedFilters line (the part scan always
+    // has one from the explicit p_size filter — matching any line would
+    // make this test vacuous)
     val factPushed = plan.linesIterator
       .filter(_.contains("PushedFilters:")).toList
-    assert(factPushed.exists(_.contains("IsNotNull")), factPushed.mkString("\n"))
+    assert(factPushed.exists(_.contains("IsNotNull(l_partkey)")),
+      factPushed.mkString("\n"))
   }
 }

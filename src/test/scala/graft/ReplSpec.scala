@@ -23,7 +23,7 @@ class ReplSpec extends AnyFunSuite {
         |SELECT 1 AS one;
         |SELECT count(*)
         |\d
-        |FROM supplier;
+        |WHERE s_suppkey = 1;
         |\q
         |SELECT 'after-quit';
         |""".stripMargin
@@ -42,7 +42,10 @@ class ReplSpec extends AnyFunSuite {
       "\\timing must toggle and print elapsed time")
     assert(out.contains("(discarded incomplete statement)"),
       "a command mid-statement must discard the stale buffer")
-    assert(out.contains("Error:"), "the orphaned FROM must error, not corrupt")
+    // two distinct errors: the bad statement AND the orphaned FROM after
+    // the discard (a single Error: would mean the stale prefix survived)
+    assert("Error:".r.findAllIn(out).size == 2,
+      s"expected exactly 2 errors in:\n$out")
     assert(!out.contains("after-quit"), "\\q must stop the loop")
   }
 }
