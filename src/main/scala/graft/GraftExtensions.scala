@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.LongType
 
 import graft.functions.{
   CosineSim, Gcd, HyperplaneSignature, InSetCounts, Lcm, MinHash64,
-  NGramsGenerator, RollingFpPortable, RollingFpXx, Shingles, SimHash63}
+  NGramsGenerator, RollingFpPortable, RollingFpXx, Shingles, SimHash63,
+  Sketches}
 import graft.plans.{TopKAggregationRule, TopKAggStrategy}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`
@@ -67,6 +68,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NGramsGenerator].getName, "graft_ngrams"),
       exprs => NGramsGenerator(exprs(0), exprs(1))))
+    // sketch-aggregate tier (binary-state TypedImperativeAggregates) +
+    // their scalar companions — extension-built sessions get the same
+    // SQL surface as GraftFunctionsRegistry.registerAll sessions. The
+    // builders are shared with each object's register() so argument
+    // validation stays in one place.
+    Sketches.aggregateBuilders.foreach { case (name, clazz, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz, name), builder))
+    }
     // TopK aggregation fusion: limit-sort-aggregate → bounded top-k
     // operator (custom LogicalPlan + Strategy + SparkPlan, plans/
     // TopKAggregate.scala)

@@ -165,22 +165,27 @@ object Bloom {
   def contains(sketch: Column, key: Column): Column =
     call_function("graft_bloom_contains", sketch, key)
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom", exprs => {
-        def intLit(e: Expression, what: String): Int = {
-          val ok = e.foldable && e.dataType ==
-            org.apache.spark.sql.types.IntegerType
-          val v = if (ok) e.eval(InternalRow.empty) else null
-          if (v == null) throw new IllegalArgumentException(
-            s"graft_bloom: $what must be a non-null int literal")
-          v.asInstanceOf[Int]
-        }
-        BloomFilterAgg(exprs(0), intLit(exprs(1), "numBits"),
-          intLit(exprs(2), "numHashes")).toAggregateExpression()
-      }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_contains",
-      exprs => BloomContains(exprs(0), exprs(1)), "built-in")
-  }
+  /** (name, impl class, builder) — shared by register() and
+    * GraftExtensions. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_bloom", classOf[BloomFilterAgg].getName, exprs => {
+      def intLit(e: Expression, what: String): Int = {
+        val ok = e.foldable && e.dataType ==
+          org.apache.spark.sql.types.IntegerType
+        val v = if (ok) e.eval(InternalRow.empty) else null
+        if (v == null) throw new IllegalArgumentException(
+          s"graft_bloom: $what must be a non-null int literal")
+        v.asInstanceOf[Int]
+      }
+      BloomFilterAgg(exprs(0), intLit(exprs(1), "numBits"),
+        intLit(exprs(2), "numHashes")).toAggregateExpression()
+    }),
+    ("graft_bloom_contains", classOf[BloomContains].getName,
+      exprs => BloomContains(exprs(0), exprs(1))))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

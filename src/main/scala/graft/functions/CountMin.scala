@@ -133,24 +133,29 @@ object CountMin {
   def estimate(sketch: Column, key: Column): Column =
     call_function("graft_count_min_estimate", sketch, key)
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_count_min", exprs => {
-        // depth/width must be non-null int literals — fail with a clear
-        // message at resolution, not a task-side cast error
-        def intLit(e: Expression, what: String): Int = {
-          val ok = e.foldable && e.dataType ==
-            org.apache.spark.sql.types.IntegerType
-          val v = if (ok) e.eval(InternalRow.empty) else null
-          if (v == null) throw new IllegalArgumentException(
-            s"graft_count_min: $what must be a non-null int literal")
-          v.asInstanceOf[Int]
-        }
-        CountMinSketchAgg(exprs(0), intLit(exprs(1), "depth"),
-          intLit(exprs(2), "width")).toAggregateExpression()
-      }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_count_min_estimate",
-      exprs => CountMinEstimate(exprs(0), exprs(1)), "built-in")
-  }
+  /** (name, impl class, builder) — shared by register() and
+    * GraftExtensions. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_count_min", classOf[CountMinSketchAgg].getName, exprs => {
+      // depth/width must be non-null int literals — fail with a clear
+      // message at resolution, not a task-side cast error
+      def intLit(e: Expression, what: String): Int = {
+        val ok = e.foldable && e.dataType ==
+          org.apache.spark.sql.types.IntegerType
+        val v = if (ok) e.eval(InternalRow.empty) else null
+        if (v == null) throw new IllegalArgumentException(
+          s"graft_count_min: $what must be a non-null int literal")
+        v.asInstanceOf[Int]
+      }
+      CountMinSketchAgg(exprs(0), intLit(exprs(1), "depth"),
+        intLit(exprs(2), "width")).toAggregateExpression()
+    }),
+    ("graft_count_min_estimate", classOf[CountMinEstimate].getName,
+      exprs => CountMinEstimate(exprs(0), exprs(1))))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

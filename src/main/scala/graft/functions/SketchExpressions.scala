@@ -511,6 +511,14 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object Sketches {
+  /** Every binary-state sketch aggregate family's (name, class, builder)
+    * — GraftExtensions injects these so extension-built sessions have
+    * the same SQL surface as GraftFunctionsRegistry.registerAll ones. */
+  def aggregateBuilders: Seq[(String, String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] =
+    CountMin.builders ++ Bloom.builders ++ Theta.builders
+
   def simhash63(tokenHashes: Column): Column =
     call_function("graft_simhash63", tokenHashes)
 

@@ -240,11 +240,19 @@ object Theta {
   def intersect(a: Column, b: Column): Column =
     call_function("graft_theta_intersect", a, b)
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_theta_sketch", exprs => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"graft_theta_sketch(col, k) takes 2 arguments, got ${exprs.length}")
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name takes $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
+  /** (name, impl class, builder) — one source of truth for both the
+    * session-scoped register() and the GraftExtensions injection. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_theta_sketch", classOf[ThetaSketchAgg].getName,
+      arity("graft_theta_sketch", 2) { exprs =>
         val kExpr = exprs(1)
         val ok = kExpr.foldable &&
           kExpr.dataType == org.apache.spark.sql.types.IntegerType
@@ -253,23 +261,17 @@ object Theta {
           "graft_theta_sketch: k must be a non-null INT literal " +
             s"(got ${kExpr.dataType.simpleString})")
         ThetaSketchAgg(exprs(0), v.asInstanceOf[Int]).toAggregateExpression()
-      }, "built-in")
-    def arity(name: String, n: Int)(
-        build: Seq[Expression] => Expression): Seq[Expression] => Expression =
-      exprs => {
-        if (exprs.length != n) throw new IllegalArgumentException(
-          s"$name takes $n argument(s), got ${exprs.length}")
-        build(exprs)
-      }
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_theta_estimate",
-      arity("graft_theta_estimate", 1)(e => ThetaEstimate(e(0))), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_theta_union",
-      arity("graft_theta_union", 2)(e => ThetaUnion(e(0), e(1))), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_theta_intersect",
-      arity("graft_theta_intersect", 2)(e => ThetaIntersect(e(0), e(1))),
-      "built-in")
-  }
+      }),
+    ("graft_theta_estimate", classOf[ThetaEstimate].getName,
+      arity("graft_theta_estimate", 1)(e => ThetaEstimate(e(0)))),
+    ("graft_theta_union", classOf[ThetaUnion].getName,
+      arity("graft_theta_union", 2)(e => ThetaUnion(e(0), e(1)))),
+    ("graft_theta_intersect", classOf[ThetaIntersect].getName,
+      arity("graft_theta_intersect", 2)(e => ThetaIntersect(e(0), e(1)))))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

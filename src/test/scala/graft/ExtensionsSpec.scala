@@ -35,6 +35,15 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r2.getSeq[String](1) == Seq("a b", "b c"))
       assert(r2.getSeq[Long](2) == Seq(1L))
       assert(r2.getLong(3) == (97L * 131 + 98) % 1000000007L)
+      // the sketch-aggregate tier is injected too (count-min/bloom/theta)
+      val r3 = s.sql("""SELECT
+        graft_theta_estimate(graft_theta_sketch(id, 64)) AS t,
+        graft_count_min_estimate(graft_count_min(id, 4, 64), 3L) AS cm,
+        graft_bloom_contains(graft_bloom(id, 6400, 5), 3L) AS b
+        FROM range(10)""").head()
+      assert(r3.getLong(0) == 10L)
+      assert(r3.getLong(1) == 1L)
+      assert(r3.getBoolean(2))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
