@@ -28,6 +28,11 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // library extensions are ON for every session: the TopK fusion
+      // rule, planner strategy, and graft_* functions see every query,
+      // not just the ones that opt in — the oracle gate then re-proves
+      // the whole corpus under the custom rules
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
