@@ -33,7 +33,11 @@ object Explain {
           org.apache.spark.sql.execution.SimpleMode)
         def count(needle: String): Int =
           text.sliding(needle.length).count(_ == needle)
-        println(f"$n%-28s ${count("Exchange")}%4d ${count("BroadcastNestedLoopJoin")}%4d " +
+        // "Exchange" is a substring of "BroadcastExchange"/"ReusedExchange":
+        // count only shuffle exchanges, same subtraction idiom as the aggs
+        val shuffleExch =
+          count("Exchange") - count("BroadcastExchange") - count("ReusedExchange")
+        println(f"$n%-28s $shuffleExch%4d ${count("BroadcastNestedLoopJoin")}%4d " +
           f"${count("CartesianProduct")}%4d ${count("SortMergeJoin")}%3d " +
           f"${count("BroadcastHashJoin")}%3d ${count("ShuffledHashJoin")}%3d " +
           // "HashAggregate" is a substring of "ObjectHashAggregate"

@@ -168,20 +168,22 @@ object Bloom {
   /** (name, impl class, builder) — shared by register() and
     * GraftExtensions. */
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
-    ("graft_bloom", classOf[BloomFilterAgg].getName, exprs => {
-      def intLit(e: Expression, what: String): Int = {
-        val ok = e.foldable && e.dataType ==
-          org.apache.spark.sql.types.IntegerType
-        val v = if (ok) e.eval(InternalRow.empty) else null
-        if (v == null) throw new IllegalArgumentException(
-          s"graft_bloom: $what must be a non-null int literal")
-        v.asInstanceOf[Int]
-      }
-      BloomFilterAgg(exprs(0), intLit(exprs(1), "numBits"),
-        intLit(exprs(2), "numHashes")).toAggregateExpression()
-    }),
+    ("graft_bloom", classOf[BloomFilterAgg].getName,
+      Theta.arity("graft_bloom", 3) { exprs =>
+        def intLit(e: Expression, what: String): Int = {
+          val ok = e.foldable && e.dataType ==
+            org.apache.spark.sql.types.IntegerType
+          val v = if (ok) e.eval(InternalRow.empty) else null
+          if (v == null) throw new IllegalArgumentException(
+            s"graft_bloom: $what must be a non-null int literal")
+          v.asInstanceOf[Int]
+        }
+        BloomFilterAgg(exprs(0), intLit(exprs(1), "numBits"),
+          intLit(exprs(2), "numHashes")).toAggregateExpression()
+      }),
     ("graft_bloom_contains", classOf[BloomContains].getName,
-      exprs => BloomContains(exprs(0), exprs(1))))
+      Theta.arity("graft_bloom_contains", 2)(
+        exprs => BloomContains(exprs(0), exprs(1)))))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     builders.foreach { case (name, _, builder) =>

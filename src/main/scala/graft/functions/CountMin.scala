@@ -136,22 +136,24 @@ object CountMin {
   /** (name, impl class, builder) — shared by register() and
     * GraftExtensions. */
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
-    ("graft_count_min", classOf[CountMinSketchAgg].getName, exprs => {
-      // depth/width must be non-null int literals — fail with a clear
-      // message at resolution, not a task-side cast error
-      def intLit(e: Expression, what: String): Int = {
-        val ok = e.foldable && e.dataType ==
-          org.apache.spark.sql.types.IntegerType
-        val v = if (ok) e.eval(InternalRow.empty) else null
-        if (v == null) throw new IllegalArgumentException(
-          s"graft_count_min: $what must be a non-null int literal")
-        v.asInstanceOf[Int]
-      }
-      CountMinSketchAgg(exprs(0), intLit(exprs(1), "depth"),
-        intLit(exprs(2), "width")).toAggregateExpression()
-    }),
+    ("graft_count_min", classOf[CountMinSketchAgg].getName,
+      Theta.arity("graft_count_min", 3) { exprs =>
+        // depth/width must be non-null int literals — fail with a clear
+        // message at resolution, not a task-side cast error
+        def intLit(e: Expression, what: String): Int = {
+          val ok = e.foldable && e.dataType ==
+            org.apache.spark.sql.types.IntegerType
+          val v = if (ok) e.eval(InternalRow.empty) else null
+          if (v == null) throw new IllegalArgumentException(
+            s"graft_count_min: $what must be a non-null int literal")
+          v.asInstanceOf[Int]
+        }
+        CountMinSketchAgg(exprs(0), intLit(exprs(1), "depth"),
+          intLit(exprs(2), "width")).toAggregateExpression()
+      }),
     ("graft_count_min_estimate", classOf[CountMinEstimate].getName,
-      exprs => CountMinEstimate(exprs(0), exprs(1))))
+      Theta.arity("graft_count_min_estimate", 2)(
+        exprs => CountMinEstimate(exprs(0), exprs(1)))))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     builders.foreach { case (name, _, builder) =>

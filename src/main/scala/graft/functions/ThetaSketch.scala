@@ -240,7 +240,7 @@ object Theta {
   def intersect(a: Column, b: Column): Column =
     call_function("graft_theta_intersect", a, b)
 
-  private def arity(name: String, n: Int)(
+  private[functions] def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     exprs => {
       if (exprs.length != n) throw new IllegalArgumentException(

@@ -49,7 +49,12 @@ object Sampling {
       "weights must be positive integers")
     val targets = weights
     val wSum = weights.values.map(_.toLong).sum
-    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+    // cast to string + drop NULLs: weights keys are strings, and a
+    // non-string class column would otherwise die in getString (NULL
+    // class rows can never match a weight, same as the inner join below)
+    val counts = df.filter(col(classCol).isNotNull)
+      .groupBy(col(classCol).cast("string").as(classCol))
+      .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = targets.keySet.filterNot(counts.contains)
     require(missing.isEmpty, s"no rows for target classes: $missing")

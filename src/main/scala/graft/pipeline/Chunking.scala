@@ -25,7 +25,11 @@ object Chunking {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "need 0 <= overlap < chunkTokens")
     val step = chunkTokens - overlap
-    val toks = split(col(textCol), "\\s+")
+    // NULL text fails fast with a named error, matching packTokenStream's
+    // contract (a silent explode-of-null would just drop the row).
+    val toks = when(col(textCol).isNull, raise_error(
+        lit(s"chunkDocs: NULL $textCol — fill or filter nulls first")))
+      .otherwise(split(col(textCol), "\\s+"))
     df
       .withColumn("__toks", toks)
       .withColumn("__ntok", size(col("__toks")))

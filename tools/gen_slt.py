@@ -19,6 +19,7 @@ Usage: python tools/gen_slt.py [sfDir]   (default /root/testdata/sf0.001)
 """
 import sys
 import datetime
+import decimal
 
 import duckdb
 
@@ -361,7 +362,14 @@ def fmt(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return "%.4f" % v
+        # Java's String.format("%.4f") rounds HALF_UP; Python's "%.4f"
+        # rounds half-even — quantize explicitly so 4th-decimal ties
+        # can't diverge between golden and replay.
+        # Decimal(v) is the EXACT binary value (same as Java's
+        # new BigDecimal(double)) — an exact tie at the 4th decimal is
+        # impossible for a dyadic rational, so both sides round alike.
+        return str(decimal.Decimal(v).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP))
     if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.datetime):
