@@ -19,9 +19,14 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_NO_EXT=1: diagnostic A/B knob isolating the
+    // extensions' injected optimizer rule/strategy cost — functions are
+    // session-registered instead, so every query still runs
+    val noExt = sys.env.contains("SPARK_GRAFT_NO_EXT")
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .withExtensions(new GraftExtensions)
+    val spark = (if (noExt) builder0
+      else builder0.withExtensions(new GraftExtensions))
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
@@ -30,6 +35,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (noExt) GraftFunctionsRegistry.registerAll(spark)
 
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -46,20 +52,28 @@ object Bench {
     // a failing query must not silently report its near-zero failure
     // time as a benchmark result — track and surface it in the JSON
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n))).flatMap { name =>
+    // one UNTIMED warmup execution per query before the timed iters:
+    // codegen compile, broadcast builds, and any GC debt land outside
+    // the measurement, so min-of-iters is warm-vs-warm by construction
+    // (r3 lesson: min-of-2 cold pairs read up to 7× high on sub-100ms
+    // queries). Reference convention is likewise warm-process times.
+    def timeQuery(name: String, tag: String): Option[Double] = {
+      try run(name) catch { case _: Throwable => () }
       val times = (1 to math.max(1, iters)).map { _ =>
         val t0 = System.nanoTime()
         try run(name) catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += tag
+          System.err.println(s"[bench] $tag failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
       // exclude failed queries entirely: their near-zero exception time
       // must not shrink total/tpch_total or fake the per-query floor
-      if (failed.contains(name)) None else Some(name -> times.min)
+      if (failed.contains(tag)) None else Some(times.min)
     }
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .flatMap(name => timeQuery(name, name).map(name -> _))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -88,18 +102,9 @@ object Bench {
           val df = Engine.table(spark, sfDir, t)
           df.cache(); df.count()
         }
-        // same failure rule as the disk pass: a failed query's near-zero
-        // exception time must not enter the reported numbers
+        // same warmup + failure rules as the disk pass
         val m = tpchNames.flatMap { name =>
-          val times = (1 to math.max(1, iters)).map { _ =>
-            val t0 = System.nanoTime()
-            try run(name) catch { case e: Throwable =>
-              failed += s"mem:$name"
-              System.err.println(s"[bench] mem:$name failed: ${e.getMessage}")
-            }
-            (System.nanoTime() - t0) / 1e9
-          }
-          if (failed.contains(s"mem:$name")) None else Some(name -> times.min)
+          timeQuery(name, s"mem:$name").map(name -> _)
         }.toMap
         tpchTables.foreach(t => Engine.table(spark, sfDir, t).unpersist())
         m

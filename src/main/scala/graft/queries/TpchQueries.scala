@@ -94,10 +94,17 @@ object TpchQueries {
         .filter(col("o_orderdate") >= ts("1996-07-01") &&
           col("o_orderdate") < ts("1996-10-01"))
       val l = Engine.table(s, d, "lineitem")
-      o.join(l, o("o_orderkey") === l("l_orderkey") &&
-          l("l_shipdate") > o("o_orderdate"), "left_semi")
+      // EXISTS as inner-join + distinct-count, broadcasting the FILTERED
+      // side (3 months of orders): a bare left-semi makes Catalyst build
+      // a HashedRelation of the column-pruned FACT table (BuildRight is
+      // the only broadcast-semi shape), which is the wrong side at any
+      // scale. Here lineitem STREAMS through a ~3% orders broadcast and
+      // only matched (priority, orderkey) pairs reach the shuffle;
+      // o_orderkey is unique in orders so countDistinct ≡ semi + count.
+      l.join(broadcast(o), o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "inner")
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("order_count"))
+        .agg(countDistinct(o("o_orderkey")).as("order_count"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -388,9 +395,15 @@ object TpchQueries {
         .filter(col("p_brand") =!= "Brand#3" &&
           col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
       val l = Engine.table(s, d, "lineitem")
+      // size(collect_set) instead of countDistinct: one exchange (set
+      // union is the partial agg) vs two (dedupe expand + count). The
+      // state is bounded by |suppliers| per (brand,type,size) group —
+      // a dimension-bounded key space, not data-scaled — so the set
+      // stays small at any SF; same null semantics (both drop nulls).
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .agg(size(collect_set(col("l_suppkey"))).cast("long")
+          .as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
           col("p_size"))
     },

@@ -71,6 +71,11 @@ def main():
             continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
+            # targeted SPARK_GRAFT_ONLY runs dump a subset but always
+            # write the full oracle_sql.json — skip absent outputs
+            # instead of failing when asked (full runs keep the FAIL)
+            if "--present-only" in sys.argv:
+                continue
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
