@@ -35,6 +35,62 @@ object MiscQueries {
         .orderBy(col("n"))
     },
 
+    // ── WITH RECURSIVE as SQL TEXT through spark.sql (Spark 4.1 ships
+    //    native recursive CTEs — UnionLoopExec + cteRecursionLevelLimit;
+    //    reference surface: datafusion/sql/src/cte.rs). Same series as
+    //    recursive_series, but typed by a user, not built via the
+    //    library fixpoint API ────────────────────────────────────────────
+    "recursive_series_sql" -> Q("""
+      |WITH RECURSIVE t(n) AS (
+      |  SELECT CAST(1 AS BIGINT) AS n
+      |  UNION ALL
+      |  SELECT n + 1 FROM t WHERE n < 30)
+      |SELECT n FROM t ORDER BY n""") { (s, d) =>
+      s.sql("""
+        WITH RECURSIVE t(n) AS (
+          SELECT CAST(1 AS BIGINT) AS n
+          UNION ALL
+          SELECT n + 1 FROM t WHERE n < 30)
+        SELECT n FROM t ORDER BY n""")
+    },
+
+    // SQL-text transitive closure over the same supplier→nation→region
+    // hierarchy recursive_reachability walks via the fixpoint API.
+    // Spark 4.1 supports only UNION ALL recursion (UNION raises
+    // UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, probed 2026-08-13); the
+    // hierarchy is a tree (one outgoing edge per node) so every path is
+    // unique and UNION ALL yields the same rows — the frontier empties
+    // at the region sinks, which is what terminates the walk.
+    "recursive_reachability_sql" -> Q("""
+      |WITH RECURSIVE edges AS (
+      |  SELECT CAST(s_suppkey + 1000 AS BIGINT) AS src,
+      |         CAST(s_nationkey + 100 AS BIGINT) AS dst FROM supplier
+      |  UNION ALL
+      |  SELECT CAST(n_nationkey + 100 AS BIGINT),
+      |         CAST(n_regionkey AS BIGINT) FROM nation),
+      |r(start, node) AS (
+      |  SELECT CAST(s_suppkey + 1000 AS BIGINT), CAST(s_suppkey + 1000 AS BIGINT)
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT r.start, e.dst FROM r JOIN edges e ON e.src = r.node)
+      |SELECT start, node FROM r ORDER BY start, node""") { (s, d) =>
+      Engine.registerAll(s, d)
+      s.sql("""
+        WITH RECURSIVE edges AS (
+          SELECT CAST(s_suppkey + 1000 AS BIGINT) AS src,
+                 CAST(s_nationkey + 100 AS BIGINT) AS dst FROM supplier
+          UNION ALL
+          SELECT CAST(n_nationkey + 100 AS BIGINT),
+                 CAST(n_regionkey AS BIGINT) FROM nation),
+        r(start, node) AS (
+          SELECT CAST(s_suppkey + 1000 AS BIGINT),
+                 CAST(s_suppkey + 1000 AS BIGINT)
+          FROM supplier
+          UNION ALL
+          SELECT r.start, e.dst FROM r JOIN edges e ON e.src = r.node)
+        SELECT start, node FROM r ORDER BY start, node""")
+    },
+
     // ── WITH RECURSIVE: reachability over a node hierarchy ───────────────
     // supplier(id+1000) → nation(id+100) → region(id); transitive closure.
     "recursive_reachability" -> Q("""
