@@ -95,6 +95,26 @@ object StreamingQueries {
         .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
           col("value"))
         .orderBy(col("c_id"), col("p_id").asc_nulls_first)
+    },
+
+    // ── FULL OUTER stream-stream interval join: unmatched rows from
+    //    BOTH sides survive NULL-padded (state-eviction emission in
+    //    stream mode — StreamingSpec; plain full join in batch).
+    //    user_id coalesces across sides so every row carries it ─────────
+    "stream_join_full" -> Q("""
+      |SELECT c.event_id AS c_id, p.event_id AS p_id,
+      |       coalesce(c.user_id, p.user_id) AS user_id, p.value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+      |ORDER BY c_id NULLS FIRST, p_id NULLS FIRST""") { (s, d) =>
+      Streaming.clickToPurchaseFullOuter(Engine.table(s, d, "events"))
+        .select(col("c_id"), col("p_id"),
+          coalesce(col("c_user"), col("p_user")).as("user_id"),
+          col("value"))
+        .orderBy(col("c_id").asc_nulls_first, col("p_id").asc_nulls_first)
     }
   )
 }

@@ -69,6 +69,15 @@ object Streaming {
       watermark: String = "1 hour"): DataFrame =
     intervalJoin(events, watermark, "left_outer")
 
+  /** FULL OUTER stream-stream interval join: unmatched rows from BOTH
+    * sides emit NULL-padded once the watermark evicts their state —
+    * clicks after their 30-min match interval closes, purchases once no
+    * earlier click can still arrive. Completes the join-type set over
+    * SymmetricHashJoinExec (inner/left/full). */
+  def clickToPurchaseFullOuter(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    intervalJoin(events, watermark, "full_outer")
+
   private def intervalJoin(events: DataFrame, watermark: String,
       joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")

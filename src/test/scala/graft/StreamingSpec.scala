@@ -150,6 +150,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.contains((3L, -1L)), "unmatched click must carry NULL")
   }
 
+  test("full-outer interval join emits unmatched rows of BOTH sides") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    def ev(id: Long, offsetMin: Int, user: Long, typ: String): Ev =
+      Ev(id, new java.sql.Timestamp(base.getTime + offsetMin * 60000L),
+        user, typ, id * 1.0)
+    val data = Seq(
+      ev(1, 0, 1, "click"), ev(2, 10, 1, "purchase"), // matched pair
+      ev(3, 5, 2, "click"),                           // no purchase → NULL p
+      ev(4, 50, 3, "purchase"))                       // no click → NULL c
+    val ms = MemoryStream[Ev]
+    val q = Streaming.clickToPurchaseFullOuter(ms.toDF(), watermark = "10 minutes")
+      .select(col("c_id"), col("p_id"))
+      .writeStream.format("memory").queryName("ssj_full")
+      .outputMode("append").start()
+    ms.addData(data)
+    q.processAllAvailable()
+    // push the watermark far past every interval, then one more batch to
+    // flush evictions. BOTH sides need late events: the global watermark
+    // is min(click wm, purchase wm), so click-only flushes would pin the
+    // purchase watermark and the unmatched purchase would never evict
+    ms.addData(ev(9, 600, 9, "click"), ev(11, 600, 9, "purchase"))
+    q.processAllAvailable()
+    ms.addData(ev(10, 1200, 9, "click"), ev(12, 1200, 9, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row): (Long, Long) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))
+    val streamed = spark.table("ssj_full").collect().map(key).toSet
+    val batch = Streaming.clickToPurchaseFullOuter(data.toDF())
+      .select(col("c_id"), col("p_id")).collect().map(key).toSet
+    // flush events 9-12 excluded on both key positions: their intervals
+    // never close before the stream stops
+    assert(streamed.filter(t => t._1 < 9L && t._2 < 9L) == batch)
+    assert(batch.contains((3L, -1L)), "unmatched click must NULL-pad")
+    assert(batch.contains((-1L, 4L)), "unmatched purchase must NULL-pad")
+  }
+
   test("transformWithState running totals equal flatMapGroupsWithState and batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
