@@ -77,6 +77,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz, name), builder))
     }
+    // UDWF tier (AggregateWindowFunctions: ewma fold, GROUPS frame)
+    graft.functions.GraftWindowFunctions.builders.foreach {
+      case (name, clazz, builder) =>
+        e.injectFunction((FunctionIdentifier(name),
+          new ExpressionInfo(clazz, name), builder))
+    }
     // TopK aggregation fusion: limit-sort-aggregate → bounded top-k
     // operator (custom LogicalPlan + Strategy + SparkPlan, plans/
     // TopKAggregate.scala)

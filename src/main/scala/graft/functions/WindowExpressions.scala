@@ -2,10 +2,14 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, AggregateWindowFunction, AttributeReference, Cast, Expression, If,
-  IsNull, Literal, Multiply, Subtract}
+  Add, AggregateWindowFunction, And, AttributeReference, Cast, Concat,
+  CreateArray, CurrentRow, ElementAt, EqualNullSafe, EqualTo, Expression,
+  Greatest, GreaterThan, If, IsNull, Literal, Multiply, Not, Or, RangeFrame,
+  Size, Slice, SpecifiedWindowFrame, Subtract, UnboundedPreceding,
+  WindowFrame}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{
+  ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType}
 
 /** UDWF surface (reference: WindowUDFImpl + PartitionEvaluator,
   * datafusion/expr/src/udwf.rs:251, partition_evaluator.rs:89). Spark has
@@ -66,6 +70,111 @@ case class Ewma(child: Expression, alphaExpr: Expression)
     copy(child = newChildren(0), alphaExpr = newChildren(1))
 }
 
+/** Native GROUPS window frame: `sum(value) OVER (... GROUPS BETWEEN k
+  * PRECEDING AND CURRENT ROW)` — the reference frame mode Spark's
+  * planner lacks entirely (reference: expr/src/window_frame.rs:418-432;
+  * Spark has only RowFrame/RangeFrame and no GROUPS parser token).
+  *
+  * How it becomes expressible as a single window function: the frame is
+  * fixed to RANGE UNBOUNDED PRECEDING..CURRENT ROW, the one running
+  * frame that INCLUDES ALL PEERS of the current row before emitting
+  * (the same trick cume_dist uses). By the time a row is evaluated the
+  * state has folded every row up to the last peer of the current row;
+  * bucketing that stream into peer groups (detected by `key`, which
+  * must be the window's ORDER BY expression) and keeping a ring of the
+  * trailing k+1 per-group subtotals yields exactly the GROUPS frame
+  * [group(current)-k .. group(current)] — including the whole current
+  * peer group, as the SQL standard's GROUPS CURRENT ROW bound demands.
+  *
+  * Arithmetic is exact: values cast to BIGINT, so the running
+  * total-minus-evicted-group maintenance cannot drift (and the DuckDB
+  * oracle's native GROUPS sum matches bit-for-bit). Sum-over-no-values
+  * is NULL via a parallel non-null count. State is O(k) per partition
+  * position — same streaming cost envelope as Ewma.
+  */
+case class GroupsSum(valueExpr: Expression, keyExpr: Expression,
+    kExpr: Expression) extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(valueExpr, keyExpr, kExpr)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_groups_sum"
+
+  override val frame: WindowFrame =
+    SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
+
+  // preceding-group count: a foldable non-negative int literal
+  private lazy val k: Int = {
+    val ok = kExpr.foldable && kExpr.dataType == IntegerType
+    val v = if (ok) kExpr.eval() else null
+    if (v == null || v.asInstanceOf[Int] < 0)
+      throw new IllegalArgumentException(
+        "graft_groups_sum: k must be a non-negative int literal")
+    v.asInstanceOf[Int]
+  }
+
+  private lazy val subs = AttributeReference("groups_subs",
+    ArrayType(LongType, containsNull = false), nullable = false)()
+  private lazy val cnts = AttributeReference("groups_cnts",
+    ArrayType(LongType, containsNull = false), nullable = false)()
+  private lazy val total =
+    AttributeReference("groups_total", LongType, nullable = false)()
+  private lazy val cntTotal =
+    AttributeReference("groups_cnt_total", LongType, nullable = false)()
+  private lazy val lastKey = AttributeReference("groups_last_key",
+    keyExpr.dataType, nullable = true)()
+  private lazy val started =
+    AttributeReference("groups_started", BooleanType, nullable = false)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] =
+    Seq(subs, cnts, total, cntTotal, lastKey, started)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(Array.empty[Long], ArrayType(LongType, false)),
+    Literal.create(Array.empty[Long], ArrayType(LongType, false)),
+    Literal(0L), Literal(0L),
+    Literal.create(null, keyExpr.dataType), Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val x = Cast(valueExpr, LongType)
+    val xv = If(IsNull(x), Literal(0L), x)
+    val xc = If(IsNull(x), Literal(0L), Literal(1L))
+    val isNew = Or(Not(started), Not(EqualNullSafe(keyExpr, lastKey)))
+    val kLit = Literal(k)
+    // ring maintenance on a NEW group: evict the oldest subtotal once
+    // k+1 groups are held, then append a fresh one seeded with this row
+    def evicted(arr: Expression): Expression =
+      If(GreaterThan(Size(arr), kLit), ElementAt(arr, Literal(1)),
+        Literal(0L))
+    def pushed(arr: Expression, seed: Expression): Expression =
+      Concat(Seq(
+        Slice(arr, Greatest(Seq(Subtract(Size(arr), Subtract(kLit,
+          Literal(1))), Literal(1))), kLit),
+        CreateArray(Seq(seed))))
+    // same group: fold this row into the LAST subtotal in place
+    def bumped(arr: Expression, delta: Expression): Expression =
+      Concat(Seq(
+        Slice(arr, Literal(1), Subtract(Size(arr), Literal(1))),
+        CreateArray(Seq(Add(ElementAt(arr, Literal(-1)), delta)))))
+    Seq(
+      If(isNew, pushed(subs, xv), bumped(subs, xv)),
+      If(isNew, pushed(cnts, xc), bumped(cnts, xc)),
+      If(isNew, Add(Subtract(total, evicted(subs)), xv), Add(total, xv)),
+      If(isNew, Add(Subtract(cntTotal, evicted(cnts)), xc),
+        Add(cntTotal, xc)),
+      keyExpr,
+      Literal(true))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(EqualTo(cntTotal, Literal(0L)), Literal.create(null, LongType), total)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(valueExpr = newChildren(0), keyExpr = newChildren(1),
+      kExpr = newChildren(2))
+}
+
 object GraftWindowFunctions {
   /** Requires `register(spark)`; use as
     * `GraftWindowFunctions.ewma(col, 0.3).over(windowSpec)` with a
@@ -73,7 +182,30 @@ object GraftWindowFunctions {
   def ewma(x: Column, alpha: Double): Column =
     call_function("graft_ewma", x, org.apache.spark.sql.functions.lit(alpha))
 
+  /** `sum(x) OVER (... GROUPS BETWEEN k PRECEDING AND CURRENT ROW)`.
+    * `key` MUST be the window's ORDER BY expression (peer groups are
+    * detected from it); use over a spec WITHOUT an explicit frame (the
+    * function fixes its own peers-inclusive range frame). */
+  def groupsSum(x: Column, key: Column, k: Int): Column =
+    call_function("graft_groups_sum", x, key,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** `count(*) OVER (... GROUPS BETWEEN k PRECEDING AND CURRENT ROW)` —
+    * sum of 1 per row over the same GROUPS frame. */
+  def groupsCount(key: Column, k: Int): Column =
+    groupsSum(org.apache.spark.sql.functions.lit(1L), key, k)
+
+  /** (name, impl class, builder) — shared by register() and
+    * GraftExtensions. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_ewma", classOf[Ewma].getName,
+      Theta.arity("graft_ewma", 2)(e => Ewma(e(0), e(1)))),
+    ("graft_groups_sum", classOf[GroupsSum].getName,
+      Theta.arity("graft_groups_sum", 3)(e => GroupsSum(e(0), e(1), e(2)))))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ewma", exprs => Ewma(exprs(0), exprs(1)), "built-in")
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

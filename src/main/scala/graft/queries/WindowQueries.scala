@@ -241,6 +241,36 @@ object WindowQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // ── NATIVE GROUPS frame: single-pass custom AggregateWindowFunction
+    //    (functions/WindowExpressions.GroupsSum) vs the 2-pass dense_rank
+    //    emulation as the oracle — DuckDB itself has no GROUPS mode
+    //    ("not implemented yet", probed 2026-08-13), so the two engines
+    //    derive the same frame by entirely different routes ──────────────
+    "window_groups_native" -> Q("""
+      |WITH ranked AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey,
+      |         dense_rank() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY o_orderpriority) AS dr
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |       CAST(count(*) OVER w AS BIGINT) AS grp_cnt,
+      |       CAST(sum(o_custkey) OVER w AS BIGINT) AS cust_sum
+      |FROM ranked
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY dr
+      |             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""") { (s, d) =>
+      GraftWindowFunctions.register(s)
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"))
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          GraftWindowFunctions.groupsCount(col("o_orderpriority"), 2)
+            .over(w).as("grp_cnt"),
+          GraftWindowFunctions.groupsSum(col("o_custkey"),
+            col("o_orderpriority"), 2).over(w).as("cust_sum"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ── UDWF: custom AggregateWindowFunction (running EWMA fold) ─────────
     // Reference capability: WindowUDFImpl/PartitionEvaluator (udwf.rs:251).
     // Not expressible with built-in window aggregates — the state is a

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.GroupMinHash
+import graft.functions.{GraftWindowFunctions, GroupMinHash}
 import graft.operators.AsOfJoin
 import graft.pipeline.Dedup
 import org.apache.spark.sql.functions._
@@ -9,6 +9,59 @@ import org.scalatest.funsuite.AnyFunSuite
 class OperatorSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.01"
   private lazy val spark = SparkTestSession.spark
+
+  test("GROUPS frame function matches the dense_rank emulation on edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftWindowFunctions.register(spark)
+    // edge battery: NULL keys (one peer group, sorts first), NULL values
+    // (skipped by sum; all-null group still counts as a group), singleton
+    // and multi-row peer groups, two partitions, k ∈ {0, 1, 3}
+    val rows = Seq[(String, String, java.lang.Long)](
+      ("p1", null, 10L), ("p1", null, null),
+      ("p1", "a", 1L), ("p1", "a", 2L),
+      ("p1", "b", null), ("p1", "c", 4L), ("p1", "c", 5L),
+      ("p2", "a", 7L), ("p2", "b", null), ("p2", "b", null))
+      .toDF("part", "key", "v")
+    for (k <- Seq(0, 1, 3)) {
+      val w = Window.partitionBy(col("part")).orderBy(col("key"))
+      val wRank = Window.partitionBy(col("part"))
+        .orderBy(col("key").asc_nulls_first)
+      val wRange = Window.partitionBy(col("part")).orderBy(col("dr"))
+        .rangeBetween(-k, Window.currentRow)
+      val native = rows.select(col("part"), col("key"), col("v"),
+          GraftWindowFunctions.groupsSum(col("v"), col("key"), k)
+            .over(w).as("s"),
+          GraftWindowFunctions.groupsCount(col("key"), k)
+            .over(w).as("c"))
+        .orderBy(col("part"), col("key").asc_nulls_first, col("v"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          r.getLong(4))).toSeq
+      val emulated = rows
+        .withColumn("dr", dense_rank().over(wRank))
+        .select(col("part"), col("key"), col("v"),
+          sum(col("v")).over(wRange).as("s"),
+          count(lit(1)).over(wRange).as("c"))
+        .orderBy(col("part"), col("key").asc_nulls_first, col("v"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(native == emulated, s"k=$k")
+    }
+  }
+
+  test("GROUPS frame function is usable from SQL via extensions") {
+    // the injected builder path (GraftExtensions) — same function
+    // resolved by name inside a windowed SQL text
+    GraftWindowFunctions.register(spark)
+    val out = spark.sql("""
+      SELECT g, graft_groups_sum(v, g, 1)
+               OVER (ORDER BY g) AS s
+      FROM VALUES ('a', 1L), ('a', 2L), ('b', 10L), ('c', 100L) t(g, v)
+      ORDER BY g, v""").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 3L), ("a", 3L), ("b", 13L), ("c", 110L)))
+  }
 
   test("as-of join matches the naive per-row max-prior computation") {
     import spark.implicits._
