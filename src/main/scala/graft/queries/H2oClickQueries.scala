@@ -325,6 +325,146 @@ object H2oClickQueries {
       |SELECT epoch_us(date_trunc('minute', ts)) // 1000000 AS m,
       |       count(*) AS views
       |FROM events GROUP BY date_trunc('minute', ts)
-      |ORDER BY m LIMIT 10 OFFSET 60""")
+      |ORDER BY m LIMIT 10 OFFSET 60"""),
+
+    // ── The remaining ClickBench shapes (queries.sql has 43; the block
+    //    below completes the sweep over our events/documents mapping) ────
+
+    // q1 — bare COUNT(*) (metadata-only scan)
+    "click_count" -> sql("SELECT count(*) AS c FROM events"),
+
+    // q2 — filtered global count
+    "click_filtered_count" -> sql("""
+      |SELECT count(*) AS c FROM events WHERE event_type <> 'view'"""),
+
+    // q4 — global average of a high-cardinality bigint
+    "click_global_avg" -> sql("""
+      |SELECT round(avg(user_id) + 1e-9, 4) AS a FROM events"""),
+
+    // q16 — single-key frequency ranking
+    "click_user_counts" -> sql("""
+      |SELECT user_id, count(*) AS c FROM events
+      |GROUP BY user_id ORDER BY c DESC, user_id LIMIT 10"""),
+
+    // q17 — two-key frequency ranking
+    "click_two_key_counts" -> sql("""
+      |SELECT user_id, event_type, count(*) AS c FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY c DESC, user_id, event_type LIMIT 10"""),
+
+    // q19 — time-component group key alongside id keys
+    "click_minute_user" -> sql("""
+      |SELECT user_id, CAST(minute(ts) AS BIGINT) AS m, event_type,
+      |       count(*) AS c
+      |FROM events GROUP BY user_id, minute(ts), event_type
+      |ORDER BY c DESC, user_id, m, event_type LIMIT 10"""),
+
+    // q20 — point lookup on a high-cardinality key (scalar subquery keeps
+    // the probe value valid at every SF)
+    "click_point_lookup" -> sql("""
+      |SELECT user_id FROM events
+      |WHERE user_id = (SELECT max(user_id) FROM events)
+      |ORDER BY user_id"""),
+
+    // q21 — global LIKE count
+    "click_like_count" -> sql("""
+      |SELECT count(*) AS c FROM events WHERE props LIKE '%9%'"""),
+
+    // q22 — LIKE filter + grouped min/count ranking
+    "click_like_group" -> sql("""
+      |SELECT event_type, min(props) AS first_props, count(*) AS c
+      |FROM events WHERE props LIKE '%7%'
+      |GROUP BY event_type ORDER BY c DESC, event_type LIMIT 10"""),
+
+    // q23 — the LIKE + NOT LIKE chain with a mixed aggregate list
+    "click_like_chain" -> sql("""
+      |SELECT event_type, min(props) AS first_props,
+      |       min(CAST(ts AS DATE)) AS first_day, count(*) AS c,
+      |       count(DISTINCT user_id) AS u
+      |FROM events
+      |WHERE props LIKE '%1%' AND props NOT LIKE '%9%'
+      |GROUP BY event_type ORDER BY c DESC, event_type LIMIT 10"""),
+
+    // q24 — wide row fetch: filter + order by time, all columns out
+    "click_select_wide" -> sql(
+      """
+      |SELECT event_id, user_id, event_type, value, props,
+      |       CAST(unix_timestamp(ts) AS BIGINT) AS t
+      |FROM events WHERE props LIKE '%5%'
+      |ORDER BY t, event_id LIMIT 10""",
+      """
+      |SELECT event_id, user_id, event_type, value, props,
+      |       epoch_us(ts) // 1000000 AS t
+      |FROM events WHERE props LIKE '%5%'
+      |ORDER BY t, event_id LIMIT 10"""),
+
+    // q26/q27 — order by a string column, first rows
+    "click_order_by_string" -> sql("""
+      |SELECT props FROM events WHERE props <> ''
+      |ORDER BY props, event_id LIMIT 10"""),
+
+    // q30 — regex-REPLACE key extraction + HAVING (Spark replaces all
+    // matches by default; DuckDB needs the 'g' flag)
+    "click_regex_replace" -> sql(
+      """
+      |SELECT regexp_replace(props, '[^0-9]', '') AS k,
+      |       round(avg(length(props)) + 1e-9, 4) AS l, count(*) AS c,
+      |       min(props) AS first_props
+      |FROM events GROUP BY regexp_replace(props, '[^0-9]', '')
+      |HAVING count(*) > 5 ORDER BY l DESC, k LIMIT 25""",
+      """
+      |SELECT regexp_replace(props, '[^0-9]', '', 'g') AS k,
+      |       round(avg(length(props)) + 1e-9, 4) AS l, count(*) AS c,
+      |       min(props) AS first_props
+      |FROM events GROUP BY regexp_replace(props, '[^0-9]', '', 'g')
+      |HAVING count(*) > 5 ORDER BY l DESC, k LIMIT 25"""),
+
+    // q32-q34 — high-cardinality pair grouping with count+sum+avg
+    "click_pair_heavy" -> sql("""
+      |SELECT user_id, CAST(event_id % 100 AS BIGINT) AS b, count(*) AS c,
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS clicks,
+      |       round(avg(value) + 1e-9, 4) AS w
+      |FROM events GROUP BY user_id, event_id % 100
+      |ORDER BY c DESC, user_id, b LIMIT 10"""),
+
+    // q36 — constant select item alongside a grouped key
+    "click_const_group" -> sql("""
+      |SELECT 1 AS one, event_type, count(*) AS c FROM events
+      |GROUP BY event_type ORDER BY c DESC, event_type LIMIT 10"""),
+
+    // q37 — derived-arithmetic group keys (ClientIP, ClientIP-1, ...)
+    "click_arith_groups" -> sql("""
+      |SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2, count(*) AS c
+      |FROM events GROUP BY user_id, user_id - 1, user_id - 2
+      |ORDER BY c DESC, user_id LIMIT 10"""),
+
+    // q38/q39 — date-window pageview ranking
+    "click_date_window" -> sql("""
+      |SELECT props, count(*) AS pv FROM events
+      |WHERE event_type = 'view'
+      |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+      |  AND props <> ''
+      |GROUP BY props ORDER BY pv DESC, props LIMIT 10"""),
+
+    // q40 — CASE-derived src/dst traffic matrix, paged
+    "click_case_src_dst" -> sql("""
+      |SELECT event_type AS dst,
+      |       CASE WHEN user_id % 2 = 0 THEN props ELSE '' END AS src,
+      |       count(*) AS pv
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+      |GROUP BY event_type,
+      |         CASE WHEN user_id % 2 = 0 THEN props ELSE '' END
+      |ORDER BY pv DESC, dst, src LIMIT 10 OFFSET 20"""),
+
+    // q41/q42 — hashed-key × date grouping, deep OFFSET page
+    "click_pair_offset" -> sql("""
+      |SELECT CAST(user_id % 50 AS BIGINT) AS uh, CAST(ts AS DATE) AS d,
+      |       count(*) AS pv
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+      |GROUP BY user_id % 50, CAST(ts AS DATE)
+      |ORDER BY pv DESC, uh, d LIMIT 10 OFFSET 100""")
   )
 }
