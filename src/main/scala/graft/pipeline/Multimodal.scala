@@ -3,9 +3,20 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Decoded per-item features. The decode itself is a STUB (this container
-  * ships no image/audio codecs) — the Spark-side plumbing (schema,
-  * partitioning, batched iteration, typed output) is real and tested. */
+/** Real decoded image features (javax.imageio path): dimensions read
+  * from the decoded raster, format sniffed from the bytes, and an exact
+  * integer luminance sum over the pixels. */
+case class ImageFeature(
+    doc_id: Long,
+    format: String,
+    width: Int,
+    height: Int,
+    n_px: Long,
+    lum_sum: Long)
+
+/** Decoded per-item features for the synthetic-payload path (formats the
+  * JRE has no codec for — wav/video — keep a deterministic stand-in
+  * decode; see decodeFeatures). */
 case class MediaFeature(
     doc_id: Long,
     format: String,
@@ -17,6 +28,12 @@ case class MediaFeature(
 /** Multimodal columns: image/audio/video as opaque `binary` columns with a
   * typed metadata struct, plus a batched decode→feature-extract stage.
   *
+  * Two decode tiers: a REAL javax.imageio codec path for PNG/BMP
+  * (encodeImages/decodeImageFeatures — the full render→encode→sniff→
+  * decode→measure roundtrip, oracled by pipe_multimodal_decode) and a
+  * deterministic synthetic path for formats the JRE has no codec for
+  * (wav/video payloads — withSyntheticMedia/decodeFeatures).
+  *
   * Design for 100 TB: payloads stay columnar binary in parquet (never
   * stringified), metadata is a pruned-friendly struct, and decoding runs
   * `mapPartitions` so each task amortizes decoder setup over a whole
@@ -24,6 +41,92 @@ case class MediaFeature(
   * count controls decode parallelism independently of file layout.
   */
 object Multimodal {
+
+  /** Render REAL image bytes per row with javax.imageio: a grayscale
+    * raster whose pixels are a pure function of the id —
+    * g(x, y) = (id*31 + x*7 + y*13) mod 256, w = 1 + id mod 8,
+    * h = 1 + id mod 6 — encoded as PNG (even ids) or BMP (odd ids),
+    * both lossless, so a decode must reproduce the exact pixels and an
+    * external oracle can recompute the pixel stats from the id alone.
+    * Same mapPartitions batch shape as the decode: encoder setup (and at
+    * scale, any codec context) amortizes over a whole partition. */
+  def encodeImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (1 + id % 8).toInt
+          val h = (1 + id % 6).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          (id, fmt, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "format", "media")
+      .select(col("doc_id"), col("media"), struct(
+        col("format"),
+        (lit(1) + pmod(col("doc_id"), lit(8))).cast("int").as("width"),
+        (lit(1) + pmod(col("doc_id"), lit(6))).cast("int").as("height"),
+        length(col("media")).cast("long").as("n_bytes")).as("media_meta"))
+  }
+
+  /** REAL codec decode: sniff the container format from the bytes
+    * (ImageIO reader introspection — the metadata struct is NOT
+    * consulted), decode the raster, and measure width/height plus an
+    * exact integer luminance sum (red channel of the grayscale pixels).
+    * Everything downstream of the bytes goes through the actual PNG/BMP
+    * codecs, so a corrupt payload or a lossy roundtrip breaks the
+    * oracle match. */
+  def decodeImageFeatures(
+      df: DataFrame, parallelism: Int = 0): Dataset[ImageFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sized = if (parallelism > 0) df.repartition(parallelism) else df
+    sized.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext)
+            throw new IllegalArgumentException(
+              s"decodeImageFeatures: no codec for doc $id")
+          val reader = readers.next()
+          val fmt = reader.getFormatName.toLowerCase
+          reader.setInput(iis)
+          val img = reader.read(0)
+          reader.dispose()
+          var lum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              lum += (img.getRGB(x, y) >> 16) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeature(id, fmt, img.getWidth, img.getHeight,
+            img.getWidth.toLong * img.getHeight, lum)
+        }
+      }
+  }
 
   /** Attach a deterministic synthetic binary payload + metadata struct to
     * each row (stands in for real image bytes; derived from the id so

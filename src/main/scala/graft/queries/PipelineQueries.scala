@@ -543,6 +543,39 @@ object PipelineQueries {
       Multimodal.featureSummary(s, Engine.table(s, d, "documents"))
     },
 
+    // ── REAL codec roundtrip (javax.imageio): render deterministic
+    //    grayscale rasters, encode PNG/BMP, decode through the actual
+    //    codecs, measure pixel stats. The oracle recomputes the expected
+    //    luminance sums directly from the pixel formula
+    //    g(x,y) = (id*31 + 7x + 13y) mod 256 — all-integer, so any
+    //    lossy or corrupt roundtrip breaks the match exactly ─────────────
+    "pipe_multimodal_decode" -> Q("""
+      |WITH px AS (
+      |  SELECT d.doc_id,
+      |         CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+      |         1 + d.doc_id % 8 AS w, 1 + d.doc_id % 6 AS h, x.x, y.y,
+      |         (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS g
+      |  FROM documents d
+      |  JOIN generate_series(0, 7) x(x) ON x.x < 1 + d.doc_id % 8
+      |  JOIN generate_series(0, 5) y(y) ON y.y < 1 + d.doc_id % 6)
+      |SELECT format, count(DISTINCT doc_id) AS n,
+      |       count(*) AS n_px,
+      |       CAST(sum(g) AS BIGINT) AS lum_sum,
+      |       CAST(max(w) AS BIGINT) AS max_w,
+      |       CAST(max(h) AS BIGINT) AS max_h
+      |FROM px GROUP BY format ORDER BY format""") { (s, d) =>
+      val media = Multimodal.encodeImages(
+        Engine.table(s, d, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.decodeImageFeatures(media, parallelism = 8).toDF()
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_px")).as("n_px"),
+          sum(col("lum_sum")).as("lum_sum"),
+          max(col("width")).cast("long").as("max_w"),
+          max(col("height")).cast("long").as("max_h"))
+        .orderBy(col("format"))
+    },
+
     // ── one-pass data-quality profile (pipeline/Quality): per-column
     //    null/distinct counts + type-appropriate stats, long-format.
     //    exactDistinct here so DuckDB hashes match; the default is HLL

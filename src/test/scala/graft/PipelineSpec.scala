@@ -177,4 +177,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1 == f2)
     assert(f1.size == docs.count())
   }
+
+  test("imageio encode→decode roundtrip recovers exact pixels per image") {
+    val sample = docs.select(col("doc_id")).limit(200)
+    val media = Multimodal.encodeImages(sample, "doc_id")
+    val feats = Multimodal.decodeImageFeatures(media, parallelism = 4)
+      .collect()
+    assert(feats.length == 200)
+    feats.foreach { f =>
+      // dimensions + format from the DECODED bytes match the generator
+      assert(f.width == 1 + (f.doc_id % 8).toInt, s"doc ${f.doc_id}")
+      assert(f.height == 1 + (f.doc_id % 6).toInt)
+      assert(f.format == (if (f.doc_id % 2 == 0) "png" else "bmp"))
+      // exact pixel recomputation: lossless codecs must reproduce g(x,y)
+      var expected = 0L
+      for (y <- 0 until f.height; x <- 0 until f.width)
+        expected += (f.doc_id * 31 + x * 7 + y * 13) % 256
+      assert(f.lum_sum == expected, s"doc ${f.doc_id} pixel mismatch")
+      assert(f.n_px == f.width.toLong * f.height)
+    }
+  }
 }
