@@ -10,7 +10,6 @@ import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{
   ArrowType, Field, FieldType, Schema => ArrowSchema}
-import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -164,8 +163,12 @@ object ArrowIpc {
 
   /** Distributed scan of a directory of Arrow IPC files: schema from the
     * first file's footer (driver-side, via the Hadoop FileSystem API so
-    * remote filesystems work), whole files distributed to tasks via
-    * binaryFile, batches streamed through ArrowFileReader. */
+    * remote filesystems work); each task opens its file through the same
+    * Hadoop channel and streams record batches — read memory is
+    * O(batch), not O(file), so a multi-GB .arrow part never buffers
+    * whole in an executor. One task per file (IPC files aren't
+    * block-splittable without footer-offset planning; write() bounds
+    * part size by its batching, so per-file tasks stay balanced). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
@@ -185,14 +188,21 @@ object ArrowIpc {
       r.close(); ch.close(); alloc.close()
       StructType(fields.toSeq)
     }
-    val rows = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.arrow").load(dir)
-      .select("content").rdd
-      .flatMap { fileRow =>
-        val bytes = fileRow.getAs[Array[Byte]](0)
+    // ship conf entries, not the (unserializable) Configuration — same
+    // trick as write()
+    val confEntries = hconf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val files = statuses.map(s => (s.getPath.toString, s.getLen)).toSeq
+    val rows = spark.sparkContext
+      .parallelize(files, files.length)
+      .flatMap { case (pathStr, len) =>
+        val taskConf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => taskConf.set(k, v) }
+        val path = new org.apache.hadoop.fs.Path(pathStr)
+        val tfs = path.getFileSystem(taskConf)
         val alloc = new RootAllocator()
-        val reader = new ArrowFileReader(
-          new ByteArrayReadableSeekableByteChannel(bytes), alloc)
+        val ch = new HadoopSeekableByteChannel(tfs.open(path), len)
+        val reader = new ArrowFileReader(ch, alloc)
         val root = reader.getVectorSchemaRoot
         val out = Iterator.unfold(()) { _ =>
           if (reader.loadNextBatch()) {
@@ -202,7 +212,7 @@ object ArrowIpc {
             }
             Some((batch, ()))
           } else {
-            reader.close(); alloc.close()
+            reader.close(); ch.close(); alloc.close()
             None
           }
         }

@@ -42,4 +42,18 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum("l")).head.getLong(0)
       == (0L until 9000L).sum)
   }
+
+  test("arrow IPC read streams per file: one task per part, no file buffering") {
+    import spark.implicits._
+    val df = spark.range(0, 6000).toDF("l").repartition(3)
+    val dir = "/tmp/graft_io/arrow_spec_stream"
+    ArrowIpc.write(df, dir)
+    val back = ArrowIpc.read(spark, dir)
+    // the scan parallelizes (path, len) pairs — one partition per file,
+    // each streamed through the Hadoop channel in O(batch) memory
+    assert(back.rdd.getNumPartitions == 3)
+    assert(back.count() == 6000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("l")).head.getLong(0)
+      == (0L until 6000L).sum)
+  }
 }
