@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MERGE-shaped upsert over immutable columnar storage (neither Spark-on-
@@ -42,6 +42,42 @@ object Upsert {
           when(col("s.__src").isNotNull, col(s"s.$c"))
             .otherwise(col(s"t.$c")).as(c))
     t.join(s, cond, "full_outer").select(merged: _*)
+  }
+
+  /** Partition-pruned MERGE against a hive-partitioned parquet table ON
+    * DISK — the production upsert shape at 100 TB: only partitions the
+    * source touches are read, merged, and dynamically overwritten;
+    * untouched partitions' files are never opened, let alone rewritten,
+    * so cost scales with the touched slice, not the table.
+    *
+    * Correctness requires every MATCHED target row to live in a touched
+    * partition, so the merge keys must pin the partition column —
+    * enforced by `partCol ∈ keys` (the common layout: MERGE ON
+    * (day, id) into a day-partitioned table). The source's distinct
+    * partition values come to the driver once — bounded by partition
+    * count, never by rows.
+    *
+    * @return the affected partition values (diagnostics/tests). */
+  def mergeIntoPartitioned(spark: SparkSession, tableDir: String,
+      partCol: String, source: DataFrame, keys: Seq[String]): Seq[Any] = {
+    require(keys.contains(partCol),
+      s"mergeIntoPartitioned: merge keys must include the partition " +
+        s"column $partCol, or matched rows outside touched partitions " +
+        "would be silently duplicated")
+    val affected = source.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val target = spark.read.parquet(tableDir)
+      .filter(col(partCol).isin(affected: _*)) // partition-pruned scan
+    val merged = merge(target, source, keys)
+    // dynamic overwrite replaces ONLY the partitions present in the
+    // merged output (exactly the affected set); static mode would drop
+    // every other partition of the table
+    merged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(tableDir)
+    affected
   }
 
   /** MERGE ... WHEN MATCHED THEN DELETE: drop target rows whose key occurs

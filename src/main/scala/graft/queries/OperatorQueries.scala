@@ -365,6 +365,49 @@ object OperatorQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // ── partition-pruned MERGE on disk: only source-touched hive
+    //    partitions are read + dynamically overwritten (LayoutSpec pins
+    //    the untouched-files-byte-identical property); the final table
+    //    content is provably the same full-outer merge, which is what
+    //    the oracle replays ────────────────────────────────────────────────
+    "upsert_merge_pruned" -> Q("""
+      |WITH t AS (SELECT o_orderkey % 8 AS pk, o_orderkey, o_orderstatus,
+      |                  o_totalprice
+      |           FROM orders WHERE o_orderkey < 10000),
+      |     s AS (SELECT o_orderkey % 8 AS pk, o_orderkey,
+      |                  'U' AS o_orderstatus,
+      |                  o_totalprice + 1000 AS o_totalprice
+      |           FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 15000
+      |             AND o_orderkey % 8 < 3)
+      |SELECT COALESCE(s.pk, t.pk) AS pk,
+      |       COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+      |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+      |            ELSE t.o_orderstatus END AS o_orderstatus,
+      |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+      |            ELSE t.o_totalprice END AS o_totalprice
+      |FROM t FULL OUTER JOIN s
+      |  ON t.pk = s.pk AND t.o_orderkey = s.o_orderkey
+      |ORDER BY o_orderkey""") { (s, d) =>
+      val dir = "/tmp/graft_io/merge_pruned_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      val orders = Engine.table(s, d, "orders")
+        .select(pmod(col("o_orderkey"), lit(8)).as("pk"),
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      orders.filter(col("o_orderkey") < 10000)
+        .write.mode("overwrite").partitionBy("pk").parquet(dir)
+      val source = orders
+        .filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 15000 &&
+          col("pk") < 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      Upsert.mergeIntoPartitioned(s, dir, "pk", source,
+        Seq("pk", "o_orderkey"))
+      s.read.parquet(dir)
+        .select(col("pk").cast("long").as("pk"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ── MERGE ... WHEN MATCHED THEN DELETE (anti-join retraction) ────────
     "upsert_delete" -> Q("""
       |SELECT o_orderkey, o_totalprice FROM orders t

@@ -91,6 +91,52 @@ class LayoutSpec extends AnyFunSuite {
     assert(out.exceptAll(li).isEmpty && li.exceptAll(out).isEmpty)
   }
 
+  test("pruned merge rewrites ONLY touched partitions, byte-identically elsewhere") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = "/tmp/graft_io/layout_merge_pruned"
+    val orders = Engine.table(spark, sf, "orders")
+      .select(pmod(col("o_orderkey"), lit(8)).as("pk"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val target = orders.filter(col("o_orderkey") < 8000)
+    target.write.mode("overwrite").partitionBy("pk").parquet(dir)
+    // snapshot every data file's bytes, keyed by relative path
+    def snapshot(): Map[String, Seq[Byte]] =
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => Paths.get(dir).relativize(p).toString ->
+          Files.readAllBytes(p).toSeq)
+        .toMap
+    val before = snapshot()
+    assert(before.keySet.map(_.split("/")(0)).size == 8, "8 partitions")
+    // source touches partitions 0 and 1 only
+    val source = orders
+      .filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 12000 &&
+        col("pk") < 2)
+      .withColumn("o_orderstatus", lit("U"))
+    val affected = Upsert.mergeIntoPartitioned(spark, dir, "pk", source,
+      Seq("pk", "o_orderkey"))
+    assert(affected.map(_.toString).sorted == Seq("0", "1"))
+    val after = snapshot()
+    // untouched partitions: the same files, byte for byte
+    val untouchedBefore = before.filter(!_._1.matches("pk=[01]/.*"))
+    val untouchedAfter = after.filter(!_._1.matches("pk=[01]/.*"))
+    assert(untouchedAfter == untouchedBefore,
+      "untouched partitions must keep their exact files")
+    // touched partitions were rewritten (no surviving old file)
+    assert(before.keys.filter(_.matches("pk=[01]/.*"))
+      .forall(f => !after.contains(f)), "touched partitions rewritten")
+    // final content equals the plain full merge of the same inputs
+    val expect = Upsert.merge(target, source, Seq("pk", "o_orderkey"))
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(dir)
+      .select(col("pk").cast("long"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(_.toSeq).toSet
+    assert(got == expect)
+  }
+
   test("antiMerge removes exactly the matched keys") {
     val t = Engine.table(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
