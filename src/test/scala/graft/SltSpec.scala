@@ -19,7 +19,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class SltSpec extends AnyFunSuite {
   private val families = Seq("scalar_string", "scalar_math",
     "scalar_datetime", "agg", "join_setop", "window", "subquery",
-    "bits_binary", "predicates", "grouping", "null_sort")
+    "bits_binary", "predicates", "grouping", "null_sort",
+    "arrays", "casts_try", "null_logic", "string_fns2", "math_fns2",
+    "datetime2", "agg_edge", "window2", "regex", "subquery2", "setop_edge",
+    "order_limit")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()
@@ -36,6 +39,18 @@ class SltSpec extends AnyFunSuite {
     case d: java.sql.Date => d.toString
     case t: java.sql.Timestamp =>
       fail(s"raw timestamp in SLT output ($t) — corpus rule violation")
+    case seq: scala.collection.Seq[_] =>
+      // mirror python's str(list) — the golden shape for array outputs
+      seq.map(fmtElem).mkString("[", ", ", "]")
+    case other => other.toString
+  }
+
+  private def fmtElem(e: Any): String = e match {
+    case null => "None"
+    case b: java.lang.Boolean => if (b) "True" else "False"
+    case s: String => s"'$s'"
+    case _: java.lang.Double | _: java.lang.Float =>
+      fail("float inside array output — corpus rule violation")
     case other => other.toString
   }
 

@@ -353,21 +353,545 @@ CORPUS = {
         """SELECT NULL = NULL IS NULL AS eq_null_is_null,
                   NULL IS DISTINCT FROM 1 AS ndf""",
     ],
+    # ── arrays: the portable slice of the two engines' list surfaces
+    #    (split is the shared constructor; filter the shared HOF;
+    #    array_sort pins element order — DuckDB's array_distinct and
+    #    array_agg make no order promise) ────────────────────────────────
+    "arrays": [
+        """SELECT split('a,b,c', ',') AS parts""",
+        """SELECT split('one', ',') AS single, split('x,,y', ',') AS with_empty""",
+        """SELECT array_contains(split('a,b', ','), 'b') AS has_b,
+                  array_contains(split('a,b', ','), 'z') AS has_z""",
+        """SELECT array_position(split('a,b,c', ','), 'c') AS p3,
+                  CAST(array_position(split('a,b', ','), 'z') AS BIGINT) AS missing""",
+        """SELECT array_sort(split('pear,apple,fig', ',')) AS sorted_parts""",
+        """SELECT array_sort(array_distinct(split('b,a,b,a', ','))) AS dedup""",
+        """SELECT filter(split('a,bb,ccc,dd', ','), x -> length(x) = 2) AS len2""",
+        """SELECT filter(split('5,12,3,44', ','), x -> length(x) > 1) AS twodigit""",
+        """SELECT flatten(array_agg(parts)) IS NOT NULL AS ok,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT split(r_name, 'R') AS parts FROM region) t""",
+        """SELECT array_sort(array_agg(DISTINCT n_regionkey)) AS rks FROM nation""",
+        """SELECT array_sort(array_agg(DISTINCT r_name)) AS names FROM region""",
+        """SELECT n_regionkey, array_sort(array_agg(n_name)) AS members
+           FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+        """SELECT array_sort(array_agg(DISTINCT o_orderstatus)) AS statuses
+           FROM orders""",
+        """SELECT array_contains(array_agg(n_name), 'CHINA') AS has_china
+           FROM nation""",
+        """SELECT array_sort(filter(array_agg(DISTINCT n_nationkey),
+                                    x -> x % 5 = 0)) AS div5
+           FROM nation""",
+        """SELECT array_sort(split(upper(r_name), 'A')) AS pieces
+           FROM region ORDER BY r_name""",
+    ],
+    # ── casts + try_cast: conversion edges both engines agree on
+    #    (float→int CAST is BANNED here: DuckDB rounds, Spark truncates) ──
+    "casts_try": [
+        """SELECT CAST(42 AS VARCHAR(10)) AS s, CAST('42' AS INTEGER) AS i,
+                  CAST('42' AS BIGINT) AS l""",
+        """SELECT CAST('+5' AS INTEGER) AS plus, CAST('-5' AS INTEGER) AS minus""",
+        """SELECT try_cast('abc' AS INTEGER) AS bad_int,
+                  try_cast('' AS INTEGER) AS empty_int""",
+        """SELECT try_cast('  5  ' AS INTEGER) AS padded""",
+        """SELECT try_cast('99999999999999999999' AS BIGINT) AS too_big""",
+        """SELECT try_cast(40000 AS SMALLINT) AS ovf_small,
+                  try_cast(300 AS TINYINT) AS ovf_tiny""",
+        """SELECT CAST(32767 AS SMALLINT) AS max_small,
+                  CAST(-32768 AS SMALLINT) AS min_small""",
+        """SELECT CAST(127 AS TINYINT) AS max_tiny,
+                  CAST(-128 AS TINYINT) AS min_tiny""",
+        """SELECT CAST(9223372036854775807 AS BIGINT) AS max_long,
+                  CAST(-9223372036854775808 AS BIGINT) AS min_long""",
+        """SELECT try_cast('2020-13-40' AS DATE) AS bad_date,
+                  CAST('2020-02-29' AS DATE) AS leap""",
+        """SELECT try_cast('not-a-date' AS DATE) AS nd""",
+        """SELECT CAST(true AS INTEGER) AS t1, CAST(false AS INTEGER) AS f0""",
+        """SELECT CAST('true' AS BOOLEAN) AS bt, CAST('false' AS BOOLEAN) AS bf,
+                  CAST(0 AS BOOLEAN) AS zero, CAST(3 AS BOOLEAN) AS three""",
+        """SELECT CAST(CAST('2020-06-15' AS DATE) AS VARCHAR(10)) AS iso""",
+        """SELECT round(CAST('1.5' AS DOUBLE), 4) AS d,
+                  round(CAST('-0.25' AS DOUBLE), 4) AS neg""",
+        """SELECT try_cast('1.5.5' AS DOUBLE) AS malformed""",
+        """SELECT CAST(CAST(42 AS BIGINT) AS INTEGER) AS narrow_ok,
+                  try_cast(CAST(3000000000 AS BIGINT) AS INTEGER) AS narrow_bad""",
+        """SELECT isnan(CAST('NaN' AS DOUBLE)) AS nan_is_nan,
+                  CAST('Infinity' AS DOUBLE) > 1e308 AS inf_big""",
+        """SELECT CAST(n_nationkey AS VARCHAR(5)) AS ks FROM nation
+           WHERE n_nationkey < 5 ORDER BY n_nationkey""",
+        """SELECT o_orderkey, try_cast(o_orderstatus AS INTEGER) AS status_num
+           FROM orders ORDER BY o_orderkey LIMIT 5""",
+        """SELECT CAST(CAST(1 AS BOOLEAN) AS VARCHAR(5)) AS bool_str""",
+        """SELECT try_cast(NULL AS INTEGER) AS null_in,
+                  CAST(NULL AS VARCHAR(5)) IS NULL AS null_out""",
+    ],
+    # ── three-valued logic + NULL propagation ─────────────────────────
+    "null_logic": [
+        """SELECT (NULL AND false) AS af, (NULL AND true) AS at,
+                  (NULL OR true) AS ot, (NULL OR false) AS of""",
+        """SELECT NOT NULL AS nn""",
+        """SELECT 1 IN (2, NULL) AS in_null, 2 IN (2, NULL) AS in_hit,
+                  1 NOT IN (2, NULL) AS notin_null""",
+        """SELECT NULL BETWEEN 1 AND 2 AS btw,
+                  1 BETWEEN NULL AND 2 AS btw_lo""",
+        """SELECT 1 IS DISTINCT FROM NULL AS d1,
+                  NULL IS NOT DISTINCT FROM NULL AS d2,
+                  1 IS NOT DISTINCT FROM 1 AS d3""",
+        """SELECT NULL = NULL AS eq, NULL <> NULL AS ne,
+                  NULL IS NULL AS isn""",
+        """SELECT coalesce(NULL, NULL) AS cn,
+                  CAST(coalesce(NULL, 5, 3) AS BIGINT) AS c5""",
+        """SELECT nullif(1, 1) AS same, CAST(nullif(2, 1) AS BIGINT) AS diff""",
+        """SELECT CAST(ifnull(NULL, 7) AS BIGINT) AS i7,
+                  CAST(ifnull(3, 7) AS BIGINT) AS i3""",
+        """SELECT CASE WHEN 1 = 2 THEN 'x' END AS no_else,
+                  CASE NULL WHEN NULL THEN 'eq' ELSE 'ne' END AS null_case""",
+        """SELECT CAST(greatest(1, NULL, 3) AS BIGINT) AS g,
+                  least(CAST(NULL AS INTEGER), NULL) AS l""",
+        """SELECT NULL + 1 AS add_null, NULL || 'x' AS cat_null""",
+        """SELECT length(CAST(NULL AS VARCHAR(5))) AS len_null,
+                  upper(CAST(NULL AS VARCHAR(5))) AS up_null""",
+        """SELECT abs(CAST(NULL AS INTEGER)) AS abs_null""",
+        """SELECT x, x IS NULL AS isn FROM (VALUES (1), (NULL), (3)) t(x)
+           ORDER BY x NULLS FIRST""",
+        """SELECT x + 1 AS y FROM (VALUES (CAST(NULL AS INTEGER)), (2)) t(x)
+           ORDER BY y NULLS FIRST""",
+        """SELECT x, count(*) AS n FROM (VALUES (NULL), (NULL), (1)) t(x)
+           GROUP BY x ORDER BY x NULLS FIRST""",
+        """SELECT CAST(count(x) AS BIGINT) AS cx,
+                  CAST(count(*) AS BIGINT) AS call,
+                  CAST(count(DISTINCT x) AS BIGINT) AS cd
+           FROM (VALUES (1), (NULL), (1)) t(x)""",
+        """SELECT CAST(sum(x) AS BIGINT) AS s, min(x) AS mn, max(x) AS mx
+           FROM (VALUES (CAST(NULL AS INTEGER)), (NULL)) t(x)""",
+        """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+           FROM (VALUES (1)) t(x) WHERE x > 100""",
+        """SELECT EXISTS (SELECT 1 WHERE false) AS e""",
+        """SELECT x FROM (VALUES (1), (2)) t(x)
+           WHERE x NOT IN (SELECT 3 WHERE false) ORDER BY x""",
+        """SELECT NULL = '' AS ne, '' = '' AS ee, length('') AS lz""",
+        """SELECT c_name FROM customer
+           WHERE c_acctbal IS NOT NULL AND c_acctbal < -900
+           ORDER BY c_name LIMIT 5""",
+        """SELECT x / 2.0 AS h FROM (VALUES (CAST(NULL AS INTEGER)), (4)) t(x)
+           ORDER BY h NULLS FIRST""",
+    ],
+    # ── string function breadth 2 ─────────────────────────────────────
+    "string_fns2": [
+        """SELECT instr('hello world', 'o') AS first_o,
+                  instr('hello', 'z') AS missing""",
+        """SELECT split_part('a,b,c', ',', 1) AS p1,
+                  split_part('a,b,c', ',', 3) AS p3""",
+        """SELECT translate('abcabc', 'ab', 'xy') AS tr""",
+        """SELECT ascii('A') AS a, ascii('z') AS z, chr(66) AS b""",
+        """SELECT contains('haystack', 'st') AS hit,
+                  contains('haystack', 'zz') AS miss""",
+        """SELECT md5('') AS empty_hash, md5('abc') AS abc_hash""",
+        """SELECT levenshtein('kitten', 'sitting') AS lev,
+                  levenshtein('', 'ab') AS lev_empty""",
+        """SELECT position('l' IN 'hello') AS p,
+                  position('z' IN 'hello') AS zero""",
+        """SELECT concat_ws('-', 'a', NULL, 'b') AS skip_null,
+                  concat_ws('/', 'x') AS single""",
+        """SELECT repeat('ab', 0) AS zero, repeat('ab', 3) AS thrice""",
+        """SELECT substr('hello', -3, 2) AS neg_start,
+                  substr('hello', 2) AS tail""",
+        """SELECT lpad('hi', 5, '*') AS padded, lpad('hello', 3, '*') AS cut""",
+        """SELECT trim('  x  ') AS t, ltrim('  x') AS l, rtrim('x  ') AS r""",
+        """SELECT upper('mIxEd') AS u, lower('MiXeD') AS lo""",
+        """SELECT reverse('abc') AS rev, reverse('') AS rev_empty""",
+        """SELECT 'ABC' ILIKE 'abc' AS ci, 'ABC' LIKE 'abc' AS cs""",
+        """SELECT 'abc' LIKE 'a_c' AS underscore,
+                  'a_c' LIKE 'a!_c' ESCAPE '!' AS escaped_lit,
+                  'abc' LIKE 'a!_c' ESCAPE '!' AS escaped_no,
+                  'abc' LIKE 'ab%' AS prefix""",
+        """SELECT printf('%d|%s', 42, 'x') AS f""",
+        """SELECT hex(255) AS ff, hex(0) AS zero""",
+        """SELECT c_name, instr(c_name, '0') AS i0 FROM customer
+           ORDER BY c_name LIMIT 8""",
+        """SELECT p_name, split_part(p_name, ' ', 1) AS first_word
+           FROM part ORDER BY p_partkey LIMIT 8""",
+        """SELECT n_name, translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels
+           FROM nation ORDER BY n_name LIMIT 8""",
+        """SELECT s_name, md5(s_name) AS h FROM supplier
+           ORDER BY s_name LIMIT 5""",
+        """SELECT r_name, levenshtein(r_name, 'EUROPE') AS d FROM region
+           ORDER BY r_name""",
+        """SELECT o_orderpriority, split_part(o_orderpriority, '-', 1) AS num
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    ],
+    # ── math breadth 2: trig/log/rounding edges ───────────────────────
+    "math_fns2": [
+        """SELECT round(sin(0.0), 4) AS s0, round(cos(0.0), 4) AS c0,
+                  round(tan(0.0), 4) AS t0""",
+        """SELECT round(asin(1.0), 4) AS a1, round(acos(1.0), 4) AS ac1,
+                  round(atan(1.0), 4) AS at1""",
+        """SELECT round(atan2(1.0, 2.0), 4) AS a12,
+                  round(atan2(-1.0, -2.0), 4) AS neg""",
+        """SELECT round(degrees(pi()), 4) AS deg,
+                  round(radians(180.0), 4) AS rad""",
+        """SELECT round(log2(8.0), 4) AS l2, round(log10(1000.0), 4) AS l10,
+                  round(log(2.0, 32.0), 4) AS lb""",
+        """SELECT round(cbrt(27.0), 4) AS c27, round(cbrt(-8.0), 4) AS cneg""",
+        """SELECT CAST(factorial(0) AS BIGINT) AS f0,
+                  CAST(factorial(5) AS BIGINT) AS f5,
+                  CAST(factorial(20) AS BIGINT) AS f20""",
+        """SELECT round(power(2.0, -2), 4) AS p_neg,
+                  round(power(0.0, 0), 4) AS p00""",
+        """SELECT round(exp(0.0), 4) AS e0, round(ln(1.0), 4) AS l1""",
+        """SELECT CAST(sign(-0.5) AS BIGINT) AS sn,
+                  CAST(sign(0.0) AS BIGINT) AS sz,
+                  CAST(sign(2.5) AS BIGINT) AS sp""",
+        """SELECT abs(-0.0) = 0.0 AS zero_eq,
+                  round(abs(-2.5), 4) AS a25""",
+        """SELECT CAST((-7) % 3 AS BIGINT) AS m1,
+                  CAST(7 % (-3) AS BIGINT) AS m2,
+                  CAST(mod(-7, 3) AS BIGINT) AS m3""",
+        """SELECT round(7 / 2, 4) AS div_frac""",
+        """SELECT CAST(bit_count(7) AS BIGINT) AS b7,
+                  CAST(bit_count(0) AS BIGINT) AS b0""",
+        """SELECT round(sqrt(2.0), 4) AS r2, round(sqrt(0.0), 4) AS r0""",
+        """SELECT round(floor(-1.5), 4) AS fneg, round(ceil(-1.5), 4) AS cneg,
+                  round(floor(1.5), 4) AS fpos, round(ceil(1.5), 4) AS cpos""",
+        """SELECT round(round(2.675, 2), 4) AS r_binary_edge""",
+        """SELECT l_linenumber, round(log10(CAST(l_quantity AS DOUBLE)), 4) AS lq
+           FROM lineitem WHERE l_orderkey = 3 AND l_quantity > 0
+           ORDER BY l_linenumber""",
+        """SELECT CAST(greatest(-1, -2, -3) AS BIGINT) AS g,
+                  CAST(least(-1, -2, -3) AS BIGINT) AS l""",
+        """SELECT round(pi() * pi(), 4) AS pi2""",
+    ],
+    # ── datetime breadth 2 ────────────────────────────────────────────
+    "datetime2": [
+        """SELECT make_date(2020, 2, 29) AS leap,
+                  make_date(1999, 12, 31) AS y2k_eve""",
+        """SELECT CAST(month(DATE '2020-05-10') AS BIGINT) AS m,
+                  CAST(quarter(DATE '2020-05-10') AS BIGINT) AS q,
+                  CAST(year(DATE '2020-05-10') AS BIGINT) AS y,
+                  CAST(day(DATE '2020-05-10') AS BIGINT) AS d""",
+        """SELECT last_day(DATE '2020-02-10') AS feb_leap,
+                  last_day(DATE '2021-02-10') AS feb_flat,
+                  last_day(DATE '2020-12-05') AS dec""",
+        """SELECT CAST(weekofyear(DATE '2020-02-10') AS BIGINT) AS w7,
+                  CAST(weekofyear(DATE '2021-01-01') AS BIGINT) AS wny""",
+        """SELECT CAST(DATE '2020-01-31' + INTERVAL '1' MONTH AS DATE) AS feb_clamp""",
+        """SELECT CAST(DATE '2020-02-29' + INTERVAL '1' YEAR AS DATE) AS non_leap""",
+        """SELECT CAST(TIMESTAMP '2020-06-15 13:45:30'
+                       + INTERVAL '90' MINUTE AS DATE) AS same_day,
+                  CAST(extract(hour FROM TIMESTAMP '2020-06-15 13:45:30'
+                       + INTERVAL '90' MINUTE) AS BIGINT) AS h""",
+        """SELECT CAST(extract(minute FROM TIMESTAMP '2020-06-15 13:45:30')
+                       AS BIGINT) AS mi,
+                  CAST(extract(second FROM TIMESTAMP '2020-06-15 13:45:30')
+                       AS BIGINT) AS se""",
+        """SELECT CAST(date_trunc('week', DATE '2020-06-18') AS DATE) AS wk""",
+        """SELECT CAST(date_trunc('quarter', DATE '2020-08-20') AS DATE) AS qt""",
+        """SELECT DATE '2020-06-15' = CAST('2020-06-15' AS DATE) AS eq,
+                  DATE '2020-06-15' < DATE '2020-06-16' AS lt""",
+        """SELECT o_orderkey, last_day(CAST(o_orderdate AS DATE)) AS eom
+           FROM orders ORDER BY o_orderkey LIMIT 8""",
+        """SELECT CAST(weekofyear(o_orderdate) AS BIGINT) AS w,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders WHERE extract(year FROM o_orderdate) = 1996
+           GROUP BY weekofyear(o_orderdate) ORDER BY w LIMIT 10""",
+        """SELECT CAST(min(CAST(ts AS DATE)) AS DATE) AS lo,
+                  CAST(max(CAST(ts AS DATE)) AS DATE) AS hi FROM events""",
+        """SELECT CAST(make_date(
+                    CAST(extract(year FROM o_orderdate) AS INTEGER), 1, 1)
+                  AS DATE) AS jan1, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY extract(year FROM o_orderdate)
+           ORDER BY jan1""",
+    ],
+    # ── aggregate edges 2 ─────────────────────────────────────────────
+    "agg_edge": [
+        """SELECT round(median(x), 4) AS med
+           FROM (VALUES (CAST(1.0 AS DOUBLE)), (2.0), (3.0), (4.0)) t(x)""",
+        """SELECT round(median(l_quantity), 4) AS med FROM lineitem""",
+        """SELECT bool_and(x) AS ba, bool_or(x) AS bo
+           FROM (VALUES (true), (false)) t(x)""",
+        """SELECT bool_and(x) AS all_true
+           FROM (VALUES (true), (true)) t(x)""",
+        """SELECT bool_and(x) AS ba, bool_or(x) AS bo
+           FROM (VALUES (CAST(NULL AS BOOLEAN))) t(x)""",
+        """SELECT o_orderstatus, bool_and(o_totalprice > 1000) AS all_big,
+                  bool_or(o_totalprice > 400000) AS any_huge
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """SELECT CAST(count(*) FILTER (WHERE x > 1) AS BIGINT) AS big,
+                  CAST(count(*) FILTER (WHERE x IS NULL) AS BIGINT) AS nulls
+           FROM (VALUES (1), (2), (NULL)) t(x)""",
+        """SELECT CAST(sum(o_orderkey) FILTER (WHERE o_orderstatus = 'F')
+                    AS BIGINT) AS f_keys,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders WHERE o_orderkey <= 100""",
+        """SELECT round(corr(x, y), 4) AS c
+           FROM (VALUES (1.0, 2.0), (2.0, 4.0), (3.0, 5.0)) t(x, y)""",
+        """SELECT stddev_samp(x) IS NULL AS one_row_null
+           FROM (VALUES (1.0)) t(x)""",
+        """SELECT round(var_pop(x), 4) AS vp, round(var_samp(x), 4) AS vs
+           FROM (VALUES (1.0), (3.0)) t(x)""",
+        """SELECT round(stddev_pop(x), 4) AS sp
+           FROM (VALUES (2.0), (4.0), (4.0), (4.0), (5.0), (5.0), (7.0),
+                        (9.0)) t(x)""",
+        """SELECT min(x) AS mn, max(x) AS mx
+           FROM (VALUES ('b'), ('A'), ('a')) t(x)""",
+        """SELECT CAST(min(CAST(o_orderdate AS DATE)) AS DATE) AS first_order
+           FROM orders""",
+        """SELECT o_orderstatus, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS np
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) AS regions,
+                  CAST(count(n_regionkey) AS BIGINT) AS rows_with_rk
+           FROM nation""",
+        """SELECT round(avg(DISTINCT x), 4) AS ad
+           FROM (VALUES (1.0), (1.0), (3.0)) t(x)""",
+        """SELECT CAST(sum(DISTINCT x) AS BIGINT) AS sd
+           FROM (VALUES (2), (2), (3)) t(x)""",
+        """SELECT l_returnflag, l_linestatus,
+                  round(min(l_discount), 4) AS dmin,
+                  round(max(l_discount), 4) AS dmax
+           FROM lineitem GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus""",
+        """SELECT CAST(max(o_orderkey) - min(o_orderkey) AS BIGINT) AS span
+           FROM orders""",
+        """SELECT o_orderpriority,
+                  round(median(o_totalprice), 4) AS med_price
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM orders HAVING count(*) > 0""",
+    ],
+    # ── window breadth 2 ──────────────────────────────────────────────
+    "window2": [
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                     ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS ahead
+           FROM (VALUES (1), (2), (3), (4)) t(x) ORDER BY x""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS near
+           FROM (VALUES (1), (2), (4)) t(x) ORDER BY x""",
+        """SELECT x, CAST(nth_value(x, 2) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS second
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, CAST(lag(x, 1, -1) OVER (ORDER BY x) AS BIGINT) AS prev,
+                  CAST(lead(x, 1, -1) OVER (ORDER BY x) AS BIGINT) AS next
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, CAST(ntile(2) OVER (ORDER BY x) AS BIGINT) AS half
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, round(percent_rank() OVER (ORDER BY x), 4) AS pr,
+                  round(cume_dist() OVER (ORDER BY x), 4) AS cd
+           FROM (VALUES (1), (2), (2)) t(x) ORDER BY x, pr""",
+        """SELECT o_orderkey,
+                  CAST(first_value(o_orderkey) OVER w AS BIGINT) AS fst,
+                  CAST(last_value(o_orderkey) OVER w AS BIGINT) AS lst
+           FROM orders WHERE o_orderkey <= 15
+           WINDOW w AS (ORDER BY o_orderkey
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+           ORDER BY o_orderkey""",
+        """SELECT o_orderkey, o_orderstatus,
+                  CAST(row_number() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_orderkey) AS BIGINT) AS rn
+           FROM orders WHERE o_orderkey <= 30
+           ORDER BY o_orderstatus, o_orderkey""",
+        """SELECT o_orderkey,
+                  CAST(rank() OVER (ORDER BY o_orderpriority) AS BIGINT) AS rk,
+                  CAST(dense_rank() OVER (ORDER BY o_orderpriority) AS BIGINT) AS drk
+           FROM orders WHERE o_orderkey <= 20
+           ORDER BY o_orderpriority, o_orderkey""",
+        """SELECT x, CAST(count(*) OVER (ORDER BY x
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS remaining
+           FROM (VALUES (5), (6), (7)) t(x) ORDER BY x""",
+        """SELECT x, CAST(min(x) OVER (ORDER BY x
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+           FROM (VALUES (9), (3), (7), (1)) t(x) ORDER BY x""",
+        """SELECT l_orderkey, l_linenumber,
+                  round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_quantity
+                        ROWS UNBOUNDED PRECEDING), 4) AS run_qty
+           FROM lineitem WHERE l_orderkey <= 5
+           ORDER BY l_orderkey, l_linenumber, l_quantity""",
+        """SELECT o_orderkey,
+                  round(avg(o_totalprice) OVER (ORDER BY o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+           FROM orders WHERE o_orderkey <= 12 ORDER BY o_orderkey""",
+        """SELECT x, CAST(sum(x) OVER () AS BIGINT) AS total
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, grp, CAST(sum(x) OVER (PARTITION BY grp) AS BIGINT) AS psum
+           FROM (VALUES (1, 'a'), (2, 'a'), (3, 'b')) t(x, grp)
+           ORDER BY grp, x""",
+        """SELECT x, CAST(lead(x) OVER (ORDER BY x NULLS FIRST) AS BIGINT) AS nxt
+           FROM (VALUES (1), (NULL), (3)) t(x) ORDER BY x NULLS FIRST""",
+        """SELECT o_orderkey,
+                  CAST(o_orderkey - lag(o_orderkey, 1, 0)
+                       OVER (ORDER BY o_orderkey) AS BIGINT) AS gap
+           FROM orders WHERE o_orderkey <= 35 ORDER BY o_orderkey""",
+        """SELECT n_regionkey, n_name,
+                  CAST(count(*) OVER (PARTITION BY n_regionkey) AS BIGINT) AS sz
+           FROM nation ORDER BY n_regionkey, n_name""",
+    ],
+    # ── ORDER BY / LIMIT / OFFSET edges ───────────────────────────────
+    "order_limit": [
+        """SELECT x FROM (VALUES (3), (1), (2)) t(x) ORDER BY -x""",
+        """SELECT x FROM (VALUES (1)) t(x) LIMIT 0""",
+        """SELECT x FROM (VALUES (1), (2), (3)) t(x) ORDER BY x LIMIT 5""",
+        """SELECT x FROM (VALUES (1), (2), (3)) t(x)
+           ORDER BY x LIMIT 2 OFFSET 2""",
+        """SELECT x FROM (VALUES (1), (2), (3)) t(x)
+           ORDER BY x LIMIT 2 OFFSET 5""",
+        """SELECT o_orderkey, o_orderpriority FROM orders
+           ORDER BY o_orderpriority DESC, o_orderkey LIMIT 6""",
+        """SELECT n_name FROM nation
+           ORDER BY length(n_name), n_name LIMIT 8""",
+        """SELECT o_orderkey, o_totalprice FROM orders
+           ORDER BY round(o_totalprice, 0) DESC, o_orderkey LIMIT 5""",
+        """SELECT c_name, c_acctbal FROM customer
+           ORDER BY c_acctbal DESC NULLS LAST, c_name LIMIT 5""",
+        """SELECT x, y FROM (VALUES (1, 'b'), (1, 'a'), (2, 'c')) t(x, y)
+           ORDER BY x DESC, y ASC""",
+        """SELECT DISTINCT o_orderstatus FROM orders
+           ORDER BY o_orderstatus DESC""",
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+           WHERE l_orderkey <= 10
+           ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 7""",
+    ],
+    # ── subquery breadth 2 ────────────────────────────────────────────
+    "subquery2": [
+        """SELECT n_name,
+                  (SELECT r_name FROM region
+                   WHERE r_regionkey = n_regionkey) AS rname
+           FROM nation ORDER BY n_name LIMIT 10""",
+        """SELECT r_name,
+                  CAST((SELECT count(*) FROM nation
+                        WHERE n_regionkey = r_regionkey) AS BIGINT) AS members
+           FROM region ORDER BY r_name""",
+        """SELECT c_name FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 400000)
+           ORDER BY c_name LIMIT 10""",
+        """SELECT n_name FROM nation n
+           WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                             WHERE s.s_nationkey = n.n_nationkey)
+           ORDER BY n_name LIMIT 10""",
+        """SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM customer
+                               WHERE c_acctbal < -900)
+           ORDER BY o_orderkey LIMIT 10""",
+        """SELECT s_name FROM supplier
+           WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                     WHERE n_regionkey = 0)
+           ORDER BY s_name LIMIT 8""",
+        """SELECT o_orderkey, o_totalprice FROM orders o
+           WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""",
+        """SELECT x.o_orderstatus, CAST(x.n AS BIGINT) AS n
+           FROM (SELECT o_orderstatus, count(*) AS n FROM orders
+                 GROUP BY o_orderstatus) x
+           WHERE x.n > (SELECT count(*) / 10 FROM orders)
+           ORDER BY x.o_orderstatus""",
+        """WITH big AS (SELECT o_orderkey, o_totalprice FROM orders
+                        WHERE o_totalprice > 300000),
+                cnt AS (SELECT count(*) AS n FROM big)
+           SELECT CAST((SELECT n FROM cnt) AS BIGINT) AS n_big,
+                  CAST((SELECT min(o_orderkey) FROM big) AS BIGINT) AS first_key""",
+        """WITH r AS (SELECT r_regionkey, r_name FROM region)
+           SELECT a.r_name || '|' || b.r_name AS pair
+           FROM r a JOIN r b ON b.r_regionkey = a.r_regionkey + 1
+           ORDER BY a.r_regionkey""",
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderpriority
+           HAVING count(*) > (SELECT count(*) FROM orders) / 6
+           ORDER BY o_orderpriority""",
+        """SELECT n_name, (SELECT max(s_acctbal) FROM supplier
+                           WHERE s_nationkey = n_nationkey) IS NULL AS no_supp
+           FROM nation ORDER BY n_name LIMIT 10""",
+        """SELECT c_custkey FROM customer
+           WHERE c_custkey = (SELECT min(o_custkey) FROM orders)""",
+        """SELECT (SELECT count(*) FROM region) = 5 AS five_regions""",
+        """SELECT o_orderkey FROM orders o
+           WHERE EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey
+                           AND l.l_quantity = 50)
+           ORDER BY o_orderkey LIMIT 8""",
+    ],
+    # ── set-operation edges ───────────────────────────────────────────
+    "setop_edge": [
+        """SELECT x FROM (VALUES (1), (NULL), (1)) t(x)
+           UNION SELECT NULL ORDER BY x NULLS FIRST""",
+        """SELECT x FROM (VALUES (1), (1)) t(x)
+           UNION ALL SELECT x FROM (VALUES (1)) s(x) ORDER BY x""",
+        """SELECT x FROM (VALUES (1), (1), (2)) t(x)
+           INTERSECT SELECT x FROM (VALUES (1), (3)) s(x) ORDER BY x""",
+        """SELECT x FROM (VALUES (1), (1)) t(x)
+           INTERSECT ALL SELECT x FROM (VALUES (1), (1), (1)) s(x)
+           ORDER BY x""",
+        """SELECT x FROM (VALUES (1), (1), (2)) t(x)
+           EXCEPT SELECT 2 ORDER BY x""",
+        """SELECT x FROM (VALUES (1), (1), (2)) t(x)
+           EXCEPT ALL SELECT 1 ORDER BY x""",
+        """SELECT NULL AS x UNION ALL SELECT 1 ORDER BY x NULLS FIRST""",
+        """SELECT CAST(1 AS BIGINT) AS x UNION SELECT 1 ORDER BY x""",
+        """SELECT n_regionkey AS k FROM nation
+           INTERSECT SELECT r_regionkey FROM region ORDER BY k""",
+        """SELECT r_regionkey FROM region
+           EXCEPT SELECT n_regionkey FROM nation ORDER BY r_regionkey""",
+        """SELECT upper(r_name) AS nm FROM region
+           UNION SELECT r_name FROM region ORDER BY nm LIMIT 10""",
+        """SELECT o_orderstatus AS s FROM orders WHERE o_orderkey <= 50
+           UNION SELECT l_linestatus FROM lineitem WHERE l_orderkey <= 50
+           ORDER BY s""",
+    ],
+    # ── regex (shared single-replace + extract-group surface) ─────────
+    "regex": [
+        """SELECT regexp_extract('a12b34', '([0-9]+)', 1) AS first_num""",
+        """SELECT '[' || regexp_extract('no-digits', '([0-9]+)', 1) || ']'
+                  AS none_marked""",
+        """SELECT regexp_extract('key=value', '([a-z]+)=([a-z]+)', 2) AS v""",
+        """SELECT regexp_replace('a1b2', '[0-9]b', '#') AS masked_once""",
+        """SELECT regexp_replace('hello', 'l+', 'L') AS collapsed""",
+        """SELECT c_name, regexp_extract(c_name, '([0-9]+)', 1) AS num
+           FROM customer ORDER BY c_name LIMIT 8""",
+        """SELECT p_name, regexp_extract(p_name, '^([a-z]+)', 1) AS first
+           FROM part ORDER BY p_partkey LIMIT 8""",
+        """SELECT o_orderpriority,
+                  regexp_extract(o_orderpriority, '^([0-9])', 1) AS pri
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        """SELECT regexp_extract('2020-06-15', '^([0-9]{4})', 1) AS y""",
+        """SELECT regexp_extract('aaa', '(a)(a)', 2) AS second_group""",
+        """SELECT regexp_replace('abc', '^', '>') AS anchored""",
+        """SELECT regexp_extract('aXbXc', 'X(.)X', 1) AS between""",
+    ],
 }
+
+
+def fmt_elem(e):
+    """Array-ELEMENT formatting, mirrored in SltSpec: python's str() of a
+    list is the golden shape — None / 'quoted str' / True / digits.
+    Floats are banned inside arrays (binary-format ambiguity)."""
+    if e is None:
+        return "None"
+    if isinstance(e, bool):
+        return "True" if e else "False"
+    if isinstance(e, str):
+        return "'" + e + "'"
+    if isinstance(e, float):
+        raise ValueError("float inside array output — corpus rule violation")
+    return str(e)
 
 
 def fmt(v):
     if v is None:
         return "NULL"
+    if isinstance(v, list):
+        return "[" + ", ".join(fmt_elem(e) for e in v) + "]"
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float):
+    if isinstance(v, (float, decimal.Decimal)):
         # Java's String.format("%.4f") rounds HALF_UP; Python's "%.4f"
         # rounds half-even — quantize explicitly so 4th-decimal ties
         # can't diverge between golden and replay.
         # Decimal(v) is the EXACT binary value (same as Java's
         # new BigDecimal(double)) — an exact tie at the 4th decimal is
         # impossible for a dyadic rational, so both sides round alike.
+        # DuckDB DECIMAL outputs (decimal-literal arithmetic) format the
+        # same way — SltSpec %.4f's Spark's BigDecimal on its side.
         return str(decimal.Decimal(v).quantize(
             decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP))
     if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
