@@ -110,6 +110,7 @@ object GraftFunctionsRegistry {
     functions.CountMin.register(spark)
     functions.Bloom.register(spark)
     functions.Theta.register(spark)
+    functions.GraftWindowFunctions.register(spark)
   }
 }
 

@@ -66,8 +66,18 @@ object Upsert {
         "would be silently duplicated")
     val affected = source.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    val target = spark.read.parquet(tableDir)
-      .filter(col(partCol).isin(affected: _*)) // partition-pruned scan
+    // isin() is three-valued: a NULL partition value in the target never
+    // matches, so when the source touches the NULL partition the filter
+    // must include it explicitly — otherwise dynamic overwrite would
+    // replace __HIVE_DEFAULT_PARTITION__ with source-only rows, silently
+    // deleting every unmatched pre-existing row there
+    val nonNull = affected.filter(_ != null)
+    val hit =
+      if (affected.contains(null) && nonNull.nonEmpty)
+        col(partCol).isin(nonNull: _*) || col(partCol).isNull
+      else if (affected.contains(null)) col(partCol).isNull
+      else col(partCol).isin(nonNull: _*)
+    val target = spark.read.parquet(tableDir).filter(hit) // pruned scan
     val merged = merge(target, source, keys)
     // dynamic overwrite replaces ONLY the partitions present in the
     // merged output (exactly the affected set); static mode would drop

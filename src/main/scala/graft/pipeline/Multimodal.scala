@@ -57,15 +57,17 @@ object Multimodal {
       .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          val w = (1 + id % 8).toInt
-          val h = (1 + id % 6).toInt
+          // floorMod, not %: a negative id would yield width 0 (crash)
+          // while the pmod-computed metadata below claims 8
+          val w = 1 + java.lang.Math.floorMod(id, 8L).toInt
+          val h = 1 + java.lang.Math.floorMod(id, 6L).toInt
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
               img.setRGB(x, y, (g << 16) | (g << 8) | g)
               x += 1
             }
@@ -101,17 +103,21 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          // memory-cache stream: the default file-cache variant would
+          // leak a temp file + fd per image (iis is also closed below)
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext)
-            throw new IllegalArgumentException(
-              s"decodeImageFeatures: no codec for doc $id")
-          val reader = readers.next()
-          val fmt = reader.getFormatName.toLowerCase
-          reader.setInput(iis)
-          val img = reader.read(0)
-          reader.dispose()
+          val (fmt, img) = try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext)
+              throw new IllegalArgumentException(
+                s"decodeImageFeatures: no codec for doc $id")
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              (reader.getFormatName.toLowerCase, reader.read(0))
+            } finally reader.dispose()
+          } finally iis.close()
           var lum = 0L
           var y = 0
           while (y < img.getHeight) {

@@ -17,9 +17,9 @@ import org.apache.spark.sql.types._
   * datafusion/core/src/datasource/physical_plan/arrow_file.rs:49). Spark
   * has no built-in Arrow *file* format, but bundles arrow-vector, so the
   * bridge is small: the sink writes one IPC file per partition (the same
-  * parallel-demux shape as any file sink), the scan distributes whole
-  * files to tasks via the binaryFile source and streams record batches
-  * through ArrowFileReader.
+  * parallel-demux shape as any file sink), the scan hands each task a
+  * (path, length) pair and streams record batches through an
+  * ArrowFileReader over a per-task Hadoop channel — O(batch) read memory.
   *
   * Supported column types: Long, Int, Double, Float, String, Boolean
   * (nullable) — the reference's ArrowExec is likewise a niche bridge, not
@@ -90,9 +90,8 @@ object ArrowIpc {
 
   /** Minimal read-only SeekableByteChannel over a Hadoop
     * FSDataInputStream — lets ArrowFileReader do its footer seek against
-    * any Hadoop filesystem (driver-side schema discovery; executors
-    * stream whole files via the binaryFile source, which is already
-    * Hadoop-FS-backed). */
+    * any Hadoop filesystem, on the driver (schema discovery) and in
+    * every scan task (batch streaming). */
   private final class HadoopSeekableByteChannel(
       in: org.apache.hadoop.fs.FSDataInputStream, fileSize: Long)
       extends java.nio.channels.SeekableByteChannel {
@@ -203,6 +202,16 @@ object ArrowIpc {
         val alloc = new RootAllocator()
         val ch = new HadoopSeekableByteChannel(tfs.open(path), len)
         val reader = new ArrowFileReader(ch, alloc)
+        var closed = false
+        def closeAll(): Unit = if (!closed) {
+          closed = true
+          reader.close(); ch.close(); alloc.close()
+        }
+        // an early-terminating consumer (limit/take/failure) never
+        // exhausts the iterator — close on task completion too, or the
+        // stream fd + allocator buffers leak for the executor's lifetime
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
         val root = reader.getVectorSchemaRoot
         val out = Iterator.unfold(()) { _ =>
           if (reader.loadNextBatch()) {
@@ -212,7 +221,7 @@ object ArrowIpc {
             }
             Some((batch, ()))
           } else {
-            reader.close(); ch.close(); alloc.close()
+            closeAll()
             None
           }
         }

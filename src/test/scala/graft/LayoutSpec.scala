@@ -137,6 +137,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("pruned merge into the NULL partition keeps unmatched rows there") {
+    import spark.implicits._
+    val dir = "/tmp/graft_io/layout_merge_null_part"
+    // partition col with NULLs: ids 1-4 in pk='a', 5-8 in NULL partition
+    val target = Seq((1L, "a", "t1"), (2L, "a", "t2"),
+        (5L, null, "t5"), (6L, null, "t6"))
+      .toDF("id", "pk", "v")
+    target.write.mode("overwrite").partitionBy("pk").parquet(dir)
+    // source updates id 5 in the NULL partition (and inserts id 7 there)
+    val source = Seq((5L, null.asInstanceOf[String], "S5"),
+        (7L, null.asInstanceOf[String], "S7"))
+      .toDF("id", "pk", "v")
+    Upsert.mergeIntoPartitioned(spark, dir, "pk", source, Seq("pk", "id"))
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toMap
+    // unmatched NULL-partition row 6 must SURVIVE; 5 updated; 7 inserted;
+    // partition 'a' untouched
+    assert(got == Map(1L -> "t1", 2L -> "t2", 5L -> "S5", 6L -> "t6",
+      7L -> "S7"))
+  }
+
   test("antiMerge removes exactly the matched keys") {
     val t = Engine.table(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))

@@ -52,9 +52,10 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("GROUPS frame function is usable from SQL via extensions") {
-    // the injected builder path (GraftExtensions) — same function
-    // resolved by name inside a windowed SQL text
-    GraftWindowFunctions.register(spark)
+    // the injected builder path: the shared test session is built with
+    // GraftExtensions, so name resolution must go through injectFunction
+    // (no session-scoped register() here — that would mask a broken
+    // injection)
     val out = spark.sql("""
       SELECT g, graft_groups_sum(v, g, 1)
                OVER (ORDER BY g) AS s

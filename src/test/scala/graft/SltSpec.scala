@@ -35,7 +35,10 @@ class SltSpec extends AnyFunSuite {
     case b: Boolean => if (b) "true" else "false"
     case d: java.lang.Double => "%.4f".format(d)
     case f: java.lang.Float => "%.4f".format(f.toDouble)
-    case bd: java.math.BigDecimal => "%.4f".format(bd.doubleValue())
+    case bd: java.math.BigDecimal =>
+      // quantize the EXACT decimal (same as gen_slt's Decimal path) —
+      // rounding via doubleValue() could diverge at scale>4 ties
+      bd.setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
     case d: java.sql.Date => d.toString
     case t: java.sql.Timestamp =>
       fail(s"raw timestamp in SLT output ($t) — corpus rule violation")

@@ -886,12 +886,12 @@ def fmt(v):
     if isinstance(v, (float, decimal.Decimal)):
         # Java's String.format("%.4f") rounds HALF_UP; Python's "%.4f"
         # rounds half-even — quantize explicitly so 4th-decimal ties
-        # can't diverge between golden and replay.
-        # Decimal(v) is the EXACT binary value (same as Java's
-        # new BigDecimal(double)) — an exact tie at the 4th decimal is
-        # impossible for a dyadic rational, so both sides round alike.
-        # DuckDB DECIMAL outputs (decimal-literal arithmetic) format the
-        # same way — SltSpec %.4f's Spark's BigDecimal on its side.
+        # can't diverge between golden and replay. Ties DO occur for
+        # dyadic rationals (0.03125 = 1/32 is exactly ...125), so both
+        # sides must round the EXACT value HALF_UP: Decimal(v) here is
+        # the exact binary expansion (same as Java's new
+        # BigDecimal(double)); SltSpec quantizes DECIMAL outputs with
+        # BigDecimal.setScale(4, HALF_UP) to match.
         return str(decimal.Decimal(v).quantize(
             decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP))
     if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
