@@ -120,6 +120,28 @@ object MiscQueries {
         .orderBy(col("start"), col("node"))
     },
 
+    // ── LogicalPlan → SQL unparser (reference: datafusion/sql/src/
+    //    unparser/ plan_to_sql): build the plan with the DataFrame API,
+    //    unparse to SQL text, execute THE GENERATED TEXT through
+    //    spark.sql — the oracle replays the equivalent hand-written SQL,
+    //    so a wrong unparse breaks the row match ─────────────────────────
+    "unparse_roundtrip" -> Q("""
+      |SELECT o_orderpriority, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS rev
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority HAVING count(*) > 10
+      |ORDER BY o_orderpriority""") { (s, d) =>
+      Engine.registerAll(s, d)
+      val df = s.table("orders")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("rev"))
+        .filter(col("n") > 10)
+        .orderBy(col("o_orderpriority"))
+      s.sql(graft.plans.Unparser.toSql(df))
+    },
+
     // ── parquet schema evolution (reference: schema_evolution.slt) —
     //    two file generations with different schemas read as one table
     //    via mergeSchema; rows from the old generation surface NULL for

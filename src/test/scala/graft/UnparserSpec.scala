@@ -1,0 +1,97 @@
+package graft
+
+import graft.plans.Unparser
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LogicalPlan → SQL unparser round-trips: for each DataFrame shape,
+  * the generated SQL re-executed through spark.sql must reproduce the
+  * original rows exactly (reference contract: plan_to_sql —
+  * datafusion/sql/src/unparser/). */
+class UnparserSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    Engine.registerAll(s, sf)
+    s
+  }
+
+  private def roundtrip(df: DataFrame): Unit = {
+    val sql = Unparser.toSql(df)
+    val again = spark.sql(sql)
+    val a = df.collect().map(_.toSeq).groupBy(identity).map {
+      case (k, v) => k -> v.length }
+    val b = again.collect().map(_.toSeq).groupBy(identity).map {
+      case (k, v) => k -> v.length }
+    assert(a == b, s"round-trip mismatch for:\n$sql")
+  }
+
+  test("project + filter + sort + limit round-trips") {
+    roundtrip(spark.table("orders")
+      .filter(col("o_totalprice") > 100000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+      .limit(25))
+  }
+
+  test("aggregate with grouping round-trips") {
+    roundtrip(spark.table("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("q")))
+  }
+
+  test("global aggregate (no grouping) round-trips") {
+    roundtrip(spark.table("orders")
+      .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("mx")))
+  }
+
+  test("having (filter over aggregate) round-trips") {
+    roundtrip(spark.table("orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 100))
+  }
+
+  test("joins of all basic types round-trip") {
+    val n = spark.table("nation")
+    val r = spark.table("region")
+    roundtrip(n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_name"), col("r_name")))
+    roundtrip(n.join(r, n("n_regionkey") === r("r_regionkey"), "left")
+      .select(col("n_name"), col("r_name")))
+    roundtrip(n.join(r, n("n_regionkey") === r("r_regionkey"), "left_semi")
+      .select(col("n_name")))
+    roundtrip(n.join(r, n("n_regionkey") === r("r_regionkey") &&
+        r("r_name") === "EUROPE", "left_anti")
+      .select(col("n_name")))
+  }
+
+  test("distinct and set operations round-trip") {
+    val o = spark.table("orders")
+    roundtrip(o.select(col("o_orderstatus")).distinct())
+    val a = o.filter(col("o_orderkey") < 100).select(col("o_orderkey"))
+    val b = o.filter(col("o_orderkey") < 50).select(col("o_orderkey"))
+    roundtrip(a.unionAll(b))
+    roundtrip(a.intersect(b))
+    roundtrip(a.except(b))
+  }
+
+  test("nested composition round-trips") {
+    roundtrip(spark.table("lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+      .filter(col("rev") > 1000)
+      .orderBy(col("rev").desc)
+      .limit(10))
+  }
+
+  test("unsupported nodes raise a named error") {
+    val e = intercept[IllegalArgumentException] {
+      // raw parquet read without a view name — no catalog identity
+      Unparser.toSql(spark.read.parquet(s"$sf/orders.parquet").limit(1))
+    }
+    assert(e.getMessage.contains("Unparser"))
+  }
+}
