@@ -120,6 +120,25 @@ object MiscQueries {
         .orderBy(col("start"), col("node"))
     },
 
+    // ── COPY TO avro → read back → aggregate (reference AvroExec,
+    //    avro.rs:38 — built on the bundled Avro core jars, sources/
+    //    AvroIo; the oracle replays the aggregate from the base table,
+    //    so any write/read corruption breaks the match) ─────────────────
+    "copyto_avro" -> Q("""
+      |SELECT o_orderstatus, count(*) AS n,
+      |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, d) =>
+      val path = scratch("orders_avro")
+      graft.sources.AvroIo.write(
+        Engine.table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+        path)
+      graft.sources.AvroIo.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // ── LogicalPlan → SQL unparser (reference: datafusion/sql/src/
     //    unparser/ plan_to_sql): build the plan with the DataFrame API,
     //    unparse to SQL text, execute THE GENERATED TEXT through
