@@ -22,7 +22,8 @@ class SltSpec extends AnyFunSuite {
     "bits_binary", "predicates", "grouping", "null_sort",
     "arrays", "casts_try", "null_logic", "string_fns2", "math_fns2",
     "datetime2", "agg_edge", "window2", "regex", "subquery2", "setop_edge",
-    "order_limit")
+    "order_limit", "structs", "maps", "arrays_native", "fns_dialect",
+    "float_edge", "from_surface")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()
@@ -72,9 +73,12 @@ class SltSpec extends AnyFunSuite {
         val start = i
         i += 1
         val sql = new StringBuilder
-        while (lines(i).trim != "----") {
+        while (lines(i).trim != "----" && lines(i).trim != "--duck--") {
           sql.append(lines(i)).append('\n'); i += 1
         }
+        // a two-variant case carries the DuckDB text (golden provenance)
+        // in a --duck-- section; only the Spark text is executed here
+        while (lines(i).trim != "----") i += 1
         i += 1 // skip ----
         val golden = Vector.newBuilder[String]
         while (i < lines.length && lines(i).nonEmpty) {

@@ -8,6 +8,14 @@ the sqllogictest shape the reference uses as its test backbone
 (datafusion/sqllogictest/test_files/*.slt) with DuckDB in the
 Postgres-oracle role.
 
+A case is either ONE portable SQL string (runs verbatim on both
+engines) or a (spark_sql, duck_sql) pair for surfaces where the
+dialects spell the same semantics differently (struct/map/array
+constructors, date arithmetic, day-of-week conventions). Pairs are
+emitted with a `--duck--` section so the .slt file records both
+texts; SltSpec executes only the Spark text against the DuckDB
+golden.
+
 Corpus rules (enforced by construction, mirrored in SltSpec's formatter):
   - every query has a total ORDER BY (ordered compare, no rowsort);
   - float output is round()ed in SQL and formatted %.4f;
@@ -858,6 +866,251 @@ CORPUS = {
         """SELECT regexp_replace('abc', '^', '>') AS anchored""",
         """SELECT regexp_extract('aXbXc', 'X(.)X', 1) AS between""",
     ],
+    # ── structs: construction, access, nesting, comparison ───────────
+    #    (two-variant: Spark named_struct vs DuckDB {'k': v} literals;
+    #    struct values never appear raw in output — fields extracted) ──
+    "structs": [
+        ("""SELECT named_struct('a', 1, 'b', 'x').a AS a,
+                   named_struct('a', 1, 'b', 'x').b AS b""",
+         """SELECT {'a': 1, 'b': 'x'}.a AS a, {'a': 1, 'b': 'x'}.b AS b"""),
+        ("""SELECT named_struct('p', named_struct('q', 7)).p.q AS q""",
+         """SELECT {'p': {'q': 7}}.p.q AS q"""),
+        ("""SELECT named_struct('a', 1) = named_struct('a', 1) AS eq,
+                   named_struct('a', 1) = named_struct('a', 2) AS ne""",
+         """SELECT {'a': 1} = {'a': 1} AS eq, {'a': 1} = {'a': 2} AS ne"""),
+        ("""SELECT named_struct('a', 1, 'b', 2)
+                     < named_struct('a', 1, 'b', 3) AS lt,
+                   named_struct('a', 2, 'b', 0)
+                     > named_struct('a', 1, 'b', 9) AS gt""",
+         """SELECT {'a': 1, 'b': 2} < {'a': 1, 'b': 3} AS lt,
+                   {'a': 2, 'b': 0} > {'a': 1, 'b': 9} AS gt"""),
+        ("""SELECT named_struct('n', n_name, 'r', n_regionkey).n AS n,
+                   CAST(named_struct('n', n_name, 'r', n_regionkey).r
+                        AS BIGINT) AS r
+            FROM nation ORDER BY n LIMIT 8""",
+         """SELECT {'n': n_name, 'r': n_regionkey}.n AS n,
+                   CAST({'n': n_name, 'r': n_regionkey}.r AS BIGINT) AS r
+            FROM nation ORDER BY n LIMIT 8"""),
+        ("""SELECT s.a AS a, s.b AS b
+            FROM (SELECT named_struct('a', x, 'b', y) AS s
+                  FROM (VALUES (2, 'p'), (1, 'q'), (2, 'o')) t(x, y)) z
+            ORDER BY s""",
+         """SELECT s.a AS a, s.b AS b
+            FROM (SELECT {'a': x, 'b': y} AS s
+                  FROM (VALUES (2, 'p'), (1, 'q'), (2, 'o')) t(x, y)) z
+            ORDER BY s"""),
+        ("""SELECT s.a AS a, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT named_struct('a', x % 2) AS s
+                  FROM (VALUES (1), (2), (3), (4), (5)) t(x)) z
+            GROUP BY s ORDER BY a""",
+         """SELECT s.a AS a, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT {'a': x % 2} AS s
+                  FROM (VALUES (1), (2), (3), (4), (5)) t(x)) z
+            GROUP BY s ORDER BY a"""),
+        ("""SELECT CAST(NULL AS STRUCT<a: INT>) IS NULL AS isn""",
+         """SELECT CAST(NULL AS STRUCT(a INTEGER)) IS NULL AS isn"""),
+        ("""SELECT CAST(NULL AS STRUCT<a: INT>).a IS NULL AS field_null""",
+         """SELECT CAST(NULL AS STRUCT(a INTEGER)).a IS NULL AS field_null"""),
+        ("""SELECT max(named_struct('k', o_totalprice, 'id', o_orderkey)).id
+                   AS argmax
+            FROM orders WHERE o_orderkey <= 100""",
+         """SELECT max({'k': o_totalprice, 'id': o_orderkey}).id AS argmax
+            FROM orders WHERE o_orderkey <= 100"""),
+    ],
+    # ── maps: literals, lookup, keys/values (two-variant: DuckDB 1.0's
+    #    m[k] yields a 1-element LIST — Spark element_at is scalar) ────
+    "maps": [
+        ("""SELECT CAST(element_at(map('a', 1, 'b', 2), 'a') AS BIGINT) AS va,
+                   CAST(element_at(map('a', 1, 'b', 2), 'b') AS BIGINT) AS vb""",
+         """SELECT CAST((MAP {'a': 1, 'b': 2}['a'])[1] AS BIGINT) AS va,
+                   CAST((MAP {'a': 1, 'b': 2}['b'])[1] AS BIGINT) AS vb"""),
+        ("""SELECT element_at(map('a', 1), 'zz') IS NULL AS missing""",
+         """SELECT (MAP {'a': 1}['zz'])[1] IS NULL AS missing"""),
+        ("""SELECT array_sort(map_keys(map('b', 1, 'a', 2))) AS ks""",
+         """SELECT array_sort(map_keys(MAP {'b': 1, 'a': 2})) AS ks"""),
+        ("""SELECT array_sort(map_values(map('x', 20, 'y', 10))) AS vs""",
+         """SELECT array_sort(map_values(MAP {'x': 20, 'y': 10})) AS vs"""),
+        ("""SELECT CAST(cardinality(map('a', 1, 'b', 2)) AS BIGINT) AS n""",
+         """SELECT CAST(cardinality(MAP {'a': 1, 'b': 2}) AS BIGINT) AS n"""),
+        ("""SELECT CAST(element_at(map(n_name, n_regionkey), n_name)
+                        AS BIGINT) AS rk,
+                   n_name
+            FROM nation ORDER BY n_name LIMIT 8""",
+         """SELECT CAST((map([n_name], [n_regionkey])[n_name])[1]
+                        AS BIGINT) AS rk,
+                   n_name
+            FROM nation ORDER BY n_name LIMIT 8"""),
+        ("""SELECT CAST(element_at(
+                     map_from_arrays(array('x', 'y'), array(1, 2)), 'y')
+                   AS BIGINT) AS v""",
+         """SELECT CAST((map(['x', 'y'], [1, 2])['y'])[1] AS BIGINT) AS v"""),
+        ("""SELECT CAST(NULL AS MAP<STRING, INT>) IS NULL AS isn""",
+         """SELECT CAST(NULL AS MAP(VARCHAR, INTEGER)) IS NULL AS isn"""),
+        ("""SELECT CAST(size(map()) AS BIGINT) AS empty""",
+         """SELECT CAST(cardinality(MAP {}) AS BIGINT) AS empty"""),
+    ],
+    # ── arrays, native constructors + kernels (two-variant: [..] vs
+    #    array(..), 1-based [] vs element_at, list_* vs array_*) ───────
+    "arrays_native": [
+        ("""SELECT array_sort(array(3, 1, 2)) AS s""",
+         """SELECT array_sort([3, 1, 2]) AS s"""),
+        ("""SELECT element_at(array('a', 'b', 'c'), 2) AS second""",
+         """SELECT (['a', 'b', 'c'])[2] AS second"""),
+        ("""SELECT element_at(array('a', 'b', 'c'), -1) AS last""",
+         """SELECT (['a', 'b', 'c'])[-1] AS last"""),
+        ("""SELECT slice(array(1, 2, 3, 4), 2, 2) AS mid""",
+         """SELECT ([1, 2, 3, 4])[2:3] AS mid"""),
+        ("""SELECT CAST(array_min(array(3, 1, 2)) AS BIGINT) AS mn,
+                   CAST(array_max(array(3, 1, 2)) AS BIGINT) AS mx""",
+         """SELECT CAST(list_min([3, 1, 2]) AS BIGINT) AS mn,
+                   CAST(list_max([3, 1, 2]) AS BIGINT) AS mx"""),
+        ("""SELECT CAST(size(array(1, 2, 3)) AS BIGINT) AS n""",
+         """SELECT CAST(len([1, 2, 3]) AS BIGINT) AS n"""),
+        ("""SELECT concat(array(1, 2), array(3)) AS c""",
+         """SELECT list_concat([1, 2], [3]) AS c"""),
+        ("""SELECT array_sort(array_distinct(array(2, 1, 2))) AS d""",
+         """SELECT list_sort(list_distinct([2, 1, 2])) AS d"""),
+        ("""SELECT transform(array(1, 2), x -> x * 10) AS t""",
+         """SELECT list_transform([1, 2], x -> x * 10) AS t"""),
+        ("""SELECT CAST(aggregate(array(1, 2, 3), 0, (acc, x) -> acc + x)
+                        AS BIGINT) AS s""",
+         """SELECT CAST(list_sum([1, 2, 3]) AS BIGINT) AS s"""),
+        ("""SELECT reverse(array(1, 2, 3)) AS r""",
+         """SELECT list_reverse([1, 2, 3]) AS r"""),
+        ("""SELECT array_sort(array_intersect(array(1, 2, 3),
+                                              array(2, 3, 4))) AS i""",
+         """SELECT list_sort(list_intersect([1, 2, 3], [2, 3, 4])) AS i"""),
+        ("""SELECT arrays_overlap(array(1, 2), array(2, 9)) AS hit,
+                   arrays_overlap(array(1, 2), array(8, 9)) AS miss""",
+         """SELECT list_has_any([1, 2], [2, 9]) AS hit,
+                   list_has_any([1, 2], [8, 9]) AS miss"""),
+        ("""SELECT element_at(array_sort(array_agg(DISTINCT n_regionkey)), 1)
+                   IS NOT NULL AS ok,
+                   CAST(element_at(array_sort(array_agg(DISTINCT n_regionkey)),
+                                   -1) AS BIGINT) AS top
+            FROM nation""",
+         """SELECT (array_sort(array_agg(DISTINCT n_regionkey)))[1]
+                   IS NOT NULL AS ok,
+                   CAST((array_sort(array_agg(DISTINCT n_regionkey)))[-1]
+                        AS BIGINT) AS top
+            FROM nation"""),
+        ("""SELECT element_at(array(n_name), 1) AS n
+            FROM nation ORDER BY n_name LIMIT 6""",
+         """SELECT ([n_name])[1] AS n FROM nation ORDER BY n_name LIMIT 6"""),
+    ],
+    # ── dialect-paired string/date functions ─────────────────────────
+    "fns_dialect": [
+        ("""SELECT startswith('hello', 'he') AS s, endswith('hello', 'lo') AS e,
+                   startswith('hello', 'zz') AS s0""",
+         """SELECT starts_with('hello', 'he') AS s, ends_with('hello', 'lo') AS e,
+                   starts_with('hello', 'zz') AS s0"""),
+        ("""SELECT to_date('15/06/2020', 'dd/MM/yyyy') AS d""",
+         """SELECT CAST(strptime('15/06/2020', '%d/%m/%Y') AS DATE) AS d"""),
+        ("""SELECT date_format(DATE '2020-06-15', 'yyyy/MM') AS f""",
+         """SELECT strftime(DATE '2020-06-15', '%Y/%m') AS f"""),
+        ("""SELECT date_add(DATE '2020-01-01', 5) AS plus,
+                   date_sub(DATE '2020-01-01', 5) AS minus""",
+         """SELECT DATE '2020-01-01' + 5 AS plus,
+                   DATE '2020-01-01' - 5 AS minus"""),
+        ("""SELECT CAST(datediff(DATE '2020-01-31', DATE '2020-01-01')
+                        AS BIGINT) AS d""",
+         """SELECT CAST(date_diff('day', DATE '2020-01-01', DATE '2020-01-31')
+                        AS BIGINT) AS d"""),
+        ("""SELECT add_months(DATE '2020-01-31', 1) AS clamped""",
+         """SELECT CAST(DATE '2020-01-31' + INTERVAL '1' MONTH AS DATE)
+                   AS clamped"""),
+        ("""SELECT CAST(months_between(DATE '2020-03-15', DATE '2020-01-15')
+                        AS BIGINT) AS m""",
+         """SELECT CAST(date_diff('month', DATE '2020-01-15',
+                                  DATE '2020-03-15') AS BIGINT) AS m"""),
+        ("""SELECT CAST(weekday(DATE '2020-06-15') + 1 AS BIGINT) AS iso_dow""",
+         """SELECT CAST(dayofweek(DATE '2020-06-15') AS BIGINT) AS iso_dow"""),
+        ("""SELECT date_format(DATE '2020-06-15', 'EEEE') AS dn""",
+         """SELECT dayname(DATE '2020-06-15') AS dn"""),
+        ("""SELECT CAST(unix_date(DATE '2020-06-15') AS BIGINT) AS days""",
+         """SELECT CAST(date_diff('day', DATE '1970-01-01', DATE '2020-06-15')
+                        AS BIGINT) AS days"""),
+        ("""SELECT trunc(DATE '2020-08-20', 'month') AS m,
+                   trunc(DATE '2020-08-20', 'year') AS y""",
+         """SELECT date_trunc('month', DATE '2020-08-20') AS m,
+                   date_trunc('year', DATE '2020-08-20') AS y"""),
+        ("""SELECT 7 DIV 2 AS q, (-7) DIV 2 AS qn, 9 DIV 3 AS q3""",
+         """SELECT 7 // 2 AS q, (-7) // 2 AS qn, 9 // 3 AS q3"""),
+        ("""SELECT CAST(pmod(-7, 3) AS BIGINT) AS p,
+                   CAST(pmod(7, 3) AS BIGINT) AS pp""",
+         """SELECT CAST(((-7 % 3) + 3) % 3 AS BIGINT) AS p,
+                   CAST(((7 % 3) + 3) % 3 AS BIGINT) AS pp"""),
+        ("""SELECT space(3) || 'x' AS padded""",
+         """SELECT repeat(' ', 3) || 'x' AS padded"""),
+        ("""SELECT o_orderkey, date_add(CAST(o_orderdate AS DATE), 30) AS due
+            FROM orders ORDER BY o_orderkey LIMIT 6""",
+         """SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS due
+            FROM orders ORDER BY o_orderkey LIMIT 6"""),
+    ],
+    # ── float special values: NaN/Inf/-0.0 (booleans + int markers
+    #    only in output — NaN/Inf cannot be %.4f-formatted) ────────────
+    "float_edge": [
+        """SELECT isnan(CAST('NaN' AS DOUBLE)) AS nan_is,
+                  isnan(1.0) AS one_is""",
+        """SELECT CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS nan_eq""",
+        """SELECT CAST('NaN' AS DOUBLE) > CAST('Infinity' AS DOUBLE)
+                  AS nan_gt_inf""",
+        """SELECT id FROM (VALUES (1, CAST('-Infinity' AS DOUBLE)),
+                                  (2, 1.0),
+                                  (3, CAST('Infinity' AS DOUBLE)),
+                                  (4, CAST('NaN' AS DOUBLE))) t(id, v)
+           ORDER BY v, id""",
+        """SELECT id FROM (VALUES (1, CAST('NaN' AS DOUBLE)),
+                                  (2, 0.5)) t(id, v)
+           ORDER BY v DESC, id""",
+        """SELECT -0.0 = 0.0 AS zeros_eq""",
+        """SELECT 1e308 * 10 > 1e308 AS overflow_inf,
+                  -1e308 * 10 < -1e308 AS underflow_inf""",
+        """SELECT isnan(max(v)) AS max_is_nan
+           FROM (VALUES (1.0), (CAST('NaN' AS DOUBLE))) t(v)""",
+        """SELECT sum(v) > 1e308 AS sum_inf
+           FROM (VALUES (CAST('Infinity' AS DOUBLE)), (1.0)) t(v)""",
+        """SELECT CAST('Infinity' AS DOUBLE) + 1.0
+                    = CAST('Infinity' AS DOUBLE) AS inf_plus,
+                  isnan(CAST('Infinity' AS DOUBLE)
+                        - CAST('Infinity' AS DOUBLE)) AS inf_minus_inf""",
+        """SELECT CAST(count(*) FILTER (WHERE isnan(v)) AS BIGINT) AS nans
+           FROM (VALUES (CAST('NaN' AS DOUBLE)), (1.0),
+                        (CAST('NaN' AS DOUBLE))) t(v)""",
+    ],
+    # ── ordinal / ALL group-by + lateral + USING joins ────────────────
+    "from_surface": [
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1 ORDER BY 1""",
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3""",
+        """SELECT n_regionkey % 2 AS parity, CAST(count(*) AS BIGINT) AS n
+           FROM nation GROUP BY ALL ORDER BY parity""",
+        """SELECT r_name, x FROM region,
+                LATERAL (SELECT r_regionkey * 2 AS x) t
+           ORDER BY r_name""",
+        """SELECT r_name, CAST(t.n AS BIGINT) AS n FROM region,
+                LATERAL (SELECT count(*) AS n FROM nation
+                         WHERE n_regionkey = r_regionkey) t
+           ORDER BY r_name""",
+        """SELECT r_name, t.top FROM region CROSS JOIN
+                LATERAL (SELECT max(n_name) AS top FROM nation
+                         WHERE n_regionkey = r_regionkey) t
+           ORDER BY r_name""",
+        """SELECT n_name, r_name
+           FROM (SELECT n_name, n_regionkey AS rk FROM nation) a
+           JOIN (SELECT r_name, r_regionkey AS rk FROM region) b USING (rk)
+           ORDER BY n_name LIMIT 8""",
+        """SELECT CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT n_regionkey AS k, n_nationkey AS j FROM nation) a
+           JOIN (SELECT r_regionkey AS k, r_regionkey AS j FROM region) b
+           USING (k, j)""",
+        """SELECT a.v, b.w
+           FROM (SELECT 1 AS k, 'a' AS v) a
+           NATURAL JOIN (SELECT 1 AS k, 'b' AS w) b ORDER BY a.v""",
+        """SELECT k FROM (SELECT 2 AS k) a NATURAL JOIN (SELECT 1 AS k) b
+           ORDER BY k""",
+    ],
 }
 
 
@@ -917,12 +1170,21 @@ def main():
     for family, queries in CORPUS.items():
         out = [f"# {family}.slt — generated by tools/gen_slt.py over {SF}",
                "# do not edit by hand; regenerate instead", ""]
-        for sql in queries:
-            sql = "\n".join(l.strip() for l in sql.strip().splitlines())
-            rows = con.execute(sql).fetchall()
-            assert len(rows) <= 40, f"golden too big ({len(rows)}): {sql}"
+        for case in queries:
+            if isinstance(case, tuple):
+                spark_sql, duck_sql = case
+            else:
+                spark_sql = duck_sql = case
+            norm = lambda s: "\n".join(l.strip()
+                                       for l in s.strip().splitlines())
+            spark_sql, duck_sql = norm(spark_sql), norm(duck_sql)
+            rows = con.execute(duck_sql).fetchall()
+            assert len(rows) <= 40, f"golden too big ({len(rows)}): {duck_sql}"
             out.append("query")
-            out.append(sql)
+            out.append(spark_sql)
+            if duck_sql != spark_sql:
+                out.append("--duck--")
+                out.append(duck_sql)
             out.append("----")
             for r in rows:
                 line = "\t".join(fmt(v) for v in r)
