@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, Expression, Literal, SortOrder}
+  Alias, Attribute, Exists, Expression, InSubquery, ListQuery, Literal,
+  Not, OuterReference, ScalarSubquery, SortOrder, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.{
   Cross, FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -21,15 +22,19 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * unparser, the output targets the engine's own dialect.
   *
   * Supported plan subset: Project, Filter, Aggregate (incl. HAVING as a
-  * Filter over Aggregate), Sort, Limit/Offset, Distinct, Union [ALL],
-  * Intersect/Except [ALL], all join types, SubqueryAlias, and base
-  * relations reached through a SubqueryAlias (spark.table). Lower-level
-  * scans (raw files without a view name) and streaming/recursive nodes
-  * are out of scope and raise a named error.
+  * Filter over Aggregate), Sort, Limit/Offset, Distinct, Window, Union
+  * [ALL/DISTINCT], Intersect/Except [ALL], all join types, subquery
+  * expressions (EXISTS / NOT EXISTS / IN / NOT IN / scalar, incl.
+  * correlated), SubqueryAlias, and base relations reached through a
+  * SubqueryAlias (spark.table). Lower-level scans (raw files without a
+  * view name) and streaming/recursive nodes are out of scope and raise
+  * a named error.
   *
   * Caveat (same as the reference's unparser): generated SQL refers to
   * columns by NAME, so plans that join two relations sharing a column
-  * name used ambiguously cannot round-trip and are rejected.
+  * name used ambiguously cannot round-trip and are rejected. Correlated
+  * subqueries bind their outer reference by name too — an inner relation
+  * shadowing the outer column's name would re-bind it.
   */
 object Unparser {
 
@@ -43,13 +48,47 @@ object Unparser {
   private def nextAlias(c: java.util.concurrent.atomic.AtomicInteger) =
     s"__sq${c.incrementAndGet()}"
 
-  private def exprSql(e: Expression): String = e match {
+  private def exprSql(e: Expression,
+      c: java.util.concurrent.atomic.AtomicInteger): String = e match {
     // strip qualifiers: generated SQL scopes names through the derived
     // tables, and stale qualifiers (t.`x`) would dangle
     case a: Attribute => s"`${a.name}`"
-    case al @ Alias(child, name) => s"${exprSql(child)} AS `$name`"
+    case al @ Alias(child, name) => s"${exprSql(child, c)} AS `$name`"
+    // subquery expressions carry a nested PLAN — Expression.sql can't
+    // render those executably (it prints an exprId tag), so the plan
+    // recursion re-enters here (reference: unparser subquery_to_sql)
+    case ex: Exists => s"EXISTS (${render(ex.plan, c)})"
+    case Not(ex: Exists) => s"(NOT EXISTS (${render(ex.plan, c)}))"
+    case InSubquery(values, l: ListQuery) =>
+      val v = if (values.length == 1) exprSql(values.head, c)
+              else s"(${values.map(exprSql(_, c)).mkString(", ")})"
+      s"($v IN (${render(l.plan, c)}))"
+    case Not(InSubquery(values, l: ListQuery)) =>
+      val v = if (values.length == 1) exprSql(values.head, c)
+              else s"(${values.map(exprSql(_, c)).mkString(", ")})"
+      s"($v NOT IN (${render(l.plan, c)}))"
+    case sq: ScalarSubquery => s"(${render(sq.plan, c)})"
+    // recurse through binary operators (AND/OR, comparisons, arithmetic)
+    // and NOT so subquery expressions are reachable in any such position
+    case b: org.apache.spark.sql.catalyst.expressions.BinaryOperator
+        if b.exists(_.isInstanceOf[SubqueryExpression]) =>
+      s"(${exprSql(b.left, c)} ${b.sqlOperator} ${exprSql(b.right, c)})"
+    case Not(child) if child.exists(_.isInstanceOf[SubqueryExpression]) =>
+      s"(NOT ${exprSql(child, c)})"
     case other =>
+      // a subquery under any other operator would .sql to garbage —
+      // fail with a named error instead of emitting broken text
+      if (other.exists(_.isInstanceOf[SubqueryExpression]))
+        throw new IllegalArgumentException(
+          "Unparser: subquery expression nested under unsupported " +
+            s"operator ${other.prettyName} — supported: AND/OR/NOT/" +
+            "comparison positions")
       other.transformUp {
+        // correlation markers render as the bare column name: the
+        // generated text re-binds them by scoping rules
+        case OuterReference(a) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
         case a: Attribute =>
           // re-render attributes without their original qualifier
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -69,27 +108,48 @@ object Unparser {
       case inner => s"(${render(inner, c)}) AS `${ident.name}`"
     }
 
+    // FROM-less SELECT (literals / scalar subqueries over one row)
+    case Project(list, _: OneRowRelation) =>
+      s"SELECT ${list.map(exprSql(_, c)).mkString(", ")}"
+
     case Project(list, child) =>
-      s"SELECT ${list.map(exprSql).mkString(", ")} FROM ${from(child, c)}"
+      s"SELECT ${list.map(exprSql(_, c)).mkString(", ")} FROM ${from(child, c)}"
 
     case Filter(cond, agg: Aggregate) =>
       // HAVING: a filter directly over an aggregate referencing agg
       // outputs — rendered as a HAVING clause on the same SELECT
-      s"${renderAggregate(agg, c)} HAVING ${exprSql(cond)}"
+      s"${renderAggregate(agg, c)} HAVING ${exprSql(cond, c)}"
 
     case Filter(cond, child) =>
-      s"SELECT * FROM ${from(child, c)} WHERE ${exprSql(cond)}"
+      s"SELECT * FROM ${from(child, c)} WHERE ${exprSql(cond, c)}"
 
     case agg: Aggregate => renderAggregate(agg, c)
 
+    // window operator: child columns pass through, window expressions
+    // append — WindowExpression.sql renders the full OVER (...) clause
+    // including PARTITION BY / ORDER BY / frame
+    case w: Window =>
+      val cols = w.child.output.map(a => s"`${a.name}`") ++
+        w.windowExpressions.map(exprSql(_, c))
+      s"SELECT ${cols.mkString(", ")} FROM ${from(w.child, c)}"
+
     case Sort(orders, true, child, _) =>
-      s"SELECT * FROM ${from(child, c)} ORDER BY ${orders.map(sortSql).mkString(", ")}"
+      s"SELECT * FROM ${from(child, c)} ORDER BY ${orders.map(sortSql(_, c)).mkString(", ")}"
 
     case GlobalLimit(Literal(n, _), LocalLimit(_, child)) =>
       s"SELECT * FROM ${from(child, c)} LIMIT $n"
 
     case Offset(Literal(n, _), child) =>
       s"SELECT * FROM ${from(child, c)} OFFSET $n"
+
+    // distinct over a union renders with the UNION keyword itself —
+    // `a UNION b` — rather than SELECT DISTINCT over a derived table
+    case Deduplicate(keys, u @ Union(children, false, false))
+        if keys.map(_.exprId).toSet == u.output.map(_.exprId).toSet =>
+      children.map(ch => s"(${render(ch, c)})").mkString(" UNION ")
+
+    case Distinct(Union(children, false, false)) =>
+      children.map(ch => s"(${render(ch, c)})").mkString(" UNION ")
 
     // Dataset.distinct() analyzes to Deduplicate over the full output
     case Deduplicate(keys, child)
@@ -98,7 +158,7 @@ object Unparser {
 
     case Distinct(child) => child match {
       case Project(list, grandchild) =>
-        s"SELECT DISTINCT ${list.map(exprSql).mkString(", ")} " +
+        s"SELECT DISTINCT ${list.map(exprSql(_, c)).mkString(", ")} " +
           s"FROM ${from(grandchild, c)}"
       case _ => s"SELECT DISTINCT * FROM ${from(child, c)}"
     }
@@ -126,7 +186,7 @@ object Unparser {
         case other => throw new IllegalArgumentException(
           s"Unparser: unsupported join type $other")
       }
-      val on = cond.map(e => s" ON ${exprSql(e)}").getOrElse("")
+      val on = cond.map(e => s" ON ${exprSql(e, c)}").getOrElse("")
       s"SELECT * FROM ${from(left, c)} $kw ${from(right, c)}$on"
 
     case other => throw new IllegalArgumentException(
@@ -137,17 +197,18 @@ object Unparser {
 
   private def renderAggregate(agg: Aggregate,
       c: java.util.concurrent.atomic.AtomicInteger): String = {
-    val select = agg.aggregateExpressions.map(exprSql).mkString(", ")
+    val select = agg.aggregateExpressions.map(exprSql(_, c)).mkString(", ")
     val groups =
       if (agg.groupingExpressions.isEmpty) ""
-      else s" GROUP BY ${agg.groupingExpressions.map(exprSql).mkString(", ")}"
+      else s" GROUP BY ${agg.groupingExpressions.map(exprSql(_, c)).mkString(", ")}"
     s"SELECT $select FROM ${from(agg.child, c)}$groups"
   }
 
-  private def sortSql(o: SortOrder): String = {
+  private def sortSql(o: SortOrder,
+      c: java.util.concurrent.atomic.AtomicInteger): String = {
     val dir = o.direction.sql
     val nulls = o.nullOrdering.sql
-    s"${exprSql(o.child)} $dir $nulls"
+    s"${exprSql(o.child, c)} $dir $nulls"
   }
 
   /** Render a child as a FROM item: base tables by name, everything

@@ -161,6 +161,53 @@ object MiscQueries {
       s.sql(graft.plans.Unparser.toSql(df))
     },
 
+    // ── unparser: window expressions — the OVER clause (partition,
+    //    order, frame) must survive the plan→SQL→plan round trip ───────
+    "unparse_window" -> Q("""
+      |SELECT o_orderkey, o_orderstatus,
+      |       CAST(row_number() OVER (PARTITION BY o_orderstatus
+      |                               ORDER BY o_orderkey) AS BIGINT) AS rn,
+      |       CAST(sum(o_orderkey) OVER (PARTITION BY o_orderstatus
+      |            ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+      |            AND CURRENT ROW) AS BIGINT) AS run
+      |FROM orders WHERE o_orderkey < 500
+      |ORDER BY o_orderkey""") { (s, d) =>
+      Engine.registerAll(s, d)
+      import org.apache.spark.sql.expressions.{Window => W}
+      val w = W.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+      val df = s.table("orders")
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("run", sum(col("o_orderkey"))
+          .over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"))
+        .orderBy(col("o_orderkey"))
+      s.sql(graft.plans.Unparser.toSql(df))
+    },
+
+    // ── unparser: subquery expressions (EXISTS + IN + scalar) — the
+    //    nested plans re-enter the plan recursion; correlation binds by
+    //    name in the generated text ─────────────────────────────────────
+    "unparse_subquery" -> Q("""
+      |SELECT c_custkey FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |              AND o_totalprice > 300000)
+      |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_regionkey <= 2)
+      |  AND c_acctbal > (SELECT min(c_acctbal) FROM customer)
+      |ORDER BY c_custkey""") { (s, d) =>
+      Engine.registerAll(s, d)
+      val df = s.sql(
+        """SELECT c_custkey FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |              AND o_totalprice > 300000)
+          |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+          |                      WHERE n_regionkey <= 2)
+          |  AND c_acctbal > (SELECT min(c_acctbal) FROM customer)
+          |ORDER BY c_custkey""".stripMargin)
+      s.sql(graft.plans.Unparser.toSql(df))
+    },
+
     // ── parquet schema evolution (reference: schema_evolution.slt) —
     //    two file generations with different schemas read as one table
     //    via mergeSchema; rows from the old generation surface NULL for

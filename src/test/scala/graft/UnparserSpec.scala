@@ -87,6 +87,59 @@ class UnparserSpec extends AnyFunSuite {
       .limit(10))
   }
 
+  test("window functions round-trip") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+    roundtrip(spark.table("orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run",
+        sum(col("o_orderkey")).over(w.rowsBetween(W.unboundedPreceding, 0))))
+  }
+
+  test("EXISTS / NOT EXISTS subqueries round-trip (SQL-built plans)") {
+    roundtrip(spark.sql(
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_totalprice > 300000)""".stripMargin))
+    roundtrip(spark.sql(
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey)""".stripMargin))
+  }
+
+  test("IN / NOT IN subqueries round-trip") {
+    roundtrip(spark.sql(
+      """SELECT n_name FROM nation
+        |WHERE n_regionkey IN (SELECT r_regionkey FROM region
+        |                      WHERE r_name IN ('ASIA', 'EUROPE'))""".stripMargin))
+    roundtrip(spark.sql(
+      """SELECT s_name FROM supplier
+        |WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation
+        |                          WHERE n_regionkey = 0)""".stripMargin))
+  }
+
+  test("scalar subqueries round-trip, incl. under arithmetic") {
+    roundtrip(spark.sql(
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
+        |""".stripMargin))
+    roundtrip(spark.sql(
+      "SELECT (SELECT count(*) FROM region) AS n_regions"))
+  }
+
+  test("UNION distinct renders with the UNION keyword") {
+    val a = spark.table("nation").select(col("n_regionkey").as("k"))
+    val b = spark.table("region").select(col("r_regionkey").as("k"))
+    val df = a.union(b).distinct()
+    val sql = Unparser.toSql(df)
+    assert(sql.contains(" UNION ") && !sql.contains("UNION ALL"), sql)
+    roundtrip(df)
+    roundtrip(spark.sql(
+      "SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey FROM region"))
+  }
+
   test("unsupported nodes raise a named error") {
     val e = intercept[IllegalArgumentException] {
       // raw parquet read without a view name — no catalog identity
