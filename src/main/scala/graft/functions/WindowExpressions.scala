@@ -195,6 +195,30 @@ object GraftWindowFunctions {
   def groupsCount(key: Column, k: Int): Column =
     groupsSum(org.apache.spark.sql.functions.lit(1L), key, k)
 
+  /** `sum(x) OVER (... GROUPS BETWEEN a PRECEDING AND b FOLLOWING)` —
+    * the two-sided GROUPS frame, composed from two single-direction
+    * streaming passes over opposite sort orders plus the current peer
+    * group: sum[g-a, g+b] = asc(a) + desc(b) - group(0). Each pass is
+    * the same O(k)-state running evaluation as [[groupsSum]]; the result
+    * is NULL exactly when the whole two-sided span holds no non-null
+    * values (both directional sums include the current group, so they
+    * are null together iff the span is empty). NULL order keys form one
+    * peer group ordered first in both directions (ASC NULLS FIRST /
+    * DESC NULLS LAST reverse consistently). */
+  def groupsSumBetween(x: Column, key: Column, aPrec: Int, bFoll: Int,
+      partitionBy: Seq[Column], orderBy: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val W = org.apache.spark.sql.expressions.Window
+    val asc = W.partitionBy(partitionBy: _*).orderBy(orderBy.asc)
+    val desc = W.partitionBy(partitionBy: _*).orderBy(orderBy.desc)
+    val up = groupsSum(x, key, aPrec).over(asc)
+    val down = groupsSum(x, key, bFoll).over(desc)
+    val cur = groupsSum(x, key, 0).over(asc)
+    when(up.isNull.and(down.isNull), lit(null).cast("long"))
+      .otherwise(coalesce(up, lit(0L)).plus(coalesce(down, lit(0L)))
+        .minus(coalesce(cur, lit(0L))))
+  }
+
   /** (name, impl class, builder) — shared by register() and
     * GraftExtensions. */
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(

@@ -271,6 +271,32 @@ object WindowQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // ── native GROUPS frame, two-sided: GROUPS BETWEEN 1 PRECEDING AND
+    //    2 FOLLOWING — composed from opposite-direction streaming passes
+    //    (asc(a) + desc(b) - current group); oracle emulates GROUPS via
+    //    RANGE over dense_rank (DuckDB has no GROUPS mode either) ────────
+    "window_groups_between" -> Q("""
+      |WITH ranked AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey,
+      |         dense_rank() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY o_orderpriority) AS dr
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |       CAST(sum(o_custkey) OVER w AS BIGINT) AS cust_sum
+      |FROM ranked
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY dr
+      |             RANGE BETWEEN 1 PRECEDING AND 2 FOLLOWING)
+      |ORDER BY o_orderkey""") { (s, d) =>
+      GraftWindowFunctions.register(s)
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          GraftWindowFunctions.groupsSumBetween(col("o_custkey"),
+            col("o_orderpriority"), 1, 2,
+            Seq(col("o_orderstatus")), col("o_orderpriority"))
+            .as("cust_sum"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ── UDWF: custom AggregateWindowFunction (running EWMA fold) ─────────
     // Reference capability: WindowUDFImpl/PartitionEvaluator (udwf.rs:251).
     // Not expressible with built-in window aggregates — the state is a

@@ -51,6 +51,38 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("two-sided GROUPS frame matches the dense_rank emulation on edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftWindowFunctions.register(spark)
+    val rows = Seq[(String, String, java.lang.Long)](
+      ("p1", null, 10L), ("p1", null, null),
+      ("p1", "a", 1L), ("p1", "a", 2L),
+      ("p1", "b", null), ("p1", "c", 4L), ("p1", "c", 5L),
+      ("p2", "a", 7L), ("p2", "b", null), ("p2", "b", null))
+      .toDF("part", "key", "v")
+    for ((a, b) <- Seq((0, 0), (1, 2), (0, 1), (3, 0), (2, 3))) {
+      val wRank = Window.partitionBy(col("part"))
+        .orderBy(col("key").asc_nulls_first)
+      val wRange = Window.partitionBy(col("part")).orderBy(col("dr"))
+        .rangeBetween(-a, b)
+      val native = rows.select(col("part"), col("key"), col("v"),
+          GraftWindowFunctions.groupsSumBetween(col("v"), col("key"),
+            a, b, Seq(col("part")), col("key")).as("s"))
+        .orderBy(col("part"), col("key").asc_nulls_first, col("v"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+      val emulated = rows
+        .withColumn("dr", dense_rank().over(wRank))
+        .select(col("part"), col("key"), col("v"),
+          sum(col("v")).over(wRange).as("s"))
+        .orderBy(col("part"), col("key").asc_nulls_first, col("v"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+      assert(native == emulated, s"a=$a b=$b")
+    }
+  }
+
   test("GROUPS frame function is usable from SQL via extensions") {
     // the injected builder path: the shared test session is built with
     // GraftExtensions, so name resolution must go through injectFunction
