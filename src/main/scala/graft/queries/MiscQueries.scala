@@ -139,6 +139,33 @@ object MiscQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ── COPY TO avro with logical types (date / timestamp-micros /
+    //    decimal): values survive the physical Avro encodings (epoch
+    //    days, µs since epoch, unscaled big-endian bytes); timestamps
+    //    leave the output as epoch seconds (tz-naive-vs-aware dtype rule)
+    //    and decimals as rounded doubles — the read-back values feed the
+    //    casts, so any codec error breaks the match ─────────────────────
+    "copyto_avro_logical" -> Q("""
+      |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+      |       CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ts_s,
+      |       round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 2)
+      |         AS price
+      |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      val path = scratch("orders_avro_logical")
+      graft.sources.AvroIo.write(
+        Engine.table(s, d, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").as("od"),
+            col("o_orderdate").cast("timestamp").as("ots"),
+            col("o_totalprice").cast("decimal(12,2)").as("odec")),
+        path)
+      graft.sources.AvroIo.read(s, path)
+        .select(col("o_orderkey"), col("od"),
+          unix_timestamp(col("ots")).as("ts_s"),
+          round(col("odec").cast("double"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ── LogicalPlan → SQL unparser (reference: datafusion/sql/src/
     //    unparser/ plan_to_sql): build the plan with the DataFrame API,
     //    unparse to SQL text, execute THE GENERATED TEXT through

@@ -2,7 +2,7 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.Schema
+import org.apache.avro.{LogicalType, LogicalTypes, Schema}
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{
   GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
@@ -20,7 +20,10 @@ import org.apache.spark.sql.types._
   * O(record-block) read memory, never whole-file buffering.
   *
   * Supported column types (nullable): Long, Int, Double, Float, String,
-  * Boolean, Binary — each encoded as the Avro union ["null", T].
+  * Boolean, Binary — each encoded as the Avro union ["null", T] — plus
+  * the standard Avro logical types: Date (int/date),
+  * Timestamp (long/timestamp-micros; timestamp-millis read too), and
+  * Decimal (bytes/decimal with the column's precision and scale).
   * At scale: one task per container file (Avro files ARE block-split-
   * table via sync markers, but per-file tasks keep the bridge small;
   * the writer bounds file size by its input partitioning).
@@ -37,6 +40,12 @@ object AvroIo {
         case StringType => Schema.create(Schema.Type.STRING)
         case BooleanType => Schema.create(Schema.Type.BOOLEAN)
         case BinaryType => Schema.create(Schema.Type.BYTES)
+        case DateType =>
+          LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+        case TimestampType => LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+        case d: DecimalType => LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
         case other => throw new IllegalArgumentException(
           s"AvroIo: unsupported type $other for column ${f.name}")
       }
@@ -47,22 +56,96 @@ object AvroIo {
     Schema.createRecord(name, null, "graft", false, fields.toList.asJava)
   }
 
+  /** Unwrap the ["null", T] union the writer produces. */
+  private def unionBase(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
   private def toSparkType(s: Schema): DataType = {
-    // unwrap the ["null", T] union the writer produces
-    val base =
-      if (s.getType == Schema.Type.UNION)
-        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
-      else s
-    base.getType match {
-      case Schema.Type.LONG => LongType
-      case Schema.Type.INT => IntegerType
-      case Schema.Type.DOUBLE => DoubleType
-      case Schema.Type.FLOAT => FloatType
-      case Schema.Type.STRING => StringType
-      case Schema.Type.BOOLEAN => BooleanType
-      case Schema.Type.BYTES => BinaryType
-      case other => throw new IllegalArgumentException(
+    val base = unionBase(s)
+    (base.getLogicalType, base.getType) match {
+      case (_: LogicalTypes.Date, _) => DateType
+      case (_: LogicalTypes.TimestampMicros, _) => TimestampType
+      case (_: LogicalTypes.TimestampMillis, _) => TimestampType
+      case (d: LogicalTypes.Decimal, _) =>
+        DecimalType(d.getPrecision, d.getScale)
+      case (_, Schema.Type.LONG) => LongType
+      case (_, Schema.Type.INT) => IntegerType
+      case (_, Schema.Type.DOUBLE) => DoubleType
+      case (_, Schema.Type.FLOAT) => FloatType
+      case (_, Schema.Type.STRING) => StringType
+      case (_, Schema.Type.BOOLEAN) => BooleanType
+      case (_, Schema.Type.BYTES) => BinaryType
+      case (_, other) => throw new IllegalArgumentException(
         s"AvroIo: unsupported avro type $other")
+    }
+  }
+
+  /** Spark value → Avro encoding for one column (null handled by the
+    * caller's union; logical types follow the Avro spec's physical
+    * encodings: date=epoch days, timestamp-micros=µs since epoch,
+    * decimal=big-endian unscaled bytes at the schema's scale). */
+  private def toAvroValue(dt: DataType): Any => Any = dt match {
+    case BinaryType => {
+      case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+      case other => other
+    }
+    case DateType => {
+      case d: java.sql.Date =>
+        java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+      case ld: java.time.LocalDate =>
+        java.lang.Integer.valueOf(ld.toEpochDay.toInt)
+      case other => other
+    }
+    case TimestampType => {
+      case t: java.sql.Timestamp => java.lang.Long.valueOf(
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+      case i: java.time.Instant => java.lang.Long.valueOf(
+        i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case other => other
+    }
+    case d: DecimalType => {
+      case b: java.math.BigDecimal => java.nio.ByteBuffer.wrap(
+        b.setScale(d.scale).unscaledValue().toByteArray)
+      case other => other
+    }
+    case _ => identity
+  }
+
+  /** Avro decoded value → Spark external row value for one column. */
+  private def toSparkValue(avro: Schema): Any => Any = {
+    val base = unionBase(avro)
+    (base.getLogicalType: LogicalType) match {
+      case _: LogicalTypes.Date => {
+        case i: java.lang.Integer =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+        case other => other
+      }
+      case _: LogicalTypes.TimestampMicros => {
+        case us: java.lang.Long =>
+          val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+          ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+          ts
+        case other => other
+      }
+      case _: LogicalTypes.TimestampMillis => {
+        case ms: java.lang.Long => new java.sql.Timestamp(ms)
+        case other => other
+      }
+      case d: LogicalTypes.Decimal => {
+        case bb: java.nio.ByteBuffer =>
+          val arr = new Array[Byte](bb.remaining()); bb.get(arr)
+          new java.math.BigDecimal(
+            new java.math.BigInteger(arr), d.getScale)
+        case other => other
+      }
+      case _ => {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case bb: java.nio.ByteBuffer =>
+          val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
+        case other => other
+      }
     }
   }
 
@@ -77,6 +160,7 @@ object AvroIo {
     dirPath.getFileSystem(hconf).mkdirs(dirPath)
     val confEntries = hconf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
+    val convs: Array[Any => Any] = schema.fields.map(f => toAvroValue(f.dataType))
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val taskConf = new org.apache.hadoop.conf.Configuration(false)
       confEntries.foreach { case (k, v) => taskConf.set(k, v) }
@@ -91,12 +175,8 @@ object AvroIo {
         val rec = new GenericData.Record(avroSchema)
         var i = 0
         while (i < schema.length) {
-          val v = row.get(i) match {
-            case null => null
-            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-            case other => other
-          }
-          rec.put(i, v)
+          val raw = row.get(i)
+          rec.put(i, if (raw == null) null else convs(i)(raw))
           i += 1
         }
         writer.append(rec)
@@ -148,6 +228,10 @@ object AvroIo {
         // close on task completion too (same rule as ArrowIpc.read)
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+        // per-field decoders from THIS file's header (logical types ride
+        // on the writer schema, not the reader's guess)
+        val convs = stream.getSchema.getFields.asScala
+          .map(f => toSparkValue(f.schema())).toArray
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = stream.hasNext
@@ -157,13 +241,8 @@ object AvroIo {
           def next(): Row = {
             val rec = stream.next()
             Row.fromSeq(Seq.tabulate(n) { i =>
-              rec.get(i) match {
-                case null => null
-                case u: org.apache.avro.util.Utf8 => u.toString
-                case bb: java.nio.ByteBuffer =>
-                  val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
-                case other => other
-              }
+              val raw = rec.get(i)
+              if (raw == null) null else convs(i)(raw)
             })
           }
         }

@@ -32,6 +32,29 @@ class AvroIoSpec extends AnyFunSuite {
     assert(back.collect().map(key).toSet == df.collect().map(key).toSet)
   }
 
+  test("avro logical types round-trip: date, timestamp-micros, decimal") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2020-02-29", "2020-06-15 13:45:30.123456", "12345.67"),
+      (2L, "1969-12-31", "1969-12-31 23:59:59.999999", "-0.01"),
+      (3L, null, null, null))
+      .toDF("id", "ds", "tss", "decs")
+      .select(col("id"), col("ds").cast("date").as("d"),
+        col("tss").cast("timestamp").as("ts"),
+        col("decs").cast("decimal(12,2)").as("dec"))
+    val dir = "/tmp/graft_io/avro_spec_logical"
+    AvroIo.write(df, dir)
+    val back = AvroIo.read(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), Option(r.getDate(1)).map(_.toString),
+        Option(r.getTimestamp(2)).map(_.toString),
+        Option(r.getDecimal(3)).map(_.toPlainString))
+    assert(back.collect().map(key).sortBy(_._1).toSeq ==
+      df.collect().map(key).sortBy(_._1).toSeq)
+  }
+
   test("avro read runs one streaming task per container file") {
     import spark.implicits._
     val df = spark.range(0, 5000).toDF("l").repartition(4)
