@@ -97,6 +97,23 @@ object StreamingQueries {
         .orderBy(col("c_id"), col("p_id").asc_nulls_first)
     },
 
+    // ── RIGHT OUTER stream-stream interval join: purchases with no
+    //    click in the preceding 30 min survive with NULL click columns
+    //    (mirror of the left-outer eviction rule) ───────────────────────
+    "stream_join_right" -> Q("""
+      |SELECT c.event_id AS c_id, p.event_id AS p_id, p.user_id, p.value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+      |ORDER BY p_id, c_id NULLS FIRST""") { (s, d) =>
+      Streaming.clickToPurchaseRightOuter(Engine.table(s, d, "events"))
+        .select(col("c_id"), col("p_id"), col("p_user").as("user_id"),
+          col("value"))
+        .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+    },
+
     // ── FULL OUTER stream-stream interval join: unmatched rows from
     //    BOTH sides survive NULL-padded (state-eviction emission in
     //    stream mode — StreamingSpec; plain full join in batch).

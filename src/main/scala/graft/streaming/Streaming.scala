@@ -69,11 +69,19 @@ object Streaming {
       watermark: String = "1 hour"): DataFrame =
     intervalJoin(events, watermark, "left_outer")
 
+  /** RIGHT OUTER stream-stream interval join: every purchase emits
+    * exactly once — matched rows immediately, purchases no click could
+    * still match NULL-padded once the watermark passes their interval's
+    * lower bound (the mirror of the left-outer eviction rule). */
+  def clickToPurchaseRightOuter(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    intervalJoin(events, watermark, "right_outer")
+
   /** FULL OUTER stream-stream interval join: unmatched rows from BOTH
     * sides emit NULL-padded once the watermark evicts their state —
     * clicks after their 30-min match interval closes, purchases once no
     * earlier click can still arrive. Completes the join-type set over
-    * SymmetricHashJoinExec (inner/left/full). */
+    * SymmetricHashJoinExec (inner/left/right/full). */
   def clickToPurchaseFullOuter(events: DataFrame,
       watermark: String = "1 hour"): DataFrame =
     intervalJoin(events, watermark, "full_outer")

@@ -190,6 +190,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.contains((-1L, 4L)), "unmatched purchase must NULL-pad")
   }
 
+  test("right-outer interval join emits unmatched purchases on eviction") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    def ev(id: Long, offsetMin: Int, user: Long, typ: String): Ev =
+      Ev(id, new java.sql.Timestamp(base.getTime + offsetMin * 60000L),
+        user, typ, id * 1.0)
+    val data = Seq(
+      ev(1, 0, 1, "click"), ev(2, 10, 1, "purchase"), // matched pair
+      ev(3, 5, 2, "click"),                           // no purchase → dropped
+      ev(4, 50, 3, "purchase"))                       // no click → NULL c
+    val ms = MemoryStream[Ev]
+    val q = Streaming.clickToPurchaseRightOuter(ms.toDF(), watermark = "10 minutes")
+      .select(col("c_id"), col("p_id"))
+      .writeStream.format("memory").queryName("ssj_right")
+      .outputMode("append").start()
+    ms.addData(data)
+    q.processAllAvailable()
+    // late events on BOTH sides advance the global (min) watermark
+    ms.addData(ev(9, 600, 9, "click"), ev(11, 600, 9, "purchase"))
+    q.processAllAvailable()
+    ms.addData(ev(10, 1200, 9, "click"), ev(12, 1200, 9, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row): (Long, Long) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))
+    val streamed = spark.table("ssj_right").collect().map(key).toSet
+    val batch = Streaming.clickToPurchaseRightOuter(data.toDF())
+      .select(col("c_id"), col("p_id")).collect().map(key).toSet
+    assert(streamed.filter(t => t._1 < 9L && t._2 < 9L) == batch)
+    assert(batch.contains((-1L, 4L)), "unmatched purchase must NULL-pad")
+    assert(!batch.exists(_._1 == 3L), "unmatched click must NOT emit")
+  }
+
   test("transformWithState running totals equal flatMapGroupsWithState and batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
