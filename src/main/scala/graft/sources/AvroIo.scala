@@ -16,17 +16,18 @@ import org.apache.spark.sql.types._
   * directly on the Avro Java API, the same per-partition-file shape as
   * ArrowIpc: the sink writes one .avro object-container file per
   * partition through the Hadoop FileSystem API, the scan hands each
-  * task a file path and streams GenericRecords through DataFileStream —
-  * O(record-block) read memory, never whole-file buffering.
+  * task a sync-marker-aligned byte-range split and streams
+  * GenericRecords through DataFileReader — O(record-block) read memory,
+  * never whole-file buffering, and giant files split across tasks.
   *
   * Supported column types (nullable): Long, Int, Double, Float, String,
   * Boolean, Binary — each encoded as the Avro union ["null", T] — plus
   * the standard Avro logical types: Date (int/date),
   * Timestamp (long/timestamp-micros; timestamp-millis read too), and
   * Decimal (bytes/decimal with the column's precision and scale).
-  * At scale: one task per container file (Avro files ARE block-split-
-  * table via sync markers, but per-file tasks keep the bridge small;
-  * the writer bounds file size by its input partitioning).
+  * At scale: splits default to 128 MiB; every data block is read by
+  * exactly one task (a block belongs to the split containing its
+  * leading sync marker — the Hadoop AvroRecordReader contract).
   */
 object AvroIo {
 
@@ -187,20 +188,38 @@ object AvroIo {
     ()
   }
 
+  /** Distributed scan of a directory of Avro container files with the
+    * default 128 MiB split size. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, 128L * 1024 * 1024)
+
   /** Distributed scan of a directory of Avro container files: schema
-    * from the first file's header (driver-side), then one task per file
-    * streaming records through DataFileStream. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+    * from the first file's header (driver-side), then one task per
+    * BYTE-RANGE SPLIT. Container files are splittable on their sync
+    * markers (the same contract Hadoop's AvroRecordReader uses): a task
+    * seeks to the first sync point at or after its range start
+    * (DataFileReader.sync) and stops once the reader passes the range
+    * end (pastSync), so each data block is read by exactly one task and
+    * a single multi-GB container file fans out across the cluster
+    * instead of serializing through one task. */
+  def read(spark: SparkSession, dir: String, splitBytes: Long): DataFrame = {
+    require(splitBytes > 0, s"AvroIo.read: splitBytes must be > 0")
     val hconf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(hconf)
     require(fs.exists(dirPath), s"AvroIo.read: no such directory $dir")
     val files = fs.listStatus(dirPath)
       .filter(_.getPath.getName.endsWith(".avro"))
-      .map(_.getPath.toString).sorted.toSeq
+      .sortBy(_.getPath.getName).toSeq
     require(files.nonEmpty, s"AvroIo.read: no .avro files under $dir")
+    val splits: Seq[(String, Long, Long)] = files.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map(i => (st.getPath.toString,
+        i * splitBytes, math.min((i + 1) * splitBytes, len)))
+    }
     val sparkSchema = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(files.head))
+      val in = fs.open(files.head.getPath)
       val stream = new DataFileStream[GenericRecord](
         in, new GenericDatumReader[GenericRecord]())
       try StructType(stream.getSchema.getFields.asScala.map(f =>
@@ -211,18 +230,19 @@ object AvroIo {
       .map(e => (e.getKey, e.getValue)).toArray
     val n = sparkSchema.length
     val rows = spark.sparkContext
-      .parallelize(files, files.length)
-      .flatMap { pathStr =>
+      .parallelize(splits, splits.length)
+      .flatMap { case (pathStr, start, end) =>
         val taskConf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => taskConf.set(k, v) }
         val path = new org.apache.hadoop.fs.Path(pathStr)
-        val tfs = path.getFileSystem(taskConf)
-        val in = tfs.open(path)
-        val stream = new DataFileStream[GenericRecord](
+        val in = new org.apache.avro.mapred.FsInput(path, taskConf)
+        val reader = org.apache.avro.file.DataFileReader.openReader(
           in, new GenericDatumReader[GenericRecord]())
+        // own the blocks whose sync marker lies in [start, end)
+        reader.sync(start)
         var closed = false
         def closeAll(): Unit = if (!closed) {
-          closed = true; stream.close(); in.close()
+          closed = true; reader.close(); in.close()
         }
         // early-terminating consumers never exhaust the iterator —
         // close on task completion too (same rule as ArrowIpc.read)
@@ -230,16 +250,16 @@ object AvroIo {
           .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
         // per-field decoders from THIS file's header (logical types ride
         // on the writer schema, not the reader's guess)
-        val convs = stream.getSchema.getFields.asScala
+        val convs = reader.getSchema.getFields.asScala
           .map(f => toSparkValue(f.schema())).toArray
         new Iterator[Row] {
           def hasNext: Boolean = {
-            val h = stream.hasNext
+            val h = reader.hasNext && !reader.pastSync(end)
             if (!h) closeAll()
             h
           }
           def next(): Row = {
-            val rec = stream.next()
+            val rec = reader.next()
             Row.fromSeq(Seq.tabulate(n) { i =>
               val raw = rec.get(i)
               if (raw == null) null else convs(i)(raw)

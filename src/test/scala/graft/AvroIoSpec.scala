@@ -69,6 +69,30 @@ class AvroIoSpec extends AnyFunSuite {
     assert(AvroIo.read(spark, dir).count() == 5000)
   }
 
+  test("avro block-split scan covers every record exactly once") {
+    import spark.implicits._
+    // ONE container file, many records, then a split size far below the
+    // file length: rows must fan out over many byte-range tasks with no
+    // record dropped or doubled (sync-marker ownership contract)
+    val df = spark.range(0, 20000)
+      .select(col("id").as("l"), concat(lit("row-"), col("id")).as("s"))
+      .repartition(1)
+    val dir = "/tmp/graft_io/avro_spec_split"
+    AvroIo.write(df, dir)
+    val fileLen = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.length()).sum
+    assert(fileLen > 64 * 1024, s"test file too small ($fileLen) to split")
+    val back = AvroIo.read(spark, dir, splitBytes = 16 * 1024)
+    assert(back.rdd.getNumPartitions > 3,
+      s"expected many splits, got ${back.rdd.getNumPartitions}")
+    assert(back.count() == 20000)
+    assert(back.agg(sum("l")).head.getLong(0) == (0L until 20000L).sum)
+    assert(back.select("s").distinct().count() == 20000)
+    // split boundaries landing inside blocks must not change results
+    assert(AvroIo.read(spark, dir, splitBytes = 10000).count() == 20000)
+    assert(AvroIo.read(spark, dir, splitBytes = fileLen * 2).count() == 20000)
+  }
+
   test("avro scan of a real table matches the parquet source") {
     val orders = Engine.table(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
