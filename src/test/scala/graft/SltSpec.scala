@@ -23,7 +23,8 @@ class SltSpec extends AnyFunSuite {
     "arrays", "casts_try", "null_logic", "string_fns2", "math_fns2",
     "datetime2", "agg_edge", "window2", "regex", "subquery2", "setop_edge",
     "order_limit", "structs", "maps", "arrays_native", "fns_dialect",
-    "float_edge", "from_surface")
+    "float_edge", "from_surface", "window3", "agg_edge3", "join_multi",
+    "coercion")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

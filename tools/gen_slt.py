@@ -1111,6 +1111,166 @@ CORPUS = {
         """SELECT k FROM (SELECT 2 AS k) a NATURAL JOIN (SELECT 1 AS k) b
            ORDER BY k""",
     ],
+    # ── window breadth 3: interval RANGE frames, DESC-order frames ────
+    "window3": [
+        """SELECT d, CAST(sum(v) OVER (ORDER BY d
+                     RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS w
+           FROM (VALUES (DATE '2020-01-01', 1), (DATE '2020-01-05', 2),
+                        (DATE '2020-01-20', 4)) t(d, v) ORDER BY d""",
+        """SELECT d, CAST(sum(v) OVER (ORDER BY d
+                     RANGE BETWEEN INTERVAL '7' DAY PRECEDING
+                     AND INTERVAL '2' DAY FOLLOWING) AS BIGINT) AS w
+           FROM (VALUES (DATE '2020-01-01', 1), (DATE '2020-01-05', 2),
+                        (DATE '2020-01-20', 4)) t(d, v) ORDER BY d""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x DESC
+                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS w
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, CAST(count(*) OVER (ORDER BY x DESC
+                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS w
+           FROM (VALUES (1), (2), (4), (5)) t(x) ORDER BY x""",
+        """SELECT x, CAST(rank() OVER (ORDER BY x DESC) AS BIGINT) AS rk
+           FROM (VALUES (1), (2), (2), (3)) t(x) ORDER BY x, rk""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                     RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT)
+                   AS peers
+           FROM (VALUES (1), (2), (2), (3)) t(x) ORDER BY x""",
+        """SELECT o_orderkey,
+                  CAST(min(o_orderkey) OVER (ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL '30' DAY PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS w_min
+           FROM orders WHERE o_orderkey <= 12 ORDER BY o_orderkey""",
+        """SELECT o_orderkey,
+                  CAST(row_number() OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_orderkey) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                       AS BIGINT) AS pc
+           FROM orders WHERE o_orderkey <= 20
+           ORDER BY o_orderkey""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS rev_run
+           FROM (VALUES (1), (2), (3), (4)) t(x) ORDER BY x""",
+        """SELECT x, CAST(first_value(x) OVER (ORDER BY x DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS top
+           FROM (VALUES (5), (7), (3)) t(x) ORDER BY x""",
+    ],
+    # ── aggregate breadth 3 (two-variant: max_by/arg_max, ordered
+    #    string_agg vs sorted-collect composition) ─────────────────────
+    "agg_edge3": [
+        ("""SELECT max_by(n_name, n_nationkey) AS top,
+                   min_by(n_name, n_nationkey) AS bottom FROM nation""",
+         """SELECT arg_max(n_name, n_nationkey) AS top,
+                   arg_min(n_name, n_nationkey) AS bottom FROM nation"""),
+        ("""SELECT n_regionkey, max_by(n_name, n_nationkey) AS latest
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+         """SELECT n_regionkey, arg_max(n_name, n_nationkey) AS latest
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
+        ("""SELECT array_join(sort_array(collect_list(r_name)), ',') AS csv
+            FROM region""",
+         """SELECT string_agg(r_name, ',' ORDER BY r_name) AS csv
+            FROM region"""),
+        ("""SELECT n_regionkey,
+                   array_join(sort_array(collect_list(n_name)), '|') AS names
+            FROM nation WHERE n_regionkey <= 1
+            GROUP BY n_regionkey ORDER BY n_regionkey""",
+         """SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name)
+                   AS names
+            FROM nation WHERE n_regionkey <= 1
+            GROUP BY n_regionkey ORDER BY n_regionkey"""),
+        """SELECT CAST(count(*) AS BIGINT) = CAST(count(1) AS BIGINT) AS same
+           FROM (VALUES (1), (NULL)) t(x)""",
+        """SELECT CAST(sum(CAST(x AS INTEGER)) AS BIGINT) AS trues
+           FROM (VALUES (true), (false), (true)) t(x)""",
+        """SELECT any_value(x) AS v FROM (VALUES (7)) t(x)""",
+        """SELECT corr(x, y) IS NULL AS null_corr
+           FROM (VALUES (1.0, 2.0)) t(x, y)""",
+        """SELECT round(avg(x), 4) AS a
+           FROM (VALUES (1), (2)) t(x)""",
+        """SELECT CAST(sum(DISTINCT x) AS BIGINT) AS sd,
+                  CAST(count(DISTINCT x) AS BIGINT) AS cd
+           FROM (VALUES (1), (1), (NULL), (2)) t(x)""",
+        """SELECT o_orderstatus,
+                  CAST(max(length(o_orderpriority)) AS BIGINT) AS ml
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """SELECT CAST(count(x) AS BIGINT) AS cnt_col,
+                  CAST(count(*) AS BIGINT) AS cnt_star
+           FROM (VALUES (NULL), (NULL)) t(x)""",
+        """SELECT min(o_orderdate) = CAST((SELECT min(o_orderdate)
+                                           FROM orders) AS DATE) AS same
+           FROM orders""",
+    ],
+    # ── join shapes: chains, multi-key, expression keys ───────────────
+    "join_multi": [
+        """SELECT n_name, r_name, s_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           ORDER BY s_name LIMIT 10""",
+        """SELECT CAST(count(*) AS BIGINT) AS n
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F' AND l_quantity > 45""",
+        """SELECT a.n_name AS a, b.n_name AS b
+           FROM nation a JOIN nation b
+             ON a.n_regionkey = b.n_regionkey
+            AND a.n_nationkey < b.n_nationkey
+           ORDER BY a.n_name, b.n_name LIMIT 12""",
+        """SELECT a.n_name, b.n_name AS next_name
+           FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+           ORDER BY a.n_nationkey LIMIT 10""",
+        """SELECT a.r_name, b.r_name AS m
+           FROM region a JOIN region b
+             ON upper(a.r_name) = upper(b.r_name)
+           ORDER BY a.r_name""",
+        """SELECT c_custkey FROM customer
+           LEFT JOIN orders ON o_custkey = c_custkey
+           WHERE o_orderkey IS NULL
+           ORDER BY c_custkey LIMIT 10""",
+        """SELECT r_name, CAST(t.n AS BIGINT) AS n
+           FROM region JOIN (SELECT n_regionkey, count(*) AS n
+                             FROM nation GROUP BY n_regionkey) t
+             ON r_regionkey = n_regionkey
+           ORDER BY r_name""",
+        """SELECT n_name, o_orderkey
+           FROM nation JOIN customer ON c_nationkey = n_nationkey
+           JOIN orders ON o_custkey = c_custkey
+           WHERE o_totalprice > 450000
+           ORDER BY o_orderkey LIMIT 10""",
+        """SELECT CAST(count(*) AS BIGINT) AS n
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_linenumber = l2.l_linenumber + 1
+           WHERE l1.l_orderkey <= 100""",
+        """SELECT s_name FROM supplier, nation
+           WHERE s_nationkey = n_nationkey AND n_name = 'CANADA'
+           ORDER BY s_name LIMIT 8""",
+    ],
+    # ── implicit type coercion ─────────────────────────────────────────
+    "coercion": [
+        """SELECT 'x' || 1 AS si, 1 || 'x' AS is_""",
+        """SELECT round(CASE WHEN x > 1 THEN x ELSE 0.5 END, 4) AS c
+           FROM (VALUES (1), (2)) t(x) ORDER BY x""",
+        """SELECT round(1 + 2.5, 4) AS a, round(3 / 2.0, 4) AS b""",
+        """SELECT CAST(x AS BIGINT) AS x
+           FROM (SELECT CAST(1 AS INTEGER) AS x
+                 UNION ALL SELECT CAST(2147483648 AS BIGINT)) t
+           ORDER BY x""",
+        """SELECT o_orderkey FROM orders
+           WHERE o_orderdate >= '1998-07-20'
+           ORDER BY o_orderkey LIMIT 8""",
+        """SELECT count(*) AS n FROM lineitem
+           WHERE l_shipdate BETWEEN '1994-01-01' AND '1994-01-31'""",
+        """SELECT round(0.1 + 0.2, 4) AS dec_exact""",
+        """SELECT round(1e-1 + 2e-1, 4) AS dbl_rounded""",
+        """SELECT CAST(greatest(1, 2.5) AS DOUBLE) > 2 AS g,
+                  CAST(least(1, 2.5) AS DOUBLE) < 2 AS l""",
+        """SELECT x = 1 AS eq_int, x = 1.0 AS eq_dec
+           FROM (VALUES (1)) t(x)""",
+        """SELECT round(sum(x), 4) AS s
+           FROM (SELECT 1 AS x UNION ALL SELECT 2.5) t""",
+        """SELECT concat(o_orderkey, ':', o_orderstatus) AS tag
+           FROM orders ORDER BY o_orderkey LIMIT 6""",
+    ],
 }
 
 
