@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, AggregateWindowFunction, And, AttributeReference, Cast, Concat,
-  CreateArray, CurrentRow, ElementAt, EqualNullSafe, EqualTo, Expression,
-  Greatest, GreaterThan, If, IsNull, Literal, Multiply, Not, Or, RangeFrame,
-  Size, Slice, SpecifiedWindowFrame, Subtract, UnboundedPreceding,
-  WindowFrame}
+  Add, AggregateWindowFunction, And, ArrayMax, ArrayMin, AttributeReference,
+  Cast, Concat, CreateArray, CurrentRow, ElementAt, EqualNullSafe, EqualTo,
+  Expression, Greatest, GreaterThan, If, IsNull, Least, Literal, Multiply,
+  Not, Or, RangeFrame, Size, Slice, SpecifiedWindowFrame, Subtract,
+  UnboundedPreceding, WindowFrame}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{
   ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType}
@@ -175,6 +175,80 @@ case class GroupsSum(valueExpr: Expression, keyExpr: Expression,
       kExpr = newChildren(2))
 }
 
+/** `min(value)` / `max(value)` over `GROUPS BETWEEN k PRECEDING AND
+  * CURRENT ROW` — the same peers-inclusive RANGE trick and peer-group
+  * ring as [[GroupsSum]], but the ring holds each trailing group's
+  * EXTREMUM (nullable: a group whose values are all NULL contributes a
+  * NULL slot) and evaluation reduces the ring with array_min/array_max,
+  * which skip NULL slots — so the result is NULL exactly when the frame
+  * holds no non-null values. Extrema need no subtraction on eviction
+  * (unlike sums), so the ring IS the full state: O(k) per partition
+  * position, values compared in BIGINT. */
+case class GroupsExtremum(valueExpr: Expression, keyExpr: Expression,
+    kExpr: Expression, isMin: Boolean) extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(valueExpr, keyExpr, kExpr)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (isMin) "graft_groups_min" else "graft_groups_max"
+
+  override val frame: WindowFrame =
+    SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
+
+  private lazy val k: Int = {
+    val ok = kExpr.foldable && kExpr.dataType == IntegerType
+    val v = if (ok) kExpr.eval() else null
+    if (v == null || v.asInstanceOf[Int] < 0)
+      throw new IllegalArgumentException(
+        s"$prettyName: k must be a non-negative int literal")
+    v.asInstanceOf[Int]
+  }
+
+  private lazy val ring = AttributeReference("groups_ext_ring",
+    ArrayType(LongType, containsNull = true), nullable = false)()
+  private lazy val lastKey = AttributeReference("groups_ext_last_key",
+    keyExpr.dataType, nullable = true)()
+  private lazy val started =
+    AttributeReference("groups_ext_started", BooleanType, nullable = false)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] =
+    Seq(ring, lastKey, started)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(Array.empty[Long], ArrayType(LongType, true)),
+    Literal.create(null, keyExpr.dataType), Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val x = Cast(valueExpr, LongType)
+    val isNew = Or(Not(started), Not(EqualNullSafe(keyExpr, lastKey)))
+    val kLit = Literal(k)
+    // new group: keep the last k entries, append this row's value
+    val pushed = Concat(Seq(
+      Slice(ring, Greatest(Seq(Subtract(Size(ring), Subtract(kLit,
+        Literal(1))), Literal(1))), kLit),
+      CreateArray(Seq(x))))
+    // same group: fold this row into the last slot (NULLs don't beat a
+    // present extremum, and a NULL slot takes any non-null value)
+    val last = ElementAt(ring, Literal(-1))
+    val folded = If(IsNull(last), x,
+      If(IsNull(x), last,
+        if (isMin) Least(Seq(last, x)) else Greatest(Seq(last, x))))
+    val bumped = Concat(Seq(
+      Slice(ring, Literal(1), Subtract(Size(ring), Literal(1))),
+      CreateArray(Seq(folded))))
+    Seq(If(isNew, pushed, bumped), keyExpr, Literal(true))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    if (isMin) ArrayMin(ring) else ArrayMax(ring)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(valueExpr = newChildren(0), keyExpr = newChildren(1),
+      kExpr = newChildren(2))
+}
+
 object GraftWindowFunctions {
   /** Requires `register(spark)`; use as
     * `GraftWindowFunctions.ewma(col, 0.3).over(windowSpec)` with a
@@ -219,13 +293,39 @@ object GraftWindowFunctions {
         .minus(coalesce(cur, lit(0L))))
   }
 
+  /** `min(x)` / `max(x)` over the same one-sided GROUPS frame. */
+  def groupsMin(x: Column, key: Column, k: Int): Column =
+    call_function("graft_groups_min", x, key,
+      org.apache.spark.sql.functions.lit(k))
+
+  def groupsMax(x: Column, key: Column, k: Int): Column =
+    call_function("graft_groups_max", x, key,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** `avg(x)` over the GROUPS frame: sum / count of non-null values in
+    * DOUBLE (NULL when the frame holds none — groupsSum is NULL there).
+    * Takes the window spec because it composes TWO windowed passes. */
+  def groupsAvg(x: Column, key: Column, k: Int,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    import org.apache.spark.sql.functions.when
+    val s = groupsSum(x, key, k).over(w)
+    val n = groupsSum(when(x.isNotNull, 1L), key, k).over(w)
+    s.cast("double").divide(n.cast("double"))
+  }
+
   /** (name, impl class, builder) — shared by register() and
     * GraftExtensions. */
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_ewma", classOf[Ewma].getName,
       Theta.arity("graft_ewma", 2)(e => Ewma(e(0), e(1)))),
     ("graft_groups_sum", classOf[GroupsSum].getName,
-      Theta.arity("graft_groups_sum", 3)(e => GroupsSum(e(0), e(1), e(2)))))
+      Theta.arity("graft_groups_sum", 3)(e => GroupsSum(e(0), e(1), e(2)))),
+    ("graft_groups_min", classOf[GroupsExtremum].getName,
+      Theta.arity("graft_groups_min", 3)(e =>
+        GroupsExtremum(e(0), e(1), e(2), isMin = true))),
+    ("graft_groups_max", classOf[GroupsExtremum].getName,
+      Theta.arity("graft_groups_max", 3)(e =>
+        GroupsExtremum(e(0), e(1), e(2), isMin = false))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, _, builder) =>

@@ -271,6 +271,37 @@ object WindowQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // ── native GROUPS frame min/max/avg: the extremum ring needs no
+    //    subtraction on eviction, avg composes sum/count; oracle
+    //    emulates GROUPS via RANGE over dense_rank ──────────────────────
+    "window_groups_minmax" -> Q("""
+      |WITH ranked AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey,
+      |         dense_rank() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY o_orderpriority) AS dr
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |       CAST(min(o_custkey) OVER w AS BIGINT) AS cust_min,
+      |       CAST(max(o_custkey) OVER w AS BIGINT) AS cust_max,
+      |       round(avg(CAST(o_custkey AS BIGINT)) OVER w, 4) AS cust_avg
+      |FROM ranked
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY dr
+      |             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""") { (s, d) =>
+      GraftWindowFunctions.register(s)
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"))
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          GraftWindowFunctions.groupsMin(col("o_custkey"),
+            col("o_orderpriority"), 2).over(w).as("cust_min"),
+          GraftWindowFunctions.groupsMax(col("o_custkey"),
+            col("o_orderpriority"), 2).over(w).as("cust_max"),
+          round(GraftWindowFunctions.groupsAvg(col("o_custkey"),
+            col("o_orderpriority"), 2, w), 4).as("cust_avg"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ── native GROUPS frame, two-sided: GROUPS BETWEEN 1 PRECEDING AND
     //    2 FOLLOWING — composed from opposite-direction streaming passes
     //    (asc(a) + desc(b) - current group); oracle emulates GROUPS via

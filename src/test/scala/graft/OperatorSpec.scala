@@ -51,6 +51,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUPS min/max match the dense_rank emulation on edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftWindowFunctions.register(spark)
+    val rows = Seq[(String, String, java.lang.Long)](
+      ("p1", null, 10L), ("p1", null, null),
+      ("p1", "a", 1L), ("p1", "a", 2L),
+      ("p1", "b", null), ("p1", "c", 4L), ("p1", "c", 5L),
+      ("p2", "a", 7L), ("p2", "b", null), ("p2", "b", null))
+      .toDF("part", "key", "v")
+    for (k <- Seq(0, 1, 3)) {
+      val w = Window.partitionBy(col("part")).orderBy(col("key"))
+      val wRank = Window.partitionBy(col("part"))
+        .orderBy(col("key").asc_nulls_first)
+      val wRange = Window.partitionBy(col("part")).orderBy(col("dr"))
+        .rangeBetween(-k, Window.currentRow)
+      def collectKeys(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy(col("part"), col("key").asc_nulls_first, col("v"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4))).toSeq
+      val native = collectKeys(rows.select(col("part"), col("key"), col("v"),
+        GraftWindowFunctions.groupsMin(col("v"), col("key"), k)
+          .over(w).as("mn"),
+        GraftWindowFunctions.groupsMax(col("v"), col("key"), k)
+          .over(w).as("mx")))
+      val emulated = collectKeys(rows
+        .withColumn("dr", dense_rank().over(wRank))
+        .select(col("part"), col("key"), col("v"),
+          min(col("v")).over(wRange).as("mn"),
+          max(col("v")).over(wRange).as("mx")))
+      assert(native == emulated, s"k=$k")
+    }
+  }
+
   test("two-sided GROUPS frame matches the dense_rank emulation on edges") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
