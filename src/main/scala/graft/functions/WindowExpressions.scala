@@ -70,6 +70,34 @@ case class Ewma(child: Expression, alphaExpr: Expression)
     copy(child = newChildren(0), alphaExpr = newChildren(1))
 }
 
+/** Shared pieces of the GROUPS-frame window functions: the foldable-k
+  * validation and the trailing-(k+1)-slot ring maintenance expressions
+  * (the Slice bounds are the subtle part — keep them in ONE place). */
+private[functions] object GroupsRing {
+  /** The preceding-group count: a foldable non-negative int literal. */
+  def foldableK(prettyName: String, kExpr: Expression): Int = {
+    val ok = kExpr.foldable && kExpr.dataType == IntegerType
+    val v = if (ok) kExpr.eval() else null
+    if (v == null || v.asInstanceOf[Int] < 0)
+      throw new IllegalArgumentException(
+        s"$prettyName: k must be a non-negative int literal")
+    v.asInstanceOf[Int]
+  }
+
+  /** New peer group: keep the last k entries, append `seed`. */
+  def push(arr: Expression, k: Int, seed: Expression): Expression =
+    Concat(Seq(
+      Slice(arr, Greatest(Seq(Subtract(Size(arr), Subtract(Literal(k),
+        Literal(1))), Literal(1))), Literal(k)),
+      CreateArray(Seq(seed))))
+
+  /** Same peer group: replace the last entry with `folded`. */
+  def bumpLast(arr: Expression, folded: Expression): Expression =
+    Concat(Seq(
+      Slice(arr, Literal(1), Subtract(Size(arr), Literal(1))),
+      CreateArray(Seq(folded))))
+}
+
 /** Native GROUPS window frame: `sum(value) OVER (... GROUPS BETWEEN k
   * PRECEDING AND CURRENT ROW)` — the reference frame mode Spark's
   * planner lacks entirely (reference: expr/src/window_frame.rs:418-432;
@@ -103,15 +131,7 @@ case class GroupsSum(valueExpr: Expression, keyExpr: Expression,
   override val frame: WindowFrame =
     SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
 
-  // preceding-group count: a foldable non-negative int literal
-  private lazy val k: Int = {
-    val ok = kExpr.foldable && kExpr.dataType == IntegerType
-    val v = if (ok) kExpr.eval() else null
-    if (v == null || v.asInstanceOf[Int] < 0)
-      throw new IllegalArgumentException(
-        "graft_groups_sum: k must be a non-negative int literal")
-    v.asInstanceOf[Int]
-  }
+  private lazy val k: Int = GroupsRing.foldableK(prettyName, kExpr)
 
   private lazy val subs = AttributeReference("groups_subs",
     ArrayType(LongType, containsNull = false), nullable = false)()
@@ -147,15 +167,10 @@ case class GroupsSum(valueExpr: Expression, keyExpr: Expression,
       If(GreaterThan(Size(arr), kLit), ElementAt(arr, Literal(1)),
         Literal(0L))
     def pushed(arr: Expression, seed: Expression): Expression =
-      Concat(Seq(
-        Slice(arr, Greatest(Seq(Subtract(Size(arr), Subtract(kLit,
-          Literal(1))), Literal(1))), kLit),
-        CreateArray(Seq(seed))))
+      GroupsRing.push(arr, k, seed)
     // same group: fold this row into the LAST subtotal in place
     def bumped(arr: Expression, delta: Expression): Expression =
-      Concat(Seq(
-        Slice(arr, Literal(1), Subtract(Size(arr), Literal(1))),
-        CreateArray(Seq(Add(ElementAt(arr, Literal(-1)), delta)))))
+      GroupsRing.bumpLast(arr, Add(ElementAt(arr, Literal(-1)), delta))
     Seq(
       If(isNew, pushed(subs, xv), bumped(subs, xv)),
       If(isNew, pushed(cnts, xc), bumped(cnts, xc)),
@@ -196,14 +211,7 @@ case class GroupsExtremum(valueExpr: Expression, keyExpr: Expression,
   override val frame: WindowFrame =
     SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
 
-  private lazy val k: Int = {
-    val ok = kExpr.foldable && kExpr.dataType == IntegerType
-    val v = if (ok) kExpr.eval() else null
-    if (v == null || v.asInstanceOf[Int] < 0)
-      throw new IllegalArgumentException(
-        s"$prettyName: k must be a non-negative int literal")
-    v.asInstanceOf[Int]
-  }
+  private lazy val k: Int = GroupsRing.foldableK(prettyName, kExpr)
 
   private lazy val ring = AttributeReference("groups_ext_ring",
     ArrayType(LongType, containsNull = true), nullable = false)()
@@ -222,22 +230,16 @@ case class GroupsExtremum(valueExpr: Expression, keyExpr: Expression,
   override lazy val updateExpressions: Seq[Expression] = {
     val x = Cast(valueExpr, LongType)
     val isNew = Or(Not(started), Not(EqualNullSafe(keyExpr, lastKey)))
-    val kLit = Literal(k)
     // new group: keep the last k entries, append this row's value
-    val pushed = Concat(Seq(
-      Slice(ring, Greatest(Seq(Subtract(Size(ring), Subtract(kLit,
-        Literal(1))), Literal(1))), kLit),
-      CreateArray(Seq(x))))
+    val pushed = GroupsRing.push(ring, k, x)
     // same group: fold this row into the last slot (NULLs don't beat a
     // present extremum, and a NULL slot takes any non-null value)
     val last = ElementAt(ring, Literal(-1))
     val folded = If(IsNull(last), x,
       If(IsNull(x), last,
         if (isMin) Least(Seq(last, x)) else Greatest(Seq(last, x))))
-    val bumped = Concat(Seq(
-      Slice(ring, Literal(1), Subtract(Size(ring), Literal(1))),
-      CreateArray(Seq(folded))))
-    Seq(If(isNew, pushed, bumped), keyExpr, Literal(true))
+    Seq(If(isNew, pushed, GroupsRing.bumpLast(ring, folded)),
+      keyExpr, Literal(true))
   }
 
   override lazy val evaluateExpression: Expression =

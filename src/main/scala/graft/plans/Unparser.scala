@@ -146,10 +146,10 @@ object Unparser {
     // `a UNION b` — rather than SELECT DISTINCT over a derived table
     case Deduplicate(keys, u @ Union(children, false, false))
         if keys.map(_.exprId).toSet == u.output.map(_.exprId).toSet =>
-      children.map(ch => s"(${render(ch, c)})").mkString(" UNION ")
+      children.map(ch => s"(${setOpChild(ch, c)})").mkString(" UNION ")
 
     case Distinct(Union(children, false, false)) =>
-      children.map(ch => s"(${render(ch, c)})").mkString(" UNION ")
+      children.map(ch => s"(${setOpChild(ch, c)})").mkString(" UNION ")
 
     // Dataset.distinct() analyzes to Deduplicate over the full output
     case Deduplicate(keys, child)
@@ -164,15 +164,15 @@ object Unparser {
     }
 
     case Union(children, false, false) =>
-      children.map(ch => s"(${render(ch, c)})").mkString(" UNION ALL ")
+      children.map(ch => s"(${setOpChild(ch, c)})").mkString(" UNION ALL ")
 
     case Intersect(l, r, isAll) =>
       val all = if (isAll) " ALL" else ""
-      s"(${render(l, c)}) INTERSECT$all (${render(r, c)})"
+      s"(${setOpChild(l, c)}) INTERSECT$all (${setOpChild(r, c)})"
 
     case Except(l, r, isAll) =>
       val all = if (isAll) " ALL" else ""
-      s"(${render(l, c)}) EXCEPT$all (${render(r, c)})"
+      s"(${setOpChild(l, c)}) EXCEPT$all (${setOpChild(r, c)})"
 
     case Join(left, right, joinType, cond, _) =>
       val kw = joinType match {
@@ -209,6 +209,15 @@ object Unparser {
     val dir = o.direction.sql
     val nulls = o.nullOrdering.sql
     s"${exprSql(o.child, c)} $dir $nulls"
+  }
+
+  /** Render a set-operation operand: a bare named relation must become
+    * a full query term — `(nation) UNION (region)` is not parseable,
+    * `(SELECT * FROM nation) UNION (SELECT * FROM region)` is. */
+  private def setOpChild(p: LogicalPlan,
+      c: java.util.concurrent.atomic.AtomicInteger): String = p match {
+    case sa: SubqueryAlias => s"SELECT * FROM ${render(sa, c)}"
+    case other => render(other, c)
   }
 
   /** Render a child as a FROM item: base tables by name, everything

@@ -236,10 +236,12 @@ object AvroIo {
         confEntries.foreach { case (k, v) => taskConf.set(k, v) }
         val path = new org.apache.hadoop.fs.Path(pathStr)
         val in = new org.apache.avro.mapred.FsInput(path, taskConf)
-        val reader = org.apache.avro.file.DataFileReader.openReader(
-          in, new GenericDatumReader[GenericRecord]())
-        // own the blocks whose sync marker lies in [start, end)
-        reader.sync(start)
+        // a corrupt header must not leak the input stream — the
+        // completion listener is only registered further down
+        val reader =
+          try org.apache.avro.file.DataFileReader.openReader(
+            in, new GenericDatumReader[GenericRecord]())
+          catch { case t: Throwable => in.close(); throw t }
         var closed = false
         def closeAll(): Unit = if (!closed) {
           closed = true; reader.close(); in.close()
@@ -248,6 +250,9 @@ object AvroIo {
         // close on task completion too (same rule as ArrowIpc.read)
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+        // own the blocks whose sync marker lies in [start, end)
+        try reader.sync(start)
+        catch { case t: Throwable => closeAll(); throw t }
         // per-field decoders from THIS file's header (logical types ride
         // on the writer schema, not the reader's guess)
         val convs = reader.getSchema.getFields.asScala

@@ -140,6 +140,17 @@ class UnparserSpec extends AnyFunSuite {
       "SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey FROM region"))
   }
 
+  test("set operations over bare named relations round-trip") {
+    val n = spark.table("nation").select(col("n_regionkey"))
+    val r = spark.table("region").select(col("r_regionkey").as("n_regionkey"))
+    // bare-table children must render as full query terms, not '(nation)'
+    roundtrip(spark.table("region").unionAll(spark.table("region")))
+    roundtrip(spark.table("region").union(spark.table("region")).distinct())
+    roundtrip(n.unionAll(r))
+    roundtrip(n.intersect(r))
+    roundtrip(n.except(r))
+  }
+
   test("unsupported nodes raise a named error") {
     val e = intercept[IllegalArgumentException] {
       // raw parquet read without a view name — no catalog identity

@@ -1023,8 +1023,15 @@ CORPUS = {
                         AS BIGINT) AS m""",
          """SELECT CAST(date_diff('month', DATE '2020-01-15',
                                   DATE '2020-03-15') AS BIGINT) AS m"""),
-        ("""SELECT CAST(weekday(DATE '2020-06-15') + 1 AS BIGINT) AS iso_dow""",
-         """SELECT CAST(dayofweek(DATE '2020-06-15') AS BIGINT) AS iso_dow"""),
+        # ISO day-of-week (Mon=1..Sun=7): Spark weekday() is Mon=0, and
+        # DuckDB's matching function is isodow (dayofweek is Sun=0 —
+        # pairing it would diverge on Sundays)
+        ("""SELECT CAST(weekday(DATE '2020-06-15') + 1 AS BIGINT) AS mon,
+                   CAST(weekday(DATE '2020-06-14') + 1 AS BIGINT) AS sun,
+                   CAST(weekday(DATE '2020-06-20') + 1 AS BIGINT) AS sat""",
+         """SELECT CAST(isodow(DATE '2020-06-15') AS BIGINT) AS mon,
+                   CAST(isodow(DATE '2020-06-14') AS BIGINT) AS sun,
+                   CAST(isodow(DATE '2020-06-20') AS BIGINT) AS sat"""),
         ("""SELECT date_format(DATE '2020-06-15', 'EEEE') AS dn""",
          """SELECT dayname(DATE '2020-06-15') AS dn"""),
         ("""SELECT CAST(unix_date(DATE '2020-06-15') AS BIGINT) AS days""",
