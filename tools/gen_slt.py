@@ -1252,6 +1252,81 @@ CORPUS = {
            WHERE s_nationkey = n_nationkey AND n_name = 'CANADA'
            ORDER BY s_name LIMIT 8""",
     ],
+    # ── NULL-argument propagation through the scalar fn surface ───────
+    "null_args": [
+        """SELECT substr(CAST(NULL AS VARCHAR(5)), 1, 2) AS sub,
+                  replace(CAST(NULL AS VARCHAR(5)), 'a', 'b') AS rep""",
+        """SELECT substr('abc', CAST(NULL AS INTEGER), 2) IS NULL AS pos_null,
+                  lpad('x', CAST(NULL AS INTEGER), '.') IS NULL AS len_null""",
+        """SELECT trim(CAST(NULL AS VARCHAR(5))) AS t,
+                  reverse(CAST(NULL AS VARCHAR(5))) AS r""",
+        """SELECT regexp_extract(CAST(NULL AS VARCHAR(5)), '(a)', 1) IS NULL
+                  AS re_null""",
+        """SELECT split(CAST(NULL AS VARCHAR(5)), ',') IS NULL AS split_null""",
+        """SELECT date_trunc('month', CAST(NULL AS DATE)) IS NULL AS dt_null,
+                  last_day(CAST(NULL AS DATE)) IS NULL AS ld_null""",
+        """SELECT extract(year FROM CAST(NULL AS DATE)) IS NULL AS y_null""",
+        """SELECT sqrt(CAST(NULL AS DOUBLE)) AS sq,
+                  round(CAST(NULL AS DOUBLE), 2) AS rd,
+                  power(CAST(NULL AS DOUBLE), 2) AS pw""",
+        """SELECT md5(CAST(NULL AS VARCHAR(5))) AS h,
+                  levenshtein(CAST(NULL AS VARCHAR(5)), 'x') IS NULL AS lev""",
+        """SELECT '[' || concat_ws('-', CAST(NULL AS VARCHAR(2)),
+                                   CAST(NULL AS VARCHAR(2))) || ']'
+                  AS all_null_ws""",
+        """SELECT CAST(NULL AS VARCHAR(5)) LIKE 'a%' AS like_null,
+                  'abc' LIKE CAST(NULL AS VARCHAR(5)) AS pat_null""",
+        """SELECT nullif(CAST(NULL AS INTEGER), 1) IS NULL AS ni,
+                  coalesce(CAST(NULL AS INTEGER), NULL, 9) AS c9""",
+    ],
+    # ── EXISTS / IN edge shapes ───────────────────────────────────────
+    "exists_edge": [
+        """SELECT EXISTS (SELECT 1 FROM region WHERE r_regionkey > 99)
+                  AS none,
+                  EXISTS (SELECT 1 FROM region) AS some""",
+        """SELECT r_name,
+                  EXISTS (SELECT 1 FROM nation
+                          WHERE n_regionkey = r_regionkey
+                            AND n_name LIKE 'A%') AS has_a
+           FROM region ORDER BY r_name""",
+        """SELECT c_custkey FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey)
+             AND EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_totalprice > 400000)
+           ORDER BY c_custkey LIMIT 8""",
+        """SELECT n_name FROM nation
+           WHERE EXISTS (SELECT 1 FROM supplier
+                         WHERE s_nationkey = n_nationkey LIMIT 1)
+           ORDER BY n_name LIMIT 8""",
+        """SELECT 1 IN (SELECT r_regionkey FROM region) AS hit,
+                  99 IN (SELECT r_regionkey FROM region) AS miss""",
+        """SELECT x FROM (VALUES (1), (2), (3)) t(x)
+           WHERE x NOT IN (SELECT r_regionkey FROM region
+                           WHERE r_regionkey = 2)
+           ORDER BY x""",
+        """SELECT count(*) AS n FROM (VALUES (1), (2)) t(x)
+           WHERE x NOT IN (SELECT CAST(NULL AS INTEGER))""",
+        """SELECT o_orderkey FROM orders o
+           WHERE o_orderkey < 40
+             AND (EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity > 49)
+                  OR o_totalprice > 300000)
+           ORDER BY o_orderkey""",
+        """SELECT r_name FROM region
+           WHERE NOT EXISTS (SELECT 1 FROM nation
+                             WHERE n_regionkey = r_regionkey
+                               AND n_name LIKE 'Z%')
+           ORDER BY r_name""",
+        """SELECT c_custkey FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders
+                               WHERE o_orderstatus = 'P')
+             AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                   WHERE o_totalprice < 5000)
+           ORDER BY c_custkey LIMIT 8""",
+    ],
     # ── implicit type coercion ─────────────────────────────────────────
     "coercion": [
         """SELECT 'x' || 1 AS si, 1 || 'x' AS is_""",
@@ -1357,7 +1432,7 @@ def main():
                 line = "\t".join(fmt(v) for v in r)
                 # SltSpec's parser treats an empty line as end-of-golden:
                 # a row formatting to "" would silently truncate the block
-                assert line != "", f"empty-formatted row in: {sql}"
+                assert line != "", f"empty-formatted row in: {duck_sql}"
                 out.append(line)
             out.append("")
             total += 1
