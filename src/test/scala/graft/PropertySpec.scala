@@ -189,6 +189,87 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GROUPS frame sum/count/min/max == dense_rank emulation (fuzz)") {
+    import spark.implicits._
+    import graft.functions.GraftWindowFunctions
+    GraftWindowFunctions.register(spark)
+    // random partitions, NULLABLE group keys and values, duplicate keys
+    // guaranteed by the small domains; k drawn per sample
+    val gen = Gen.zip(
+      Gen.listOfN(50, Gen.zip(
+        Gen.choose(0, 2),
+        Gen.option(Gen.choose(0, 5)),
+        Gen.option(Gen.choose(-50L, 50L)))),
+      Gen.choose(0, 4))
+    forAllSeeded(gen, 6) { case (rows, k) =>
+      val df = rows.map { case (p, g, v) =>
+        (p, g.map(_.toString).orNull,
+          v.map(java.lang.Long.valueOf).orNull)
+      }.toDF("part", "key", "v")
+      val w = Window.partitionBy(col("part")).orderBy(col("key"))
+      val wRank = Window.partitionBy(col("part"))
+        .orderBy(col("key").asc_nulls_first)
+      val wRange = Window.partitionBy(col("part")).orderBy(col("dr"))
+        .rangeBetween(-k, Window.currentRow)
+      def snap(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy(col("part"), col("key").asc_nulls_first,
+          col("v").asc_nulls_first)
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          (3 until 7).map(i => if (r.isNullAt(i)) null
+            else r.getLong(i)).toList)).toSeq
+      val native = snap(df.select(col("part"), col("key"), col("v"),
+        GraftWindowFunctions.groupsSum(col("v"), col("key"), k)
+          .over(w).as("s"),
+        GraftWindowFunctions.groupsCount(col("key"), k).over(w).as("c"),
+        GraftWindowFunctions.groupsMin(col("v"), col("key"), k)
+          .over(w).as("mn"),
+        GraftWindowFunctions.groupsMax(col("v"), col("key"), k)
+          .over(w).as("mx")))
+      val emulated = snap(df
+        .withColumn("dr", dense_rank().over(wRank))
+        .select(col("part"), col("key"), col("v"),
+          sum(col("v")).over(wRange).as("s"),
+          count(lit(1)).over(wRange).as("c"),
+          min(col("v")).over(wRange).as("mn"),
+          max(col("v")).over(wRange).as("mx")))
+      assert(native == emulated, s"k=$k")
+    }
+  }
+
+  test("unparser round-trips a generated plan-shape matrix") {
+    import graft.plans.Unparser
+    val sf = "/root/testdata/sf0.001"
+    Engine.registerAll(spark, sf)
+    val base = spark.table("orders")
+    // every combination of optional layers over a base scan: filter,
+    // aggregate, having, sort, limit — 24 shapes, each re-executed from
+    // its generated SQL and compared as a multiset
+    for {
+      filtered <- Seq(true, false)
+      agged <- Seq(true, false)
+      having <- Seq(true, false) if !having || agged
+      sorted <- Seq(true, false)
+      limited <- Seq(true, false)
+    } {
+      var df = base.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      if (filtered) df = df.filter(col("o_totalprice") > 100000)
+      if (agged) df = df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      if (having) df = df.filter(col("n") > 5)
+      if (sorted) df = df.orderBy(df.columns.map(col).toSeq: _*)
+      if (limited) df = df.limit(7)
+      val sql = Unparser.toSql(df)
+      val a = df.collect().map(_.toSeq).groupBy(identity)
+        .view.mapValues(_.length).toMap
+      val b = spark.sql(sql).collect().map(_.toSeq).groupBy(identity)
+        .view.mapValues(_.length).toMap
+      // limit without a total sort is nondeterministic — compare counts
+      if (limited && !sorted) assert(a.values.sum == b.values.sum, sql)
+      else assert(a == b, s"mismatch for:\n$sql")
+    }
+  }
+
   test("TopKAgg == unfused groupBy+sort+limit on random data w/ nulls+ties") {
     import spark.implicits._
     // few distinct groups + a narrow value range → heavy boundary ties;
