@@ -24,7 +24,8 @@ class SltSpec extends AnyFunSuite {
     "datetime2", "agg_edge", "window2", "regex", "subquery2", "setop_edge",
     "order_limit", "structs", "maps", "arrays_native", "fns_dialect",
     "float_edge", "from_surface", "window3", "agg_edge3", "join_multi",
-    "coercion", "null_args", "exists_edge")
+    "coercion", "null_args", "exists_edge", "regex2", "cte2",
+    "semi_struct_edge")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

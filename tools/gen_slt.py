@@ -1327,6 +1327,96 @@ CORPUS = {
                                    WHERE o_totalprice < 5000)
            ORDER BY c_custkey LIMIT 8""",
     ],
+    # ── regex breadth 2: classes, flags, anchors (backslash classes are
+    #    two-variant: Spark's parser un-escapes '\d' in string literals,
+    #    DuckDB keeps it) ─────────────────────────────────────────────────
+    "regex2": [
+        (r"""SELECT regexp_extract('a12b34', '(\\d+)', 1) AS digits""",
+         r"""SELECT regexp_extract('a12b34', '(\d+)', 1) AS digits"""),
+        (r"""SELECT regexp_extract('x_y z', '(\\w+)', 1) AS word""",
+         r"""SELECT regexp_extract('x_y z', '(\w+)', 1) AS word"""),
+        (r"""SELECT regexp_extract('ab 12', '(\\s)', 1) = ' ' AS sp""",
+         r"""SELECT regexp_extract('ab 12', '(\s)', 1) = ' ' AS sp"""),
+        # POSIX classes are RE2-only — Java spells them \p{...}
+        (r"""SELECT regexp_extract('a12', '(\\p{Digit}+)', 1) AS d,
+                    regexp_extract('a12', '(\\p{Alpha}+)', 1) AS a""",
+         """SELECT regexp_extract('a12', '([[:digit:]]+)', 1) AS d,
+                   regexp_extract('a12', '([[:alpha:]]+)', 1) AS a"""),
+        ("""SELECT 'ABC' RLIKE '(?i)abc' AS ci,
+                   'ABC' RLIKE 'abc' AS cs""",
+         """SELECT regexp_matches('ABC', '(?i)abc') AS ci,
+                   regexp_matches('ABC', 'abc') AS cs"""),
+        ("""SELECT 'hello' RLIKE '^h.*o$' AS anchored,
+                   'hello!' RLIKE '^h.*o$' AS not_anchored""",
+         """SELECT regexp_matches('hello', '^h.*o$') AS anchored,
+                   regexp_matches('hello!', '^h.*o$') AS not_anchored"""),
+        ("""SELECT regexp_extract('cat or dog', '(cat|dog)', 1) AS first""",
+         None),
+        ("""SELECT regexp_extract('aaab', '(a{2,3})', 1) AS greedy""",
+         None),
+        ("""SELECT regexp_extract('ab12cd', '([^0-9]+)', 1) AS nondigit""",
+         None),
+        (r"""SELECT regexp_replace('a1b2', '^\\w', '#') AS first_word_char""",
+         r"""SELECT regexp_replace('a1b2', '^\w', '#') AS first_word_char"""),
+        (r"""SELECT p_name, regexp_extract(p_name, '(\\d+)', 1) AS num
+             FROM part WHERE p_name RLIKE '\\d'
+             ORDER BY p_partkey LIMIT 6""",
+         r"""SELECT p_name, regexp_extract(p_name, '(\d+)', 1) AS num
+             FROM part WHERE regexp_matches(p_name, '\d')
+             ORDER BY p_partkey LIMIT 6"""),
+    ],
+    # ── CTE breadth 2 ─────────────────────────────────────────────────
+    "cte2": [
+        """WITH t AS (SELECT 1 AS x)
+           SELECT CAST(a.x + b.x AS BIGINT) AS s FROM t a JOIN t b ON true""",
+        """WITH a AS (SELECT 2 AS x),
+                b AS (SELECT x * 10 AS y FROM a),
+                c AS (SELECT y + 1 AS z FROM b)
+           SELECT CAST(z AS BIGINT) AS z FROM c""",
+        """WITH region AS (SELECT 99 AS r_regionkey)
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(max(r_regionkey) AS BIGINT) AS mx FROM region""",
+        """WITH big AS (SELECT o_orderkey FROM orders
+                        WHERE o_totalprice > 400000)
+           SELECT CAST((SELECT count(*) FROM big) AS BIGINT) AS n,
+                  CAST((SELECT count(*) FROM big WHERE o_orderkey < 10000)
+                       AS BIGINT) AS early""",
+        """WITH u AS (SELECT n_regionkey AS k FROM nation
+                      UNION SELECT r_regionkey FROM region)
+           SELECT CAST(count(*) AS BIGINT) AS n FROM u""",
+        """SELECT z.x FROM (WITH t AS (SELECT 7 AS x) SELECT x FROM t) z""",
+        """WITH t AS (SELECT o_orderstatus, count(*) AS n FROM orders
+                      GROUP BY o_orderstatus)
+           SELECT a.o_orderstatus, CAST(a.n AS BIGINT) AS n
+           FROM t a WHERE a.n = (SELECT max(n) FROM t)
+           ORDER BY a.o_orderstatus""",
+    ],
+    # ── semi-structured edges: NULL fields/values, nested containers ──
+    "semi_struct_edge": [
+        ("""SELECT named_struct('a', CAST(NULL AS INT)).a IS NULL AS isn""",
+         """SELECT {'a': CAST(NULL AS INTEGER)}.a IS NULL AS isn"""),
+        ("""SELECT element_at(map('k', CAST(NULL AS INT)), 'k') IS NULL
+                   AS null_val,
+                   element_at(map('k', 1), 'z') IS NULL AS missing""",
+         """SELECT (MAP {'k': CAST(NULL AS INTEGER)}['k'])[1] IS NULL
+                   AS null_val,
+                   (MAP {'k': 1}['z'])[1] IS NULL AS missing"""),
+        ("""SELECT coalesce(CAST(NULL AS STRUCT<a: INT>),
+                            named_struct('a', 5)).a AS a""",
+         """SELECT coalesce(CAST(NULL AS STRUCT(a INTEGER)),
+                            {'a': 5}).a AS a"""),
+        ("""SELECT element_at(array(named_struct('a', 1),
+                                    named_struct('a', 2)), 2).a AS a2""",
+         """SELECT ([{'a': 1}, {'a': 2}])[2].a AS a2"""),
+        ("""SELECT element_at(array(array(1, 2), array(3)), 1) AS inner""",
+         """SELECT ([[1, 2], [3]])[1] AS inner"""),
+        ("""SELECT flatten(array(array(1), array(2, 3))) AS flat""",
+         """SELECT flatten([[1], [2, 3]]) AS flat"""),
+        ("""SELECT size(array(array(1, 2), array(3))) AS outer_n""",
+         """SELECT len([[1, 2], [3]]) AS outer_n"""),
+        ("""SELECT named_struct('xs', array(1, 2)).xs AS xs""",
+         """SELECT {'xs': [1, 2]}.xs AS xs"""),
+    ],
     # ── implicit type coercion ─────────────────────────────────────────
     "coercion": [
         """SELECT 'x' || 1 AS si, 1 || 'x' AS is_""",
@@ -1415,6 +1505,8 @@ def main():
         for case in queries:
             if isinstance(case, tuple):
                 spark_sql, duck_sql = case
+                if duck_sql is None:  # tuple used for formatting only
+                    duck_sql = spark_sql
             else:
                 spark_sql = duck_sql = case
             norm = lambda s: "\n".join(l.strip()
