@@ -14,8 +14,18 @@ case class ImageFeature(
     n_px: Long,
     lum_sum: Long)
 
+/** Real decoded audio features (javax.sound.sampled path): sample rate
+  * from the decoded WAV header, exact integer sums over the PCM
+  * samples. */
+case class AudioFeature(
+    doc_id: Long,
+    sample_rate: Int,
+    n_samples: Long,
+    abs_sum: Long,
+    peak: Long)
+
 /** Decoded per-item features for the synthetic-payload path (formats the
-  * JRE has no codec for — wav/video — keep a deterministic stand-in
+  * JRE has no codec for — video — keep a deterministic stand-in
   * decode; see decodeFeatures). */
 case class MediaFeature(
     doc_id: Long,
@@ -28,11 +38,12 @@ case class MediaFeature(
 /** Multimodal columns: image/audio/video as opaque `binary` columns with a
   * typed metadata struct, plus a batched decode→feature-extract stage.
   *
-  * Two decode tiers: a REAL javax.imageio codec path for PNG/BMP
-  * (encodeImages/decodeImageFeatures — the full render→encode→sniff→
-  * decode→measure roundtrip, oracled by pipe_multimodal_decode) and a
+  * Two decode tiers: REAL codec paths — javax.imageio for PNG/BMP
+  * (encodeImages/decodeImageFeatures, oracled by pipe_multimodal_decode)
+  * and javax.sound.sampled for 16-bit PCM WAV (encodeAudio/
+  * decodeAudioFeatures, oracled by pipe_multimodal_audio) — and a
   * deterministic synthetic path for formats the JRE has no codec for
-  * (wav/video payloads — withSyntheticMedia/decodeFeatures).
+  * (video payloads — withSyntheticMedia/decodeFeatures).
   *
   * Design for 100 TB: payloads stay columnar binary in parquet (never
   * stringified), metadata is a pruned-friendly struct, and decoding runs
@@ -130,6 +141,88 @@ object Multimodal {
           }
           ImageFeature(id, fmt, img.getWidth, img.getHeight,
             img.getWidth.toLong * img.getHeight, lum)
+        }
+      }
+  }
+
+  /** Render REAL WAV bytes per row with javax.sound.sampled: 16-bit
+    * signed little-endian mono PCM at 8 kHz, n = 200 + id mod 57
+    * samples with s(i) = ((id*2654435761 + i*40503) mod 65536) - 32768
+    * — a pure integer function of the id, so an external oracle can
+    * recompute every sample without touching the bytes. The WAV
+    * container (RIFF header + PCM payload) is written by the actual
+    * AudioSystem encoder. */
+  def encodeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false)
+        ids.map { id =>
+          val n = 200 + java.lang.Math.floorMod(id, 57L).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (java.lang.Math.floorMod(
+              id * 2654435761L + i * 40503L, 65536L) - 32768L).toInt
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          try javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          finally ais.close()
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "media")
+      .select(col("doc_id"), col("media"), struct(
+        lit("wav").as("format"),
+        lit(8000).as("sample_rate"),
+        (lit(200) + pmod(col("doc_id"), lit(57))).cast("long")
+          .as("n_samples"),
+        length(col("media")).cast("long").as("n_bytes")).as("media_meta"))
+  }
+
+  /** REAL WAV decode: parse the container with AudioSystem (header is
+    * NOT trusted from metadata), stream the PCM frames, and measure
+    * exact integer stats — sample count, sum of absolute amplitudes,
+    * peak. A corrupt payload or header breaks the oracle match. */
+  def decodeAudioFeatures(
+      df: DataFrame, parallelism: Int = 0): Dataset[AudioFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sized = if (parallelism > 0) df.repartition(parallelism) else df
+    sized.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val (rate, pcm) =
+            try {
+              val f = ais.getFormat
+              require(f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+                f.getChannels == 1,
+                s"decodeAudioFeatures: unexpected format $f for doc $id")
+              (f.getSampleRate.toInt, ais.readAllBytes())
+            } finally ais.close()
+          var absSum = 0L
+          var peak = 0L
+          var i = 0
+          while (i + 1 < pcm.length) {
+            val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toLong
+            val a = math.abs(s)
+            absSum += a
+            if (a > peak) peak = a
+            i += 2
+          }
+          AudioFeature(id, rate, pcm.length / 2, absSum, peak)
         }
       }
   }

@@ -576,6 +576,30 @@ object PipelineQueries {
         .orderBy(col("format"))
     },
 
+    // ── REAL audio codec roundtrip (javax.sound.sampled WAV): 16-bit
+    //    PCM samples are a pure integer function of the id, so the
+    //    oracle regenerates every sample with generate_series and must
+    //    match the stats measured from the DECODED container bytes ──────
+    "pipe_multimodal_audio" -> Q("""
+      |WITH s AS (
+      |  SELECT d.doc_id, 200 + d.doc_id % 57 AS n,
+      |         ((d.doc_id * 2654435761 + i.i * 40503) % 65536) - 32768
+      |           AS sample
+      |  FROM documents d
+      |  JOIN generate_series(0, 256) i(i) ON i.i < 200 + d.doc_id % 57)
+      |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |       CAST(count(*) AS BIGINT) AS n_samples,
+      |       CAST(sum(abs(sample)) AS BIGINT) AS abs_sum,
+      |       CAST(max(abs(sample)) AS BIGINT) AS peak
+      |FROM s GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      val media = Multimodal.encodeAudio(
+        Engine.table(s, d, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.decodeAudioFeatures(media, parallelism = 8).toDF()
+        .select(col("doc_id"), col("sample_rate").cast("long"),
+          col("n_samples"), col("abs_sum"), col("peak"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── one-pass data-quality profile (pipeline/Quality): per-column
     //    null/distinct counts + type-appropriate stats, long-format.
     //    exactDistinct here so DuckDB hashes match; the default is HLL

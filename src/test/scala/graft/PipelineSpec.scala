@@ -197,4 +197,28 @@ class PipelineSpec extends AnyFunSuite {
       assert(f.n_px == f.width.toLong * f.height)
     }
   }
+
+  test("wav encode→decode roundtrip recovers exact PCM samples") {
+    val sample = docs.select(col("doc_id")).limit(200)
+    val media = Multimodal.encodeAudio(sample, "doc_id")
+    val feats = Multimodal.decodeAudioFeatures(media, parallelism = 4)
+      .collect()
+    assert(feats.length == 200)
+    feats.foreach { f =>
+      assert(f.sample_rate == 8000, s"doc ${f.doc_id}")
+      val n = 200 + (f.doc_id % 57).toInt
+      assert(f.n_samples == n, s"doc ${f.doc_id}")
+      // exact sample recomputation: the decoded PCM must reproduce s(i)
+      var absSum = 0L
+      var peak = 0L
+      for (i <- 0 until n) {
+        val s = Math.floorMod(f.doc_id * 2654435761L + i * 40503L,
+          65536L) - 32768L
+        absSum += math.abs(s)
+        peak = math.max(peak, math.abs(s))
+      }
+      assert(f.abs_sum == absSum, s"doc ${f.doc_id} sample mismatch")
+      assert(f.peak == peak, s"doc ${f.doc_id} peak mismatch")
+    }
+  }
 }
