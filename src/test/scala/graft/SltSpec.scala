@@ -25,7 +25,7 @@ class SltSpec extends AnyFunSuite {
     "order_limit", "structs", "maps", "arrays_native", "fns_dialect",
     "float_edge", "from_surface", "window3", "agg_edge3", "join_multi",
     "coercion", "null_args", "exists_edge", "regex2", "cte2",
-    "semi_struct_edge")
+    "semi_struct_edge", "math_fns3", "subquery3", "distinct_order")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

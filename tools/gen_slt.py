@@ -317,6 +317,31 @@ CORPUS = {
            WHERE CASE WHEN s_nationkey < 10 THEN s_acctbal > 0
                       ELSE s_acctbal < 5000 END
            ORDER BY s_suppkey LIMIT 12""",
+        """SELECT o_orderkey FROM orders
+           WHERE o_totalprice NOT BETWEEN 10000 AND 400000
+           ORDER BY o_orderkey LIMIT 10""",
+        """SELECT o_orderkey FROM orders
+           WHERE o_orderdate IN (DATE '1995-01-01', DATE '1996-01-01',
+                                 DATE '1997-01-01')
+           ORDER BY o_orderkey LIMIT 10""",
+        """SELECT n_name FROM nation
+           WHERE NOT (n_regionkey = 0 OR (n_regionkey = 1
+                      AND n_name < 'C'))
+           ORDER BY n_name LIMIT 10""",
+        """SELECT p_partkey FROM part
+           WHERE p_name LIKE '_____%' AND p_name NOT LIKE '%s'
+           ORDER BY p_partkey LIMIT 10""",
+        """SELECT c_custkey FROM customer
+           WHERE coalesce(nullif(c_mktsegment, 'BUILDING'),
+                          'OTHER') = 'OTHER'
+           ORDER BY c_custkey LIMIT 10""",
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+           WHERE l_quantity * (1 - l_discount) > 45
+             AND l_tax < l_discount
+           ORDER BY l_orderkey, l_linenumber LIMIT 10""",
+        """SELECT o_orderkey FROM orders
+           WHERE (o_orderkey & 1) = 1 AND o_orderpriority > '3'
+           ORDER BY o_orderkey LIMIT 10""",
     ],
     # ── grouping sets / rollup / cube ────────────────────────────────
     "grouping": [
@@ -1416,6 +1441,90 @@ CORPUS = {
          """SELECT len([[1, 2], [3]]) AS outer_n"""),
         ("""SELECT named_struct('xs', array(1, 2)).xs AS xs""",
          """SELECT {'xs': [1, 2]}.xs AS xs"""),
+    ],
+    # ── math breadth 3 ────────────────────────────────────────────────
+    "math_fns3": [
+        """SELECT round(round(1234.5678, -2), 4) AS hundreds,
+                  round(round(1234.5678, 0), 4) AS units""",
+        """SELECT round(round(2.5, 0), 4) AS half_up,
+                  round(round(-2.5, 0), 4) AS half_down""",
+        """SELECT round(cot(1.0), 4) AS c""",
+        """SELECT round(atan2(1.0, 1.0), 4) AS q1,
+                  round(atan2(1.0, -1.0), 4) AS q2,
+                  round(atan2(-1.0, -1.0), 4) AS q3,
+                  round(atan2(-1.0, 1.0), 4) AS q4""",
+        """SELECT round(ln(exp(2.0)), 4) AS two""",
+        """SELECT round(power(8.0, 1.0/3), 4) AS cbrt8""",
+        """SELECT round(7.5 % 2.0, 4) AS fmod""",
+        """SELECT round(log2(1.0), 4) AS z2, round(log10(1.0), 4) AS z10""",
+        """SELECT round(radians(degrees(1.5)), 4) AS rt""",
+        """SELECT CAST(sign(CAST(-2.5 AS DOUBLE)) AS BIGINT) AS sneg,
+                  CAST(sign(CAST(0.0 AS DOUBLE)) AS BIGINT) AS szero""",
+        """SELECT round(asin(0.5), 4) AS a5, round(acos(0.5), 4) AS ac5""",
+        """SELECT l_linenumber, round(atan2(CAST(l_quantity AS DOUBLE),
+                                            CAST(l_linenumber AS DOUBLE)), 4)
+                  AS angle
+           FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""",
+    ],
+    # ── subquery breadth 3: LIMIT inside, nesting, CASE positions ─────
+    "subquery3": [
+        """SELECT 1 IN (SELECT x FROM (VALUES (1), (2), (3)) t(x)
+                        ORDER BY x LIMIT 2) AS hit,
+                  3 IN (SELECT x FROM (VALUES (1), (2), (3)) t(x)
+                        ORDER BY x LIMIT 2) AS cut""",
+        """SELECT CAST((SELECT o_orderkey FROM orders
+                        ORDER BY o_totalprice DESC, o_orderkey LIMIT 1)
+                       AS BIGINT) AS priciest""",
+        """SELECT r_name FROM region r
+           WHERE EXISTS (SELECT 1 FROM nation n
+                         WHERE n.n_regionkey = r.r_regionkey
+                           AND EXISTS (SELECT 1 FROM supplier s
+                                       WHERE s.s_nationkey = n.n_nationkey))
+           ORDER BY r_name""",
+        """SELECT n_name,
+                  CASE WHEN EXISTS (SELECT 1 FROM supplier
+                                    WHERE s_nationkey = n_nationkey)
+                       THEN 'has' ELSE 'none' END AS supp
+           FROM nation ORDER BY n_name LIMIT 10""",
+        """SELECT o_orderpriority FROM orders
+           GROUP BY o_orderpriority
+           HAVING count(*) > (SELECT avg(cnt) FROM (
+                    SELECT count(*) AS cnt FROM orders
+                    GROUP BY o_orderpriority) t)
+           ORDER BY o_orderpriority""",
+        """SELECT c_custkey FROM customer
+           WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                                 WHERE n_regionkey = 1
+                                 UNION
+                                 SELECT n_nationkey FROM nation
+                                 WHERE n_name = 'JAPAN')
+           ORDER BY c_custkey LIMIT 8""",
+        """SELECT s_suppkey FROM supplier
+           WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                     WHERE n_regionkey IN (0, 1))
+           ORDER BY s_suppkey LIMIT 8""",
+        """SELECT CAST((SELECT count(*) FROM (
+                   SELECT o_custkey FROM orders GROUP BY o_custkey
+                   HAVING count(*) >= 10) t) AS BIGINT) AS frequent""",
+    ],
+    # ── DISTINCT and ORDER BY interplay ────────────────────────────────
+    "distinct_order": [
+        """SELECT DISTINCT x % 3 AS r FROM (VALUES (1), (2), (3), (4),
+                                            (5), (6)) t(x) ORDER BY r""",
+        """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+           ORDER BY o_orderstatus DESC, o_orderpriority LIMIT 8""",
+        """SELECT CAST(count(DISTINCT o_custkey % 100) AS BIGINT) AS n
+           FROM orders""",
+        """SELECT DISTINCT n_regionkey FROM nation
+           ORDER BY n_regionkey LIMIT 3""",
+        """SELECT DISTINCT x FROM (VALUES (NULL), (1), (NULL), (2)) t(x)
+           ORDER BY x NULLS FIRST""",
+        """SELECT DISTINCT length(n_name) AS ln FROM nation ORDER BY ln""",
+        """SELECT DISTINCT r_name, n_regionkey
+           FROM region JOIN nation ON n_regionkey = r_regionkey
+           ORDER BY r_name""",
+        """SELECT DISTINCT upper(o_orderstatus) AS s FROM orders
+           ORDER BY s""",
     ],
     # ── implicit type coercion ─────────────────────────────────────────
     "coercion": [
