@@ -24,9 +24,8 @@ case class AudioFeature(
     abs_sum: Long,
     peak: Long)
 
-/** Decoded per-item features for the synthetic-payload path (formats the
-  * JRE has no codec for — video — keep a deterministic stand-in
-  * decode; see decodeFeatures). */
+/** Decoded per-item features for the synthetic-payload path (generic
+  * plumbing with a deterministic stand-in decode; see decodeFeatures). */
 case class MediaFeature(
     doc_id: Long,
     format: String,
@@ -38,12 +37,15 @@ case class MediaFeature(
 /** Multimodal columns: image/audio/video as opaque `binary` columns with a
   * typed metadata struct, plus a batched decode→feature-extract stage.
   *
-  * Two decode tiers: REAL codec paths — javax.imageio for PNG/BMP
-  * (encodeImages/decodeImageFeatures, oracled by pipe_multimodal_decode)
-  * and javax.sound.sampled for 16-bit PCM WAV (encodeAudio/
-  * decodeAudioFeatures, oracled by pipe_multimodal_audio) — and a
-  * deterministic synthetic path for formats the JRE has no codec for
-  * (video payloads — withSyntheticMedia/decodeFeatures).
+  * Two decode tiers: REAL codec paths for all three modalities —
+  * javax.imageio PNG/BMP for images (encodeImages/decodeImageFeatures,
+  * oracled by pipe_multimodal_decode), javax.sound.sampled 16-bit PCM
+  * WAV for audio (encodeAudio/decodeAudioFeatures,
+  * pipe_multimodal_audio), and the JDK's multi-frame GIF codec for
+  * video-like frame sequences (encodeVideo/decodeVideoFrames,
+  * pipe_multimodal_video) — plus a deterministic synthetic path
+  * exercising the generic plumbing shape
+  * (withSyntheticMedia/decodeFeatures).
   *
   * Design for 100 TB: payloads stay columnar binary in parquet (never
   * stringified), metadata is a pruned-friendly struct, and decoding runs
@@ -225,6 +227,118 @@ object Multimodal {
           AudioFeature(id, rate, pcm.length / 2, absSum, peak)
         }
       }
+  }
+
+  /** Render REAL multi-frame video-like containers with the JRE's GIF
+    * codec (the one bundled multi-frame format): 2 + id mod 4 grayscale
+    * frames, each 4×3 with g(f, x, y) = (id*17 + f*29 + x*7 + y*13)
+    * mod 256 — lossless for grayscale (the palette holds all 256
+    * grays), so decoded frames must reproduce exact pixels. */
+  def encodeVideo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        // explicit 256-gray palette: GIF stores it verbatim, making the
+        // roundtrip lossless (TYPE_BYTE_GRAY would get re-quantized to
+        // the writer's default palette)
+        val grays = Array.tabulate[Byte](256)(i => i.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256,
+          grays, grays, grays)
+        ids.map { id =>
+          val nFrames = 2 + java.lang.Math.floorMod(id, 4L).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            // the JDK GIF writer interlaces by default, and the reader
+            // mis-deinterlaces heights this small (rows shift, data
+            // drops) — write non-progressive
+            val param = writer.getDefaultWriteParam
+            param.setProgressiveMode(
+              javax.imageio.ImageWriteParam.MODE_DISABLED)
+            var f = 0
+            while (f < nFrames) {
+              val img = new java.awt.image.BufferedImage(
+                4, 3, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+              var y = 0
+              while (y < 3) {
+                var x = 0
+                while (x < 4) {
+                  val g = java.lang.Math.floorMod(
+                    id * 17 + f * 29 + x * 7 + y * 13, 256L).toInt
+                  img.getRaster.setSample(x, y, 0, g)
+                  x += 1
+                }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), param)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally { ios.close(); writer.dispose() }
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "media")
+      .select(col("doc_id"), col("media"), struct(
+        lit("gif").as("format"),
+        (lit(2) + pmod(col("doc_id"), lit(4))).cast("int").as("n_frames"),
+        lit(4).as("width"), lit(3).as("height"),
+        length(col("media")).cast("long").as("n_bytes")).as("media_meta"))
+  }
+
+  /** REAL multi-frame decode + frame sampling in one pass: open the
+    * container with the actual GIF reader, count the frames it holds
+    * (header not trusted), decode every `everyNth`-th frame, and emit
+    * one row per SAMPLED frame with exact pixel stats — the bounded
+    * 1→N explode shape of frame sampling at scale (fan-out capped by
+    * the container's frame count / everyNth). */
+  def decodeVideoFrames(
+      df: DataFrame, everyNth: Int = 2, parallelism: Int = 0): DataFrame = {
+    require(everyNth > 0, "decodeVideoFrames: everyNth must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sized = if (parallelism > 0) df.repartition(parallelism) else df
+    sized.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext)
+              throw new IllegalArgumentException(
+                s"decodeVideoFrames: no codec for doc $id")
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n by everyNth).map { f =>
+                val img = reader.read(f)
+                var lum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    lum += (img.getRGB(x, y) >> 16) & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, n, f, img.getWidth, img.getHeight, lum)
+              }
+            } finally reader.dispose()
+          } finally iis.close()
+        }
+      }
+      .toDF("doc_id", "n_frames", "frame_idx", "width", "height", "lum_sum")
   }
 
   /** Attach a deterministic synthetic binary payload + metadata struct to

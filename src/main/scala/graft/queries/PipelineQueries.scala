@@ -600,6 +600,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ── REAL multi-frame container roundtrip (JDK GIF codec) + frame
+    //    sampling: every 2nd frame decoded with exact pixel stats; the
+    //    oracle regenerates frames and pixels from the id formula ───────
+    "pipe_multimodal_video" -> Q("""
+      |WITH fr AS (
+      |  SELECT d.doc_id, 2 + d.doc_id % 4 AS n, f.f
+      |  FROM documents d
+      |  JOIN generate_series(0, 5) f(f)
+      |    ON f.f < 2 + d.doc_id % 4 AND f.f % 2 = 0),
+      |px AS (
+      |  SELECT fr.doc_id, fr.n, fr.f,
+      |         (fr.doc_id * 17 + fr.f * 29 + x.x * 7 + y.y * 13) % 256 AS g
+      |  FROM fr
+      |  JOIN generate_series(0, 3) x(x) ON true
+      |  JOIN generate_series(0, 2) y(y) ON true)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+      |       CAST(f AS BIGINT) AS frame_idx,
+      |       CAST(sum(g) AS BIGINT) AS lum_sum
+      |FROM px GROUP BY doc_id, n, f ORDER BY doc_id, frame_idx""") { (s, d) =>
+      val media = Multimodal.encodeVideo(
+        Engine.table(s, d, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.decodeVideoFrames(media, everyNth = 2, parallelism = 8)
+        .select(col("doc_id"), col("n_frames").cast("long"),
+          col("frame_idx").cast("long"), col("lum_sum"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // ── one-pass data-quality profile (pipeline/Quality): per-column
     //    null/distinct counts + type-appropriate stats, long-format.
     //    exactDistinct here so DuckDB hashes match; the default is HLL

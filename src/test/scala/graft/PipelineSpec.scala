@@ -221,4 +221,28 @@ class PipelineSpec extends AnyFunSuite {
       assert(f.peak == peak, s"doc ${f.doc_id} peak mismatch")
     }
   }
+
+  test("gif video encode→decode recovers exact frames and samples them") {
+    val sample = docs.select(col("doc_id")).limit(100)
+    val media = Multimodal.encodeVideo(sample, "doc_id")
+    val frames = Multimodal.decodeVideoFrames(media, everyNth = 2,
+        parallelism = 4).collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    assert(byDoc.size == 100)
+    byDoc.foreach { case (id, rows) =>
+      val nFrames = 2 + (id % 4).toInt
+      // every 2nd frame sampled: ceil(n/2) rows, idx 0, 2, ...
+      assert(rows.length == (nFrames + 1) / 2, s"doc $id")
+      rows.foreach { r =>
+        assert(r.getInt(1) == nFrames, s"doc $id container frame count")
+        val f = r.getInt(2)
+        assert(f % 2 == 0 && f < nFrames)
+        assert(r.getInt(3) == 4 && r.getInt(4) == 3)
+        var expected = 0L
+        for (y <- 0 until 3; x <- 0 until 4)
+          expected += Math.floorMod(id * 17 + f * 29 + x * 7 + y * 13, 256L)
+        assert(r.getLong(5) == expected, s"doc $id frame $f pixel mismatch")
+      }
+    }
+  }
 }
