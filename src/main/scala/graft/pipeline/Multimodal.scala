@@ -116,35 +116,49 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          // memory-cache stream: the default file-cache variant would
-          // leak a temp file + fd per image (iis is also closed below)
-          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val (fmt, img) = try {
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext)
-              throw new IllegalArgumentException(
-                s"decodeImageFeatures: no codec for doc $id")
-            val reader = readers.next()
-            try {
-              reader.setInput(iis)
-              (reader.getFormatName.toLowerCase, reader.read(0))
-            } finally reader.dispose()
-          } finally iis.close()
-          var lum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              lum += (img.getRGB(x, y) >> 16) & 0xff
-              x += 1
-            }
-            y += 1
-          }
+          val (fmt, img) = withImageReader(bytes, id, r =>
+            (r.getFormatName.toLowerCase, r.read(0)))
           ImageFeature(id, fmt, img.getWidth, img.getHeight,
-            img.getWidth.toLong * img.getHeight, lum)
+            img.getWidth.toLong * img.getHeight, lumSum(img))
         }
       }
+  }
+
+  /** Sniff-and-open plumbing shared by the image and video decoders:
+    * memory-cache stream (the default file-cache variant would leak a
+    * temp file + fd per item), reader introspection from the BYTES (the
+    * metadata struct is not consulted), dispose/close on every path.
+    * `f` must fully materialize what it needs before returning. */
+  private def withImageReader[A](bytes: Array[Byte], id: Long,
+      f: javax.imageio.ImageReader => A): A = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException(
+          s"Multimodal decode: no codec for doc $id")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        f(reader)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Exact integer luminance sum (red channel of grayscale pixels). */
+  private def lumSum(img: java.awt.image.BufferedImage): Long = {
+    var lum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        lum += (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    lum
   }
 
   /** Render REAL WAV bytes per row with javax.sound.sampled: 16-bit
@@ -240,27 +254,30 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("doc_id"))
       .as[Long]
       .mapPartitions { ids =>
-        // explicit 256-gray palette: GIF stores it verbatim, making the
-        // roundtrip lossless (TYPE_BYTE_GRAY would get re-quantized to
-        // the writer's default palette)
+        // per-partition setup (amortized over all rows): the 256-gray
+        // palette — GIF stores it verbatim, making the roundtrip
+        // lossless (TYPE_BYTE_GRAY would get re-quantized to the
+        // writer's default palette) — the writer itself, and the
+        // non-progressive param (the JDK GIF writer interlaces by
+        // default, and the reader mis-deinterlaces heights this small:
+        // rows shift, data drops)
         val grays = Array.tabulate[Byte](256)(i => i.toByte)
         val icm = new java.awt.image.IndexColorModel(8, 256,
           grays, grays, grays)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(
+          javax.imageio.ImageWriteParam.MODE_DISABLED)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
         ids.map { id =>
           val nFrames = 2 + java.lang.Math.floorMod(id, 4L).toInt
           val bos = new java.io.ByteArrayOutputStream()
-          val writer = javax.imageio.ImageIO
-            .getImageWritersByFormatName("gif").next()
           val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
           try {
             writer.setOutput(ios)
             writer.prepareWriteSequence(null)
-            // the JDK GIF writer interlaces by default, and the reader
-            // mis-deinterlaces heights this small (rows shift, data
-            // drops) — write non-progressive
-            val param = writer.getDefaultWriteParam
-            param.setProgressiveMode(
-              javax.imageio.ImageWriteParam.MODE_DISABLED)
             var f = 0
             while (f < nFrames) {
               val img = new java.awt.image.BufferedImage(
@@ -281,7 +298,7 @@ object Multimodal {
               f += 1
             }
             writer.endWriteSequence()
-          } finally { ios.close(); writer.dispose() }
+          } finally ios.close() // writer disposed once per task (above)
           (id, bos.toByteArray)
         }
       }
@@ -309,33 +326,14 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext)
-              throw new IllegalArgumentException(
-                s"decodeVideoFrames: no codec for doc $id")
-            val reader = readers.next()
-            try {
-              reader.setInput(iis)
-              val n = reader.getNumImages(true)
-              (0 until n by everyNth).map { f =>
-                val img = reader.read(f)
-                var lum = 0L
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    lum += (img.getRGB(x, y) >> 16) & 0xff
-                    x += 1
-                  }
-                  y += 1
-                }
-                (id, n, f, img.getWidth, img.getHeight, lum)
-              }
-            } finally reader.dispose()
-          } finally iis.close()
+          withImageReader(bytes, id, { reader =>
+            val n = reader.getNumImages(true)
+            // .map materializes before the reader is disposed
+            (0 until n by everyNth).map { f =>
+              val img = reader.read(f)
+              (id, n, f, img.getWidth, img.getHeight, lumSum(img))
+            }
+          })
         }
       }
       .toDF("doc_id", "n_frames", "frame_idx", "width", "height", "lum_sum")

@@ -1375,12 +1375,9 @@ CORPUS = {
                    'hello!' RLIKE '^h.*o$' AS not_anchored""",
          """SELECT regexp_matches('hello', '^h.*o$') AS anchored,
                    regexp_matches('hello!', '^h.*o$') AS not_anchored"""),
-        ("""SELECT regexp_extract('cat or dog', '(cat|dog)', 1) AS first""",
-         None),
-        ("""SELECT regexp_extract('aaab', '(a{2,3})', 1) AS greedy""",
-         None),
-        ("""SELECT regexp_extract('ab12cd', '([^0-9]+)', 1) AS nondigit""",
-         None),
+        """SELECT regexp_extract('cat or dog', '(cat|dog)', 1) AS first""",
+        """SELECT regexp_extract('aaab', '(a{2,3})', 1) AS greedy""",
+        """SELECT regexp_extract('ab12cd', '([^0-9]+)', 1) AS nondigit""",
         (r"""SELECT regexp_replace('a1b2', '^\\w', '#') AS first_word_char""",
          r"""SELECT regexp_replace('a1b2', '^\w', '#') AS first_word_char"""),
         (r"""SELECT p_name, regexp_extract(p_name, '(\\d+)', 1) AS num
@@ -1614,8 +1611,6 @@ def main():
         for case in queries:
             if isinstance(case, tuple):
                 spark_sql, duck_sql = case
-                if duck_sql is None:  # tuple used for formatting only
-                    duck_sql = spark_sql
             else:
                 spark_sql = duck_sql = case
             norm = lambda s: "\n".join(l.strip()
