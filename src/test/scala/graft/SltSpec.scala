@@ -25,7 +25,8 @@ class SltSpec extends AnyFunSuite {
     "order_limit", "structs", "maps", "arrays_native", "fns_dialect",
     "float_edge", "from_surface", "window3", "agg_edge3", "join_multi",
     "coercion", "null_args", "exists_edge", "regex2", "cte2",
-    "semi_struct_edge", "math_fns3", "subquery3", "distinct_order")
+    "semi_struct_edge", "math_fns3", "subquery3", "distinct_order",
+    "arrays3", "window4")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -1523,6 +1523,84 @@ CORPUS = {
         """SELECT DISTINCT upper(o_orderstatus) AS s FROM orders
            ORDER BY s""",
     ],
+    # ── arrays breadth 3: generation, null handling, set emulation ────
+    "arrays3": [
+        ("""SELECT sequence(1, 5) AS r""",
+         """SELECT range(1, 6) AS r"""),
+        ("""SELECT sequence(0, 8, 2) AS evens""",
+         """SELECT range(0, 9, 2) AS evens"""),
+        # ANSI element_at throws on OOB — try_element_at is the
+        # NULL-returning spelling that matches DuckDB's [] semantics
+        ("""SELECT try_element_at(split('a,b', ','), 9) IS NULL AS oob""",
+         """SELECT (split('a,b', ','))[9] IS NULL AS oob"""),
+        ("""SELECT array_sort(array_union(array(1, 2), array(2, 3))) AS u""",
+         """SELECT list_sort(list_distinct(list_concat([1, 2], [2, 3])))
+                   AS u"""),
+        ("""SELECT array_compact(array(1, NULL, 2)) AS c""",
+         """SELECT list_filter([1, NULL, 2], x -> x IS NOT NULL) AS c"""),
+        ("""SELECT array_remove(array(1, 2, 1, 3), 1) AS r""",
+         """SELECT list_filter([1, 2, 1, 3], x -> x != 1) AS r"""),
+        ("""SELECT array_sort(array(3, NULL, 1)) AS nulls_last""",
+         """SELECT list_sort([3, NULL, 1]) AS nulls_last"""),
+        ("""SELECT array_contains(array(1, NULL), CAST(NULL AS INT))
+                   IS NULL AS unknown""",
+         """SELECT array_contains([1, NULL], CAST(NULL AS INTEGER))
+                   IS NULL AS unknown"""),
+        ("""SELECT split('a1b22c', '[0-9]+') AS parts""",
+         """SELECT string_split_regex('a1b22c', '[0-9]+') AS parts"""),
+        ("""SELECT exists(array(1, 2, 3), x -> x > 2) AS hit,
+                   forall(array(1, 2, 3), x -> x > 0) AS all_pos""",
+         """SELECT list_bool_or(list_transform([1, 2, 3], x -> x > 2))
+                   AS hit,
+                   list_bool_and(list_transform([1, 2, 3], x -> x > 0))
+                   AS all_pos"""),
+        ("""SELECT transform(sequence(1, 4), x -> x * x) AS squares""",
+         """SELECT list_transform(range(1, 5), x -> x * x) AS squares"""),
+        ("""SELECT filter(sequence(1, 10), x -> x % 3 = 0) AS div3""",
+         """SELECT list_filter(range(1, 11), x -> x % 3 = 0) AS div3"""),
+        ("""SELECT array_sort(transform(split(n_name, ''),
+                                        x -> upper(x))) IS NOT NULL AS ok,
+                   n_name
+            FROM nation ORDER BY n_name LIMIT 5""",
+         """SELECT list_sort(list_transform(string_split(n_name, ''),
+                                            x -> upper(x))) IS NOT NULL
+                   AS ok,
+                   n_name
+            FROM nation ORDER BY n_name LIMIT 5"""),
+    ],
+    # ── window breadth 4: offsets, defaults, windowed array_agg ───────
+    "window4": [
+        """SELECT x, CAST(lag(x, 2, -9) OVER (ORDER BY x) AS BIGINT) AS l2,
+                  CAST(lead(x, 2, -9) OVER (ORDER BY x) AS BIGINT) AS f2
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, array_sort(array_agg(x) OVER (ORDER BY x
+                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)) AS win
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT o_orderkey,
+                  CAST(lag(o_orderkey, 3) OVER (ORDER BY o_orderkey)
+                       AS BIGINT) AS lag3
+           FROM orders WHERE o_orderkey <= 38 ORDER BY o_orderkey""",
+        """SELECT x, grp,
+                  CAST(row_number() OVER (PARTITION BY grp ORDER BY x DESC)
+                       AS BIGINT) AS rn_desc
+           FROM (VALUES (1, 'a'), (2, 'a'), (3, 'b'), (4, 'b')) t(x, grp)
+           ORDER BY grp, x""",
+        """SELECT x,
+                  round(avg(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING
+                        AND 1 FOLLOWING), 4) AS ma
+           FROM (VALUES (1), (2), (4), (8)) t(x) ORDER BY x""",
+        """SELECT o_orderkey, o_orderstatus,
+                  CAST(count(*) OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_orderkey
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS running
+           FROM orders WHERE o_orderkey <= 25
+           ORDER BY o_orderkey""",
+        """SELECT x, CAST(max(x) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS prior_max
+           FROM (VALUES (5), (3), (9), (7)) t(x) ORDER BY x""",
+    ],
     # ── implicit type coercion ─────────────────────────────────────────
     "coercion": [
         """SELECT 'x' || 1 AS si, 1 || 'x' AS is_""",
