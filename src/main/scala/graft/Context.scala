@@ -48,6 +48,11 @@ class GraftContext(val spark: SparkSession) {
   def readArrow(path: String): DataFrame =
     sources.ArrowIpc.read(spark, path)
 
+  /** Avro container files (reference SessionContext::read_avro,
+    * AvroExec) — graft.sources.AvroIo, sync-marker-split scan. */
+  def readAvro(path: String): DataFrame =
+    sources.AvroIo.read(spark, path)
+
   // ── SessionContext::register_* (named tables) ───────────────────────
   def registerParquet(name: String, path: String): Unit =
     readParquet(path).createOrReplaceTempView(name)
@@ -57,6 +62,10 @@ class GraftContext(val spark: SparkSession) {
 
   def registerJson(name: String, path: String): Unit =
     readJson(path).createOrReplaceTempView(name)
+
+  /** register_avro (reference SessionContext::register_avro). */
+  def registerAvro(name: String, path: String): Unit =
+    readAvro(path).createOrReplaceTempView(name)
 
   /** MemTable analogue (core/src/datasource/memory.rs). */
   def registerTable(name: String, df: DataFrame): Unit =

@@ -49,6 +49,11 @@ class ContextSpec extends AnyFunSuite {
     }
     sources.ArrowIpc.write(src, s"$dir/arrow")
     assert(ctx.readArrow(s"$dir/arrow").count() == src.count())
+    sources.AvroIo.write(src, s"$dir/avro")
+    assert(ctx.readAvro(s"$dir/avro").count() == src.count())
+    ctx.registerAvro("ctx_avro_t", s"$dir/avro")
+    assert(ctx.sql("SELECT count(*) AS n FROM ctx_avro_t").head().getLong(0)
+      == src.count())
   }
 
   test("settings relation reflects SET statements (df_settings)") {
