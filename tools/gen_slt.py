@@ -1601,6 +1601,59 @@ CORPUS = {
                    AS BIGINT) AS prior_max
            FROM (VALUES (5), (3), (9), (7)) t(x) ORDER BY x""",
     ],
+    # ── string edges 3: char-set trims, degenerate lengths ────────────
+    "string_edge3": [
+        ("""SELECT trim(BOTH 'x' FROM 'xxabcxx') AS t""",
+         """SELECT trim('xxabcxx', 'x') AS t"""),
+        ("""SELECT trim(LEADING 'x' FROM 'xxab') AS l,
+                   trim(TRAILING 'x' FROM 'abxx') AS r""",
+         """SELECT ltrim('xxab', 'x') AS l, rtrim('abxx', 'x') AS r"""),
+        ("""SELECT trim(BOTH 'ab' FROM 'abbazappab') AS multi""",
+         """SELECT trim('abbazappab', 'ab') AS multi"""),
+        """SELECT repeat('ab', -1) AS neg, repeat('', 3) AS empty""",
+        """SELECT substr('ab', 5, 2) AS beyond, substr('ab', 2, 0) AS zero""",
+        """SELECT nullif(nullif('a', 'b'), 'a') IS NULL AS chained""",
+        """SELECT replace('aaa', 'aa', 'b') AS overlap""",
+        """SELECT lpad('', 3, 'xy') AS pad_empty, rpad('ab', 2, 'z') AS noop""",
+        """SELECT length(upper('')) AS u, length(reverse('')) AS r,
+                  length(trim('')) AS t""",
+        """SELECT '[' || split_part('a,b', ',', 9) || ']' AS beyond_part""",
+        """SELECT '' || '' = '' AS empty_cat,
+                  length('' || 'x') AS one""",
+        """SELECT c_name FROM customer
+           WHERE length(c_name) = (SELECT max(length(c_name)) FROM customer)
+           ORDER BY c_name LIMIT 5""",
+    ],
+    # ── GROUP BY expressions / aliases + HAVING edges ─────────────────
+    "group_having": [
+        """SELECT x % 2 AS p, CAST(count(*) AS BIGINT) AS n
+           FROM (VALUES (1), (2), (3)) t(x) GROUP BY x % 2 ORDER BY p""",
+        """SELECT x % 2 AS p, CAST(count(*) AS BIGINT) AS n
+           FROM (VALUES (1), (2), (3)) t(x) GROUP BY p ORDER BY p""",
+        """SELECT CAST(count(*) AS BIGINT) AS n
+           FROM (VALUES (1), (2)) t(x) HAVING count(*) > 1""",
+        """SELECT CAST(count(*) AS BIGINT) AS n
+           FROM (VALUES (1), (2)) t(x) HAVING count(*) > 5""",
+        """SELECT x % 3 AS p, CAST(count(*) AS BIGINT) AS n
+           FROM (VALUES (1), (2), (3), (4), (5), (6)) t(x)
+           GROUP BY p HAVING count(*) = 2 ORDER BY p""",
+        """SELECT x, CAST(count(*) AS BIGINT) AS n
+           FROM (VALUES (NULL), (NULL), (1)) t(x)
+           GROUP BY x ORDER BY x NULLS FIRST""",
+        """SELECT CASE 5 WHEN 1 THEN 'a' END IS NULL AS no_match""",
+        """SELECT length(n_name) AS ln, CAST(count(*) AS BIGINT) AS n
+           FROM nation GROUP BY length(n_name) ORDER BY ln""",
+        """SELECT extract(year FROM o_orderdate) % 2 AS parity,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY parity ORDER BY parity""",
+        """SELECT upper(o_orderstatus) AS s, round(sum(o_totalprice), 2) AS t
+           FROM orders GROUP BY upper(o_orderstatus) ORDER BY s""",
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderstatus
+           HAVING sum(o_totalprice) > (SELECT sum(o_totalprice) / 4
+                                       FROM orders)
+           ORDER BY o_orderstatus""",
+    ],
     # ── implicit type coercion ─────────────────────────────────────────
     "coercion": [
         """SELECT 'x' || 1 AS si, 1 || 'x' AS is_""",
