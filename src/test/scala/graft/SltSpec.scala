@@ -26,7 +26,8 @@ class SltSpec extends AnyFunSuite {
     "float_edge", "from_surface", "window3", "agg_edge3", "join_multi",
     "coercion", "null_args", "exists_edge", "regex2", "cte2",
     "semi_struct_edge", "math_fns3", "subquery3", "distinct_order",
-    "arrays3", "window4", "string_edge3", "group_having")
+    "arrays3", "window4", "string_edge3", "group_having", "datetime3",
+    "values_rows")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -1654,6 +1654,69 @@ CORPUS = {
                                        FROM orders)
            ORDER BY o_orderstatus""",
     ],
+    # ── datetime breadth 3: epoch, boundaries, paired century/diff ────
+    "datetime3": [
+        ("""SELECT CAST(unix_timestamp(CAST(DATE '2020-06-15' AS TIMESTAMP))
+                        AS BIGINT) AS e""",
+         """SELECT CAST(epoch(DATE '2020-06-15') AS BIGINT) AS e"""),
+        ("""SELECT CAST(unix_timestamp(TIMESTAMP '2020-06-15 12:00:00')
+                        AS BIGINT) AS e""",
+         """SELECT CAST(epoch(TIMESTAMP '2020-06-15 12:00:00') AS BIGINT)
+                   AS e"""),
+        """SELECT CAST(dayofyear(DATE '2020-12-31') AS BIGINT) AS leap,
+                  CAST(dayofyear(DATE '2021-12-31') AS BIGINT) AS flat""",
+        """SELECT DATE '2020-01-01' < DATE '2020-06-01'
+                  AND DATE '2020-06-01' < DATE '2021-01-01' AS chain""",
+        """SELECT CAST(DATE '2020-01-31' + INTERVAL '1' MONTH
+                       + INTERVAL '1' MONTH AS DATE) AS clamp_twice""",
+        ("""SELECT CAST(datediff(DATE '2020-01-01', DATE '2020-01-31')
+                        AS BIGINT) AS neg""",
+         """SELECT CAST(date_diff('day', DATE '2020-01-31',
+                                  DATE '2020-01-01') AS BIGINT) AS neg"""),
+        ("""SELECT CAST(floor((year(DATE '2001-01-01') - 1) / 100) + 1
+                        AS BIGINT) AS c21,
+                   CAST(floor((year(DATE '2000-12-31') - 1) / 100) + 1
+                        AS BIGINT) AS c20""",
+         """SELECT CAST(century(DATE '2001-01-01') AS BIGINT) AS c21,
+                   CAST(century(DATE '2000-12-31') AS BIGINT) AS c20"""),
+        ("""SELECT CAST(year(DATE '2020-06-14') - year(DATE '2000-06-15')
+                        AS BIGINT) AS y""",
+         """SELECT CAST(date_diff('year', DATE '2000-06-15',
+                                  DATE '2020-06-14') AS BIGINT) AS y"""),
+        ("""SELECT date_format(DATE '2020-03-05', 'dd/MM/yyyy') AS f""",
+         """SELECT strftime(DATE '2020-03-05', '%d/%m/%Y') AS f"""),
+        """SELECT CAST(extract(hour FROM TIMESTAMP '2020-01-01 23:59:59')
+                       AS BIGINT) AS h,
+                  CAST(extract(minute FROM TIMESTAMP '2020-01-01 23:59:59')
+                       AS BIGINT) AS m""",
+        """SELECT CAST(date_trunc('quarter', DATE '2020-12-31') AS DATE)
+                  AS q4""",
+        """SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                  CAST(max(o_orderdate) AS DATE) AS hi,
+                  CAST(max(extract(year FROM o_orderdate))
+                       - min(extract(year FROM o_orderdate)) AS BIGINT)
+                    AS span_years
+           FROM orders""",
+    ],
+    # ── VALUES rows: multi-column inline relations ────────────────────
+    "values_rows": [
+        """SELECT a, b FROM (VALUES (1, 'x'), (2, 'y')) t(a, b)
+           ORDER BY a""",
+        """SELECT a + 1 AS a1, upper(b) AS ub
+           FROM (VALUES (1 + 1, 'a'), (6 / 2, 'b')) t(a, b) ORDER BY a1""",
+        """SELECT v.a, r.r_name
+           FROM (VALUES (0), (3)) v(a)
+           JOIN region r ON r.r_regionkey = v.a ORDER BY v.a""",
+        """SELECT a FROM (VALUES (42)) t(a)""",
+        """SELECT a, b FROM (VALUES (1, NULL), (NULL, 'y'), (2, 'z')) t(a, b)
+           ORDER BY a NULLS FIRST, b NULLS FIRST""",
+        """SELECT r_name AS nm FROM region
+           UNION ALL SELECT nm FROM (VALUES ('ATLANTIS')) t(nm)
+           ORDER BY nm""",
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(a) AS BIGINT) AS s
+           FROM (VALUES (1), (2), (3), (4)) t(a)""",
+    ],
     # ── implicit type coercion ─────────────────────────────────────────
     "coercion": [
         """SELECT 'x' || 1 AS si, 1 || 'x' AS is_""",
