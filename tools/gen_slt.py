@@ -1717,6 +1717,56 @@ CORPUS = {
                   CAST(sum(a) AS BIGINT) AS s
            FROM (VALUES (1), (2), (3), (4)) t(a)""",
     ],
+    # ── NULL join keys: equi drops, null-safe keeps, outer pads ───────
+    "null_keys": [
+        """SELECT a.x AS ax, b.x AS bx
+           FROM (VALUES (1), (NULL), (2)) a(x)
+           JOIN (VALUES (1), (NULL)) b(x) ON a.x = b.x
+           ORDER BY ax""",
+        """SELECT a.x AS ax, b.x AS bx
+           FROM (VALUES (1), (NULL), (2)) a(x)
+           JOIN (VALUES (1), (NULL)) b(x) ON a.x IS NOT DISTINCT FROM b.x
+           ORDER BY ax NULLS FIRST""",
+        """SELECT a.x AS ax, b.x AS bx
+           FROM (VALUES (1), (NULL)) a(x)
+           LEFT JOIN (VALUES (1), (2)) b(x) ON a.x = b.x
+           ORDER BY ax NULLS FIRST""",
+        # typed NULL columns: Spark's null-safe join over untyped VOID
+        # columns matches nothing (found by this corpus) — a real
+        # dialect divergence, so the portable form casts
+        """SELECT CAST(count(*) AS BIGINT) AS matched
+           FROM (VALUES (CAST(NULL AS INTEGER)), (NULL)) a(x)
+           JOIN (VALUES (CAST(NULL AS INTEGER))) b(x) ON a.x = b.x""",
+        """SELECT CAST(count(*) AS BIGINT) AS ns_matched
+           FROM (VALUES (CAST(NULL AS INTEGER)), (NULL)) a(x)
+           JOIN (VALUES (CAST(NULL AS INTEGER))) b(x)
+             ON a.x IS NOT DISTINCT FROM b.x""",
+        """SELECT a.x AS ax
+           FROM (VALUES (1), (NULL), (3)) a(x)
+           WHERE NOT EXISTS (SELECT 1 FROM (VALUES (1), (NULL)) b(x)
+                             WHERE b.x = a.x)
+           ORDER BY ax NULLS FIRST""",
+        """SELECT a.x AS ax, b.x AS bx
+           FROM (VALUES (1), (NULL)) a(x)
+           JOIN (VALUES (1), (NULL)) b(x)
+             ON coalesce(a.x, -1) = coalesce(b.x, -1)
+           ORDER BY ax NULLS FIRST""",
+        """SELECT a.x AS ax, b.x AS bx
+           FROM (VALUES (1), (NULL), (2)) a(x)
+           FULL JOIN (VALUES (2), (NULL)) b(x) ON a.x = b.x
+           ORDER BY ax NULLS FIRST, bx NULLS FIRST""",
+    ],
+    # ── quote escaping + special characters in literals ───────────────
+    "quotes_specials": [
+        """SELECT 'it''s' AS apos, length('it''s') AS n""",
+        """SELECT '''' AS lone_quote, chr(39) = '''' AS chr39""",
+        """SELECT 'a''b''c' AS multi, replace('a''b', '''', '!') AS repl""",
+        """SELECT 'percent: 100%' LIKE '%100!%' ESCAPE '!' AS pct,
+                  'under_score' LIKE 'under!_score' ESCAPE '!' AS us""",
+        """SELECT length('öäü') AS unicode_len""",
+        """SELECT concat('"', 'quoted', '"') AS dq,
+                  length('"') AS one""",
+    ],
     # ── implicit type coercion ─────────────────────────────────────────
     "coercion": [
         """SELECT 'x' || 1 AS si, 1 || 'x' AS is_""",
