@@ -27,7 +27,8 @@ class SltSpec extends AnyFunSuite {
     "coercion", "null_args", "exists_edge", "regex2", "cte2",
     "semi_struct_edge", "math_fns3", "subquery3", "distinct_order",
     "arrays3", "window4", "string_edge3", "group_having", "datetime3",
-    "values_rows", "null_keys", "quotes_specials")
+    "values_rows", "null_keys", "quotes_specials", "identifiers",
+    "wildcard", "references")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

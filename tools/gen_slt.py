@@ -1767,6 +1767,51 @@ CORPUS = {
         """SELECT concat('"', 'quoted', '"') AS dq,
                   length('"') AS one""",
     ],
+    # ── identifiers: quoting (backtick vs double-quote), case rules ───
+    "identifiers": [
+        ("""SELECT 1 AS `My Col` ORDER BY `My Col`""",
+         '''SELECT 1 AS "My Col" ORDER BY "My Col"'''),
+        ("""SELECT r_regionkey AS `MiXeD` FROM region
+            ORDER BY `MiXeD` LIMIT 3""",
+         '''SELECT r_regionkey AS "MiXeD" FROM region
+            ORDER BY "MiXeD" LIMIT 3'''),
+        ("""SELECT r_name AS `a-b` FROM region ORDER BY `a-b` LIMIT 3""",
+         '''SELECT r_name AS "a-b" FROM region ORDER BY "a-b" LIMIT 3'''),
+        """SELECT R_REGIONKEY FROM REGION ORDER BY R_REGIONKEY LIMIT 3""",
+        """SELECT n_Name FROM Nation ORDER BY N_NAME LIMIT 3""",
+    ],
+    # ── wildcard projections ──────────────────────────────────────────
+    "wildcard": [
+        """SELECT * FROM region ORDER BY r_regionkey""",
+        """SELECT r.* FROM region r ORDER BY r_regionkey""",
+        """SELECT *, r_regionkey * 2 AS dbl FROM region
+           ORDER BY r_regionkey""",
+        """SELECT n.*, r.r_name AS region_name
+           FROM nation n JOIN region r ON n_regionkey = r_regionkey
+           ORDER BY n_nationkey LIMIT 6""",
+        """SELECT CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT * FROM nation) t""",
+        """SELECT t.* FROM (SELECT r_regionkey AS k, upper(r_name) AS nm
+                            FROM region) t ORDER BY k""",
+    ],
+    # ── column references: lateral aliases, shadowing, qualifiers ─────
+    "references": [
+        """SELECT 1 AS a, a + 1 AS b, b * 2 AS c""",
+        """SELECT r_regionkey + 10 AS r_regionkey FROM region
+           ORDER BY 1 LIMIT 3""",
+        """SELECT r_regionkey AS k, k + 100 AS k2 FROM region
+           ORDER BY k LIMIT 3""",
+        """SELECT length(r_name) AS ln, ln * 2 AS ln2 FROM region
+           ORDER BY ln, ln2 LIMIT 5""",
+        """SELECT k FROM (SELECT r_regionkey AS k FROM region) t
+           ORDER BY k""",
+        """SELECT a.r_name AS left_name, b.r_name AS right_name
+           FROM region a JOIN region b ON a.r_regionkey = b.r_regionkey
+           ORDER BY left_name LIMIT 4""",
+        """SELECT o_totalprice * 0.9 AS discounted,
+                  round(discounted / 2, 2) AS half
+           FROM orders ORDER BY o_orderkey LIMIT 5""",
+    ],
     # ── implicit type coercion ─────────────────────────────────────────
     "coercion": [
         """SELECT 'x' || 1 AS si, 1 || 'x' AS is_""",
