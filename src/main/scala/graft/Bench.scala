@@ -95,20 +95,49 @@ object Bench {
       case (k, _) if k.startsWith("tpch_") => k }
     val tpchTables = Seq("region", "nation", "customer", "supplier",
       "part", "orders", "lineitem")
+    // accumulated JVM GC wall time — cheap instrumentation for the mem
+    // pass (r4's unexplained 6.3s→20.7s tpch_mem regression)
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val memQs =
       if (tpchNames.isEmpty || only.isDefined) Map.empty[String, Double]
       else {
+        // the disk pass leaves storage-pool debris behind: pipeline
+        // persists (Dedup/Similarity signatures) and localCheckpoint
+        // blocks (RecursiveCte/Clustering) are only released when the
+        // ContextCleaner notices the DataFrames are unreachable, which
+        // after ~237 queries it may not have. Release everything
+        // EXPLICITLY before caching the TPC-H tables, so this pass
+        // measures cached-query time, not eviction thrash against leaked
+        // blocks (r4 suspect: q4_mem 6.94s vs 0.26s on parquet).
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        val gc0 = gcMillis; val b0 = System.nanoTime()
         tpchTables.foreach { t =>
           val df = Engine.table(spark, sfDir, t)
           df.cache(); df.count()
         }
-        // same warmup + failure rules as the disk pass
+        System.err.println(
+          f"[bench] mem cache build ${(System.nanoTime() - b0) / 1e9}%.2fs" +
+          f" gc ${gcMillis - gc0}ms")
+        // same warmup + failure rules as the disk pass; per-query GC time
+        // on stderr so a regression in BENCH_r{N} is attributable
         val m = tpchNames.flatMap { name =>
-          timeQuery(name, s"mem:$name").map(name -> _)
+          val g0 = gcMillis
+          val r = timeQuery(name, s"mem:$name").map(name -> _)
+          r.foreach { case (n, v) => System.err.println(
+            f"[bench] mem $n $v%.3fs gc ${gcMillis - g0}ms") }
+          r
         }.toMap
         tpchTables.foreach(t => Engine.table(spark, sfDir, t).unpersist())
         m
       }
+    // compact number format for the tail-capture-proof line (0.1 ms)
+    def c(v: Double): String = f"$v%.4f"
     val memStr = memQs.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // null (not 0.0) when the pass was skipped or produced nothing — a
@@ -116,7 +145,19 @@ object Bench {
     val memTotal = if (memQs.isEmpty) "null" else memQs.values.sum.toString
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tpch_total":$tpchTotal,"tpch_mem_total":$memTotal,"tpch_mem":$memStr,"per_query_floor":$floor,"iters":$iters,"failed":$errs}""")
+    // full artifact first: the complete 237-query map (readable when the
+    // whole stdout is kept)
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tpch_total":$tpchTotal,"tpch_mem_total":$memTotal,"tpch_mem":$memStr,"per_query_floor":$floor,"iters":$iters,"failed":$errs}""")
+    // the driver's tail capture keeps only the last ~2 KB of stdout —
+    // r4 lost tpch_q1/q10..q16 to it ("parsed": null). Emit the headline
+    // comparison set (BASELINE.md = the 22 TPC-H queries, disk + mem) as
+    // ONE compact final line (~1.1 KB) that always survives truncation.
+    val tpchStr = results.collect { case (k, v) if k.startsWith("tpch_") =>
+      "\"" + k + "\":" + c(v) }.mkString("{", ",", "}")
+    val memStr2 = memQs.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + c(v) }.mkString("{", ",", "}")
+    val memTotal2 = if (memQs.isEmpty) "null" else c(memQs.values.sum)
+    println(s"""{"metric":"total","value":${c(total)},"unit":"sec","queries":$tpchStr,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpch_mem_total":$memTotal2,"tpch_mem":$memStr2,"per_query_floor":${c(floor)},"iters":$iters,"failed":$errs}""")
     Engine.clearCache(spark)
     spark.stop()
   }

@@ -2,8 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, Exists, Expression, InSubquery, ListQuery, Literal,
-  Not, OuterReference, ScalarSubquery, SortOrder, SubqueryExpression}
+  Alias, Attribute, Exists, ExprId, Expression, InSubquery, ListQuery,
+  Literal, Not, OuterReference, ScalarSubquery, SortOrder,
+  SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, PivotFirst}
 import org.apache.spark.sql.catalyst.plans.{
   Cross, FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -22,13 +25,18 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * unparser, the output targets the engine's own dialect.
   *
   * Supported plan subset: Project, Filter, Aggregate (incl. HAVING as a
-  * Filter over Aggregate), Sort, Limit/Offset, Distinct, Window, Union
-  * [ALL/DISTINCT], Intersect/Except [ALL], all join types, subquery
-  * expressions (EXISTS / NOT EXISTS / IN / NOT IN / scalar, incl.
-  * correlated), SubqueryAlias, and base relations reached through a
-  * SubqueryAlias (spark.table). Lower-level scans (raw files without a
-  * view name) and streaming/recursive nodes are out of scope and raise
-  * a named error.
+  * Filter over Aggregate), GROUPING SETS / ROLLUP / CUBE (recovered from
+  * the analyzer's Aggregate-over-Expand encoding and re-emitted as
+  * explicit GROUPING SETS — reference unparser handles its grouping-set
+  * plan in sql/src/unparser/plan.rs), PIVOT (recovered from the
+  * PivotFirst two-level aggregate and re-emitted as a PIVOT clause),
+  * Sort, Limit/Offset, Distinct, Window, Union [ALL/DISTINCT],
+  * Intersect/Except [ALL], all join types, subquery expressions
+  * (EXISTS / NOT EXISTS / IN / NOT IN / scalar, incl. correlated),
+  * SubqueryAlias, and base relations reached through a SubqueryAlias
+  * (spark.table). Lower-level scans (raw files without a view name),
+  * grouping()/grouping_id() output columns, and streaming/recursive
+  * nodes are out of scope and raise a named error.
   *
   * Caveat (same as the reference's unparser): generated SQL refers to
   * columns by NAME, so plans that join two relations sharing a column
@@ -111,6 +119,19 @@ object Unparser {
     // FROM-less SELECT (literals / scalar subqueries over one row)
     case Project(list, _: OneRowRelation) =>
       s"SELECT ${list.map(exprSql(_, c)).mkString(", ")}"
+
+    // PIVOT: the analyzer rewrites it to
+    //   Project[gb..., __pivot_agg[0] AS v0, ...]
+    //     Aggregate[gb, gb ++ pivotfirst(pivotCol, aggVal, values..)]
+    //       Aggregate[gb :+ pivotCol, gb :+ pivotCol :+ agg]
+    // — recover the pieces and re-emit an executable PIVOT clause
+    case Project(projList,
+        Aggregate(gb2, aggExprs2, Aggregate(_, aggExprs1, child, _), _))
+        if aggExprs2.exists {
+          case Alias(AggregateExpression(_: PivotFirst, _, _, _, _), _) => true
+          case _ => false
+        } =>
+      renderPivot(projList, gb2, aggExprs2, aggExprs1, child, c)
 
     case Project(list, child) =>
       s"SELECT ${list.map(exprSql(_, c)).mkString(", ")} FROM ${from(child, c)}"
@@ -196,12 +217,97 @@ object Unparser {
   }
 
   private def renderAggregate(agg: Aggregate,
+      c: java.util.concurrent.atomic.AtomicInteger): String = agg.child match {
+    // GROUPING SETS / ROLLUP / CUBE: the analyzer encodes them as an
+    // Aggregate grouped on (dup grouping attrs :+ spark_grouping_id)
+    // over an Expand whose projections null out the excluded columns
+    // per set. Recover each set from the null pattern and re-emit
+    // explicit GROUPING SETS text (ROLLUP/CUBE are equal expansions).
+    case ex: Expand if agg.groupingExpressions.lastOption.exists {
+        case a: Attribute => a.name == "spark_grouping_id"
+        case _ => false } =>
+      val gid = agg.groupingExpressions.last.asInstanceOf[Attribute]
+      if (agg.aggregateExpressions.exists(_.references.exists(_.exprId == gid.exprId)))
+        throw new IllegalArgumentException(
+          "Unparser: grouping()/grouping_id() output columns are not " +
+            "unparseable — they reference the internal spark_grouping_id")
+      val k = agg.groupingExpressions.length - 1
+      val childLen = ex.output.length - k - 1
+      // the Project under the Expand aliases each grouping expression
+      // (`a#1 AS a#6`): map the duplicated exprIds back to the originals
+      val (aliasMap, baseChild): (Map[ExprId, Expression], LogicalPlan) =
+        ex.child match {
+          case Project(list, gc) =>
+            (list.collect { case al @ Alias(orig, _) =>
+              al.exprId -> orig }.toMap, gc)
+          case other => (Map.empty, other)
+        }
+      def orig(e: Expression): Expression = e match {
+        case a: Attribute => aliasMap.getOrElse(a.exprId, a)
+        case o => o
+      }
+      val sets = ex.projections.map { proj =>
+        (0 until k).flatMap { i =>
+          proj(childLen + i) match {
+            case Literal(null, _) => None
+            case e => Some(exprSql(orig(e), c))
+          }
+        }.mkString("(", ", ", ")")
+      }.mkString(", ")
+      val select = agg.aggregateExpressions.map(exprSql(_, c)).mkString(", ")
+      s"SELECT $select FROM ${from(baseChild, c)} GROUP BY GROUPING SETS ($sets)"
+
+    case _ =>
+      val select = agg.aggregateExpressions.map(exprSql(_, c)).mkString(", ")
+      val groups =
+        if (agg.groupingExpressions.isEmpty) ""
+        else s" GROUP BY ${agg.groupingExpressions.map(exprSql(_, c)).mkString(", ")}"
+      s"SELECT $select FROM ${from(agg.child, c)}$groups"
+  }
+
+  /** Re-emit a PIVOT clause from the analyzer's PivotFirst encoding.
+    * `projList` carries the output names (gb cols, then one extract per
+    * pivot value), `aggExprs1.last` the original aggregate function,
+    * and the PivotFirst the pivot column + value list. */
+  private def renderPivot(
+      projList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      gb: Seq[Expression],
+      aggExprs2: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      aggExprs1: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      child: LogicalPlan,
       c: java.util.concurrent.atomic.AtomicInteger): String = {
-    val select = agg.aggregateExpressions.map(exprSql(_, c)).mkString(", ")
-    val groups =
-      if (agg.groupingExpressions.isEmpty) ""
-      else s" GROUP BY ${agg.groupingExpressions.map(exprSql(_, c)).mkString(", ")}"
-    s"SELECT $select FROM ${from(agg.child, c)}$groups"
+    val pf = aggExprs2.collectFirst {
+      case Alias(AggregateExpression(p: PivotFirst, _, _, _, _), _) => p
+    }.get
+    val pivotCol = pf.pivotColumn match {
+      case a: Attribute => s"`${a.name}`"
+      case other => throw new IllegalArgumentException(
+        s"Unparser: PIVOT on a non-column expression ${other.prettyName}")
+    }
+    val aggFn = aggExprs1.last match {
+      case Alias(fn, _) => exprSql(fn, c)
+      case other => exprSql(other, c)
+    }
+    // output names come from the extract Project (gb columns first)
+    val valueNames = projList.drop(gb.length).map(_.name)
+    if (valueNames.length != pf.pivotColumnValues.length)
+      throw new IllegalArgumentException(
+        "Unparser: PIVOT extract count does not match the value list")
+    val inList = pf.pivotColumnValues.zip(valueNames).map { case (v, n) =>
+      // values are stored in Catalyst-internal form; Literal(v, dt).sql
+      // renders the correct SQL literal for the pivot column's type
+      s"${Literal(v, pf.pivotColumn.dataType).sql} AS `$n`"
+    }.mkString(", ")
+    // the PIVOT input must project ONLY (gb ++ pivot ++ agg inputs):
+    // PIVOT groups by every non-pivot, non-aggregated input column
+    val aggInputCols = aggExprs1.last.references
+      .filter(_.exprId != pf.pivotColumn.asInstanceOf[Attribute].exprId)
+      .map(a => s"`${a.name}`").toSeq
+    val gbCols = gb.map(exprSql(_, c))
+    val inputCols = (gbCols ++ Seq(pivotCol) ++ aggInputCols).distinct
+    s"SELECT * FROM (SELECT ${inputCols.mkString(", ")} " +
+      s"FROM ${from(child, c)}) AS `${nextAlias(c)}` " +
+      s"PIVOT ($aggFn FOR $pivotCol IN ($inList))"
   }
 
   private def sortSql(o: SortOrder,

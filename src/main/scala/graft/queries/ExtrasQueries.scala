@@ -103,8 +103,10 @@ object ExtrasQueries {
       val minCost = l.join(su, l("l_suppkey") === su("s_suppkey"))
         .groupBy(col("l_partkey").as("mc_partkey"))
         .agg(min(col("s_acctbal")).as("min_bal"))
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      // part/supplier are SF-scaled: no hints — AQE broadcasts them at
+      // small SF and degrades to a shuffled join past the threshold
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
         .join(minCost, col("p_partkey") === col("mc_partkey") &&
           col("s_acctbal") === col("min_bal"))
         .select(col("p_partkey"), col("p_name"), col("s_name"), col("s_acctbal"))
@@ -131,7 +133,7 @@ object ExtrasQueries {
       val su = Engine.table(s, d, "supplier")
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left_semi")
       val l = Engine.table(s, d, "lineitem")
-      val scoped = l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      val scoped = l.join(su, l("l_suppkey") === su("s_suppkey"))
         .select(col("l_partkey"),
           (col("l_quantity") * col("l_extendedprice")).as("v"))
       val threshold = scoped.agg((sum(col("v")) * 0.001).as("thr"))

@@ -121,15 +121,18 @@ object H2oClickQueries {
     // ── h2o join family (db-benchmark join task; the reference ships only
     //    the groupby half in benchmarks/src/bin/h2o.rs — the join queries
     //    are re-expressed over TPC-H: lineitem as x, supplier/part/orders
-    //    as the small/medium/big rhs, p_brand as the factor key). Small
-    //    and medium dims broadcast; the big-big join shuffles on the key ──
+    //    as the small/medium/big rhs, p_brand as the factor key). The
+    //    small/medium rhs are SF-scaled so they carry no broadcast hint
+    //    (AQE broadcasts them while they fit, shuffles past the
+    //    threshold); only j4's brand dim — bounded by the p_brand domain,
+    //    not by SF — keeps an explicit hint. Big-big shuffles on the key ──
     "h2o_j1" -> Q("""
       |SELECT s_nationkey, round(sum(l_quantity), 2) AS v1,
       |       round(sum(s_acctbal), 2) AS v2, count(*) AS c
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, d) =>
       Engine.table(s, d, "lineitem")
-        .join(broadcast(Engine.table(s, d, "supplier")),
+        .join(Engine.table(s, d, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_nationkey"))
         .agg(round(sum(col("l_quantity")), 2).as("v1"),
@@ -143,7 +146,7 @@ object H2oClickQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""") { (s, d) =>
       Engine.table(s, d, "lineitem")
-        .join(broadcast(Engine.table(s, d, "part")),
+        .join(Engine.table(s, d, "part"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(round(sum(col("l_extendedprice")), 2).as("v1"),
@@ -162,7 +165,7 @@ object H2oClickQueries {
       |  ON l_partkey = p_partkey
       |GROUP BY coalesce(p_brand, '__none__') ORDER BY brand""") { (s, d) =>
       Engine.table(s, d, "lineitem")
-        .join(broadcast(Engine.table(s, d, "part").filter(col("p_size") < 15)),
+        .join(Engine.table(s, d, "part").filter(col("p_size") < 15),
           col("l_partkey") === col("p_partkey"), "left")
         .groupBy(coalesce(col("p_brand"), lit("__none__")).as("brand"))
         .agg(round(sum(col("l_extendedprice")), 2).as("v1"),
@@ -465,6 +468,104 @@ object H2oClickQueries {
       |FROM events
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
       |GROUP BY user_id % 50, CAST(ts AS DATE)
-      |ORDER BY pv DESC, uh, d LIMIT 10 OFFSET 100""")
+      |ORDER BY pv DESC, uh, d LIMIT 10 OFFSET 100"""),
+
+    // ── round-5 completion: the 11 remaining queries.sql shapes ──────────
+
+    // q10 — one group key, MIXED aggregate list incl. count(DISTINCT):
+    // sum+count+avg are two-phase partials, the distinct adds an expand
+    "click_mixed_aggs" -> sql("""
+      |SELECT user_id, CAST(sum(event_id % 100) AS BIGINT) AS s,
+      |       count(*) AS c, round(avg(value) + 1e-9, 4) AS a,
+      |       count(DISTINCT event_type) AS t
+      |FROM events GROUP BY user_id ORDER BY c DESC, user_id LIMIT 10"""),
+
+    // q11 — count(DISTINCT) by a model-like key with an <>'' guard
+    "click_model_users" -> sql("""
+      |SELECT lang, count(DISTINCT source) AS u FROM documents
+      |WHERE lang <> '' GROUP BY lang ORDER BY u DESC, lang LIMIT 10"""),
+
+    // q12 — TWO-key group + count(DISTINCT) ranking
+    "click_pair_distinct" -> sql("""
+      |SELECT event_type, props, count(DISTINCT user_id) AS u
+      |FROM events WHERE props <> ''
+      |GROUP BY event_type, props
+      |ORDER BY u DESC, event_type, props LIMIT 10"""),
+
+    // q13 — string-key frequency ranking with an <>'' guard
+    "click_phrase_counts" -> sql("""
+      |SELECT props, count(*) AS c FROM events WHERE props <> ''
+      |GROUP BY props ORDER BY c DESC, props LIMIT 10"""),
+
+    // q14 — string-key count(DISTINCT user) ranking
+    "click_phrase_users" -> sql("""
+      |SELECT props, count(DISTINCT user_id) AS u
+      |FROM events WHERE props <> ''
+      |GROUP BY props ORDER BY u DESC, props LIMIT 10"""),
+
+    // q15 — (engine, phrase) pair count ranking
+    "click_engine_phrase" -> sql("""
+      |SELECT CAST(user_id % 10 AS BIGINT) AS engine, props, count(*) AS c
+      |FROM events WHERE props <> ''
+      |GROUP BY user_id % 10, props
+      |ORDER BY c DESC, engine, props LIMIT 10"""),
+
+    // q18 — GROUP BY ... LIMIT with NO ORDER BY: the plan under test is
+    // a limit straight over the final HashAggregate (no sort). WHICH
+    // groups survive is engine-dependent, so the oracled value is the
+    // row COUNT of the limited set, not the rows themselves.
+    "click_group_limit_unordered" -> sql("""
+      |SELECT count(*) AS n FROM (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY user_id, event_type LIMIT 10)"""),
+
+    // q27 — ORDER BY (time, phrase) composite, first rows
+    "click_sort_two_keys" -> sql(
+      """
+      |SELECT props, CAST(unix_timestamp(ts) AS BIGINT) AS t
+      |FROM events WHERE props <> ''
+      |ORDER BY t, props LIMIT 10""",
+      """
+      |SELECT props, epoch_us(ts) // 1000000 AS t
+      |FROM events WHERE props <> ''
+      |ORDER BY t, props LIMIT 10"""),
+
+    // q28 — avg(length) + HAVING count threshold, top-25 (the
+    // non-regex half of the q28/q30 pair)
+    "click_len_having" -> sql("""
+      |SELECT user_id, round(avg(length(props)) + 1e-9, 4) AS l,
+      |       count(*) AS c
+      |FROM events WHERE props <> ''
+      |GROUP BY user_id HAVING count(*) > 50
+      |ORDER BY l DESC, user_id LIMIT 25"""),
+
+    // q29 — regex key via capture-group BACKREFERENCE replacement
+    // (Spark spells it $1, DuckDB \1)
+    "click_referer_domain" -> sql(
+      """
+      |SELECT regexp_replace(props, '^.*"k": ([0-9]+).*$', '$1') AS k,
+      |       round(avg(length(props)) + 1e-9, 4) AS l, count(*) AS c,
+      |       min(props) AS first_props
+      |FROM events WHERE props <> ''
+      |GROUP BY regexp_replace(props, '^.*"k": ([0-9]+).*$', '$1')
+      |HAVING count(*) > 50 ORDER BY l DESC, k LIMIT 25""",
+      """
+      |SELECT regexp_replace(props, '^.*"k": ([0-9]+).*$', '\1') AS k,
+      |       round(avg(length(props)) + 1e-9, 4) AS l, count(*) AS c,
+      |       min(props) AS first_props
+      |FROM events WHERE props <> ''
+      |GROUP BY regexp_replace(props, '^.*"k": ([0-9]+).*$', '\1')
+      |HAVING count(*) > 50 ORDER BY l DESC, k LIMIT 25"""),
+
+    // q32 — selective filter + high-cardinality pair + count/sum/avg
+    // (click_pair_heavy is the unfiltered q33/q34 twin)
+    "click_pair_filtered" -> sql("""
+      |SELECT user_id, CAST(event_id % 100 AS BIGINT) AS b, count(*) AS c,
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS clicks,
+      |       round(avg(value) + 1e-9, 4) AS w
+      |FROM events WHERE event_type <> 'view'
+      |GROUP BY user_id, event_id % 100
+      |ORDER BY c DESC, user_id, b LIMIT 10""")
   )
 }

@@ -235,6 +235,48 @@ object MiscQueries {
       s.sql(graft.plans.Unparser.toSql(df))
     },
 
+    // ── unparser: GROUPING SETS — the analyzer's Aggregate-over-Expand
+    //    encoding is recovered and re-emitted as explicit GROUPING SETS
+    //    text; the GENERATED SQL executes and must match the oracle
+    //    (reference: sql/src/unparser/plan.rs grouping-set handling) ─────
+    "unparse_grouping_sets" -> Q("""
+      |SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS rev
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |                        (o_orderpriority), ())
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""") { (s, d) =>
+      Engine.registerAll(s, d)
+      val df = s.sql(
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+          |       round(sum(o_totalprice), 2) AS rev
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+          |                        (o_orderpriority), ())
+          |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+          |""".stripMargin)
+      s.sql(graft.plans.Unparser.toSql(df))
+    },
+
+    // ── unparser: PIVOT — the PivotFirst two-level aggregate is
+    //    recovered and re-emitted as a PIVOT clause; absent combos pivot
+    //    to NULL on both the original and regenerated plan, and the
+    //    oracle replays portable conditional aggregation ─────────────────
+    "unparse_pivot" -> Q("""
+      |SELECT user_id,
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+      |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      Engine.registerAll(s, d)
+      val df = s.table("events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(count(lit(1)))
+        .orderBy(col("user_id"))
+      s.sql(graft.plans.Unparser.toSql(df))
+    },
+
     // ── parquet schema evolution (reference: schema_evolution.slt) —
     //    two file generations with different schemas read as one table
     //    via mergeSchema; rows from the old generation surface NULL for

@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
   *
   * All plans are declarative DataFrame API → Catalyst gets predicate
   * pushdown, column pruning, join reordering and (with AQE) runtime
-  * broadcast decisions for free. Small dimensions (region, nation,
-  * supplier) are explicitly `broadcast()` where the 100 TB plan must never
-  * shuffle the fact table on a dimension key.
+  * broadcast decisions for free. Broadcast policy (the 100 TB rule):
+  * `broadcast()` hints are reserved for relations whose size is
+  * SCALE-CONSTANT — nation/region (fixed 25/5 rows at any SF) and 1-row
+  * aggregate sides (q15's max, q22's avg). Everything that grows with SF
+  * (customer, part, supplier, orders slices) carries NO hint: at small SF
+  * AQE broadcasts them anyway (they're under
+  * spark.sql.autoBroadcastJoinThreshold), and at 100× the same plan
+  * degrades gracefully to a shuffled join instead of dying on the 8 GB
+  * broadcast limit / driver OOM that a *forced* hint would cause.
+  * BroadcastPolicySpec pins both halves of this contract.
   */
 object TpchQueries {
   private def ts(s: String) = lit(s).cast("timestamp")
@@ -72,7 +79,7 @@ object TpchQueries {
       val l = Engine.table(s, d, "lineitem")
         .filter(col("l_shipdate") > ts("1997-01-01"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
@@ -94,14 +101,16 @@ object TpchQueries {
         .filter(col("o_orderdate") >= ts("1996-07-01") &&
           col("o_orderdate") < ts("1996-10-01"))
       val l = Engine.table(s, d, "lineitem")
-      // EXISTS as inner-join + distinct-count, broadcasting the FILTERED
-      // side (3 months of orders): a bare left-semi makes Catalyst build
-      // a HashedRelation of the column-pruned FACT table (BuildRight is
-      // the only broadcast-semi shape), which is the wrong side at any
-      // scale. Here lineitem STREAMS through a ~3% orders broadcast and
-      // only matched (priority, orderkey) pairs reach the shuffle;
-      // o_orderkey is unique in orders so countDistinct ≡ semi + count.
-      l.join(broadcast(o), o("o_orderkey") === l("l_orderkey") &&
+      // EXISTS as inner-join + distinct-count rather than a bare left-semi:
+      // a left-semi makes Catalyst build a HashedRelation of the
+      // column-pruned FACT table (BuildRight is the only broadcast-semi
+      // shape), which is the wrong side at any scale. With the inner join
+      // AQE is free to pick the build side by measured size: at bench SF
+      // the 3-month orders slice broadcasts (lineitem streams through it);
+      // past the threshold the same plan becomes a shuffled join on
+      // orderkey instead of a forced over-limit broadcast. o_orderkey is
+      // unique in orders so countDistinct ≡ semi + count.
+      l.join(o, o("o_orderkey") === l("l_orderkey") &&
           l("l_shipdate") > o("o_orderdate"), "inner")
         .groupBy(col("o_orderpriority"))
         .agg(countDistinct(o("o_orderkey")).as("order_count"))
@@ -129,7 +138,7 @@ object TpchQueries {
       val r = Engine.table(s, d, "region").filter(col("r_name") === "ASIA")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
           c("c_nationkey") === su("s_nationkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -180,7 +189,7 @@ object TpchQueries {
       val su = Engine.table(s, d, "supplier")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n1), su("s_nationkey") === col("n1_key"))
         .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -217,10 +226,10 @@ object TpchQueries {
       val n2 = Engine.table(s, d, "nation")
         .select(col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
       val r = Engine.table(s, d, "region").filter(col("r_name") === "AMERICA")
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
         .join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n1), c("c_nationkey") === col("n1_key"))
         .join(broadcast(r), col("n1_rk") === r("r_regionkey"))
         .join(broadcast(n2), su("s_nationkey") === col("n2_key"))
@@ -249,9 +258,9 @@ object TpchQueries {
       val o = Engine.table(s, d, "orders")
       val su = Engine.table(s, d, "supplier")
       val n = Engine.table(s, d, "nation")
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
         .join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("long").as("o_year"))
@@ -349,7 +358,7 @@ object TpchQueries {
           col("l_shipdate") < ts("1996-10-01"))
       val p = Engine.table(s, d, "part")
       val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
         .agg(round(lit(100.0) *
           sum(when(col("p_type") === "PROMO", vol).otherwise(0.0)) / sum(vol), 4)
           .as("promo_revenue"))
@@ -400,7 +409,7 @@ object TpchQueries {
       // state is bounded by |suppliers| per (brand,type,size) group —
       // a dimension-bounded key space, not data-scaled — so the set
       // stays small at any SF; same null semantics (both drop nulls).
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(size(collect_set(col("l_suppkey"))).cast("long")
           .as("supplier_cnt"))
@@ -419,7 +428,7 @@ object TpchQueries {
       val p = Engine.table(s, d, "part").filter(col("p_brand") === "Brand#11")
       val avgQ = l.groupBy(col("l_partkey").as("ap_partkey"))
         .agg((avg(col("l_quantity")) * 0.2).as("qty_threshold"))
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
         .join(avgQ, col("l_partkey") === col("ap_partkey"))
         .filter(col("l_quantity") < col("qty_threshold"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
@@ -464,7 +473,7 @@ object TpchQueries {
       |        AND l_quantity BETWEEN 20 AND 30))""") { (s, d) =>
       val l = Engine.table(s, d, "lineitem")
       val p = Engine.table(s, d, "part")
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
             col("l_quantity").between(1, 11)) ||
@@ -491,7 +500,7 @@ object TpchQueries {
       val l = Engine.table(s, d, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-01-01") &&
           col("l_shipdate") < ts("1997-01-01"))
-      val qualified = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      val qualified = l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("l_quantity")).as("tot_qty"))
         .filter(col("tot_qty") > 50)
@@ -534,7 +543,7 @@ object TpchQueries {
           col("l3_suppkey") =!= l1("l_suppkey") &&
           col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL '90' DAY"),
           "left_anti")
-        .join(broadcast(su), l1("l_suppkey") === su("s_suppkey"))
+        .join(su, l1("l_suppkey") === su("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))

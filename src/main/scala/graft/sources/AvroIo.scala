@@ -87,7 +87,7 @@ object AvroIo {
     * caller's union; logical types follow the Avro spec's physical
     * encodings: date=epoch days, timestamp-micros=µs since epoch,
     * decimal=big-endian unscaled bytes at the schema's scale). */
-  private def toAvroValue(dt: DataType): Any => Any = dt match {
+  private def toAvroValue(dt: DataType, colName: String): Any => Any = dt match {
     case BinaryType => {
       case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
       case other => other
@@ -107,8 +107,20 @@ object AvroIo {
       case other => other
     }
     case d: DecimalType => {
-      case b: java.math.BigDecimal => java.nio.ByteBuffer.wrap(
-        b.setScale(d.scale).unscaledValue().toByteArray)
+      case b: java.math.BigDecimal =>
+        // a value whose scale exceeds the column's declared scale can
+        // reach here when the DataFrame was built from external rows
+        // with no cast enforcing the DecimalType — fail with the column
+        // named instead of a bare mid-task ArithmeticException
+        val rescaled =
+          try b.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+          catch { case _: ArithmeticException =>
+            throw new IllegalArgumentException(
+              s"AvroIo: value $b of column '$colName' does not fit " +
+              s"DECIMAL(${d.precision},${d.scale}) without rounding; " +
+              "cast the column to the declared type first")
+          }
+        java.nio.ByteBuffer.wrap(rescaled.unscaledValue().toByteArray)
       case other => other
     }
     case _ => identity
@@ -161,7 +173,8 @@ object AvroIo {
     dirPath.getFileSystem(hconf).mkdirs(dirPath)
     val confEntries = hconf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
-    val convs: Array[Any => Any] = schema.fields.map(f => toAvroValue(f.dataType))
+    val convs: Array[Any => Any] =
+      schema.fields.map(f => toAvroValue(f.dataType, f.name))
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val taskConf = new org.apache.hadoop.conf.Configuration(false)
       confEntries.foreach { case (k, v) => taskConf.set(k, v) }
@@ -229,6 +242,7 @@ object AvroIo {
     val confEntries = hconf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     val n = sparkSchema.length
+    val fieldNames = sparkSchema.fields.map(_.name)
     val rows = spark.sparkContext
       .parallelize(splits, splits.length)
       .flatMap { case (pathStr, start, end) =>
@@ -250,9 +264,22 @@ object AvroIo {
         // close on task completion too (same rule as ArrowIpc.read)
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
-        // own the blocks whose sync marker lies in [start, end)
-        try reader.sync(start)
-        catch { case t: Throwable => closeAll(); throw t }
+        // the Spark schema (and positional decode below) came from the
+        // FIRST file's header — a directory mixing files with different
+        // field counts/names would silently misalign columns: error
+        // with the offending file named instead
+        try {
+          val taskFields = reader.getSchema.getFields.asScala.map(_.name)
+          if (taskFields.length != n || !taskFields.sameElements(fieldNames))
+            throw new IllegalArgumentException(
+              s"AvroIo.read: $pathStr header fields " +
+              taskFields.mkString("[", ",", "]") +
+              " do not match the directory schema " +
+              fieldNames.mkString("[", ",", "]") +
+              " (derived from the first file)")
+          // own the blocks whose sync marker lies in [start, end)
+          reader.sync(start)
+        } catch { case t: Throwable => closeAll(); throw t }
         // per-field decoders from THIS file's header (logical types ride
         // on the writer schema, not the reader's guess)
         val convs = reader.getSchema.getFields.asScala

@@ -78,12 +78,17 @@ class SltSpec extends AnyFunSuite {
         val start = i
         i += 1
         val sql = new StringBuilder
-        while (lines(i).trim != "----" && lines(i).trim != "--duck--") {
+        def unterminated(): Nothing = fail(
+          s"$family.slt: case at line ${start + 1} has no ---- terminator")
+        while (i < lines.length &&
+            lines(i).trim != "----" && lines(i).trim != "--duck--") {
           sql.append(lines(i)).append('\n'); i += 1
         }
+        if (i >= lines.length) unterminated()
         // a two-variant case carries the DuckDB text (golden provenance)
         // in a --duck-- section; only the Spark text is executed here
-        while (lines(i).trim != "----") i += 1
+        while (i < lines.length && lines(i).trim != "----") i += 1
+        if (i >= lines.length) unterminated()
         i += 1 // skip ----
         val golden = Vector.newBuilder[String]
         while (i < lines.length && lines(i).nonEmpty) {

@@ -129,6 +129,52 @@ class UnparserSpec extends AnyFunSuite {
       "SELECT (SELECT count(*) FROM region) AS n_regions"))
   }
 
+  test("GROUPING SETS round-trips and renders explicit GROUPING SETS text") {
+    val df = spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), ())""".stripMargin)
+    val sql = Unparser.toSql(df)
+    assert(sql.contains("GROUPING SETS"), sql)
+    roundtrip(df)
+  }
+
+  test("ROLLUP and CUBE round-trip via the grouping-sets expansion") {
+    roundtrip(spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |""".stripMargin))
+    roundtrip(spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |""".stripMargin))
+  }
+
+  test("grouping()/grouping_id() outputs raise a named error") {
+    val df = spark.sql(
+      """SELECT o_orderpriority, grouping(o_orderpriority) AS g, count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderpriority)""".stripMargin)
+    val e = intercept[IllegalArgumentException](Unparser.toSql(df))
+    assert(e.getMessage.contains("grouping()"), e.getMessage)
+  }
+
+  test("PIVOT round-trips and renders a PIVOT clause (DataFrame and SQL built)") {
+    val df = spark.table("events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view"))
+      .agg(count(lit(1)))
+    val sql = Unparser.toSql(df)
+    assert(sql.contains("PIVOT"), sql)
+    roundtrip(df)
+    // sum over a value column, SQL-built
+    roundtrip(spark.sql(
+      """SELECT * FROM (SELECT event_type, user_id % 5 AS u, value
+        |               FROM events)
+        |PIVOT (sum(value) FOR event_type
+        |       IN ('click' AS click, 'view' AS view))""".stripMargin))
+  }
+
   test("UNION distinct renders with the UNION keyword") {
     val a = spark.table("nation").select(col("n_regionkey").as("k"))
     val b = spark.table("region").select(col("r_regionkey").as("k"))
