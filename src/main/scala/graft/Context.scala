@@ -85,12 +85,30 @@ class GraftContext(val spark: SparkSession) {
     spark.catalog.listTables().collect().map(_.name).toSeq.sorted
 
   /** information_schema.df_settings analogue
-    * (core/src/catalog/information_schema.rs): the session's SQL config
-    * as a (name, value) relation; SET statements go through sql(). */
+    * (core/src/catalog/information_schema.rs:202 make_df_settings;
+    * schema at :754-756 = name, value, description): the session's SQL
+    * config as a relation. Descriptions come from Spark's own
+    * documentation surface (`SET -v` lists every documented SQL conf
+    * with its meaning); undocumented/custom keys carry NULL. SET and
+    * SHOW-style statements go through sql() natively — `SET k=v`
+    * updates the session conf this relation reads. */
   def settings(): DataFrame = {
     import spark.implicits._
-    spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "value")
+    val documented = spark.sql("SET -v").collect()
+      .map(r => r.getString(0) ->
+        Option(r.getString(2)).filter(_.nonEmpty)).toMap
+    spark.conf.getAll.toSeq.sortBy(_._1)
+      .map { case (k, v) => (k, v, documented.get(k).flatten.orNull) }
+      .toDF("name", "value", "description")
   }
+
+  /** Register settings() as a queryable view (default name
+    * `graft_settings` — the df_settings role). The view is a SNAPSHOT
+    * of the conf at registration, like a materialized catalog table:
+    * re-register after SET to observe changes (the reference rebuilds
+    * its information_schema tables per scan). */
+  def registerSettingsView(name: String = "graft_settings"): Unit =
+    settings().createOrReplaceTempView(name)
 
   // ── CopyTo (COPY (df) TO path ...) ──────────────────────────────────
   /** csv defaults to a header row (the reference's csv writer default,

@@ -10,8 +10,10 @@ import scala.util.control.NonFatal
   *   echo "SELECT 1;" | sbt "runMain graft.Repl [sfDir]"
   *
   * Commands: \d (list tables), \d <table> (describe), \q (quit),
-  * \explain <sql> (formatted plan). Testdata tables register at startup
-  * when a sfDir argument is given.
+  * \explain <sql> (formatted plan), \settings [substr] (session conf —
+  * the information_schema.df_settings surface; `SET k=v;` works as a
+  * plain statement). Testdata tables register at startup when a sfDir
+  * argument is given.
   */
 object Repl {
   def main(args: Array[String]): Unit = {
@@ -70,6 +72,18 @@ object Repl {
       try out.println(ctx.sql(sql).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       catch { case NonFatal(e) => out.println(s"Error: ${e.getMessage}") }
+      true
+    // \settings [substring] — the df_settings surface (SHOW over the
+    // session conf; plain `SET k=v;` statements work as SQL already)
+    case Array("\\settings") =>
+      ctx.registerSettingsView()
+      execute(ctx,
+        "SELECT name, value FROM graft_settings ORDER BY name", out)
+      true
+    case Array("\\settings", pat) =>
+      ctx.registerSettingsView()
+      execute(ctx, "SELECT name, value FROM graft_settings " +
+        s"WHERE name LIKE '%${pat.replace("'", "''")}%' ORDER BY name", out)
       true
     case _ =>
       out.println(s"unknown command: $cmd")

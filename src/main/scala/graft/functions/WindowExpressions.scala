@@ -251,6 +251,67 @@ case class GroupsExtremum(valueExpr: Expression, keyExpr: Expression,
       kExpr = newChildren(2))
 }
 
+/** `first_value(value)` / `last_value(value)` over `GROUPS BETWEEN k
+  * PRECEDING AND CURRENT ROW` — the generic-fold tier of the GroupsRing
+  * family (reference allows ANY aggregate over a GROUPS frame,
+  * expr/src/window_frame.rs:41-47): unlike [[GroupsSum]]/
+  * [[GroupsExtremum]] the ring holds the value's OWN type (no BIGINT
+  * cast), so this works over strings/timestamps/decimals too. Each ring
+  * slot carries one trailing group's edge value: the FIRST row's value
+  * (set on push, never bumped — respect-nulls semantics) or the LAST
+  * row's (bumped on every row of the group). Evaluation reads the
+  * oldest slot (first_value: the frame starts at group(current)-k,
+  * clipped to the partition start by the ring being shorter) or the
+  * newest (last_value: the frame ends with the whole current peer
+  * group, which the peers-inclusive RANGE trick has already folded). */
+case class GroupsEdge(valueExpr: Expression, keyExpr: Expression,
+    kExpr: Expression, isFirst: Boolean) extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(valueExpr, keyExpr, kExpr)
+  override def dataType: DataType = valueExpr.dataType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (isFirst) "graft_groups_first" else "graft_groups_last"
+
+  override val frame: WindowFrame =
+    SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
+
+  private lazy val k: Int = GroupsRing.foldableK(prettyName, kExpr)
+
+  private lazy val ring = AttributeReference("groups_edge_ring",
+    ArrayType(valueExpr.dataType, containsNull = true), nullable = false)()
+  private lazy val lastKey = AttributeReference("groups_edge_last_key",
+    keyExpr.dataType, nullable = true)()
+  private lazy val started =
+    AttributeReference("groups_edge_started", BooleanType, nullable = false)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] =
+    Seq(ring, lastKey, started)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(Seq.empty,
+      ArrayType(valueExpr.dataType, containsNull = true)),
+    Literal.create(null, keyExpr.dataType), Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val isNew = Or(Not(started), Not(EqualNullSafe(keyExpr, lastKey)))
+    val pushed = GroupsRing.push(ring, k, valueExpr)
+    // same group: first_value keeps the slot as seeded; last_value
+    // tracks the group's most recent row
+    val bumped =
+      if (isFirst) ring else GroupsRing.bumpLast(ring, valueExpr)
+    Seq(If(isNew, pushed, bumped), keyExpr, Literal(true))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    ElementAt(ring, Literal(if (isFirst) 1 else -1))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(valueExpr = newChildren(0), keyExpr = newChildren(1),
+      kExpr = newChildren(2))
+}
+
 object GraftWindowFunctions {
   /** Requires `register(spark)`; use as
     * `GraftWindowFunctions.ewma(col, 0.3).over(windowSpec)` with a
@@ -295,6 +356,17 @@ object GraftWindowFunctions {
         .minus(coalesce(cur, lit(0L))))
   }
 
+  /** `first_value(x)` / `last_value(x)` over the same one-sided GROUPS
+    * frame — any value type (respect-nulls semantics, like the SQL
+    * default). */
+  def groupsFirst(x: Column, key: Column, k: Int): Column =
+    call_function("graft_groups_first", x, key,
+      org.apache.spark.sql.functions.lit(k))
+
+  def groupsLast(x: Column, key: Column, k: Int): Column =
+    call_function("graft_groups_last", x, key,
+      org.apache.spark.sql.functions.lit(k))
+
   /** `min(x)` / `max(x)` over the same one-sided GROUPS frame. */
   def groupsMin(x: Column, key: Column, k: Int): Column =
     call_function("graft_groups_min", x, key,
@@ -327,7 +399,13 @@ object GraftWindowFunctions {
         GroupsExtremum(e(0), e(1), e(2), isMin = true))),
     ("graft_groups_max", classOf[GroupsExtremum].getName,
       Theta.arity("graft_groups_max", 3)(e =>
-        GroupsExtremum(e(0), e(1), e(2), isMin = false))))
+        GroupsExtremum(e(0), e(1), e(2), isMin = false))),
+    ("graft_groups_first", classOf[GroupsEdge].getName,
+      Theta.arity("graft_groups_first", 3)(e =>
+        GroupsEdge(e(0), e(1), e(2), isFirst = true))),
+    ("graft_groups_last", classOf[GroupsEdge].getName,
+      Theta.arity("graft_groups_last", 3)(e =>
+        GroupsEdge(e(0), e(1), e(2), isFirst = false))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, _, builder) =>

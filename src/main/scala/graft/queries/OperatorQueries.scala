@@ -294,6 +294,28 @@ object OperatorQueries {
         .orderBy(col("col_name"))
     },
 
+    // ── information_schema.df_settings analogue (reference:
+    //    core/src/catalog/information_schema.rs:202 make_df_settings) —
+    //    a SET statement updates the session conf, the graft_settings
+    //    view exposes it as a (name, value, description) relation. The
+    //    oracled subset pins the session-invariant confs + the SET key;
+    //    the full dynamic surface is spec-pinned in ContextSpec ──────────
+    "catalog_settings" -> Q("""
+      |SELECT * FROM (VALUES
+      |  ('spark.graft.answer', '42'),
+      |  ('spark.sql.adaptive.enabled', 'true'),
+      |  ('spark.sql.session.timeZone', 'UTC')) AS t(name, value)
+      |ORDER BY name""") { (s, d) =>
+      val ctx = graft.GraftContext(s)
+      ctx.sql("SET spark.graft.answer=42")
+      ctx.registerSettingsView()
+      s.sql("""
+        SELECT name, value FROM graft_settings
+        WHERE name IN ('spark.graft.answer', 'spark.sql.adaptive.enabled',
+                       'spark.sql.session.timeZone')
+        ORDER BY name""")
+    },
+
     // ── INSERT INTO a managed table (reference: DataSinkExec,
     //    physical-plan/src/insert.rs:83 + dml.rs) — saveAsTable creates,
     //    insertInto appends, read back through the catalog ───────────────

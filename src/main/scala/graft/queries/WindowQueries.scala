@@ -302,6 +302,38 @@ object WindowQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // ── native GROUPS frame first_value/last_value — the type-GENERIC
+    //    ring tier (GroupsEdge holds the value's own type; here STRING):
+    //    the value is functionally dependent on the peer key (edge
+    //    picks within a peer group are otherwise tie-nondeterministic
+    //    on BOTH engines), which still pins ring eviction and the
+    //    partition-start clipping. Oracle emulates GROUPS via RANGE
+    //    over dense_rank like the rest of the family ────────────────────
+    "window_groups_first_last" -> Q("""
+      |WITH ranked AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |         dense_rank() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY o_orderpriority) AS dr
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |       first_value(upper(o_orderpriority)) OVER w AS first_prio,
+      |       last_value(upper(o_orderpriority)) OVER w AS last_prio
+      |FROM ranked
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY dr
+      |             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""") { (s, d) =>
+      GraftWindowFunctions.register(s)
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"))
+      Engine.table(s, d, "orders")
+        .select(col("o_orderkey"),
+          GraftWindowFunctions.groupsFirst(upper(col("o_orderpriority")),
+            col("o_orderpriority"), 2).over(w).as("first_prio"),
+          GraftWindowFunctions.groupsLast(upper(col("o_orderpriority")),
+            col("o_orderpriority"), 2).over(w).as("last_prio"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ── native GROUPS frame, two-sided: GROUPS BETWEEN 1 PRECEDING AND
     //    2 FOLLOWING — composed from opposite-direction streaming passes
     //    (asc(a) + desc(b) - current group); oracle emulates GROUPS via

@@ -64,6 +64,32 @@ class ContextSpec extends AnyFunSuite {
     ctx.sql("SET spark.sql.shuffle.partitions=4")
   }
 
+  test("settings carries (name, value, description) like df_settings") {
+    val df = ctx.settings()
+    assert(df.columns.toSeq == Seq("name", "value", "description"))
+    // a documented SQL conf gets Spark's own meaning text; a custom
+    // key is listed with a NULL description
+    val doc = df.filter(col("name") === "spark.sql.shuffle.partitions")
+      .head()
+    assert(!doc.isNullAt(2) && doc.getString(2).nonEmpty,
+      "documented conf must carry a description")
+    ctx.sql("SET spark.graft.ctx_spec_custom=on")
+    val custom = ctx.settings()
+      .filter(col("name") === "spark.graft.ctx_spec_custom").head()
+    assert(custom.getString(1) == "on" && custom.isNullAt(2))
+  }
+
+  test("graft_settings view is queryable SQL and refreshes on re-register") {
+    ctx.sql("SET spark.graft.view_probe=1")
+    ctx.registerSettingsView()
+    assert(ctx.sql("SELECT value FROM graft_settings " +
+      "WHERE name = 'spark.graft.view_probe'").head().getString(0) == "1")
+    ctx.sql("SET spark.graft.view_probe=2")
+    ctx.registerSettingsView()
+    assert(ctx.sql("SELECT value FROM graft_settings " +
+      "WHERE name = 'spark.graft.view_probe'").head().getString(0) == "2")
+  }
+
   test("registerTable exposes an in-memory DataFrame (MemTable)") {
     import ctx.spark.implicits._
     ctx.registerTable("ctx_mem", Seq((1, "a"), (2, "b")).toDF("id", "s"))

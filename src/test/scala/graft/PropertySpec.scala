@@ -236,6 +236,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GROUPS frame first/last == ROWS frame on unique keys (fuzz)") {
+    import spark.implicits._
+    import graft.functions.GraftWindowFunctions
+    GraftWindowFunctions.register(spark)
+    // with UNIQUE order keys every peer group is one row, so GROUPS k
+    // PRECEDING ≡ ROWS k PRECEDING and Spark's own first_value/
+    // last_value are the exact oracle (incl. respect-nulls semantics —
+    // nullable STRING values exercise the type-generic ring)
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 2),
+        Gen.option(Gen.alphaStr.map(_.take(4))))),
+      Gen.choose(0, 4))
+    forAllSeeded(gen, 6) { case (rows, k) =>
+      val df = rows.zipWithIndex.map { case ((p, v), i) =>
+        (p, i, v.orNull)
+      }.toDF("part", "key", "v")
+      val w = Window.partitionBy(col("part")).orderBy(col("key"))
+      val wRows = w.rowsBetween(-k, Window.currentRow)
+      def snap(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy(col("part"), col("key"))
+        .collect().map(r => (r.getInt(0), r.getInt(1),
+          r.getString(2), r.getString(3))).toSeq
+      val native = snap(df.select(col("part"), col("key"),
+        GraftWindowFunctions.groupsFirst(col("v"), col("key"), k)
+          .over(w).as("f"),
+        GraftWindowFunctions.groupsLast(col("v"), col("key"), k)
+          .over(w).as("l")))
+      val oracle = snap(df.select(col("part"), col("key"),
+        first(col("v")).over(wRows).as("f"),
+        last(col("v")).over(wRows).as("l")))
+      assert(native == oracle, s"k=$k")
+    }
+  }
+
   test("unparser round-trips a generated plan-shape matrix") {
     import graft.plans.Unparser
     val sf = "/root/testdata/sf0.001"

@@ -20,6 +20,8 @@ class ReplSpec extends AnyFunSuite {
         |SELECT bogus FROM nowhere;
         |\explain SELECT count(*) FROM region
         |\timing
+        |SET spark.graft.repl_probe=77;
+        |\settings graft.repl_probe
         |SELECT 1 AS one;
         |SELECT count(*)
         |\d
@@ -47,5 +49,7 @@ class ReplSpec extends AnyFunSuite {
     assert("Error:".r.findAllIn(out).size == 2,
       s"expected exactly 2 errors in:\n$out")
     assert(!out.contains("after-quit"), "\\q must stop the loop")
+    assert(out.contains("spark.graft.repl_probe") && out.contains("| 77"),
+      "\\settings must show the conf a SET statement just wrote")
   }
 }
