@@ -28,7 +28,9 @@ class SltSpec extends AnyFunSuite {
     "semi_struct_edge", "math_fns3", "subquery3", "distinct_order",
     "arrays3", "window4", "string_edge3", "group_having", "datetime3",
     "values_rows", "null_keys", "quotes_specials", "identifiers",
-    "wildcard", "references")
+    "wildcard", "references", "int_boundaries", "map_struct_nulls",
+    "regexp_classes", "agg_edges4", "datetime_boundaries",
+    "cond_null_edges", "string_boundaries", "decimal_edges")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

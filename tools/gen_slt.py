@@ -1838,6 +1838,690 @@ CORPUS = {
         """SELECT concat(o_orderkey, ':', o_orderstatus) AS tag
            FROM orders ORDER BY o_orderkey LIMIT 6""",
     ],
+    # ── integer type boundaries: exact min/max casts, try_cast overflow
+    #    → NULL, widening arithmetic at the edge, negative div/mod
+    #    conventions (reference: per-type edges across aggregate.slt /
+    #    math.slt) ──────────────────────────────────────────────────────
+    "int_boundaries": [
+        """SELECT CAST('2147483647' AS INTEGER) AS mx,
+                  CAST('-2147483648' AS INTEGER) AS mn""",
+        """SELECT TRY_CAST('2147483648' AS INTEGER) IS NULL AS over,
+                  TRY_CAST('-2147483649' AS INTEGER) IS NULL AS under""",
+        """SELECT CAST('9223372036854775807' AS BIGINT) AS mx,
+                  CAST('-9223372036854775808' AS BIGINT) AS mn""",
+        """SELECT TRY_CAST('9223372036854775808' AS BIGINT) IS NULL AS over,
+                  TRY_CAST('-9223372036854775809' AS BIGINT) IS NULL AS under""",
+        """SELECT CAST('32767' AS SMALLINT) AS mx,
+                  CAST('-32768' AS SMALLINT) AS mn,
+                  TRY_CAST('32768' AS SMALLINT) IS NULL AS over""",
+        """SELECT CAST('127' AS TINYINT) AS mx, CAST('-128' AS TINYINT) AS mn,
+                  TRY_CAST('128' AS TINYINT) IS NULL AS over,
+                  TRY_CAST('-129' AS TINYINT) IS NULL AS under""",
+        """SELECT TRY_CAST('abc' AS INTEGER) IS NULL AS junk,
+                  TRY_CAST('' AS INTEGER) IS NULL AS empty,
+                  TRY_CAST('  42  ' AS INTEGER) AS padded""",
+        # Spark widens small ints against an int literal before adding;
+        # DuckDB adds IN the narrow type and overflows — cast explicitly
+        ("""SELECT CAST('32767' AS SMALLINT) + 1 AS widened""",
+         """SELECT CAST(CAST('32767' AS SMALLINT) AS INTEGER) + 1
+                   AS widened"""),
+        ("""SELECT CAST('127' AS TINYINT) + 1 AS widened""",
+         """SELECT CAST(CAST('127' AS TINYINT) AS INTEGER) + 1
+                   AS widened"""),
+        """SELECT CAST('9223372036854775807' AS BIGINT) - 1 AS near_mx,
+                  CAST('-9223372036854775808' AS BIGINT) + 1 AS near_mn""",
+        """SELECT CAST(2147483647 AS BIGINT) + 1 AS over_in_bigint,
+                  CAST(-2147483648 AS BIGINT) - 1 AS under_in_bigint""",
+        """SELECT CAST(CAST(2147483647.0 AS DOUBLE) AS INTEGER) AS exact_mx""",
+        ("""SELECT CAST(2.7 AS INT) AS p, CAST(-2.7 AS INT) AS n""",
+         """SELECT CAST(trunc(2.7) AS INTEGER) AS p,
+                   CAST(trunc(-2.7) AS INTEGER) AS n"""),
+        ("""SELECT -7 DIV 3 AS a, 7 DIV -3 AS b, -7 DIV -3 AS c""",
+         """SELECT -7 // 3 AS a, 7 // -3 AS b, -7 // -3 AS c"""),
+        """SELECT -7 % 3 AS a, 7 % -3 AS b, -7 % -3 AS c, 7 % 3 AS d""",
+        ("""SELECT pmod(-7, 3) AS p1, pmod(7, -3) AS p2""",
+         """SELECT ((-7 % 3) + 3) % 3 AS p1, ((7 % -3) + 3) % 3 AS p2"""),
+        """SELECT abs(CAST('-2147483647' AS INTEGER)) AS a,
+                  abs(CAST('-9223372036854775807' AS BIGINT)) AS b""",
+        """SELECT CAST(sign(-5) AS BIGINT) AS n, CAST(sign(0) AS BIGINT) AS z,
+                  CAST(sign(2.5) AS BIGINT) AS p""",
+        """SELECT greatest(CAST('2147483647' AS INTEGER),
+                           CAST('-2147483648' AS INTEGER)) AS g,
+                  least(CAST('2147483647' AS INTEGER),
+                        CAST('-2147483648' AS INTEGER)) AS l""",
+        """SELECT CAST(x AS BIGINT) AS x FROM (
+             SELECT CAST('127' AS TINYINT) AS x
+             UNION ALL SELECT CAST('32767' AS SMALLINT)
+             UNION ALL SELECT CAST('2147483647' AS INTEGER))
+           ORDER BY x""",
+        """SELECT CAST(sum(CAST(x AS BIGINT)) AS BIGINT) AS s FROM (
+             SELECT CAST('2147483647' AS INTEGER) AS x
+             UNION ALL SELECT CAST('2147483647' AS INTEGER))""",
+        """SELECT TRY_CAST(NULL AS INTEGER) IS NULL AS n""",
+        """SELECT CAST('0042' AS INTEGER) AS zeros,
+                  CAST('-0' AS INTEGER) AS negzero""",
+        """SELECT CAST('+17' AS INTEGER) AS plus""",
+        """SELECT l_orderkey % 2147483647 AS m FROM lineitem
+           ORDER BY l_orderkey LIMIT 5""",
+        """SELECT CAST(round(32767.4) AS INTEGER) AS r1,
+                  CAST(round(-32768.4) AS INTEGER) AS r2""",
+    ],
+    # ── map/struct NULL-field edges (reference: map.slt, struct.slt —
+    #    NULL values vs missing keys, NULL containers, nested access
+    #    through a NULL middle) ─────────────────────────────────────────
+    "map_struct_nulls": [
+        ("""SELECT named_struct('a', 1, 'b', CAST(NULL AS INT)).b IS NULL AS bn,
+                   named_struct('a', 1, 'b', CAST(NULL AS INT)).a AS av""",
+         """SELECT (struct_pack(a := 1, b := CAST(NULL AS INTEGER))).b
+                   IS NULL AS bn,
+                   (struct_pack(a := 1, b := CAST(NULL AS INTEGER))).a AS av"""),
+        ("""SELECT CAST(NULL AS STRUCT<a: INT>).a IS NULL AS n""",
+         """SELECT (CAST(NULL AS STRUCT(a INTEGER))).a IS NULL AS n"""),
+        ("""SELECT CAST(NULL AS STRUCT<s: STRUCT<v: INT>>).s.v IS NULL AS n""",
+         """SELECT ((CAST(NULL AS STRUCT(s STRUCT(v INTEGER)))).s).v
+                   IS NULL AS n"""),
+        ("""SELECT named_struct('s', named_struct('v', 7)).s.v AS v""",
+         """SELECT ((struct_pack(s := struct_pack(v := 7))).s).v AS v"""),
+        ("""SELECT named_struct('a', 1, 'b', NULL) <=>
+                   named_struct('a', 1, 'b', NULL) AS same""",
+         """SELECT struct_pack(a := 1, b := NULL) IS NOT DISTINCT FROM
+                   struct_pack(a := 1, b := NULL) AS same"""),
+        ("""SELECT element_at(map('k', CAST(NULL AS INT)), 'k') IS NULL AS nv,
+                   CAST(cardinality(map('k', CAST(NULL AS INT))) AS BIGINT)
+                   AS n""",
+         """SELECT (MAP {'k': CAST(NULL AS INTEGER)}['k'])[1] IS NULL AS nv,
+                   CAST(cardinality(MAP {'k': CAST(NULL AS INTEGER)})
+                        AS BIGINT) AS n"""),
+        ("""SELECT element_at(map('k', 1), 'missing') IS NULL AS missing,
+                   map_contains_key(map('k', CAST(NULL AS INT)), 'k')
+                   AS has_null_val,
+                   map_contains_key(map('k', 1), 'missing') AS has_missing""",
+         """SELECT (MAP {'k': 1}['missing'])[1] IS NULL AS missing,
+                   list_contains(map_keys(MAP {'k': CAST(NULL AS INTEGER)}),
+                                 'k') AS has_null_val,
+                   list_contains(map_keys(MAP {'k': 1}), 'missing')
+                   AS has_missing"""),
+        ("""SELECT element_at(CAST(NULL AS MAP<STRING, INT>), 'k')
+                   IS NULL AS n,
+                   size(CAST(NULL AS MAP<STRING, INT>)) IS NULL AS sz""",
+         """SELECT (CAST(NULL AS MAP(VARCHAR, INTEGER))['k'])[1]
+                   IS NULL AS n,
+                   cardinality(CAST(NULL AS MAP(VARCHAR, INTEGER)))
+                   IS NULL AS sz"""),
+        ("""SELECT array_sort(map_keys(map('b', CAST(NULL AS INT), 'a', 2)))
+                   AS ks""",
+         """SELECT array_sort(map_keys(MAP {'b': CAST(NULL AS INTEGER),
+                                            'a': 2})) AS ks"""),
+        ("""SELECT element_at(map_from_arrays(array('x', 'y'),
+                     array(CAST(NULL AS INT), 2)), 'x') IS NULL AS xn,
+                   CAST(element_at(map_from_arrays(array('x', 'y'),
+                     array(CAST(NULL AS INT), 2)), 'y') AS BIGINT) AS yv""",
+         """SELECT (map(['x', 'y'], [CAST(NULL AS INTEGER), 2])['x'])[1]
+                   IS NULL AS xn,
+                   CAST((map(['x', 'y'], [CAST(NULL AS INTEGER), 2])['y'])[1]
+                        AS BIGINT) AS yv"""),
+        ("""SELECT element_at(array(named_struct('v', 3),
+                                    named_struct('v', CAST(NULL AS INT))),
+                              2).v IS NULL AS n,
+                   element_at(array(named_struct('v', 3),
+                                    named_struct('v', CAST(NULL AS INT))),
+                              1).v AS v""",
+         """SELECT (([struct_pack(v := 3),
+                      struct_pack(v := CAST(NULL AS INTEGER))])[2]).v
+                   IS NULL AS n,
+                   (([struct_pack(v := 3),
+                      struct_pack(v := CAST(NULL AS INTEGER))])[1]).v AS v"""),
+        ("""SELECT coalesce(CAST(NULL AS STRUCT<a: INT>),
+                            named_struct('a', 9)).a AS a""",
+         """SELECT (coalesce(CAST(NULL AS STRUCT(a INTEGER)),
+                             struct_pack(a := 9))).a AS a"""),
+        ("""SELECT CASE WHEN o_orderkey % 2 = 0
+                        THEN named_struct('k', o_orderkey)
+                        ELSE CAST(NULL AS STRUCT<k: BIGINT>) END.k AS k
+            FROM orders ORDER BY o_orderkey LIMIT 6""",
+         """SELECT (CASE WHEN o_orderkey % 2 = 0
+                         THEN struct_pack(k := o_orderkey)
+                         ELSE CAST(NULL AS STRUCT(k BIGINT)) END).k AS k
+            FROM orders ORDER BY o_orderkey LIMIT 6"""),
+        ("""SELECT isnull(named_struct('a', CAST(NULL AS INT)).a) AS field_null,
+                   isnotnull(named_struct('a', CAST(NULL AS INT))) AS struct_not""",
+         """SELECT ((struct_pack(a := CAST(NULL AS INTEGER))).a IS NULL)
+                   AS field_null,
+                   (struct_pack(a := CAST(NULL AS INTEGER)) IS NOT NULL)
+                   AS struct_not"""),
+        ("""SELECT size(map_from_arrays(array(), array())) = 0 AS empty_ok,
+                   element_at(map_from_arrays(array(), array()), 'k')
+                   IS NULL AS miss""",
+         """SELECT cardinality(map([], [])) = 0 AS empty_ok,
+                   (map([], [])['k'])[1] IS NULL AS miss"""),
+    ],
+    # ── regex character-class / quantifier / group surface (reference:
+    #    regexp.slt): bracket classes are dialect-portable; backslash
+    #    classes pair (Spark string literals escape the backslash) ───────
+    "regexp_classes": [
+        """SELECT n_name, regexp_extract(n_name, '[0-9]+', 0) AS num
+           FROM nation ORDER BY n_name LIMIT 8""",
+        """SELECT regexp_extract('abc123def45', '[0-9]{2,3}', 0) AS m""",
+        """SELECT regexp_extract('abc123', '[^0-9]+', 0) AS pre""",
+        """SELECT regexp_extract('Hello World', '[A-Z][a-z]+', 0) AS w""",
+        ("""SELECT regexp_extract('a12b', '\\\\d+', 0) AS d,
+                   regexp_extract('a_b c', '\\\\w+', 0) AS w,
+                   regexp_extract('a b', 'a\\\\sb', 0) AS s""",
+         """SELECT regexp_extract('a12b', '\\d+', 0) AS d,
+                   regexp_extract('a_b c', '\\w+', 0) AS w,
+                   regexp_extract('a b', 'a\\sb', 0) AS s"""),
+        ("""SELECT regexp_replace('a1b22c', '\\\\d', 'X') AS all_digits""",
+         """SELECT regexp_replace('a1b22c', '\\d', 'X', 'g') AS all_digits"""),
+        ("""SELECT regexp_replace('a.b.c', '\\\\.', '-') AS dots""",
+         """SELECT regexp_replace('a.b.c', '\\.', '-', 'g') AS dots"""),
+        """SELECT regexp_extract('key=value', '([a-z]+)=([a-z]+)', 1) AS k,
+                  regexp_extract('key=value', '([a-z]+)=([a-z]+)', 2) AS v""",
+        """SELECT regexp_extract('xy', '(?:x)(y)', 1) AS noncap""",
+        """SELECT regexp_extract('cat', '^(cat|dog)$', 1) AS animal,
+                  regexp_extract('cow', '^(cat|dog)$', 1) = '' AS nomatch""",
+        """SELECT regexp_extract('aaa', 'a+?', 0) AS lazy,
+                  regexp_extract('<x><y>', '<.+?>', 0) AS lazy_tag,
+                  regexp_extract('<x><y>', '<.+>', 0) AS greedy_tag""",
+        ("""SELECT regexp_like('ABC', '(?i)abc') AS ci,
+                   regexp_like('ABC', 'abc') AS cs""",
+         """SELECT regexp_matches('ABC', '(?i)abc') AS ci,
+                   regexp_matches('ABC', 'abc') AS cs"""),
+        ("""SELECT regexp_like('banana', '^b(an)+a$') AS rep,
+                   regexp_like('banana', '^b(an){3}a$') AS exact3""",
+         """SELECT regexp_matches('banana', '^b(an)+a$') AS rep,
+                   regexp_matches('banana', '^b(an){3}a$') AS exact3"""),
+        """SELECT regexp_extract('2024-01-15', '^([0-9]{4})-([0-9]{2})', 1)
+                  AS y,
+                  regexp_extract('2024-01-15', '^([0-9]{4})-([0-9]{2})', 2)
+                  AS m""",
+        """SELECT regexp_extract('no digits here', '[0-9]+', 0) = ''
+                  AS empty_on_miss""",
+        """SELECT regexp_replace('abc', 'z', 'X') AS untouched""",
+        ("""SELECT split('a1b22c333d', '[0-9]+') AS parts""",
+         """SELECT regexp_split_to_array('a1b22c333d', '[0-9]+') AS parts"""),
+        ("""SELECT split('a,b;c', '[,;]') AS parts""",
+         """SELECT regexp_split_to_array('a,b;c', '[,;]') AS parts"""),
+        """SELECT o_orderpriority,
+                  regexp_extract(o_orderpriority, '^([0-9])-', 1) AS prio_num
+           FROM orders GROUP BY o_orderpriority, 2
+           ORDER BY o_orderpriority""",
+        ("""SELECT regexp_like(l_shipmode_x, '^[A-Z ]+$') AS caps FROM (
+              SELECT upper(o_orderstatus) AS l_shipmode_x FROM orders
+              ORDER BY o_orderkey LIMIT 4) t""",
+         """SELECT regexp_matches(l_shipmode_x, '^[A-Z ]+$') AS caps FROM (
+              SELECT upper(o_orderstatus) AS l_shipmode_x FROM orders
+              ORDER BY o_orderkey LIMIT 4) t"""),
+        """SELECT regexp_extract('aAbB', '[aA]+', 0) AS mixed""",
+        """SELECT regexp_extract('x  y', 'x[ ]{2}y', 0) AS spaces""",
+        ("""SELECT regexp_extract('w1 w22', '\\\\b\\\\w{2}\\\\b', 0)
+                   AS boundary""",
+         """SELECT regexp_extract('w1 w22', '\\b\\w{2}\\b', 0) AS boundary"""),
+        ("""SELECT regexp_extract('abc123', '\\\\D+', 0) AS nondigit,
+                   regexp_extract('ab 12', '\\\\S+', 0) AS nonspace,
+                   regexp_extract('a_1 -', '\\\\W', 0) AS nonword""",
+         """SELECT regexp_extract('abc123', '\\D+', 0) AS nondigit,
+                   regexp_extract('ab 12', '\\S+', 0) AS nonspace,
+                   regexp_extract('a_1 -', '\\W', 0) AS nonword"""),
+        """SELECT regexp_extract('aeiou xyz', '[aeiou]+', 0) AS vowels,
+                  regexp_extract('aeiou xyz', '[^aeiou ]+', 0) AS consonants""",
+        """SELECT regexp_extract('a1-b2-c3', '([a-z][0-9])-([a-z][0-9])', 2)
+                  AS second_pair""",
+        ("""SELECT regexp_like('', '^$') AS empty_anchors,
+                   regexp_like('x', '^$') AS nonempty""",
+         """SELECT regexp_matches('', '^$') AS empty_anchors,
+                   regexp_matches('x', '^$') AS nonempty"""),
+        ("""SELECT regexp_like('aaa', '^a{2,}$') AS open_rep,
+                   regexp_like('a', '^a{2,}$') AS under""",
+         """SELECT regexp_matches('aaa', '^a{2,}$') AS open_rep,
+                   regexp_matches('a', '^a{2,}$') AS under"""),
+        """SELECT regexp_extract('order-42-priority', '[0-9]+', 0) AS num,
+                  regexp_replace('order-42-priority', '[0-9]+', 'N')
+                  AS masked""",
+        ("""SELECT regexp_replace('a1b2', '([a-z])([0-9])', '$2$1')
+                   AS backref_swap""",
+         """SELECT regexp_replace('a1b2', '([a-z])([0-9])', '\\2\\1', 'g')
+                   AS backref_swap"""),
+        """SELECT regexp_extract('  leading', '^ +', 0) = '  ' AS two_sp""",
+        ("""SELECT regexp_like(o_orderpriority, '^[0-9]-[A-Z]+$') AS shaped,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1 ORDER BY shaped""",
+         """SELECT regexp_matches(o_orderpriority, '^[0-9]-[A-Z]+$')
+                   AS shaped,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1 ORDER BY shaped"""),
+        """SELECT regexp_extract('one  two   three', '[a-z]+ +[a-z]+', 0)
+                  AS first_pair""",
+    ],
+    # ── per-aggregate edges: empty frames, all-NULL inputs, single-row
+    #    variance, DISTINCT with NULLs, FILTER clauses (reference:
+    #    aggregate.slt edge density) ─────────────────────────────────────
+    "agg_edges4": [
+        """SELECT count(*) AS n, CAST(count(x) AS BIGINT) AS cx,
+                  sum(x) IS NULL AS sn, min(x) IS NULL AS mn,
+                  max(x) IS NULL AS mx
+           FROM (SELECT CAST(1 AS BIGINT) AS x) t WHERE x > 5""",
+        """SELECT CAST(count(x) AS BIGINT) AS cx, sum(x) IS NULL AS s,
+                  avg(x) IS NULL AS a
+           FROM (SELECT CAST(NULL AS BIGINT) AS x
+                 UNION ALL SELECT CAST(NULL AS BIGINT)) t""",
+        """SELECT CAST(count(x) AS BIGINT) AS cx, count(*) AS n,
+                  CAST(count(DISTINCT x) AS BIGINT) AS dx
+           FROM (VALUES (1), (NULL), (1), (NULL), (2)) t(x)""",
+        """SELECT CAST(sum(DISTINCT x) AS BIGINT) AS sd
+           FROM (VALUES (3), (3), (-1), (-1)) t(x)""",
+        """SELECT round(avg(DISTINCT CAST(x AS DOUBLE)), 4) AS ad
+           FROM (VALUES (2), (2), (4)) t(x)""",
+        """SELECT min(x) AS mn, max(x) AS mx
+           FROM (VALUES ('banana'), ('Apple'), ('cherry')) t(x)""",
+        """SELECT min(x) AS mn, max(x) AS mx
+           FROM (VALUES (DATE '2024-01-01'), (DATE '2023-06-01')) t(x)""",
+        """SELECT round(stddev_samp(x), 4) IS NULL AS ss_null,
+                  round(stddev_pop(x), 4) AS sp,
+                  round(var_samp(x), 4) IS NULL AS vs_null,
+                  round(var_pop(x), 4) AS vp
+           FROM (SELECT CAST(5.0 AS DOUBLE) AS x) t""",
+        """SELECT round(stddev_samp(x), 4) AS ss, round(var_samp(x), 4) AS vs
+           FROM (SELECT CAST(1.0 AS DOUBLE) AS x
+                 UNION ALL SELECT CAST(3.0 AS DOUBLE)) t""",
+        """SELECT round(covar_pop(x, y), 4) AS cp,
+                  covar_samp(x, y) IS NULL AS cs_null
+           FROM (SELECT CAST(1.0 AS DOUBLE) AS x,
+                        CAST(2.0 AS DOUBLE) AS y) t""",
+        """SELECT round(median(CAST(x AS DOUBLE)), 4) AS m
+           FROM (VALUES (1), (2), (3), (4)) t(x)""",
+        """SELECT round(CAST(percentile_cont(0.5)
+                        WITHIN GROUP (ORDER BY x) AS DOUBLE), 4) AS p50,
+                  round(CAST(percentile_cont(0.0)
+                        WITHIN GROUP (ORDER BY x) AS DOUBLE), 4) AS p0,
+                  round(CAST(percentile_cont(1.0)
+                        WITHIN GROUP (ORDER BY x) AS DOUBLE), 4) AS p100
+           FROM (SELECT CAST(1.0 AS DOUBLE) AS x
+                 UNION ALL SELECT CAST(2.0 AS DOUBLE)
+                 UNION ALL SELECT CAST(4.0 AS DOUBLE)) t""",
+        """SELECT bool_and(x) AS ba, bool_or(x) AS bo
+           FROM (VALUES (true), (NULL)) t(x)""",
+        """SELECT bool_and(x) AS ba, bool_or(x) AS bo
+           FROM (VALUES (false), (NULL)) t(x)""",
+        """SELECT bool_and(x) IS NULL AS ba, bool_or(x) IS NULL AS bo
+           FROM (SELECT CAST(NULL AS BOOLEAN) AS x) t""",
+        """SELECT CAST(sum(x) FILTER (WHERE x > 1) AS BIGINT) AS s,
+                  count(*) FILTER (WHERE x IS NULL) AS cn,
+                  CAST(count(x) FILTER (WHERE x > 0) AS BIGINT) AS cp
+           FROM (VALUES (1), (2), (NULL), (3)) t(x)""",
+        """SELECT sum(x) FILTER (WHERE x > 100) IS NULL AS empty_filter
+           FROM (VALUES (1), (2)) t(x)""",
+        """SELECT o_orderstatus,
+                  CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+                       AS BIGINT) AS big,
+                  CAST(count(*) FILTER (WHERE o_totalprice <= 100000)
+                       AS BIGINT) AS small
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """SELECT max(x) AS mx, min(x) AS mn
+           FROM (VALUES (true), (false), (NULL)) t(x)""",
+        """SELECT CAST(count(DISTINCT x) AS BIGINT) AS d
+           FROM (SELECT CAST(NULL AS INT) AS x
+                 UNION ALL SELECT CAST(NULL AS INT)) t""",
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderstatus
+           HAVING count(*) > 0 AND min(o_totalprice) >= 0
+           ORDER BY o_orderstatus""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+           HAVING count(*) < 0""",
+        """SELECT round(avg(CAST(x AS DOUBLE)), 4) AS a
+           FROM (VALUES (1), (2)) t(x)""",
+        """SELECT round(sum(CAST(x AS DOUBLE)), 4) AS tiny
+           FROM (VALUES (1e-10), (2e-10)) t(x)""",
+        """SELECT CAST(min(l_linenumber) AS BIGINT) AS mn,
+                  CAST(max(l_linenumber) AS BIGINT) AS mx,
+                  CAST(count(DISTINCT l_linenumber) AS BIGINT) AS d
+           FROM lineitem""",
+        """SELECT l_returnflag,
+                  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS hi,
+                  CAST(sum(CASE WHEN l_quantity > 25 THEN 0 ELSE 1 END)
+                       AS BIGINT) AS lo
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        """SELECT x, CAST(count(*) AS BIGINT) AS n
+           FROM (VALUES (NULL), (NULL), (1)) t(x)
+           GROUP BY x ORDER BY x NULLS FIRST""",
+        """SELECT CAST(sum(x) AS BIGINT) AS s
+           FROM (VALUES (9223372036854),(9223372036854),(-1)) t(x)""",
+        """SELECT round(avg(CAST(x AS DOUBLE)) FILTER (WHERE x % 2 = 0), 4)
+                  AS even_avg
+           FROM (VALUES (1), (2), (3), (4)) t(x)""",
+        """SELECT CAST(min(x) FILTER (WHERE x > 1) AS BIGINT) AS mn,
+                  CAST(max(x) FILTER (WHERE x < 4) AS BIGINT) AS mx
+           FROM (VALUES (1), (2), (3), (4)) t(x)""",
+        """SELECT bool_and(x IS NOT NULL) AS all_present
+           FROM (VALUES (1), (2)) t(x)""",
+        """SELECT round(stddev_pop(CAST(x AS DOUBLE)), 4) AS sp,
+                  round(var_pop(CAST(x AS DOUBLE)), 4) AS vp
+           FROM (VALUES (2), (4), (4), (4), (5), (5), (7), (9)) t(x)""",
+        """SELECT round(corr(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), 4) AS c
+           FROM (VALUES (1, 2), (2, 4), (3, 6)) t(x, y)""",
+        """SELECT round(covar_samp(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), 4)
+                  AS cs
+           FROM (VALUES (1, 10), (2, 20), (3, 30)) t(x, y)""",
+        """SELECT round(median(CAST(x AS DOUBLE)), 4) AS odd_exact
+           FROM (VALUES (5), (1), (9)) t(x)""",
+        """SELECT CAST(count(DISTINCT x) AS BIGINT) AS d,
+                  CAST(count(DISTINCT y) AS BIGINT) AS dy
+           FROM (VALUES (1, 'a'), (1, 'b'), (2, 'a'), (NULL, NULL)) t(x, y)""",
+        """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+                  round(sum(l_extendedprice), 2) AS rev
+           FROM lineitem
+           GROUP BY l_linestatus HAVING sum(l_extendedprice) > 0
+           ORDER BY l_linestatus""",
+        """SELECT CAST(sum(CAST(x AS BIGINT)) FILTER (WHERE x IS NOT NULL)
+                       AS BIGINT) AS s,
+                  CAST(count(*) FILTER (WHERE x IS NOT NULL) AS BIGINT) AS c
+           FROM (VALUES (1), (NULL), (3)) t(x)""",
+    ],
+    # ── calendar boundaries: leap rules (century vs 400), month-end
+    #    clamping, trunc boundaries, ISO week edges ──────────────────────
+    "datetime_boundaries": [
+        """SELECT last_day(DATE '2024-02-05') AS leap,
+                  last_day(DATE '1900-02-05') AS century_not,
+                  last_day(DATE '2000-02-05') AS quad_century""",
+        """SELECT make_date(2024, 2, 29) AS ok_leap,
+                  make_date(2023, 12, 31) AS year_end""",
+        ("""SELECT DATE '2024-01-31' + INTERVAL '1' MONTH AS clamp_leap,
+                   DATE '2023-01-31' + INTERVAL '1' MONTH AS clamp_non""",
+         """SELECT CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE)
+                   AS clamp_leap,
+                   CAST(DATE '2023-01-31' + INTERVAL 1 MONTH AS DATE)
+                   AS clamp_non"""),
+        ("""SELECT DATE '2024-02-29' + INTERVAL '1' YEAR AS y1,
+                   DATE '2024-02-29' - INTERVAL '1' YEAR AS ym1""",
+         """SELECT CAST(DATE '2024-02-29' + INTERVAL 1 YEAR AS DATE) AS y1,
+                   CAST(DATE '2024-02-29' - INTERVAL 1 YEAR AS DATE)
+                   AS ym1"""),
+        ("""SELECT add_months(DATE '2024-03-31', -1) AS back_clamp,
+                   add_months(DATE '2024-01-31', 13) AS fwd_clamp""",
+         """SELECT CAST(DATE '2024-03-31' - INTERVAL 1 MONTH AS DATE)
+                   AS back_clamp,
+                   CAST(DATE '2024-01-31' + INTERVAL 13 MONTH AS DATE)
+                   AS fwd_clamp"""),
+        """SELECT CAST(date_trunc('week', DATE '2024-01-01') AS DATE) AS mon,
+                  CAST(date_trunc('week', DATE '2024-01-07') AS DATE)
+                  AS sun_same_week""",
+        """SELECT CAST(date_trunc('quarter', DATE '2024-08-15') AS DATE) AS q3,
+                  CAST(date_trunc('quarter', DATE '2024-10-01') AS DATE)
+                  AS q4_edge""",
+        """SELECT CAST(date_trunc('year', DATE '2024-12-31') AS DATE) AS y,
+                  CAST(date_trunc('month', DATE '2024-02-29') AS DATE)
+                  AS m""",
+        ("""SELECT CAST(weekofyear(DATE '2021-01-01') AS BIGINT) AS iso53,
+                   CAST(weekofyear(DATE '2024-01-01') AS BIGINT) AS w1""",
+         """SELECT CAST(date_part('week', DATE '2021-01-01') AS BIGINT)
+                   AS iso53,
+                   CAST(date_part('week', DATE '2024-01-01') AS BIGINT)
+                   AS w1"""),
+        ("""SELECT CAST(dayofyear(DATE '2024-12-31') AS BIGINT) AS leap_end,
+                   CAST(dayofyear(DATE '2023-12-31') AS BIGINT) AS non_end""",
+         """SELECT CAST(date_part('doy', DATE '2024-12-31') AS BIGINT)
+                   AS leap_end,
+                   CAST(date_part('doy', DATE '2023-12-31') AS BIGINT)
+                   AS non_end"""),
+        """SELECT CAST(date_part('quarter', DATE '2024-03-31') AS BIGINT)
+                  AS q1_end,
+                  CAST(date_part('quarter', DATE '2024-04-01') AS BIGINT)
+                  AS q2_start""",
+        ("""SELECT datediff(DATE '2024-03-01', DATE '2024-01-01') AS leap_span,
+                   datediff(DATE '2023-03-01', DATE '2023-01-01')
+                   AS non_span""",
+         """SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-01')
+                   AS leap_span,
+                   date_diff('day', DATE '2023-01-01', DATE '2023-03-01')
+                   AS non_span"""),
+        ("""SELECT months_between(DATE '2024-02-29', DATE '2024-01-31')
+                   AS clamp_mb""",
+         """SELECT CAST(date_diff('month', DATE '2024-01-31',
+                                  DATE '2024-02-29') AS DOUBLE) AS clamp_mb"""),
+        """SELECT CAST(extract(YEAR FROM DATE '2024-02-29') AS BIGINT) AS y,
+                  CAST(extract(MONTH FROM DATE '2024-02-29') AS BIGINT) AS m,
+                  CAST(extract(DAY FROM DATE '2024-02-29') AS BIGINT) AS d""",
+        """SELECT DATE '2024-02-28' < DATE '2024-02-29' AS lt,
+                  DATE '2024-02-29' < DATE '2024-03-01' AS lt2""",
+        """SELECT greatest(DATE '2024-02-29', DATE '2024-03-01') AS g,
+                  least(DATE '2024-02-29', DATE '2023-03-01') AS l""",
+        ("""SELECT CAST(datediff(o_orderdate, DATE '1996-01-01') AS BIGINT)
+                   AS age
+            FROM orders ORDER BY o_orderkey LIMIT 6""",
+         """SELECT CAST(date_diff('day', DATE '1996-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT) AS age
+            FROM orders ORDER BY o_orderkey LIMIT 6"""),
+        """SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+           WHERE extract(MONTH FROM o_orderdate) = 2
+             AND extract(DAY FROM o_orderdate) = 29
+           ORDER BY d LIMIT 5""",
+        ("""SELECT trunc(DATE '2024-08-15', 'MM') AS mm,
+                   trunc(DATE '2024-08-15', 'YEAR') AS yy""",
+         """SELECT CAST(date_trunc('month', DATE '2024-08-15') AS DATE) AS mm,
+                   CAST(date_trunc('year', DATE '2024-08-15') AS DATE)
+                   AS yy"""),
+        ("""SELECT datediff(DATE '2024-01-01', DATE '2024-01-01') AS zero,
+                   datediff(DATE '2024-01-01', DATE '2024-01-02') AS neg""",
+         """SELECT date_diff('day', DATE '2024-01-01', DATE '2024-01-01')
+                   AS zero,
+                   date_diff('day', DATE '2024-01-02', DATE '2024-01-01')
+                   AS neg"""),
+        """SELECT make_date(1, 1, 1) AS min_ce,
+                  make_date(9999, 12, 31) AS max_4digit""",
+        """SELECT CAST(extract(YEAR FROM DATE '0001-01-01') AS BIGINT) AS y1,
+                  CAST(extract(YEAR FROM DATE '9999-12-31') AS BIGINT)
+                  AS y9999""",
+        ("""SELECT dayofweek(DATE '2024-01-07') AS sun,
+                   dayofweek(DATE '2024-01-01') AS mon""",
+         """SELECT date_part('dow', DATE '2024-01-07') + 1 AS sun,
+                   date_part('dow', DATE '2024-01-01') + 1 AS mon"""),
+        ("""SELECT CAST(months_between(DATE '2024-03-31', DATE '2024-02-29')
+                        AS DOUBLE) > 1.0 AS frac_days""",
+         """SELECT (date_diff('day', DATE '2024-02-29', DATE '2024-03-31')
+                    / 31.0) > 1.0 AS frac_days"""),
+        """SELECT DATE '2024-12-31' = last_day(DATE '2024-12-05') AS dec_end""",
+        """SELECT CAST(min(CAST(o_orderdate AS DATE)) AS DATE) AS lo,
+                  CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS hi
+           FROM orders""",
+        ("""SELECT year(DATE '2024-02-29') * 10000 +
+                   month(DATE '2024-02-29') * 100 +
+                   day(DATE '2024-02-29') AS ymd""",
+         """SELECT date_part('year', DATE '2024-02-29') * 10000 +
+                   date_part('month', DATE '2024-02-29') * 100 +
+                   date_part('day', DATE '2024-02-29') AS ymd"""),
+        """SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+           FROM orders
+           WHERE CAST(o_orderdate AS DATE) = (SELECT min(CAST(o_orderdate AS DATE))
+                                              FROM orders)
+           GROUP BY 1 ORDER BY d""",
+        ("""SELECT date_add(DATE '2024-02-28', 1) AS into_leap,
+                   date_add(DATE '2023-02-28', 1) AS into_march,
+                   date_sub(DATE '2024-03-01', 1) AS back_leap""",
+         """SELECT CAST(DATE '2024-02-28' + INTERVAL 1 DAY AS DATE)
+                   AS into_leap,
+                   CAST(DATE '2023-02-28' + INTERVAL 1 DAY AS DATE)
+                   AS into_march,
+                   CAST(DATE '2024-03-01' - INTERVAL 1 DAY AS DATE)
+                   AS back_leap"""),
+    ],
+    # ── conditional/NULL propagation edges: simple CASE with NULL
+    #    subject, nvl family, least/greatest NULL skipping ───────────────
+    "cond_null_edges": [
+        """SELECT CASE NULL WHEN NULL THEN 'hit' ELSE 'else' END AS simple,
+                  CASE WHEN CAST(NULL AS BOOLEAN) THEN 'hit' ELSE 'else' END AS searched""",
+        """SELECT CASE 2 WHEN 1 THEN 'one' WHEN 2 THEN 'two' END AS matched,
+                  CASE 9 WHEN 1 THEN 'one' END IS NULL AS no_else""",
+        """SELECT nullif(3, 3) IS NULL AS same, nullif(3, 4) AS diff,
+                  nullif(NULL, 1) IS NULL AS null_lhs""",
+        """SELECT coalesce(NULL, NULL, 7) AS c3,
+                  coalesce(NULL, CAST(NULL AS INT)) IS NULL AS all_null""",
+        ("""SELECT nvl(NULL, 9) AS n1, nvl(5, 9) AS n2,
+                   nvl2(NULL, 'a', 'b') AS n3, nvl2(1, 'a', 'b') AS n4""",
+         """SELECT ifnull(NULL, 9) AS n1, ifnull(5, 9) AS n2,
+                   CASE WHEN NULL IS NOT NULL THEN 'a' ELSE 'b' END AS n3,
+                   CASE WHEN 1 IS NOT NULL THEN 'a' ELSE 'b' END AS n4"""),
+        """SELECT least(1, NULL) AS skip_null,
+                  greatest(NULL, 5, NULL) AS skip_null2,
+                  least(CAST(NULL AS INT), CAST(NULL AS INT)) IS NULL
+                  AS all_null""",
+        """SELECT CASE o_orderstatus WHEN 'F' THEN 'final'
+                       WHEN 'O' THEN 'open' ELSE 'other' END AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1 ORDER BY s""",
+        """SELECT nullif(o_orderstatus, 'F') AS nf, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1 ORDER BY nf NULLS FIRST""",
+        """SELECT coalesce(nullif('', ''), 'empty-as-null') AS oracle_trick""",
+        """SELECT CASE WHEN NULL IS NULL THEN 'null-is-null' END AS tautology""",
+        """SELECT ifnull(NULL, 'd') AS i1,
+                  coalesce(NULL, 'd') AS c1""",
+        """SELECT CASE WHEN o_totalprice > 150000 THEN 'hi'
+                       WHEN o_totalprice > 50000 THEN 'mid'
+                  END AS band, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1 ORDER BY band NULLS FIRST""",
+        """SELECT least('apple', 'banana') AS l_str,
+                  greatest(DATE '2024-01-01', DATE '2023-01-01') AS g_date""",
+    ],
+    # ── string function boundaries: empty inputs, out-of-range slices,
+    #    pad truncation, NULL propagation vs skipping ─────────────────────
+    "string_boundaries": [
+        """SELECT substr('abcdef', -2) AS tail2, substr('abcdef', 10) AS past,
+                  substr('abcdef', 2, 0) AS zero_len""",
+        """SELECT substr('abcdef', 2, 100) AS clipped,
+                  substr('abcdef', 6, 1) AS last_one""",
+        """SELECT substr('', 1, 3) AS from_empty, length('') AS zero""",
+        """SELECT lpad('abc', 2, 'x') AS truncd, lpad('abc', 6, 'xy') AS padded,
+                  rpad('abc', 0, 'x') AS to_zero, lpad('', 3, 'ab') AS from_mt""",
+        """SELECT rpad('abc', 6, 'xy') AS r_padded, rpad('abc', 3, 'x') AS asis""",
+        """SELECT repeat('ab', 0) AS zero, repeat('ab', 3) AS three,
+                  repeat('', 5) AS empties""",
+        ("""SELECT split('a,,b', ',') AS holes, split(',a,', ',') AS edges""",
+         """SELECT string_split('a,,b', ',') AS holes,
+                   string_split(',a,', ',') AS edges"""),
+        ("""SELECT split('', ',') AS empty_in""",
+         """SELECT string_split('', ',') AS empty_in"""),
+        """SELECT CAST(position('b' IN 'abc') AS BIGINT) AS hit,
+                  CAST(position('z' IN 'abc') AS BIGINT) AS miss,
+                  CAST(position('' IN 'abc') AS BIGINT) AS empty_needle""",
+        """SELECT CAST(instr('abcabc', 'bc') AS BIGINT) AS first_hit,
+                  CAST(instr('abc', 'zz') AS BIGINT) AS miss""",
+        """SELECT left('abcdef', 2) AS l2, right('abcdef', 2) AS r2,
+                  left('abcdef', 0) AS l0, right('', 3) AS r_mt""",
+        # two-arg ltrim/rtrim argument order: Spark takes the trim-set
+        # FIRST, DuckDB takes it second
+        ("""SELECT trim('x' FROM 'xxhixx') AS both_ends,
+                   ltrim('x', 'xxhix') AS l_only,
+                   rtrim('x', 'xhixx') AS r_only""",
+         """SELECT trim('x' FROM 'xxhixx') AS both_ends,
+                   ltrim('xxhix', 'x') AS l_only,
+                   rtrim('xhixx', 'x') AS r_only"""),
+        """SELECT trim('  padded  ') AS spaces,
+                  trim('' ) AS empty_trim""",
+        """SELECT translate('abcba', 'ab', 'xy') AS swapped,
+                  translate('abc', 'abc', 'x') AS deletes""",
+        """SELECT reverse('abc') AS r, reverse('') AS r_mt,
+                  reverse('a') AS r_one""",
+        """SELECT ('a' || NULL) IS NULL AS pipe_null,
+                  concat_ws('-', 'a', NULL, 'b') AS ws_skips,
+                  concat_ws('-', NULL, NULL) AS ws_all_null""",
+        """SELECT CAST(ascii('A') AS BIGINT) AS a, chr(66) AS b,
+                  CAST(ascii('') AS BIGINT) AS empty_zero""",
+        """SELECT contains('hello', 'ell') AS c, contains('hello', '') AS c_mt,
+                  contains('', 'x') AS mt_c""",
+        ("""SELECT startswith('hello', 'he') AS sw,
+                   endswith('hello', 'lo') AS ew,
+                   startswith('hello', '') AS sw_mt""",
+         """SELECT starts_with('hello', 'he') AS sw,
+                   ends_with('hello', 'lo') AS ew,
+                   starts_with('hello', '') AS sw_mt"""),
+        """SELECT md5('abc') AS h, md5('') AS h_empty""",
+        """SELECT upper('mixed123') AS u, lower('MIXED123') AS l,
+                  upper('') AS u_mt""",
+        """SELECT replace('aaa', 'a', 'aa') AS grows,
+                  replace('abc', '', 'X') AS empty_pat,
+                  replace('abc', 'abc', '') AS to_empty""",
+        """SELECT length(s) AS len, s = '' AS is_empty FROM (
+             SELECT substr(n_name, 30) AS s FROM nation
+             ORDER BY n_name LIMIT 4) t""",
+        """SELECT lpad(n_name, 4, '.') AS clipped
+           FROM nation ORDER BY n_name LIMIT 6""",
+        """SELECT CAST(length(n_name) - length(replace(n_name, 'A', ''))
+                       AS BIGINT) AS a_count
+           FROM nation ORDER BY n_name LIMIT 8""",
+        """SELECT concat_ws('', 'a', 'b') AS no_sep,
+                  concat_ws('--', 'x') AS single""",
+        """SELECT substring('hello world' FROM 7) AS from_kw,
+                  substring('hello world' FROM 1 FOR 5) AS for_kw""",
+        """SELECT trim(LEADING 'x' FROM 'xxab') AS lead_kw,
+                  trim(TRAILING 'x' FROM 'abxx') AS trail_kw,
+                  trim(BOTH 'x' FROM 'xabx') AS both_kw""",
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+           FROM orders WHERE contains(o_orderpriority, '-')
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """SELECT chr(97) || chr(98) AS ab""",
+    ],
+    # ── decimal precision/scale edges: exact arithmetic, HALF_UP cast
+    #    rounding, scale growth, decimal→int truncation conventions ──────
+    "decimal_edges": [
+        """SELECT CAST('1.005' AS DECIMAL(10,2)) AS up,
+                  CAST('2.675' AS DECIMAL(10,2)) AS up2,
+                  CAST('-1.005' AS DECIMAL(10,2)) AS down""",
+        """SELECT CAST(0.1 AS DECIMAL(10,4)) + CAST(0.2 AS DECIMAL(10,4))
+                  AS exact""",
+        """SELECT CAST(1.25 AS DECIMAL(10,2)) * CAST(0.04 AS DECIMAL(10,2))
+                  AS product""",
+        """SELECT round(CAST(1 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2)), 4)
+                  AS third""",
+        # decimal→int: Spark truncates toward zero, DuckDB rounds
+        ("""SELECT CAST(CAST('2.5' AS DECIMAL(10,1)) AS INT) AS p,
+                   CAST(CAST('-2.5' AS DECIMAL(10,1)) AS INT) AS n""",
+         """SELECT CAST(trunc(CAST('2.5' AS DECIMAL(10,1))) AS INTEGER) AS p,
+                   CAST(trunc(CAST('-2.5' AS DECIMAL(10,1))) AS INTEGER)
+                   AS n"""),
+        """SELECT round(CAST(12345.678 AS DECIMAL(12,3)), -2) AS neg_scale""",
+        """SELECT round(CAST(2.5 AS DECIMAL(5,1))) AS half_up,
+                  round(CAST(3.5 AS DECIMAL(5,1))) AS half_up2,
+                  round(CAST(-2.5 AS DECIMAL(5,1))) AS half_away""",
+        """SELECT round(CAST(0.125 AS DECIMAL(6,3)), 2) AS tie_up,
+                  round(CAST(0.135 AS DECIMAL(6,3)), 2) AS tie_up2""",
+        """SELECT CAST(floor(CAST(-2.5 AS DECIMAL(5,1))) AS BIGINT) AS f_neg,
+                  CAST(ceil(CAST(-2.5 AS DECIMAL(5,1))) AS BIGINT) AS c_neg,
+                  CAST(floor(CAST(2.5 AS DECIMAL(5,1))) AS BIGINT) AS f_pos,
+                  CAST(ceil(CAST(2.5 AS DECIMAL(5,1))) AS BIGINT) AS c_pos""",
+        """SELECT CAST('99999999.99' AS DECIMAL(10,2)) AS at_precision,
+                  TRY_CAST('999999999.99' AS DECIMAL(10,2)) IS NULL
+                  AS over_precision""",
+        """SELECT CAST('0.001' AS DECIMAL(10,2)) AS rounds_to_zero,
+                  CAST('0.005' AS DECIMAL(10,2)) AS rounds_up""",
+        """SELECT CAST(1 AS DECIMAL(3,0)) - CAST(2 AS DECIMAL(3,0)) AS neg,
+                  abs(CAST('-7.25' AS DECIMAL(5,2))) AS absval""",
+        """SELECT CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(12,2))
+                  AS exact_sum
+           FROM lineitem WHERE l_orderkey < 100""",
+        """SELECT round(avg(CAST(l_tax AS DECIMAL(4,2))), 4) AS dec_avg
+           FROM lineitem WHERE l_orderkey < 100""",
+        """SELECT CAST(0.5 AS DECIMAL(2,1)) = CAST(0.50 AS DECIMAL(3,2))
+                  AS cross_scale_eq""",
+        """SELECT CAST('1e2' AS DECIMAL(10,2)) AS sci""",
+        """SELECT greatest(CAST(1.5 AS DECIMAL(5,1)), CAST(1.25 AS DECIMAL(5,2)))
+                  = 1.5 AS g_ok,
+                  least(CAST(1.5 AS DECIMAL(5,1)), CAST(1.25 AS DECIMAL(5,2)))
+                  = 1.25 AS l_ok""",
+        """SELECT CAST(CAST(42 AS BIGINT) AS DECIMAL(20,0)) AS from_long,
+                  CAST(CAST('42.0' AS DECIMAL(10,1)) AS BIGINT) AS back""",
+        """SELECT round(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1 - l_discount AS DECIMAL(4,2)), 2) AS rev
+           FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 6""",
+        """SELECT TRY_CAST('abc' AS DECIMAL(10,2)) IS NULL AS junk,
+                  TRY_CAST('' AS DECIMAL(10,2)) IS NULL AS empty""",
+        """SELECT CAST('  7.25  ' AS DECIMAL(6,2)) AS padded""",
+        """SELECT round(CAST(2.345 AS DECIMAL(6,3))
+                        + CAST(-2.345 AS DECIMAL(6,3)), 4) AS cancels""",
+        """SELECT CAST(power(10, 3) AS BIGINT) AS p3,
+                  round(power(10, -2), 4) AS p_neg""",
+        """SELECT round(sqrt(2), 4) AS root2, round(cbrt(27), 4) AS cube,
+                  CAST(log10(1000) AS BIGINT) AS lg,
+                  CAST(log2(8) AS BIGINT) AS lb""",
+    ],
 }
 
 
