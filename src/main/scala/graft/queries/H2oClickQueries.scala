@@ -566,6 +566,22 @@ object H2oClickQueries {
       |       round(avg(value) + 1e-9, 4) AS w
       |FROM events WHERE event_type <> 'view'
       |GROUP BY user_id, event_id % 100
-      |ORDER BY c DESC, user_id, b LIMIT 10""")
+      |ORDER BY c DESC, user_id, b LIMIT 10"""),
+
+    // ── ClickBench extended.sql (3 queries beyond the main 43): global
+    //    triple count(DISTINCT) and a per-group four-distinct matrix
+    //    ORDERED BY one of the distinct counts ──────────────────────────
+    "click_ext_triple_distinct" -> sql("""
+      |SELECT count(DISTINCT lang) AS dl, count(DISTINCT source) AS ds,
+      |       count(DISTINCT n_chars) AS dn
+      |FROM documents"""),
+
+    "click_ext_distinct_matrix" -> sql("""
+      |SELECT lang, count(DISTINCT source) AS ds,
+      |       count(DISTINCT doc_id % 10) AS dd,
+      |       count(DISTINCT n_chars % 7) AS dc,
+      |       count(DISTINCT length(text) % 5) AS dt
+      |FROM documents GROUP BY lang
+      |ORDER BY ds DESC, lang LIMIT 10""")
   )
 }
