@@ -30,7 +30,8 @@ class SltSpec extends AnyFunSuite {
     "values_rows", "null_keys", "quotes_specials", "identifiers",
     "wildcard", "references", "int_boundaries", "map_struct_nulls",
     "regexp_classes", "agg_edges4", "datetime_boundaries",
-    "cond_null_edges", "string_boundaries", "decimal_edges")
+    "cond_null_edges", "string_boundaries", "decimal_edges",
+    "window_frames5", "interval_arith", "nested_null_arrays")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

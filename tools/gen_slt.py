@@ -2522,6 +2522,184 @@ CORPUS = {
                   CAST(log10(1000) AS BIGINT) AS lg,
                   CAST(log2(8) AS BIGINT) AS lb""",
     ],
+    # ── window frame edge cases: forward-only and preceding-only ROWS
+    #    frames, EMPTY frames (NULL), numeric RANGE with duplicates,
+    #    DESC-order ranges, frames clipped at partition edges ────────────
+    "window_frames5": [
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                     ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS s
+           FROM (VALUES (1), (2), (3), (4)) t(x) ORDER BY x""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                     ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, CAST(count(*) OVER (ORDER BY x
+                     RANGE BETWEEN 0 PRECEDING AND 0 FOLLOWING) AS BIGINT)
+                  AS peers
+           FROM (VALUES (1), (1), (2)) t(x) ORDER BY x, peers""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s
+           FROM (VALUES (1), (2), (4)) t(x) ORDER BY x""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                     ROWS BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT)
+                  AS self
+           FROM (VALUES (5), (7)) t(x) ORDER BY x""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x DESC
+                     RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                     AS BIGINT) AS total,
+                  CAST(sum(x) OVER (ORDER BY x
+                     ROWS BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS BIGINT)
+                  AS clipped
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT p, x, CAST(sum(x) OVER (PARTITION BY p ORDER BY x
+                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+           FROM (VALUES (0, 1), (0, 2), (1, 10), (1, 20)) t(p, x)
+           ORDER BY p, x""",
+        """SELECT x, CAST(min(x) OVER (ORDER BY x
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                     AS BIGINT) AS next_min
+           FROM (VALUES (3), (1), (2)) t(x) ORDER BY x""",
+        """SELECT x, CAST(count(*) OVER (ORDER BY x
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_peers
+           FROM (VALUES (1), (1), (2), (2), (2)) t(x) ORDER BY x, cum_peers""",
+        """SELECT x, first_value(x) OVER (ORDER BY x
+                     ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) IS NULL
+                  AS fv_empty_at_end
+           FROM (VALUES (1), (2)) t(x) ORDER BY x""",
+        """SELECT x, CAST(last_value(x) OVER (ORDER BY x
+                     RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT)
+                  AS last_peer
+           FROM (VALUES (1), (1), (2)) t(x) ORDER BY x, last_peer""",
+        """SELECT x, round(avg(CAST(x AS DOUBLE)) OVER (ORDER BY x
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS a
+           FROM (VALUES (1), (2), (4)) t(x) ORDER BY x""",
+        """SELECT o_orderkey,
+                  CAST(sum(o_orderkey) OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_orderkey
+                     ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS s
+           FROM orders ORDER BY o_orderkey LIMIT 10""",
+    ],
+    # ── interval arithmetic: multi-unit composition, negative and
+    #    multiplied intervals, timestamp spill into the next day ─────────
+    "interval_arith": [
+        ("""SELECT CAST(DATE '2024-01-15' + INTERVAL '1' MONTH
+                        + INTERVAL '10' DAY AS DATE) AS d""",
+         """SELECT CAST(DATE '2024-01-15' + INTERVAL '1 month 10 days'
+                        AS DATE) AS d"""),
+        ("""SELECT CAST(DATE '2024-03-01' - INTERVAL '2' DAY AS DATE) AS back,
+                   CAST(DATE '2024-01-01' + INTERVAL '-1' DAY AS DATE)
+                   AS neg_fwd""",
+         """SELECT CAST(DATE '2024-03-01' - INTERVAL '2 days' AS DATE)
+                   AS back,
+                   CAST(DATE '2024-01-01' + INTERVAL '-1 day' AS DATE)
+                   AS neg_fwd"""),
+        ("""SELECT CAST(DATE '2024-01-01' + 3 * INTERVAL '1' DAY AS DATE)
+                   AS d""",
+         """SELECT CAST(DATE '2024-01-01' + 3 * INTERVAL '1 day' AS DATE)
+                   AS d"""),
+        ("""SELECT CAST(TIMESTAMP '2024-01-01 23:30:00'
+                        + INTERVAL '90' MINUTE AS DATE) AS next_day""",
+         """SELECT CAST(TIMESTAMP '2024-01-01 23:30:00'
+                        + INTERVAL '90 minutes' AS DATE) AS next_day"""),
+        ("""SELECT CAST(TIMESTAMP '2024-12-31 23:59:59'
+                        + INTERVAL '1' SECOND AS DATE) AS new_year""",
+         """SELECT CAST(TIMESTAMP '2024-12-31 23:59:59'
+                        + INTERVAL '1 second' AS DATE) AS new_year"""),
+        ("""SELECT CAST(DATE '2024-02-29' + INTERVAL '12' MONTH AS DATE)
+                   AS next_feb""",
+         """SELECT CAST(DATE '2024-02-29' + INTERVAL '12 months' AS DATE)
+                   AS next_feb"""),
+        ("""SELECT CAST(DATE '2020-02-29' + INTERVAL '4' YEAR AS DATE)
+                   AS leap_to_leap""",
+         """SELECT CAST(DATE '2020-02-29' + INTERVAL '4 years' AS DATE)
+                   AS leap_to_leap"""),
+        ("""SELECT DATE '2024-01-10' + INTERVAL '1' DAY
+                   > DATE '2024-01-10' AS fwd""",
+         """SELECT DATE '2024-01-10' + INTERVAL '1 day'
+                   > DATE '2024-01-10' AS fwd"""),
+        ("""SELECT CAST(o_orderdate + INTERVAL '90' DAY AS DATE) AS due
+            FROM orders ORDER BY o_orderkey LIMIT 6""",
+         """SELECT CAST(CAST(o_orderdate AS DATE) + INTERVAL '90 days'
+                        AS DATE) AS due
+            FROM orders ORDER BY o_orderkey LIMIT 6"""),
+        ("""SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '1996-01-01' + INTERVAL '6' MONTH
+              AND l_shipdate < TIMESTAMP '1996-01-01' + INTERVAL '9' MONTH""",
+         """SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '1996-01-01' + INTERVAL '6 months'
+              AND l_shipdate < TIMESTAMP '1996-01-01' + INTERVAL '9 months'"""),
+        ("""SELECT CAST(DATE '2024-06-15' - INTERVAL '1' MONTH
+                        - INTERVAL '15' DAY AS DATE) AS chained""",
+         """SELECT CAST(DATE '2024-06-15' - INTERVAL '1 month'
+                        - INTERVAL '15 days' AS DATE) AS chained"""),
+    ],
+    # ── nested arrays + NULL-element kernels: flatten, inner-array
+    #    indexing, NULL probes into array functions ───────────────────────
+    "nested_null_arrays": [
+        ("""SELECT flatten(array(array(1, 2), array(3))) AS f,
+                   flatten(array(array(), array(4))) AS with_empty""",
+         """SELECT flatten([[1, 2], [3]]) AS f,
+                   flatten([[], [4]]) AS with_empty"""),
+        ("""SELECT element_at(array(array(1, 2), array(3, 4)), 2) AS inner2,
+                   element_at(element_at(array(array(1, 2), array(3, 4)), 2),
+                              1) AS scalar""",
+         """SELECT ([[1, 2], [3, 4]])[2] AS inner2,
+                   (([[1, 2], [3, 4]])[2])[1] AS scalar"""),
+        ("""SELECT array_position(array(1, 5, 3), 5) AS hit,
+                   CAST(array_position(array(1, 5, 3), 9) AS BIGINT) AS miss""",
+         """SELECT list_position([1, 5, 3], 5) AS hit,
+                   CAST(coalesce(list_position([1, 5, 3], 9), 0) AS BIGINT)
+                   AS miss"""),
+        ("""SELECT array_contains(array(1, 2), 2) AS hit,
+                   array_contains(array(1, 2), 9) AS miss""",
+         """SELECT list_contains([1, 2], 2) AS hit,
+                   list_contains([1, 2], 9) AS miss"""),
+        ("""SELECT array_contains(array(1, CAST(NULL AS INT)),
+                                  CAST(NULL AS INT)) IS NULL AS null_probe""",
+         """SELECT list_contains([1, CAST(NULL AS INTEGER)], NULL) IS NULL
+                   AS null_probe"""),
+        ("""SELECT filter(array(1, CAST(NULL AS INT), 2),
+                          x -> x IS NOT NULL) AS compacted""",
+         """SELECT list_filter([1, CAST(NULL AS INTEGER), 2],
+                               x -> x IS NOT NULL) AS compacted"""),
+        ("""SELECT transform(array(1, CAST(NULL AS INT), 3),
+                             x -> x + 1) AS keeps_null""",
+         """SELECT list_transform([1, CAST(NULL AS INTEGER), 3],
+                                  x -> x + 1) AS keeps_null"""),
+        ("""SELECT exists(array(1, CAST(NULL AS INT)), x -> x > 0) AS found""",
+         """SELECT len(list_filter([1, CAST(NULL AS INTEGER)], x -> x > 0))
+                   > 0 AS found"""),
+        ("""SELECT size(array(array(1), array(2, 3))) AS outer_n,
+                   size(element_at(array(array(1), array(2, 3)), 2))
+                   AS inner_n""",
+         """SELECT CAST(len([[1], [2, 3]]) AS INTEGER) AS outer_n,
+                   CAST(len(([[1], [2, 3]])[2]) AS INTEGER) AS inner_n"""),
+        ("""SELECT array_sort(array(3, CAST(NULL AS INT), 1)) AS nulls_last""",
+         """SELECT list_sort([3, CAST(NULL AS INTEGER), 1],
+                             'ASC', 'NULLS LAST') AS nulls_last"""),
+        ("""SELECT array_compact(array(1, CAST(NULL AS INT), 2)) AS compact""",
+         """SELECT list_filter([1, CAST(NULL AS INTEGER), 2],
+                               x -> x IS NOT NULL) AS compact"""),
+        ("""SELECT array_repeat(7, 3) AS sevens""",
+         """SELECT [7, 7, 7] AS sevens"""),
+        ("""SELECT flatten(array(array(n_regionkey), array(n_nationkey)))
+                   AS f
+            FROM nation ORDER BY n_nationkey LIMIT 5""",
+         """SELECT flatten([[n_regionkey], [n_nationkey]]) AS f
+            FROM nation ORDER BY n_nationkey LIMIT 5"""),
+        ("""SELECT array_sort(array_distinct(
+                     flatten(array(array(1, 2), array(2, 3))))) AS dedup""",
+         """SELECT list_sort(list_distinct(flatten([[1, 2], [2, 3]])))
+                   AS dedup"""),
+        ("""SELECT zip_with(array(1, 2), array(10, 20), (a, b) -> a + b)
+                   AS pairwise""",
+         """SELECT list_transform(range(1, 3),
+                                  i -> ([1, 2])[i] + ([10, 20])[i])
+                   AS pairwise"""),
+    ],
 }
 
 
