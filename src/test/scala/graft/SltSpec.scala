@@ -31,7 +31,11 @@ class SltSpec extends AnyFunSuite {
     "wildcard", "references", "int_boundaries", "map_struct_nulls",
     "regexp_classes", "agg_edges4", "datetime_boundaries",
     "cond_null_edges", "string_boundaries", "decimal_edges",
-    "window_frames5", "interval_arith", "nested_null_arrays")
+    "window_frames5", "interval_arith", "nested_null_arrays",
+    "notin_null_semantics", "scalar_subq_empty", "join_using_natural",
+    "setop_coercion2", "having_group_edges", "distinct_agg_multi",
+    "orderby_edges", "arith_division", "array_surface2",
+    "extract_surface", "agg_null_empty")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -2700,6 +2700,388 @@ CORPUS = {
                                   i -> ([1, 2])[i] + ([10, 20])[i])
                    AS pairwise"""),
     ],
+    # ── NOT IN three-valued semantics: a NULL anywhere in the list or
+    #    subquery poisons every non-matching row to UNKNOWN ─────────────
+    "notin_null_semantics": [
+        """SELECT 1 NOT IN (2, 3) AS plain,
+                  (1 NOT IN (2, NULL)) IS NULL AS poisoned,
+                  2 NOT IN (2, NULL) AS still_false""",
+        """SELECT 1 IN (1, NULL) AS hit,
+                  (3 IN (1, NULL)) IS NULL AS miss_unknown""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM nation
+           WHERE n_regionkey NOT IN (SELECT CAST(NULL AS INT))""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM nation
+           WHERE n_regionkey NOT IN
+                 (SELECT r_regionkey FROM region WHERE r_name = 'NOWHERE')""",
+        """SELECT x FROM (VALUES (1), (2)) t(x)
+           WHERE x IN (SELECT y FROM (VALUES (1), (NULL)) s(y))
+           ORDER BY x""",
+        """SELECT CAST(count(*) AS BIGINT) AS none_survive
+           FROM (VALUES (2), (3)) t(x)
+           WHERE x NOT IN (SELECT y FROM (VALUES (1), (NULL)) s(y))""",
+        """SELECT (CAST(NULL AS INT) IN (1, 2)) IS NULL AS null_lhs,
+                  (CAST(NULL AS INT) NOT IN (1, 2)) IS NULL AS null_lhs_not""",
+        """SELECT CAST(count(*) AS BIGINT) AS kept FROM orders
+           WHERE o_orderstatus NOT IN ('X', 'Y')""",
+        """SELECT x FROM (VALUES (1), (2), (NULL)) t(x)
+           WHERE x IN (1, 2, NULL) ORDER BY x""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM supplier
+           WHERE s_nationkey NOT IN
+                 (SELECT n_nationkey FROM nation WHERE n_name = 'FRANCE')""",
+        """SELECT (NOT (1 IN (2, NULL))) IS NULL AS negated_unknown""",
+    ],
+    # ── scalar subqueries over empty inputs: zero rows yields NULL, and
+    #    correlated scalars in the SELECT list follow the same rule ─────
+    "scalar_subq_empty": [
+        """SELECT (SELECT 42 WHERE 1 = 0) IS NULL AS empty_null""",
+        """SELECT CAST((SELECT max(o_orderkey) FROM orders
+                        WHERE o_orderkey < 0) AS BIGINT) IS NULL AS agg_empty""",
+        """SELECT CAST((SELECT count(*) FROM orders WHERE o_orderkey < 0)
+                       AS BIGINT) AS count_empty""",
+        """SELECT coalesce((SELECT CAST(max(n_nationkey) AS INT) FROM nation
+                            WHERE n_name = 'ATLANTIS'), -1) AS defaulted""",
+        """SELECT r_name,
+                  CAST((SELECT count(*) FROM nation n
+                        WHERE n.n_regionkey = r.r_regionkey
+                          AND n.n_name LIKE 'Z%') AS BIGINT) AS z_nations
+           FROM region r ORDER BY r_name""",
+        """SELECT r_name,
+                  (SELECT max(n_name) FROM nation n
+                   WHERE n.n_regionkey = r.r_regionkey
+                     AND n.n_name LIKE 'ZZZ%') IS NULL AS none_found
+           FROM region r ORDER BY r_name""",
+        """SELECT CASE WHEN (SELECT min(o_totalprice) FROM orders
+                             WHERE o_orderkey < 0) IS NULL
+                       THEN 'empty' ELSE 'found' END AS branch""",
+        """SELECT CAST((SELECT sum(n_regionkey) FROM nation
+                        WHERE n_regionkey > 99) AS BIGINT) IS NULL
+                  AS sum_empty_is_null,
+                  CAST((SELECT count(n_regionkey) FROM nation
+                        WHERE n_regionkey > 99) AS BIGINT) AS count_is_zero""",
+        """SELECT x, CAST((SELECT sum(y) FROM (VALUES (1, 10), (1, 20)) s(k, y)
+                           WHERE s.k = t.x) AS BIGINT) AS correlated_sum
+           FROM (VALUES (1), (2)) t(x) ORDER BY x""",
+        """SELECT (SELECT r_name FROM region WHERE r_regionkey = 0) AS one_row""",
+    ],
+    # ── USING / NATURAL join key coalescing and expression join keys ───
+    "join_using_natural": [
+        """SELECT r_regionkey, r_name
+           FROM (SELECT n_regionkey AS r_regionkey, n_name FROM nation) n
+           JOIN region USING (r_regionkey)
+           ORDER BY r_regionkey, r_name LIMIT 5""",
+        """SELECT k, a.v AS av, b.v AS bv
+           FROM (VALUES (1, 'a1'), (2, 'a2')) a(k, v)
+           FULL JOIN (VALUES (2, 'b2'), (3, 'b3')) b(k, v) USING (k)
+           ORDER BY k""",
+        """SELECT k FROM (VALUES (1), (2)) a(k)
+           LEFT JOIN (VALUES (2), (3)) b(k) USING (k)
+           ORDER BY k""",
+        """SELECT k, av, bv FROM (
+             SELECT k, a.v AS av, b.v AS bv
+             FROM (VALUES (1, 'x')) a(k, v)
+             RIGHT JOIN (VALUES (1, 'y'), (9, 'z')) b(k, v) USING (k)) t
+           ORDER BY k""",
+        """SELECT r_regionkey, CAST(count(*) AS BIGINT) AS n
+           FROM region NATURAL JOIN
+                (SELECT n_regionkey AS r_regionkey, n_name FROM nation) n
+           GROUP BY r_regionkey ORDER BY r_regionkey""",
+        """SELECT a.x, b.y FROM (VALUES (1), (2), (3)) a(x)
+           JOIN (VALUES (2), (3), (4)) b(y) ON a.x = b.y - 1
+           ORDER BY a.x""",
+        """SELECT l.n_name, r.n_name AS nbr
+           FROM nation l JOIN nation r
+             ON l.n_regionkey = r.n_regionkey
+            AND l.n_nationkey < r.n_nationkey
+           ORDER BY l.n_name, nbr LIMIT 10""",
+        """SELECT k, v FROM (VALUES (1, 'a'), (NULL, 'n')) a(k, x)
+           JOIN (VALUES (1, 'a'), (NULL, 'm')) b(k, v) USING (k)
+           ORDER BY k, v""",
+        """SELECT count(*) = 25 AS all_nations
+           FROM nation JOIN region ON n_regionkey = r_regionkey""",
+        """SELECT k, CAST(count(*) AS BIGINT) AS n FROM
+             (VALUES (1), (1), (2)) a(k) JOIN (VALUES (1), (1)) b(k) USING (k)
+           GROUP BY k ORDER BY k""",
+    ],
+    # ── set-op type widening: int→bigint→double→decimal, NULL literal
+    #    adoption, and distinct folding across coerced branches ─────────
+    "setop_coercion2": [
+        """SELECT x FROM (SELECT CAST(1 AS INT) AS x
+                          UNION SELECT CAST(2147483648 AS BIGINT)) t
+           ORDER BY x""",
+        """SELECT round(x, 4) AS x FROM (
+             SELECT CAST(1 AS INT) AS x UNION SELECT CAST(2.5 AS DOUBLE)) t
+           ORDER BY x""",
+        """SELECT x FROM (SELECT CAST(NULL AS INT) AS x UNION SELECT 7) t
+           ORDER BY x NULLS FIRST""",
+        """SELECT x FROM (SELECT 1 AS x UNION SELECT CAST(1 AS BIGINT)) t
+           ORDER BY x""",
+        """SELECT round(x, 4) AS x FROM (
+             SELECT CAST(0.5 AS DECIMAL(3,1)) AS x
+             UNION ALL SELECT CAST(0.25 AS DOUBLE)) t
+           ORDER BY x""",
+        """SELECT x FROM (
+             SELECT CAST(3 AS SMALLINT) AS x
+             INTERSECT SELECT CAST(3 AS BIGINT)) t ORDER BY x""",
+        """SELECT x FROM (
+             SELECT CAST(1 AS INT) AS x UNION ALL SELECT CAST(NULL AS INT)
+             UNION ALL SELECT CAST(NULL AS INT)) t
+           ORDER BY x NULLS LAST""",
+        """SELECT x FROM (
+             SELECT CAST(NULL AS INT) AS x UNION SELECT CAST(NULL AS INT)) t
+           ORDER BY x""",
+        """SELECT x FROM (
+             SELECT 10 AS x EXCEPT SELECT CAST(10 AS BIGINT)) t ORDER BY x""",
+        """SELECT CAST(sum(x) AS BIGINT) AS s FROM (
+             SELECT n_nationkey AS x FROM nation
+             UNION ALL SELECT CAST(r_regionkey AS BIGINT) FROM region) t""",
+    ],
+    # ── HAVING / GROUP BY edges: global HAVING, aggregates referenced
+    #    only in HAVING, grouped expressions, NULL group keys ───────────
+    "having_group_edges": [
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+           HAVING count(*) > 0""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+           HAVING max(o_totalprice) < 0""",
+        """SELECT o_orderstatus FROM orders GROUP BY o_orderstatus
+           HAVING sum(o_totalprice) > 1000 ORDER BY o_orderstatus""",
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderpriority
+           HAVING count(DISTINCT o_custkey) > 5 AND min(o_orderkey) >= 1
+           ORDER BY o_orderpriority""",
+        """SELECT mod(o_orderkey, 3) AS bucket, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY mod(o_orderkey, 3) ORDER BY bucket""",
+        """SELECT k, CAST(count(*) AS BIGINT) AS n
+           FROM (VALUES (1), (NULL), (NULL), (2)) t(k)
+           GROUP BY k ORDER BY k NULLS FIRST""",
+        """SELECT substr(o_orderpriority, 1, 1) AS pfx,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY substr(o_orderpriority, 1, 1)
+           HAVING count(*) > 100 ORDER BY pfx""",
+        """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderstatus, o_orderpriority
+           HAVING count(*) > 200
+           ORDER BY o_orderstatus, o_orderpriority LIMIT 10""",
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(min(o_orderkey) AS BIGINT) AS lo
+           FROM orders HAVING count(*) > 10 AND avg(o_totalprice) > 0""",
+        """SELECT k FROM (VALUES (1), (1), (2), (2), (3)) t(k)
+           GROUP BY k HAVING count(*) = 1 ORDER BY k""",
+    ],
+    # ── multiple DISTINCT aggregates in one scan, DISTINCT + FILTER ────
+    "distinct_agg_multi": [
+        """SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ds,
+                  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS dp,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders""",
+        """SELECT CAST(sum(DISTINCT n_regionkey) AS BIGINT) AS sd,
+                  CAST(sum(n_regionkey) AS BIGINT) AS s
+           FROM nation""",
+        """SELECT round(avg(DISTINCT CAST(x AS DOUBLE)), 4) AS ad
+           FROM (VALUES (1), (1), (2), (4)) t(x)""",
+        """SELECT CAST(count(DISTINCT k) AS BIGINT) AS dk
+           FROM (VALUES (1), (NULL), (1), (NULL), (2)) t(k)""",
+        """SELECT o_orderstatus,
+                  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS dp,
+                  CAST(count(DISTINCT mod(o_custkey, 10)) AS BIGINT) AS dc
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """SELECT CAST(count(DISTINCT o_orderstatus)
+                       FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS hi,
+                  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS all_s
+           FROM orders""",
+        """SELECT CAST(min(DISTINCT n_regionkey) AS BIGINT) AS mn,
+                  CAST(max(DISTINCT n_regionkey) AS BIGINT) AS mx
+           FROM nation""",
+        """SELECT n_regionkey,
+                  CAST(count(DISTINCT substr(n_name, 1, 1)) AS BIGINT)
+                  AS initials
+           FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+        """SELECT CAST(count(DISTINCT CASE WHEN o_totalprice > 150000
+                                           THEN o_orderstatus END)
+                       AS BIGINT) AS hi_statuses
+           FROM orders""",
+        """SELECT CAST(count(DISTINCT o_orderdate) AS BIGINT) AS days,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
+                  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS stats
+           FROM orders""",
+    ],
+    # ── ORDER BY surface: expressions, ordinals, aliases, mixed
+    #    directions with explicit null placement ────────────────────────
+    "orderby_edges": [
+        """SELECT n_name FROM nation ORDER BY length(n_name), n_name LIMIT 8""",
+        """SELECT n_name, n_regionkey FROM nation ORDER BY 2 DESC, 1 ASC
+           LIMIT 8""",
+        """SELECT n_name, length(n_name) AS len FROM nation
+           ORDER BY len DESC, n_name LIMIT 8""",
+        """SELECT k FROM (VALUES (3), (NULL), (1), (NULL), (2)) t(k)
+           ORDER BY k ASC NULLS FIRST""",
+        """SELECT k FROM (VALUES (3), (NULL), (1)) t(k)
+           ORDER BY k DESC NULLS LAST""",
+        """SELECT a, b FROM (VALUES (1, 'z'), (1, 'a'), (2, 'm')) t(a, b)
+           ORDER BY a ASC, b DESC""",
+        """SELECT n_name FROM nation
+           ORDER BY CASE WHEN n_regionkey = 2 THEN 0 ELSE 1 END, n_name
+           LIMIT 8""",
+        """SELECT o_orderkey FROM orders
+           ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 5""",
+        """SELECT x FROM (VALUES (-2), (1), (-1), (2)) t(x)
+           ORDER BY abs(x), x""",
+        """SELECT n_name, mod(n_nationkey, 5) AS m FROM nation
+           ORDER BY mod(n_nationkey, 5), n_name LIMIT 10""",
+    ],
+    # ── division and modulo sign/widening behavior ─────────────────────
+    "arith_division": [
+        """SELECT round(7 / 2, 4) AS fdiv, round(-7 / 2, 4) AS fneg""",
+        ("""SELECT 7 DIV 2 AS q, (-7) DIV 2 AS qn, 7 DIV (-2) AS qd""",
+         """SELECT 7 // 2 AS q, (-7) // 2 AS qn, 7 // (-2) AS qd"""),
+        """SELECT mod(7, 3) AS m, mod(-7, 3) AS mn, mod(7, -3) AS md""",
+        ("""SELECT pmod(-7, 3) AS pm, pmod(7, 3) AS pp""",
+         """SELECT ((-7 % 3) + 3) % 3 AS pm, ((7 % 3) + 3) % 3 AS pp"""),
+        """SELECT CAST(floor(-7.0 / 2) AS BIGINT) AS fl,
+                  CAST(ceil(-7.0 / 2) AS BIGINT) AS ce""",
+        """SELECT round(o_totalprice / 1000, 2) AS k
+           FROM orders ORDER BY o_orderkey LIMIT 5""",
+        """SELECT round(1 / 3.0, 4) AS third, round(2 / 3.0, 4) AS two_thirds""",
+        """SELECT mod(o_orderkey, 10) AS m, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY mod(o_orderkey, 10) ORDER BY m""",
+        """SELECT round(power(2, -2), 4) AS neg_exp,
+                  CAST(power(0, 0) AS BIGINT) AS zz""",
+        ("""SELECT try_divide(1, 0) IS NULL AS div0,
+                   try_divide(10, 4) AS q""",
+         """SELECT (1 / nullif(0, 0)) IS NULL AS div0,
+                   10 / nullif(4, 0) AS q"""),
+    ],
+    # ── array surface 2: slicing, out-of-range element access, set ops,
+    #    join/contains with NULLs (reference array.slt is its largest) ──
+    "array_surface2": [
+        ("""SELECT slice(array(1, 2, 3, 4, 5), 2, 3) AS mid,
+                   slice(array(1, 2, 3), 1, 99) AS clipped""",
+         """SELECT [1, 2, 3, 4, 5][2:4] AS mid, [1, 2, 3][1:99] AS clipped"""),
+        ("""SELECT element_at(array(10, 20, 30), 2) AS second,
+                   element_at(array(10, 20, 30), -1) AS last""",
+         """SELECT [10, 20, 30][2] AS second, [10, 20, 30][-1] AS last"""),
+        ("""SELECT try_element_at(array(1, 2), 9) IS NULL AS oob,
+                   try_element_at(array(1, 2), 1) AS ok""",
+         """SELECT [1, 2][9] IS NULL AS oob, [1, 2][1] AS ok"""),
+        ("""SELECT array_join(array('a', 'b', 'c'), '-') AS j,
+                   array_join(array('x', CAST(NULL AS STRING), 'z'), ',')
+                   AS skip_null""",
+         """SELECT array_to_string(['a', 'b', 'c'], '-') AS j,
+                   array_to_string(['x', CAST(NULL AS VARCHAR), 'z'], ',')
+                   AS skip_null"""),
+        ("""SELECT array_sort(array_union(array(1, 2), array(2, 3))) AS u""",
+         """SELECT list_sort(list_distinct(list_concat([1, 2], [2, 3])))
+                   AS u"""),
+        ("""SELECT array_sort(array_intersect(array(1, 2, 3), array(2, 3, 4)))
+                   AS i""",
+         """SELECT list_sort(list_filter([1, 2, 3],
+                                         x -> list_contains([2, 3, 4], x)))
+                   AS i"""),
+        ("""SELECT array_sort(array_except(array(1, 2, 3), array(2))) AS e""",
+         """SELECT list_sort(list_filter(list_distinct([1, 2, 3]),
+                                         x -> NOT list_contains([2], x)))
+                   AS e"""),
+        ("""SELECT array_contains(array(1, 2), 2) AS hit,
+                   array_contains(array(1, 2), 9) AS miss""",
+         """SELECT list_contains([1, 2], 2) AS hit,
+                   list_contains([1, 2], 9) AS miss"""),
+        ("""SELECT array_remove(array(1, 2, 1, 3), 1) AS removed""",
+         """SELECT list_filter([1, 2, 1, 3], x -> x IS DISTINCT FROM 1)
+                   AS removed"""),
+        ("""SELECT array_repeat(7, 3) AS reps, array_repeat(7, 0) AS zero""",
+         """SELECT [7, 7, 7] AS reps, CAST([] AS BIGINT[]) AS zero"""),
+        ("""SELECT array_position(array('a', 'b', 'c'), 'b') AS pos,
+                   array_position(array('a'), 'z') AS missing""",
+         """SELECT list_position(['a', 'b', 'c'], 'b') AS pos,
+                   coalesce(list_position(['a'], 'z'), 0) AS missing"""),
+        ("""SELECT array_max(array(3, 1, 2)) AS mx,
+                   array_min(array(3, NULL, 2)) AS mn_skips_null""",
+         """SELECT list_max([3, 1, 2]) AS mx,
+                   list_min([3, NULL, 2]) AS mn_skips_null"""),
+        ("""SELECT sort_array(array(3, 1, 2), false) AS descending""",
+         """SELECT list_reverse_sort([3, 1, 2]) AS descending"""),
+        ("""SELECT size(array(1, 2, 3)) AS n, size(array()) AS empty""",
+         """SELECT len([1, 2, 3]) AS n, len([]) AS empty"""),
+    ],
+    # ── EXTRACT surface: every portable field, boundary dates ──────────
+    "extract_surface": [
+        """SELECT EXTRACT(YEAR FROM DATE '2024-02-29') AS y,
+                  EXTRACT(MONTH FROM DATE '2024-02-29') AS m,
+                  EXTRACT(DAY FROM DATE '2024-02-29') AS d""",
+        """SELECT EXTRACT(QUARTER FROM DATE '2024-01-01') AS q1,
+                  EXTRACT(QUARTER FROM DATE '2024-12-31') AS q4""",
+        """SELECT EXTRACT(HOUR FROM TIMESTAMP '2024-01-01 23:45:56') AS h,
+                  EXTRACT(MINUTE FROM TIMESTAMP '2024-01-01 23:45:56') AS mi,
+                  CAST(EXTRACT(SECOND FROM TIMESTAMP '2024-01-01 23:45:56')
+                       AS BIGINT) AS s""",
+        ("""SELECT EXTRACT(DOY FROM DATE '2024-12-31') AS doy_leap,
+                   EXTRACT(DOY FROM DATE '2023-12-31') AS doy_plain""",
+         """SELECT EXTRACT(DAYOFYEAR FROM DATE '2024-12-31') AS doy_leap,
+                   EXTRACT(DAYOFYEAR FROM DATE '2023-12-31') AS doy_plain"""),
+        ("""SELECT EXTRACT(WEEK FROM DATE '2024-01-01') AS w1,
+                   EXTRACT(WEEK FROM DATE '2023-01-01') AS w_sunday""",
+         """SELECT EXTRACT(ISOYEAR FROM DATE '2024-01-01') - 2023 AS w1,
+                   EXTRACT(WEEK FROM DATE '2023-01-01') AS w_sunday"""),
+        """SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)
+           ORDER BY y""",
+        ("""SELECT dayofweek(DATE '2024-01-07') AS sun_is_1,
+                   dayofweek(DATE '2024-01-08') AS mon_is_2""",
+         """SELECT dayofweek(DATE '2024-01-07') + 1 AS sun_is_1,
+                   dayofweek(DATE '2024-01-08') + 1 AS mon_is_2"""),
+        ("""SELECT CAST(date_trunc('quarter', DATE '2024-05-15') AS DATE)
+                   AS qtr,
+                   CAST(date_trunc('year', DATE '2024-05-15') AS DATE)
+                   AS yr""",
+         """SELECT CAST(date_trunc('quarter', DATE '2024-05-15') AS DATE)
+                   AS qtr,
+                   CAST(date_trunc('year', DATE '2024-05-15') AS DATE)
+                   AS yr"""),
+        """SELECT EXTRACT(DAY FROM DATE '2024-03-31')
+                  - EXTRACT(DAY FROM DATE '2024-02-29') AS day_diff""",
+        ("""SELECT last_day(DATE '2024-02-05') AS leap_feb,
+                   last_day(DATE '2023-02-05') AS plain_feb""",
+         """SELECT last_day(DATE '2024-02-05') AS leap_feb,
+                   last_day(DATE '2023-02-05') AS plain_feb"""),
+    ],
+    # ── aggregates over empty relations and all-NULL groups ────────────
+    "agg_null_empty": [
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(x) AS BIGINT) AS nx,
+                  CAST(sum(x) AS BIGINT) IS NULL AS sum_null,
+                  min(x) IS NULL AS min_null
+           FROM (VALUES (1)) t(x) WHERE x < 0""",
+        """SELECT CAST(sum(x) AS BIGINT) IS NULL AS all_null_sum,
+                  CAST(count(x) AS BIGINT) AS count_skips,
+                  avg(CAST(x AS DOUBLE)) IS NULL AS avg_null
+           FROM (VALUES (CAST(NULL AS INT)), (NULL)) t(x)""",
+        """SELECT k, CAST(sum(v) AS BIGINT) AS s,
+                  CAST(count(v) AS BIGINT) AS c
+           FROM (VALUES (1, 10), (1, NULL), (2, NULL)) t(k, v)
+           GROUP BY k ORDER BY k""",
+        """SELECT min(x) IS NULL AS mn, max(x) IS NULL AS mx
+           FROM (VALUES (CAST(NULL AS INT))) t(x)""",
+        """SELECT bool_and(b) AS ba, bool_or(b) AS bo
+           FROM (VALUES (true), (NULL), (true)) t(b)""",
+        """SELECT bool_and(b) IS NULL AS empty_ba
+           FROM (VALUES (true)) t(b) WHERE NOT b""",
+        """SELECT round(stddev_samp(CAST(x AS DOUBLE)), 4) IS NULL
+                  AS single_row_null
+           FROM (VALUES (5)) t(x)""",
+        """SELECT round(var_pop(CAST(x AS DOUBLE)), 4) AS vp_single
+           FROM (VALUES (5)) t(x)""",
+        """SELECT string_agg(s, ',') IS NULL AS all_null
+           FROM (VALUES (CAST(NULL AS VARCHAR(8))), (NULL)) t(s)""",
+        """SELECT k, max(v) AS mv
+           FROM (VALUES (1, 'a'), (1, NULL), (2, NULL)) t(k, v)
+           GROUP BY k ORDER BY k""",
+        """SELECT CAST(count(DISTINCT x) AS BIGINT) AS d
+           FROM (VALUES (CAST(NULL AS INT)), (NULL)) t(x)""",
+        """SELECT CAST(sum(CASE WHEN x > 10 THEN x END) AS BIGINT) IS NULL
+                  AS filtered_to_null,
+                  CAST(count(CASE WHEN x > 10 THEN x END) AS BIGINT) AS zero
+           FROM (VALUES (1), (2)) t(x)""",
+    ],
 }
 
 
