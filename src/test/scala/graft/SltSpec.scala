@@ -35,7 +35,9 @@ class SltSpec extends AnyFunSuite {
     "notin_null_semantics", "scalar_subq_empty", "join_using_natural",
     "setop_coercion2", "having_group_edges", "distinct_agg_multi",
     "orderby_edges", "arith_division", "array_surface2",
-    "extract_surface", "agg_null_empty")
+    "extract_surface", "agg_null_empty", "regex_surface3",
+    "string_pad_split", "cast_string_edges", "bool_null_truth",
+    "exists_depth")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -3082,6 +3082,200 @@ CORPUS = {
                   CAST(count(CASE WHEN x > 10 THEN x END) AS BIGINT) AS zero
            FROM (VALUES (1), (2)) t(x)""",
     ],
+    # ── regex surface 3: like/count/substr/extract_all, flags, anchors ─
+    "regex_surface3": [
+        ("""SELECT regexp_like('hello42', '[a-z]+[0-9]+') AS m,
+                   regexp_like('hello', '^[0-9]') AS no""",
+         """SELECT regexp_matches('hello42', '[a-z]+[0-9]+') AS m,
+                   regexp_matches('hello', '^[0-9]') AS no"""),
+        ("""SELECT regexp_count('a1b2c3', '[0-9]') AS digits,
+                   regexp_count('aaa', 'b') AS zero""",
+         """SELECT len(regexp_extract_all('a1b2c3', '[0-9]')) AS digits,
+                   len(regexp_extract_all('aaa', 'b')) AS zero"""),
+        ("""SELECT regexp_substr('order-12345-x', '[0-9]+') AS first_num""",
+         """SELECT regexp_extract('order-12345-x', '[0-9]+') AS first_num"""),
+        ("""SELECT regexp_extract_all('a1b22c333', '[0-9]+', 0) AS all_nums""",
+         """SELECT regexp_extract_all('a1b22c333', '[0-9]+') AS all_nums"""),
+        ("""SELECT regexp_like('HELLO', '(?i)hello') AS ci,
+                   regexp_like('HELLO', 'hello') AS cs""",
+         """SELECT regexp_matches('HELLO', '(?i)hello') AS ci,
+                   regexp_matches('HELLO', 'hello') AS cs"""),
+        ("""SELECT regexp_like('abc', '^abc$') AS anchored,
+                   regexp_like('xabcx', '^abc$') AS not_anchored,
+                   regexp_like('xabcx', 'abc') AS unanchored""",
+         """SELECT regexp_matches('abc', '^abc$') AS anchored,
+                   regexp_matches('xabcx', '^abc$') AS not_anchored,
+                   regexp_matches('xabcx', 'abc') AS unanchored"""),
+        """SELECT regexp_extract('2024-03-15', '([0-9]{4})-([0-9]{2})', 2)
+                  AS month_group""",
+        ("""SELECT regexp_replace('a.b.c', '\\\\.', '/') AS escaped_dot""",
+         """SELECT regexp_replace('a.b.c', '\\.', '/', 'g') AS escaped_dot"""),
+        ("""SELECT regexp_like('aab', 'a{2}b') AS quant,
+                   regexp_like('ab', 'a{2}b') AS under""",
+         """SELECT regexp_matches('aab', 'a{2}b') AS quant,
+                   regexp_matches('ab', 'a{2}b') AS under"""),
+        ("""SELECT regexp_like('cat', 'cat|dog') AS alt1,
+                   regexp_like('dog', 'cat|dog') AS alt2,
+                   regexp_like('cow', 'cat|dog') AS neither""",
+         """SELECT regexp_matches('cat', 'cat|dog') AS alt1,
+                   regexp_matches('dog', 'cat|dog') AS alt2,
+                   regexp_matches('cow', 'cat|dog') AS neither"""),
+        """SELECT p_type, regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word
+           FROM part WHERE p_partkey <= 5 ORDER BY p_partkey""",
+        ("""SELECT regexp_count(p_name, ' ') + 1 AS words, p_name
+           FROM part WHERE p_partkey <= 5 ORDER BY p_name""",
+         """SELECT len(regexp_extract_all(p_name, ' ')) + 1 AS words, p_name
+           FROM part WHERE p_partkey <= 5 ORDER BY p_name"""),
+    ],
+    # ── string pad/trim/split surface ──────────────────────────────────
+    "string_pad_split": [
+        ("""SELECT trim(BOTH 'x' FROM 'xxhixx') AS b,
+                   trim(LEADING 'x' FROM 'xxhixx') AS l,
+                   trim(TRAILING 'x' FROM 'xxhixx') AS t""",
+         """SELECT trim('xxhixx', 'x') AS b, ltrim('xxhixx', 'x') AS l,
+                   rtrim('xxhixx', 'x') AS t"""),
+        ("""SELECT trim(BOTH 'ab' FROM 'abba-core-abab') AS charset""",
+         """SELECT trim('abba-core-abab', 'ab') AS charset"""),
+        """SELECT split_part('a,b,c', ',', 2) AS second,
+                  split_part('a,b,c', ',', 1) AS first""",
+        ("""SELECT split_part('a,b,c', ',', -1) AS last_part""",
+         """SELECT split_part('a,b,c', ',', 3) AS last_part"""),
+        """SELECT split_part('no-comma', ',', 1) AS whole,
+                  split_part('a,,c', ',', 2) AS empty_mid""",
+        """SELECT lpad('7', 3, '0') AS padded, lpad('12345', 3, '0') AS cut,
+                  rpad('ab', 5, '.') AS rp""",
+        ("""SELECT initcap('hello world') AS ic""",
+         """SELECT upper(substring('hello world', 1, 1)) ||
+                   substring('hello world', 2, 5) ||
+                   upper(substring('hello world', 7, 1)) ||
+                   substring('hello world', 8) AS ic"""),
+        ("""SELECT translate('abcabc', 'abc', 'xyz') AS full_map,
+                   translate('abc', 'ab', 'x') AS dropped""",
+         """SELECT replace(replace(replace('abcabc', 'a', 'x'), 'b', 'y'),
+                           'c', 'z') AS full_map,
+                   replace(replace('abc', 'a', 'x'), 'b', '') AS dropped"""),
+        """SELECT repeat('ab', 3) AS r3, repeat('ab', 0) AS r0,
+                  length(repeat('x', 10)) AS len10""",
+        ("""SELECT substring('hello' FROM 2 FOR 3) AS ansi_form,
+                   substring('hello' FROM 3) AS tail""",
+         """SELECT substring('hello', 2, 3) AS ansi_form,
+                   substring('hello', 3) AS tail"""),
+        """SELECT concat_ws('-', 'a', NULL, 'b') AS skips_null,
+                  concat_ws('-', NULL, NULL) AS all_null_empty""",
+        ("""SELECT ltrim('  hi  ') || '|' AS l, rtrim('  hi  ') || '|' AS r""",
+         """SELECT ltrim('  hi  ') || '|' AS l, rtrim('  hi  ') || '|' AS r"""),
+    ],
+    # ── string→scalar cast edges: whitespace, exponents, try_cast ──────
+    "cast_string_edges": [
+        """SELECT CAST(' 42 ' AS INT) AS trimmed,
+                  CAST('-7' AS INT) AS neg""",
+        """SELECT try_cast('4 2' AS INT) IS NULL AS inner_space,
+                  try_cast('' AS INT) IS NULL AS empty,
+                  try_cast('abc' AS INT) IS NULL AS alpha""",
+        """SELECT round(CAST('1e3' AS DOUBLE), 4) AS exp_pos,
+                  round(CAST('1.5e-2' AS DOUBLE), 4) AS exp_neg""",
+        """SELECT CAST('t' AS BOOLEAN) AS t_short,
+                  CAST('1' AS BOOLEAN) AS one,
+                  CAST('FALSE' AS BOOLEAN) AS case_insensitive""",
+        """SELECT try_cast('maybe' AS BOOLEAN) IS NULL AS bad_bool""",
+        """SELECT CAST('2024-02-29' AS DATE) AS leap,
+                  try_cast('2024-02-30' AS DATE) IS NULL AS bad_day,
+                  try_cast('not-a-date' AS DATE) IS NULL AS bad_text""",
+        """SELECT CAST('   -3.5  ' AS DOUBLE) + 0.5 AS padded_float""",
+        """SELECT CAST(CAST('00042' AS INT) AS BIGINT) AS leading_zeros""",
+        """SELECT try_cast('2147483648' AS INT) IS NULL AS int_overflow,
+                  CAST('2147483648' AS BIGINT) AS fits_bigint""",
+        # Spark try_cast('5.0' AS INT) is NULL (ANSI text-to-int rejects
+        # decimal text); DuckDB rounds it to 5 — two-variant to pin each
+        ("""SELECT CAST('+5' AS INT) AS plus_sign,
+                   try_cast('5.0' AS INT) IS NULL AS decimal_text_to_int""",
+         """SELECT CAST('+5' AS INT) AS plus_sign,
+                   try_cast('5x' AS INT) IS NULL AS decimal_text_to_int"""),
+        """SELECT length(CAST(12345 AS STRING)) AS i2s,
+                  CAST(true AS STRING) AS b2s""" if False else
+        ("""SELECT length(CAST(12345 AS STRING)) AS i2s,
+                   CAST(true AS STRING) AS b2s""",
+         """SELECT length(CAST(12345 AS VARCHAR)) AS i2s,
+                   CAST(true AS VARCHAR) AS b2s"""),
+    ],
+    # ── three-valued boolean truth tables ──────────────────────────────
+    "bool_null_truth": [
+        """SELECT (CAST(NULL AS BOOLEAN) AND false) AS null_and_false,
+                  (CAST(NULL AS BOOLEAN) AND true) IS NULL AS null_and_true""",
+        """SELECT (CAST(NULL AS BOOLEAN) OR true) AS null_or_true,
+                  (CAST(NULL AS BOOLEAN) OR false) IS NULL AS null_or_false""",
+        """SELECT (NOT CAST(NULL AS BOOLEAN)) IS NULL AS not_null""",
+        """SELECT (CAST(NULL AS INT) = NULL) IS NULL AS eq_null,
+                  (CAST(NULL AS INT) <> 5) IS NULL AS ne_null""",
+        """SELECT NULL IS DISTINCT FROM NULL AS dd,
+                  NULL IS NOT DISTINCT FROM NULL AS dnd,
+                  1 IS DISTINCT FROM NULL AS one_vs_null""",
+        """SELECT (1 < CAST(NULL AS INT)) IS NULL AS lt,
+                  (1 >= CAST(NULL AS INT)) IS NULL AS ge""",
+        """SELECT CAST(count(*) AS BIGINT) AS kept
+           FROM (VALUES (1), (2), (NULL)) t(x) WHERE x > 0""",
+        """SELECT CAST(count(*) AS BIGINT) AS kept_not
+           FROM (VALUES (1), (2), (NULL)) t(x) WHERE NOT (x > 1)""",
+        """SELECT x, coalesce(x > 1, false) AS defaulted
+           FROM (VALUES (1), (2), (NULL)) t(x) ORDER BY x NULLS FIRST""",
+        """SELECT (true AND NULL IS NULL) AS and_of_pred,
+                  (false OR NULL IS NOT NULL) AS or_of_pred""",
+        ("""SELECT every(x > 0) AS ev, any(x > 1) AS an
+           FROM (VALUES (1), (2), (NULL)) t(x)""",
+         """SELECT bool_and(x > 0) AS ev, bool_or(x > 1) AS an
+           FROM (VALUES (1), (2), (NULL)) t(x)"""),
+    ],
+    # ── correlated EXISTS depth: through aggregates, HAVING, CASE ──────
+    "exists_depth": [
+        """SELECT r_name FROM region r
+           WHERE NOT EXISTS (SELECT 1 FROM nation n
+                             WHERE n.n_regionkey = r.r_regionkey
+                               AND n.n_name LIKE 'ZZZ%')
+           ORDER BY r_name""",
+        """SELECT n_name FROM nation n
+           WHERE EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_nationkey = n.n_nationkey
+                         GROUP BY c.c_nationkey
+                         HAVING count(*) > 3)
+           ORDER BY n_name LIMIT 8""",
+        """SELECT r_name,
+                  CASE WHEN EXISTS (SELECT 1 FROM nation
+                                    WHERE n_regionkey = r_regionkey
+                                      AND n_nationkey > 20)
+                       THEN 'high' ELSE 'low' END AS tier
+           FROM region r ORDER BY r_name""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000)""",
+        """SELECT n_name FROM nation n
+           WHERE EXISTS (SELECT 1 FROM supplier s
+                         WHERE s.s_nationkey = n.n_nationkey
+                           AND EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_nationkey = s.s_nationkey))
+           ORDER BY n_name LIMIT 10""",
+        """SELECT r_name FROM region r
+           WHERE EXISTS (SELECT 1 FROM nation n
+                         WHERE n.n_regionkey = r.r_regionkey)
+             AND NOT EXISTS (SELECT 1 FROM nation n
+                             WHERE n.n_regionkey = r.r_regionkey
+                               AND n.n_nationkey > 100)
+           ORDER BY r_name""",
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders o
+           WHERE EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey
+                           AND c.c_acctbal > 9000)
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        """SELECT CAST(count(*) AS BIGINT) AS no_match FROM region
+           WHERE EXISTS (SELECT 1 WHERE 1 = 0)""",
+        """SELECT CAST(count(*) AS BIGINT) AS all_match FROM region
+           WHERE EXISTS (SELECT 1)""",
+        """SELECT x FROM (VALUES (1), (2), (3)) t(x)
+           WHERE EXISTS (SELECT 1 FROM (VALUES (2), (3), (4)) s(y)
+                         WHERE s.y = t.x AND s.y > 2)
+           ORDER BY x""",
+    ],
 }
 
 
