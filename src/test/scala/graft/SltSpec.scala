@@ -37,7 +37,8 @@ class SltSpec extends AnyFunSuite {
     "orderby_edges", "arith_division", "array_surface2",
     "extract_surface", "agg_null_empty", "regex_surface3",
     "string_pad_split", "cast_string_edges", "bool_null_truth",
-    "exists_depth")
+    "exists_depth", "datetime_format", "map_surface2",
+    "lateral_subquery", "string_measure", "case_when_types")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -3276,6 +3276,215 @@ CORPUS = {
                          WHERE s.y = t.x AND s.y > 2)
            ORDER BY x""",
     ],
+    # ── datetime formatting: Spark date_format vs DuckDB strftime ──────
+    "datetime_format": [
+        ("""SELECT date_format(DATE '2024-03-15', 'yyyy-MM-dd') AS iso""",
+         """SELECT strftime(DATE '2024-03-15', '%Y-%m-%d') AS iso"""),
+        ("""SELECT date_format(DATE '2024-03-15', 'EEEE') AS day_name,
+                   date_format(DATE '2024-03-17', 'EEEE') AS sunday""",
+         """SELECT strftime(DATE '2024-03-15', '%A') AS day_name,
+                   strftime(DATE '2024-03-17', '%A') AS sunday"""),
+        ("""SELECT date_format(DATE '2024-03-15', 'MMMM') AS month_name,
+                   date_format(DATE '2024-12-01', 'MMM') AS abbrev""",
+         """SELECT strftime(DATE '2024-03-15', '%B') AS month_name,
+                   strftime(DATE '2024-12-01', '%b') AS abbrev"""),
+        ("""SELECT date_format(DATE '2024-03-05', 'dd/MM/yyyy') AS uk""",
+         """SELECT strftime(DATE '2024-03-05', '%d/%m/%Y') AS uk"""),
+        ("""SELECT date_format(TIMESTAMP '2024-03-15 14:07:09',
+                               'HH:mm:ss') AS hms""",
+         """SELECT strftime(TIMESTAMP '2024-03-15 14:07:09',
+                            '%H:%M:%S') AS hms"""),
+        ("""SELECT date_format(TIMESTAMP '2024-03-15 14:07:09',
+                               'hh a') AS twelve_hour,
+                   date_format(TIMESTAMP '2024-03-15 02:07:09',
+                               'hh a') AS morning""",
+         """SELECT strftime(TIMESTAMP '2024-03-15 14:07:09',
+                            '%I %p') AS twelve_hour,
+                   strftime(TIMESTAMP '2024-03-15 02:07:09',
+                            '%I %p') AS morning"""),
+        ("""SELECT date_format(DATE '2024-03-15', 'DDD') AS day_of_year,
+                   date_format(DATE '2024-01-01', 'DDD') AS first""",
+         """SELECT strftime(DATE '2024-03-15', '%j') AS day_of_year,
+                   strftime(DATE '2024-01-01', '%j') AS first"""),
+        ("""SELECT date_format(DATE '2024-02-29', 'yyyyMMdd') AS compact""",
+         """SELECT strftime(DATE '2024-02-29', '%Y%m%d') AS compact"""),
+        ("""SELECT CAST(o_orderdate AS DATE) AS d,
+                   date_format(o_orderdate, 'yyyy-MM') AS ym
+           FROM orders ORDER BY o_orderkey LIMIT 8""",
+         """SELECT CAST(o_orderdate AS DATE) AS d,
+                   strftime(o_orderdate, '%Y-%m') AS ym
+           FROM orders ORDER BY o_orderkey LIMIT 8"""),
+        ("""SELECT date_format(DATE '0099-01-05', 'yyyy-MM-dd')
+                   AS ancient""",
+         """SELECT strftime(DATE '0099-01-05', '%Y-%m-%d') AS ancient"""),
+    ],
+    # ── map function surface 2: concat/from_arrays/contains/empty ──────
+    "map_surface2": [
+        ("""SELECT array_sort(map_keys(
+                     map_concat(map('a', 1), map('b', 2)))) AS ks""",
+         """SELECT array_sort(map_keys(
+                     map_concat(MAP {'a': 1}, MAP {'b': 2}))) AS ks"""),
+        ("""SELECT CAST(element_at(
+                     map_from_arrays(array('x', 'y'), array(10, 20)),
+                     'y') AS BIGINT) AS vy""",
+         """SELECT CAST((map(['x', 'y'], [10, 20])['y'])[1]
+                        AS BIGINT) AS vy"""),
+        ("""SELECT map_contains_key(map('a', 1, 'b', 2), 'a') AS has_a,
+                   map_contains_key(map('a', 1, 'b', 2), 'z') AS has_z""",
+         """SELECT list_contains(map_keys(MAP {'a': 1, 'b': 2}),
+                                 'a') AS has_a,
+                   list_contains(map_keys(MAP {'a': 1, 'b': 2}),
+                                 'z') AS has_z"""),
+        ("""SELECT CAST(size(map_from_arrays(
+                     CAST(array() AS ARRAY<STRING>),
+                     CAST(array() AS ARRAY<INT>))) AS BIGINT) AS empty_n""",
+         """SELECT CAST(cardinality(MAP {}) AS BIGINT) AS empty_n"""),
+        ("""SELECT element_at(map('k', CAST(NULL AS INT)), 'k') IS NULL
+                     AS null_value,
+                   map_contains_key(map('k', CAST(NULL AS INT)), 'k')
+                     AS key_present""",
+         """SELECT (MAP {'k': CAST(NULL AS INT)}['k'])[1] IS NULL
+                     AS null_value,
+                   list_contains(map_keys(MAP {'k': CAST(NULL AS INT)}),
+                                 'k') AS key_present"""),
+        ("""SELECT CAST(element_at(map(1, 'one', 2, 'two'), 2)
+                        AS STRING) AS int_key""",
+         """SELECT CAST((MAP {1: 'one', 2: 'two'}[2])[1]
+                        AS VARCHAR) AS int_key"""),
+        ("""SELECT n_name,
+                   CAST(element_at(map(n_name, n_nationkey), n_name)
+                        AS BIGINT) AS self_key
+           FROM nation ORDER BY n_name LIMIT 6""",
+         """SELECT n_name,
+                   CAST((map([n_name], [n_nationkey])[n_name])[1]
+                        AS BIGINT) AS self_key
+           FROM nation ORDER BY n_name LIMIT 6"""),
+        ("""SELECT array_sort(map_values(
+                     map_concat(map('a', 5), map('b', 3)))) AS vs""",
+         """SELECT array_sort(map_values(
+                     map_concat(MAP {'a': 5}, MAP {'b': 3}))) AS vs"""),
+        ("""SELECT CAST(element_at(
+                     str_to_map('a:1,b:2', ',', ':'), 'b')
+                        AS STRING) AS parsed""",
+         """SELECT CAST((MAP {'a': '1', 'b': '2'}['b'])[1]
+                        AS VARCHAR) AS parsed"""),
+        ("""SELECT element_at(map('a', 1), 'missing') IS NULL AS miss,
+                   CAST(size(map('a', 1, 'b', 2, 'c', 3)) AS BIGINT)
+                     AS n3""",
+         """SELECT (MAP {'a': 1}['missing'])[1] IS NULL AS miss,
+                   CAST(cardinality(MAP {'a': 1, 'b': 2, 'c': 3})
+                        AS BIGINT) AS n3"""),
+    ],
+    # ── LATERAL subqueries: correlated derived tables ──────────────────
+    "lateral_subquery": [
+        """SELECT t.x, l.y
+           FROM (VALUES (1), (2), (3)) t(x),
+                LATERAL (SELECT t.x * 10 AS y) l
+           ORDER BY t.x""",
+        """SELECT t.x, l.y
+           FROM (VALUES (1), (2)) t(x)
+           JOIN LATERAL (SELECT t.x + 100 AS y) l ON true
+           ORDER BY t.x""",
+        """SELECT r.r_name, l.n
+           FROM region r,
+                LATERAL (SELECT CAST(count(*) AS BIGINT) AS n
+                         FROM nation WHERE n_regionkey = r.r_regionkey) l
+           ORDER BY r.r_name""",
+        """SELECT n.n_name, l.total
+           FROM nation n,
+                LATERAL (SELECT CAST(count(*) AS BIGINT) AS total
+                         FROM supplier s
+                         WHERE s.s_nationkey = n.n_nationkey) l
+           WHERE l.total > 0
+           ORDER BY n.n_name LIMIT 8""",
+        """SELECT t.x, l.a, l.b
+           FROM (VALUES (2), (5)) t(x),
+                LATERAL (SELECT t.x - 1 AS a, t.x + 1 AS b) l
+           ORDER BY t.x""",
+        """SELECT r.r_name, l.max_nk
+           FROM region r,
+                LATERAL (SELECT CAST(max(n_nationkey) AS BIGINT) AS max_nk
+                         FROM nation WHERE n_regionkey = r.r_regionkey) l
+           ORDER BY r.r_name""",
+        """SELECT t.x, l.y
+           FROM (VALUES (1), (2)) t(x),
+                LATERAL (SELECT y FROM (VALUES (10), (20)) s(y)
+                         WHERE y > t.x * 10 - 5) l
+           ORDER BY t.x, l.y""",
+        """SELECT c.c_name, l.order_count
+           FROM customer c,
+                LATERAL (SELECT CAST(count(*) AS BIGINT) AS order_count
+                         FROM orders o WHERE o.o_custkey = c.c_custkey) l
+           WHERE c.c_custkey <= 5
+           ORDER BY c.c_name""",
+    ],
+    # ── string measurement: bytes vs chars, codepoints, slices ─────────
+    "string_measure": [
+        ("""SELECT CAST(octet_length('abc') AS BIGINT) AS ascii_bytes,
+                   CAST(octet_length('é') AS BIGINT) AS accent_bytes""",
+         """SELECT CAST(strlen('abc') AS BIGINT) AS ascii_bytes,
+                   CAST(strlen('é') AS BIGINT) AS accent_bytes"""),
+        """SELECT CAST(bit_length('ab') AS BIGINT) AS bits""",
+        """SELECT CAST(length('héllo') AS BIGINT) AS chars,
+                  upper('éa') AS upper_acc""",
+        """SELECT CAST(ascii('a') AS BIGINT) AS lower_a,
+                  CAST(ascii('A') AS BIGINT) AS upper_a,
+                  CAST(ascii('') AS BIGINT) AS empty""",
+        """SELECT chr(65) AS a, chr(122) AS z""",
+        """SELECT left('hello', 2) AS l2, right('hello', 2) AS r2,
+                  left('hi', 10) AS l_over""",
+        ("""SELECT CAST(instr('hello', 'll') AS BIGINT) AS pos,
+                   CAST(instr('hello', 'zz') AS BIGINT) AS missing""",
+         """SELECT CAST(strpos('hello', 'll') AS BIGINT) AS pos,
+                   CAST(strpos('hello', 'zz') AS BIGINT) AS missing"""),
+        """SELECT reverse('abc') AS r, reverse('') AS empty""",
+        """SELECT n_name, CAST(length(n_name) AS BIGINT) AS len,
+                  left(n_name, 3) AS pre
+           FROM nation ORDER BY n_name LIMIT 8""",
+        ("""SELECT CAST(levenshtein('kitten', 'sitting') AS BIGINT)
+                     AS lev,
+                   CAST(levenshtein('abc', 'abc') AS BIGINT) AS same""",
+         """SELECT CAST(levenshtein('kitten', 'sitting') AS BIGINT)
+                     AS lev,
+                   CAST(levenshtein('abc', 'abc') AS BIGINT) AS same"""),
+    ],
+    # ── CASE/WHEN typing and short-circuit edges ───────────────────────
+    "case_when_types": [
+        """SELECT round(CASE WHEN true THEN 1 ELSE 2.5 END, 4)
+                  AS widened""",
+        """SELECT CASE WHEN false THEN 'x' END IS NULL AS no_else""",
+        """SELECT CASE CAST(NULL AS INT) WHEN NULL THEN 'matched'
+                       ELSE 'unmatched' END AS simple_null""",
+        # bare NULL condition is VOID in Spark (no implicit BOOLEAN
+        # coercion) — the typed form is the portable spelling
+        """SELECT CASE WHEN CAST(NULL AS BOOLEAN) THEN 'taken'
+                       ELSE 'skipped' END AS null_cond""",
+        """SELECT x, CASE WHEN x = 0 THEN -1
+                          WHEN 10 / x > 3 THEN 1
+                          ELSE 0 END AS guarded
+           FROM (VALUES (0), (2), (5)) t(x) ORDER BY x""",
+        """SELECT CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS big,
+                  CAST(sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS small
+           FROM lineitem""",
+        """SELECT CASE WHEN n_regionkey < 2 THEN 'low' ELSE 'high' END
+                    AS band,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM nation
+           GROUP BY CASE WHEN n_regionkey < 2 THEN 'low' ELSE 'high' END
+           ORDER BY band""",
+        """SELECT x, CASE x WHEN 1 THEN 'one' WHEN 2 THEN 'two'
+                            ELSE 'many' END AS named
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT CASE WHEN 1 = 1 THEN CASE WHEN 2 = 2 THEN 'both'
+                                            ELSE 'outer' END
+                       ELSE 'neither' END AS nested""",
+        """SELECT x,
+                  CASE WHEN x > 1 THEN CAST(x AS DOUBLE) / 2
+                       ELSE CAST(x AS DOUBLE) END AS mixed_branches
+           FROM (VALUES (1), (4)) t(x) ORDER BY x""",
+    ],
 }
 
 
