@@ -38,7 +38,9 @@ class SltSpec extends AnyFunSuite {
     "extract_surface", "agg_null_empty", "regex_surface3",
     "string_pad_split", "cast_string_edges", "bool_null_truth",
     "exists_depth", "datetime_format", "map_surface2",
-    "lateral_subquery", "string_measure", "case_when_types")
+    "lateral_subquery", "string_measure", "case_when_types",
+    "quantified_subq", "grouping_sets2", "window_navigation2",
+    "rounding_surface")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

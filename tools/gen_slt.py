@@ -3485,6 +3485,198 @@ CORPUS = {
                        ELSE CAST(x AS DOUBLE) END AS mixed_branches
            FROM (VALUES (1), (4)) t(x) ORDER BY x""",
     ],
+    # ── quantified comparisons: ALL / ANY subqueries. Spark 4.1 has NO
+    #    quantified-comparison syntax (parse error — probed 2026-08-13);
+    #    the Spark variants are the standard EXISTS / extremum rewrites,
+    #    including the three-valued CASE form when NULLs are in play ────
+    "quantified_subq": [
+        ("""SELECT 5 > (SELECT max(x)
+                        FROM (VALUES (1), (2), (3)) t(x)) AS gt_all""",
+         """SELECT 5 > ALL (SELECT x FROM (VALUES (1), (2), (3)) t(x))
+                   AS gt_all"""),
+        ("""SELECT 2 > (SELECT max(x)
+                        FROM (VALUES (1), (2), (3)) t(x)) AS not_gt_all""",
+         """SELECT 2 > ALL (SELECT x FROM (VALUES (1), (2), (3)) t(x))
+                   AS not_gt_all"""),
+        ("""SELECT EXISTS (SELECT 1 FROM (VALUES (1), (2), (3)) t(x)
+                           WHERE x = 2) AS eq_any,
+                   EXISTS (SELECT 1 FROM (VALUES (1), (2), (3)) t(x)
+                           WHERE x = 9) AS eq_none""",
+         """SELECT 2 = ANY (SELECT x FROM (VALUES (1), (2), (3)) t(x))
+                   AS eq_any,
+                   9 = ANY (SELECT x FROM (VALUES (1), (2), (3)) t(x))
+                   AS eq_none"""),
+        ("""SELECT NOT EXISTS (SELECT 1 FROM (VALUES (1)) t(x)
+                               WHERE x > 99 AND NOT (5 > x))
+                     AS empty_all,
+                   EXISTS (SELECT 1 FROM (VALUES (1)) t(x)
+                           WHERE x > 99 AND x = 5) AS empty_any""",
+         """SELECT 5 > ALL (SELECT x FROM (VALUES (1)) t(x) WHERE x > 99)
+                   AS empty_all,
+                   5 = ANY (SELECT x FROM (VALUES (1)) t(x) WHERE x > 99)
+                   AS empty_any"""),
+        ("""SELECT (CASE WHEN EXISTS (SELECT 1
+                                      FROM (VALUES (1), (NULL)) t(x)
+                                      WHERE NOT (5 > x)) THEN false
+                         WHEN EXISTS (SELECT 1
+                                      FROM (VALUES (1), (NULL)) t(x)
+                                      WHERE x IS NULL)
+                           THEN CAST(NULL AS BOOLEAN)
+                         ELSE true END) IS NULL AS null_in_all""",
+         """SELECT (5 > ALL (SELECT x FROM (VALUES (1), (NULL)) t(x)))
+                   IS NULL AS null_in_all"""),
+        ("""SELECT EXISTS (SELECT 1 FROM (VALUES (1), (NULL)) t(x)
+                           WHERE x = 1) AS match_despite_null""",
+         """SELECT 1 = ANY (SELECT x FROM (VALUES (1), (NULL)) t(x))
+                   AS match_despite_null"""),
+        ("""SELECT (CASE WHEN EXISTS (SELECT 1
+                                      FROM (VALUES (1), (NULL)) t(x)
+                                      WHERE x = 9) THEN true
+                         WHEN EXISTS (SELECT 1
+                                      FROM (VALUES (1), (NULL)) t(x)
+                                      WHERE x IS NULL)
+                           THEN CAST(NULL AS BOOLEAN)
+                         ELSE false END) IS NULL AS no_match_null_any""",
+         """SELECT (9 = ANY (SELECT x FROM (VALUES (1), (NULL)) t(x)))
+                   IS NULL AS no_match_null_any"""),
+        ("""SELECT r_name FROM region
+           WHERE r_regionkey >= (SELECT max(n_regionkey) FROM nation
+                                 WHERE n_nationkey < 3)
+           ORDER BY r_name""",
+         """SELECT r_name FROM region
+           WHERE r_regionkey >= ALL (SELECT n_regionkey FROM nation
+                                     WHERE n_nationkey < 3)
+           ORDER BY r_name"""),
+        ("""SELECT n_name FROM nation
+           WHERE n_nationkey < (SELECT max(r_regionkey) FROM region)
+           ORDER BY n_name LIMIT 5""",
+         """SELECT n_name FROM nation
+           WHERE n_nationkey < ANY (SELECT r_regionkey FROM region)
+           ORDER BY n_name LIMIT 5"""),
+        ("""SELECT NOT EXISTS (SELECT 1 FROM (VALUES (1), (2)) t(x)
+                               WHERE x = 3) AS neq_all,
+                   NOT EXISTS (SELECT 1 FROM (VALUES (1), (2)) t(x)
+                               WHERE x = 2) AS neq_all_hit""",
+         """SELECT 3 <> ALL (SELECT x FROM (VALUES (1), (2)) t(x))
+                   AS neq_all,
+                   2 <> ALL (SELECT x FROM (VALUES (1), (2)) t(x))
+                   AS neq_all_hit"""),
+    ],
+    # ── grouping sets 2: mixed sets, grouping(), partial rollup ────────
+    "grouping_sets2": [
+        """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
+           FROM nation
+           GROUP BY GROUPING SETS ((n_regionkey), ())
+           ORDER BY n_regionkey NULLS FIRST""",
+        """SELECT n_regionkey, CAST(grouping(n_regionkey) AS BIGINT) AS g,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM nation
+           GROUP BY ROLLUP(n_regionkey)
+           ORDER BY g, n_regionkey NULLS FIRST""",
+        """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           WHERE n_nationkey < 6
+           GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+           ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+        """SELECT o_orderpriority, o_orderstatus,
+                  CAST(grouping(o_orderpriority) AS BIGINT) AS gp,
+                  CAST(grouping(o_orderstatus) AS BIGINT) AS gs,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders
+           GROUP BY CUBE(o_orderpriority, o_orderstatus)
+           ORDER BY gp, gs, o_orderpriority NULLS FIRST,
+                    o_orderstatus NULLS FIRST""",
+        """SELECT n_regionkey, CAST(sum(n_nationkey) AS BIGINT) AS s
+           FROM nation
+           GROUP BY GROUPING SETS ((n_regionkey))
+           ORDER BY n_regionkey""",
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+           FROM orders
+           GROUP BY ROLLUP(o_orderstatus)
+           HAVING grouping(o_orderstatus) = 0
+           ORDER BY o_orderstatus""",
+        """SELECT CASE WHEN n_regionkey < 2 THEN 'low' ELSE 'high' END
+                    AS band,
+                  n_regionkey, CAST(count(*) AS BIGINT) AS n
+           FROM nation
+           GROUP BY GROUPING SETS
+                    ((CASE WHEN n_regionkey < 2 THEN 'low'
+                           ELSE 'high' END),
+                     (n_regionkey))
+           ORDER BY band NULLS FIRST, n_regionkey NULLS FIRST""",
+        """SELECT o_orderpriority, o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders
+           GROUP BY o_orderpriority, ROLLUP(o_orderstatus)
+           ORDER BY o_orderpriority, o_orderstatus NULLS FIRST""",
+    ],
+    # ── window navigation edges: nth beyond, defaults, distribution ────
+    "window_navigation2": [
+        """SELECT x, nth_value(x, 5) OVER
+                    (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING)
+                    AS beyond
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, CAST(lag(x, 1, -99) OVER (ORDER BY x) AS BIGINT)
+                    AS lag_default,
+                  CAST(lead(x, 1, -99) OVER (ORDER BY x) AS BIGINT)
+                    AS lead_default
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, CAST(lag(x, 2) OVER (ORDER BY x) AS BIGINT) AS lag2
+           FROM (VALUES (1), (2), (3), (4)) t(x) ORDER BY x""",
+        """SELECT x, round(percent_rank() OVER (ORDER BY x), 4) AS pr
+           FROM (VALUES (10)) t(x)""",
+        """SELECT x, round(cume_dist() OVER (ORDER BY x), 4) AS cd
+           FROM (VALUES (1), (1), (2)) t(x) ORDER BY x, cd""",
+        """SELECT x, CAST(ntile(3) OVER (ORDER BY x) AS BIGINT) AS bucket
+           FROM (VALUES (1), (2), (3), (4), (5)) t(x) ORDER BY x""",
+        """SELECT x, CAST(ntile(10) OVER (ORDER BY x) AS BIGINT)
+                    AS more_buckets_than_rows
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, CAST(first_value(x) OVER
+                    (ORDER BY x DESC NULLS LAST) AS BIGINT) AS max_so_far
+           FROM (VALUES (1), (3), (2)) t(x) ORDER BY x""",
+        """SELECT n_name,
+                  CAST(nth_value(n_nationkey, 2) OVER
+                       (PARTITION BY n_regionkey ORDER BY n_name
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING) AS BIGINT)
+                    AS second_key
+           FROM nation WHERE n_regionkey = 1 ORDER BY n_name""",
+        """SELECT x, CAST(lead(x, 3) OVER (ORDER BY x) AS BIGINT)
+                    AS lead_off_end
+           FROM (VALUES (1), (2)) t(x) ORDER BY x""",
+    ],
+    # ── rounding surface: half-up vs banker's, negative digits ─────────
+    "rounding_surface": [
+        """SELECT CAST(round(2.5) AS BIGINT) AS half_up,
+                  CAST(round(-2.5) AS BIGINT) AS half_up_neg""",
+        """SELECT CAST(round(1234.5, -2) AS BIGINT) AS neg_digits,
+                  CAST(round(1250, -2) AS BIGINT) AS int_neg_digits""",
+        ("""SELECT CAST(bround(2.5) AS BIGINT) AS banker_down,
+                   CAST(bround(3.5) AS BIGINT) AS banker_up""",
+         """SELECT CAST(round_even(2.5, 0) AS BIGINT) AS banker_down,
+                   CAST(round_even(3.5, 0) AS BIGINT) AS banker_up"""),
+        ("""SELECT CAST(CAST(3.9 AS INT) AS BIGINT) AS trunc_pos,
+                   CAST(CAST(-3.9 AS INT) AS BIGINT) AS trunc_neg""",
+         """SELECT CAST(trunc(3.9) AS BIGINT) AS trunc_pos,
+                   CAST(trunc(-3.9) AS BIGINT) AS trunc_neg"""),
+        """SELECT CAST(ceil(-3.2) AS BIGINT) AS ceil_neg,
+                  CAST(floor(-3.2) AS BIGINT) AS floor_neg,
+                  CAST(ceil(3.0) AS BIGINT) AS ceil_exact""",
+        """SELECT round(3.14159, 2) AS pi2, round(3.14159, 0) AS pi0""",
+        """SELECT CAST(round(0.5) AS BIGINT) AS half,
+                  CAST(round(-0.5) AS BIGINT) AS neg_half,
+                  CAST(round(0.4999) AS BIGINT) AS under_half""",
+        """SELECT round(CAST(l_discount AS DOUBLE), 1) AS d,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY round(CAST(l_discount AS DOUBLE), 1)
+           ORDER BY d""",
+        """SELECT CAST(sign(-7) AS BIGINT) AS neg,
+                  CAST(sign(0) AS BIGINT) AS zero,
+                  CAST(sign(42) AS BIGINT) AS pos""",
+        """SELECT round(123.456, -1) AS neg_one_digit""",
+    ],
 }
 
 
