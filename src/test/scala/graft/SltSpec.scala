@@ -40,7 +40,8 @@ class SltSpec extends AnyFunSuite {
     "exists_depth", "datetime_format", "map_surface2",
     "lateral_subquery", "string_measure", "case_when_types",
     "quantified_subq", "grouping_sets2", "window_navigation2",
-    "rounding_surface")
+    "rounding_surface", "stats_regression", "stats_moments",
+    "sequence_unnest", "listagg_surface")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -3677,6 +3677,166 @@ CORPUS = {
                   CAST(sign(42) AS BIGINT) AS pos""",
         """SELECT round(123.456, -1) AS neg_one_digit""",
     ],
+    # ── linear-regression aggregate family (SQL:2003 regr_*) ───────────
+    "stats_regression": [
+        """SELECT round(regr_slope(y, x), 4) AS slope,
+                  round(regr_intercept(y, x), 4) AS icept
+           FROM (VALUES (1, 2), (2, 4), (3, 7)) t(x, y)""",
+        """SELECT round(regr_r2(y, x), 4) AS r2,
+                  CAST(regr_count(y, x) AS BIGINT) AS n
+           FROM (VALUES (1, 2), (2, 4), (3, 7)) t(x, y)""",
+        """SELECT round(regr_avgx(y, x), 4) AS ax,
+                  round(regr_avgy(y, x), 4) AS ay
+           FROM (VALUES (1, 2), (2, 4), (3, 7)) t(x, y)""",
+        """SELECT round(regr_sxx(y, x), 4) AS sxx,
+                  round(regr_syy(y, x), 4) AS syy,
+                  round(regr_sxy(y, x), 4) AS sxy
+           FROM (VALUES (1, 2), (2, 4), (3, 7)) t(x, y)""",
+        """SELECT CAST(regr_count(y, x) AS BIGINT) AS skips_null_pairs
+           FROM (VALUES (1, 2), (NULL, 4), (3, NULL), (5, 6)) t(x, y)""",
+        """SELECT regr_slope(y, x) IS NULL AS undefined_on_one_point
+           FROM (VALUES (1, 2)) t(x, y)""",
+        """SELECT round(regr_slope(CAST(l_extendedprice AS DOUBLE),
+                                   CAST(l_quantity AS DOUBLE)), 2)
+                    AS price_per_qty
+           FROM lineitem""",
+        """SELECT round(corr(CAST(l_quantity AS DOUBLE),
+                             CAST(l_extendedprice AS DOUBLE)), 4) AS c
+           FROM lineitem""",
+        """SELECT round(covar_pop(y, x), 4) AS cp,
+                  round(covar_samp(y, x), 4) AS cs
+           FROM (VALUES (1, 2), (2, 4), (3, 7)) t(x, y)""",
+        """SELECT l_returnflag,
+                  round(regr_r2(CAST(l_extendedprice AS DOUBLE),
+                                CAST(l_quantity AS DOUBLE)), 3) AS r2
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ],
+    # ── higher moments: population vs sample conventions pinned ────────
+    "stats_moments": [
+        # Spark kurtosis = population excess kurtosis = DuckDB's
+        # kurtosis_pop (DuckDB's bare kurtosis is sample-corrected)
+        ("""SELECT round(kurtosis(x), 4) AS k
+           FROM (VALUES (1.0), (2.0), (3.0), (10.0)) t(x)""",
+         """SELECT round(kurtosis_pop(x), 4) AS k
+           FROM (VALUES (1.0), (2.0), (3.0), (10.0)) t(x)"""),
+        # Spark skewness = population g1; DuckDB's skewness is
+        # sample-corrected — the duck variant computes g1 from moments
+        ("""SELECT round(skewness(x), 4) AS s
+           FROM (VALUES (1.0), (2.0), (3.0), (10.0)) t(x)""",
+         """SELECT round((sum(pow(x - a, 3)) / count(*)) /
+                         pow(stddev_pop(x), 3), 4) AS s
+           FROM (SELECT x, avg(x) OVER () AS a
+                 FROM (VALUES (1.0), (2.0), (3.0), (10.0)) t(x))"""),
+        """SELECT round(stddev_pop(x), 4) AS sp,
+                  round(var_pop(x), 4) AS vp
+           FROM (VALUES (2.0), (4.0), (6.0)) t(x)""",
+        """SELECT stddev_samp(x) IS NULL AS single_row_samp,
+                  round(stddev_pop(x), 4) AS single_row_pop
+           FROM (VALUES (5.0)) t(x)""",
+        """SELECT round(var_samp(x), 4) AS vs, round(var_pop(x), 4) AS vp
+           FROM (VALUES (1.0), (3.0)) t(x)""",
+        """SELECT round(stddev_pop(x), 4) AS all_equal
+           FROM (VALUES (7.0), (7.0), (7.0)) t(x)""",
+        ("""SELECT l_returnflag, round(kurtosis(
+                     CAST(l_quantity AS DOUBLE)), 3) AS k
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+         """SELECT l_returnflag, round(kurtosis_pop(
+                     CAST(l_quantity AS DOUBLE)), 3) AS k
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        """SELECT round(stddev_samp(CAST(l_discount AS DOUBLE)), 4) AS s
+           FROM lineitem""",
+    ],
+    # ── sequence generation and unnest-to-rows ─────────────────────────
+    "sequence_unnest": [
+        ("""SELECT sequence(1, 5) AS s""",
+         """SELECT generate_series(1, 5) AS s"""),
+        ("""SELECT sequence(0, 10, 5) AS stepped,
+                   sequence(5, 1, -2) AS descending""",
+         """SELECT generate_series(0, 10, 5) AS stepped,
+                   generate_series(5, 1, -2) AS descending"""),
+        ("""SELECT CAST(size(sequence(1, 100)) AS BIGINT) AS n""",
+         """SELECT CAST(len(generate_series(1, 100)) AS BIGINT) AS n"""),
+        ("""SELECT v FROM (SELECT explode(array(3, 1, 2)) AS v)
+           ORDER BY v""",
+         """SELECT v FROM (SELECT unnest([3, 1, 2]) AS v) ORDER BY v"""),
+        # Spark posexplode positions are 0-based; DuckDB
+        # generate_subscripts is 1-based — normalized to 1-based here
+        ("""SELECT p + 1 AS pos, v
+           FROM (SELECT posexplode(array(30, 10, 20)) AS (p, v))
+           ORDER BY pos""",
+         """SELECT i AS pos, v
+           FROM (SELECT unnest([30, 10, 20]) AS v,
+                        generate_subscripts([30, 10, 20], 1) AS i)
+           ORDER BY pos"""),
+        ("""SELECT CAST(aggregate(sequence(1, 10), 0,
+                                  (acc, v) -> acc + v) AS BIGINT)
+                   AS triangular""",
+         """SELECT CAST(list_sum(generate_series(1, 10)) AS BIGINT)
+                   AS triangular"""),
+        ("""SELECT v, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT explode(array(1, 2, 2, 3, 3, 3)) AS v)
+           GROUP BY v ORDER BY v""",
+         """SELECT v, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest([1, 2, 2, 3, 3, 3]) AS v)
+           GROUP BY v ORDER BY v"""),
+        ("""SELECT n_name, v
+           FROM nation LATERAL VIEW explode(array(n_nationkey,
+                                                  n_regionkey)) AS v
+           WHERE n_nationkey < 3 ORDER BY n_name, v""",
+         """SELECT n_name, v
+           FROM (SELECT n_name, unnest([n_nationkey, n_regionkey]) AS v
+                 FROM nation WHERE n_nationkey < 3) ORDER BY n_name, v"""),
+        ("""SELECT sequence(DATE '2024-01-01', DATE '2024-01-07',
+                            INTERVAL 3 DAY)[2] AS third""",
+         """SELECT CAST((generate_series(DATE '2024-01-01',
+                                         DATE '2024-01-07',
+                                         INTERVAL 3 DAY))[3]
+                        AS DATE) AS third"""),
+        ("""SELECT explode(sequence(1, 3)) AS v""",
+         """SELECT unnest(generate_series(1, 3)) AS v"""),
+    ],
+    # ── ordered string aggregation: listagg / string_agg ───────────────
+    "listagg_surface": [
+        ("""SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) AS csv
+           FROM (VALUES ('b'), ('a'), ('c')) t(x)""",
+         """SELECT listagg(x, ',' ORDER BY x) AS csv
+           FROM (VALUES ('b'), ('a'), ('c')) t(x)"""),
+        ("""SELECT string_agg(x, '|') WITHIN GROUP (ORDER BY x DESC)
+                   AS piped
+           FROM (VALUES ('a'), ('b'), ('c')) t(x)""",
+         """SELECT string_agg(x, '|' ORDER BY x DESC) AS piped
+           FROM (VALUES ('a'), ('b'), ('c')) t(x)"""),
+        ("""SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) AS skips_null
+           FROM (VALUES ('b'), (NULL), ('a')) t(x)""",
+         """SELECT listagg(x, ',' ORDER BY x) AS skips_null
+           FROM (VALUES ('b'), (NULL), ('a')) t(x)"""),
+        ("""SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x)
+                   IS NULL AS all_null
+           FROM (VALUES (CAST(NULL AS STRING))) t(x)""",
+         """SELECT listagg(x, ',' ORDER BY x) IS NULL AS all_null
+           FROM (VALUES (CAST(NULL AS VARCHAR))) t(x)"""),
+        ("""SELECT r_name,
+                   listagg(n_name, ';') WITHIN GROUP (ORDER BY n_name)
+                     AS members
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           WHERE n_nationkey < 10
+           GROUP BY r_name ORDER BY r_name""",
+         """SELECT r_name,
+                   listagg(n_name, ';' ORDER BY n_name) AS members
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           WHERE n_nationkey < 10
+           GROUP BY r_name ORDER BY r_name"""),
+        ("""SELECT listagg(CAST(x AS STRING), '-')
+                     WITHIN GROUP (ORDER BY x) AS nums
+           FROM (VALUES (3), (1), (2)) t(x)""",
+         """SELECT listagg(CAST(x AS VARCHAR), '-' ORDER BY x) AS nums
+           FROM (VALUES (3), (1), (2)) t(x)"""),
+        ("""SELECT listagg(DISTINCT x, ',') WITHIN GROUP (ORDER BY x)
+                   AS dedup
+           FROM (VALUES ('b'), ('a'), ('b')) t(x)""",
+         """SELECT listagg(DISTINCT x, ',' ORDER BY x) AS dedup
+           FROM (VALUES ('b'), ('a'), ('b')) t(x)"""),
+    ],
 }
 
 
