@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination: flag (and drop) training documents that
+  * share word n-grams with a benchmark/evaluation corpus. This is the
+  * standard pre-training hygiene pass (n-gram collision against held-out
+  * eval sets) that sits beside dedup in a training-data pipeline; the
+  * reference engine has no built-in analogue — this is part of the
+  * beyond-reference LLM-pipeline tier, built on the same codegen'd
+  * Shingles expression as Dedup (functions/SketchExpressions.scala:245).
+  *
+  * Scale posture (100 TB train / small eval):
+  *  - the shuffle carries (doc_id, xxhash64(shingle)) pairs only — the
+  *    shingle text itself never moves (64-bit signatures; a collision
+  *    needs ~2^32 DISTINCT eval shingles to become likely, and eval
+  *    sets are orders of magnitude smaller);
+  *  - shingle sets are DISTINCT per document before the join, so the
+  *    join fan-out is bounded by |distinct shingles|, not text length;
+  *  - the eval side aggregates to distinct (eval_id, hash) first — it
+  *    is small by construction and AQE will broadcast it under the
+  *    threshold; no forced broadcast hint (an eval set CAN grow past
+  *    the 8 GB limit, at which point a shuffle join is the right plan).
+  */
+object Decontamination {
+
+  /** Per-train-document contamination report against an eval corpus.
+    *
+    * Returns one row per train document with at least `minHits` distinct
+    * overlapping n-grams: (doc_id, n_hits, n_eval_docs) where n_hits
+    * counts distinct shared n-grams and n_eval_docs counts distinct
+    * eval documents hit.
+    */
+  def contaminationReport(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      evalIdCol: String, evalTextCol: String,
+      n: Int = 13, minHits: Int = 1): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    graft.functions.Sketches.register(train.sparkSession)
+    val t = shingleHashes(train, idCol, textCol, n)
+      .select(col("id").as("doc_id"), col("h"))
+    val e = shingleHashes(eval, evalIdCol, evalTextCol, n)
+      .select(col("id").as("eval_id"), col("h"))
+      .distinct()
+    t.join(e, "h")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** The removal pass: train documents with NO contamination hit (per
+    * `contaminationReport` at the same parameters), original columns
+    * preserved. Left-anti join on the flagged id set — at scale the
+    * flagged set is a tiny fraction of train, so the anti join's build
+    * side stays small and AQE broadcasts it.
+    */
+  def removeContaminated(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      evalIdCol: String, evalTextCol: String,
+      n: Int = 13, minHits: Int = 1): DataFrame = {
+    val flagged = contaminationReport(train, eval, idCol, textCol,
+        evalIdCol, evalTextCol, n, minHits)
+      .select(col("doc_id"))
+    train.join(flagged, train(idCol) === flagged("doc_id"), "left_anti")
+  }
+
+  /** (id, 64-bit shingle signature) pairs, distinct per document. */
+  private def shingleHashes(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+}

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.{Engine, Q}
-import graft.pipeline.{Chunking, Clustering, Dedup, Multimodal, Packing,
-  Quality, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Clustering, Decontamination, Dedup,
+  Multimodal, Packing, Quality, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,73 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Engine.table(s, d, "documents"),
           "doc_id", "text", shingleSize = 3, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ── eval-set decontamination: train docs sharing ≥3 distinct
+    //    3-gram shingles with the pseudo eval slice (doc_id % 17 = 0).
+    //    Spark joins on xxhash64 signatures (the 100 TB shape: the
+    //    shuffle never carries shingle text); the oracle joins on the
+    //    shingle text — equal barring 64-bit collisions ─────────────────
+    "pipe_decontaminate" -> Q("""
+      |WITH tsh0 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           generate_series(1, greatest(len(ws) - 2, 1)),
+      |           i -> array_to_string(ws[i:i+2], ' '))) sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') ws
+      |        FROM documents WHERE doc_id % 17 <> 0)),
+      |esh0 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           generate_series(1, greatest(len(ws) - 2, 1)),
+      |           i -> array_to_string(ws[i:i+2], ' '))) sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') ws
+      |        FROM documents WHERE doc_id % 17 = 0)),
+      |tsh AS (SELECT doc_id, unnest(sh) s FROM tsh0),
+      |esh AS (SELECT doc_id AS eval_id, unnest(sh) s FROM esh0)
+      |SELECT t.doc_id,
+      |       CAST(count(DISTINCT t.s) AS BIGINT) AS n_hits,
+      |       CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+      |FROM tsh t JOIN esh e ON t.s = e.s
+      |GROUP BY t.doc_id
+      |HAVING count(DISTINCT t.s) >= 3
+      |ORDER BY t.doc_id""") { (s, d) =>
+      val docs = Engine.table(s, d, "documents")
+      Decontamination.contaminationReport(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", "doc_id", "text", n = 3, minHits = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // ── the removal pass: surviving-doc count + id checksum ────────────
+    "pipe_decontaminate_clean" -> Q("""
+      |WITH tsh0 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           generate_series(1, greatest(len(ws) - 2, 1)),
+      |           i -> array_to_string(ws[i:i+2], ' '))) sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') ws
+      |        FROM documents WHERE doc_id % 17 <> 0)),
+      |esh0 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           generate_series(1, greatest(len(ws) - 2, 1)),
+      |           i -> array_to_string(ws[i:i+2], ' '))) sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') ws
+      |        FROM documents WHERE doc_id % 17 = 0)),
+      |tsh AS (SELECT doc_id, unnest(sh) s FROM tsh0),
+      |esh AS (SELECT doc_id AS eval_id, unnest(sh) s FROM esh0),
+      |flagged AS (SELECT t.doc_id FROM tsh t JOIN esh e ON t.s = e.s
+      |            GROUP BY t.doc_id HAVING count(DISTINCT t.s) >= 3)
+      |SELECT CAST(count(*) AS BIGINT) AS n_clean,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents
+      |WHERE doc_id % 17 <> 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM flagged)""") { (s, d) =>
+      val docs = Engine.table(s, d, "documents")
+      Decontamination.removeContaminated(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", "doc_id", "text", n = 3, minHits = 3)
+        .agg(count(lit(1)).as("n_clean"),
+          sum(col("doc_id")).as("id_sum"))
     },
 
     // ── duplicate-cluster assignment: exact ngram pairs → connected

@@ -245,4 +245,32 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("decontamination: report/remove partition train, self-eval flags all") {
+    import graft.pipeline.Decontamination
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val eval = docs.filter(col("doc_id") % 17 === 0)
+    val nTrain = train.count()
+    val flagged = Decontamination.contaminationReport(
+      train, eval, "doc_id", "text", "doc_id", "text", n = 3, minHits = 3)
+    val clean = Decontamination.removeContaminated(
+      train, eval, "doc_id", "text", "doc_id", "text", n = 3, minHits = 3)
+    // report + remove exactly partition the train set
+    assert(flagged.count() + clean.count() == nTrain)
+    val nFlagged = flagged.count()
+    assert(nFlagged > 0, "testdata slice should produce contamination hits")
+    // a clean doc re-checked alone stays clean; eval checked against
+    // itself is fully flagged at minHits=1 (every doc shares all its
+    // own shingles)
+    val selfFlagged = Decontamination.contaminationReport(
+      eval, eval, "doc_id", "text", "doc_id", "text", n = 3, minHits = 1)
+    assert(selfFlagged.count() == eval.count())
+    // raising minHits can only shrink the flagged set
+    val strict = Decontamination.contaminationReport(
+      train, eval, "doc_id", "text", "doc_id", "text", n = 3, minHits = 50)
+    assert(strict.count() <= nFlagged)
+    // n_eval_docs never exceeds the eval corpus size
+    val maxEval = flagged.agg(max(col("n_eval_docs"))).head().getLong(0)
+    assert(maxEval <= eval.count())
+  }
 }
