@@ -94,6 +94,45 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** In-document repetition signals (the Gopher-rule family): the
+    * fraction of word occurrences that are repeats, the same at the
+    * word-n-gram level, and the longest run of one word repeated
+    * back-to-back. High values mark boilerplate/spam for a quality
+    * filter. Distinct n-gram counts come from the codegen'd Shingles
+    * expression; everything is map-side arithmetic — no shuffle.
+    * Requires Sketches.register on the session (query call sites
+    * register). */
+  def dupWordFrac(text: Column): Column = {
+    val ws = split(text, "\\s+")
+    round(lit(1.0) - size(array_distinct(ws)).cast("double")
+      / size(ws).cast("double"), 4)
+  }
+
+  /** 1 - distinct/total word n-grams; total follows the Shingles
+    * convention (a doc shorter than n yields one truncated shingle). */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val total = greatest(
+      size(split(text, "\\s+")) - (n - 1), lit(1)).cast("double")
+    val distinct = size(Dedup.shingles(text, n)).cast("double")
+    round(lit(1.0) - distinct / total, 4)
+  }
+
+  /** Longest back-to-back run of a single repeated word: one
+    * `aggregate` fold over the word array carrying (prev, run, best). */
+  def maxWordRun(text: Column): Column = {
+    val ws = split(text, "\\s+")
+    aggregate(ws,
+      named_struct(lit("prev"), lit(""), lit("run"), lit(0L),
+        lit("best"), lit(0L)),
+      (st, w) => {
+        val run = when(w === st.getField("prev"),
+          st.getField("run") + 1L).otherwise(lit(1L))
+        named_struct(lit("prev"), w, lit("run"), run,
+          lit("best"), greatest(st.getField("best"), run))
+      },
+      st => st.getField("best"))
+  }
+
   /** Polynomial rolling hash over words, mod 1e9+7: word hashes from
     * xxhash64 folded into [0, 1e9+7) — via the codegen'd RollingFpXx
     * expression (bit-identical to the HOF spec below). */

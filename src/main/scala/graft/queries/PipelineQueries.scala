@@ -439,6 +439,46 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ── in-document repetition (Gopher-rule family): dup word/3-gram
+    //    occurrence fractions + longest same-word run; the oracle's run
+    //    length is the gaps-and-islands window idiom over unnested
+    //    words, the Spark side is one aggregate() fold ──────────────────
+    "pipe_text_repetition" -> Q("""
+      |WITH w AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') ws FROM documents),
+      |wpos AS (
+      |  SELECT doc_id, unnest(ws) AS word,
+      |         generate_subscripts(ws, 1) AS i FROM w),
+      |grps AS (
+      |  SELECT doc_id, word,
+      |         i - row_number() OVER (PARTITION BY doc_id, word
+      |                                ORDER BY i) AS grp
+      |  FROM wpos),
+      |runs AS (
+      |  SELECT doc_id, word, grp, count(*) AS run_len
+      |  FROM grps GROUP BY doc_id, word, grp),
+      |max_run AS (
+      |  SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run
+      |  FROM runs GROUP BY doc_id)
+      |SELECT w.doc_id,
+      |       round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 4)
+      |         AS dup_word_frac,
+      |       round(1.0 - len(list_distinct(list_transform(
+      |                 generate_series(1, greatest(len(ws) - 2, 1)),
+      |                 i -> array_to_string(ws[i:i+2], ' ')))) * 1.0
+      |             / greatest(len(ws) - 2, 1), 4) AS dup_3gram_frac,
+      |       max_run
+      |FROM w JOIN max_run ON w.doc_id = max_run.doc_id
+      |ORDER BY w.doc_id""") { (s, d) =>
+      graft.functions.Sketches.register(s)
+      Engine.table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.dupWordFrac(col("text")).as("dup_word_frac"),
+          TextAnalysis.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"),
+          TextAnalysis.maxWordRun(col("text")).as("max_run"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── text statistics: tokens / bpe-ish / quality / md5 fingerprint ────
     "pipe_text_stats" -> Q("""
       |SELECT doc_id,
