@@ -41,7 +41,8 @@ class SltSpec extends AnyFunSuite {
     "lateral_subquery", "string_measure", "case_when_types",
     "quantified_subq", "grouping_sets2", "window_navigation2",
     "rounding_surface", "stats_regression", "stats_moments",
-    "sequence_unnest", "listagg_surface")
+    "sequence_unnest", "listagg_surface", "percentile_modes",
+    "encoding_surface")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

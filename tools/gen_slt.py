@@ -3837,6 +3837,70 @@ CORPUS = {
          """SELECT listagg(DISTINCT x, ',' ORDER BY x) AS dedup
            FROM (VALUES ('b'), ('a'), ('b')) t(x)"""),
     ],
+    # ── ordered-set aggregates: percentile_cont/disc, mode ─────────────
+    "percentile_modes": [
+        """SELECT round(percentile_cont(0.5)
+                    WITHIN GROUP (ORDER BY CAST(x AS DOUBLE)), 4) AS med
+           FROM (VALUES (1), (2), (3), (4)) t(x)""",
+        """SELECT round(percentile_cont(0.25)
+                    WITHIN GROUP (ORDER BY CAST(x AS DOUBLE)), 4) AS q1,
+                  round(percentile_cont(0.75)
+                    WITHIN GROUP (ORDER BY CAST(x AS DOUBLE)), 4) AS q3
+           FROM (VALUES (1), (2), (3), (4)) t(x)""",
+        """SELECT round(percentile_cont(0.0)
+                    WITHIN GROUP (ORDER BY CAST(x AS DOUBLE)), 4) AS lo,
+                  round(percentile_cont(1.0)
+                    WITHIN GROUP (ORDER BY CAST(x AS DOUBLE)), 4) AS hi
+           FROM (VALUES (10), (20), (30)) t(x)""",
+        """SELECT CAST(percentile_disc(0.5)
+                    WITHIN GROUP (ORDER BY x) AS BIGINT) AS med_disc
+           FROM (VALUES (1), (2), (3), (4)) t(x)""",
+        """SELECT CAST(percentile_disc(0.5)
+                    WITHIN GROUP (ORDER BY x) AS BIGINT) AS odd_disc
+           FROM (VALUES (10), (20), (30)) t(x)""",
+        """SELECT round(percentile_cont(0.5)
+                    WITHIN GROUP (ORDER BY CAST(x AS DOUBLE)), 4)
+                  AS interp_between
+           FROM (VALUES (1), (100)) t(x)""",
+        """SELECT CAST(mode(x) AS BIGINT) AS m
+           FROM (VALUES (1), (2), (2), (3)) t(x)""",
+        """SELECT mode(c) AS m
+           FROM (VALUES ('a'), ('b'), ('b'), ('c')) t(c)""",
+        """SELECT l_returnflag,
+                  round(percentile_cont(0.5) WITHIN GROUP
+                    (ORDER BY CAST(l_quantity AS DOUBLE)), 4) AS med_qty
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        """SELECT round(percentile_cont(0.9) WITHIN GROUP
+                    (ORDER BY CAST(l_extendedprice AS DOUBLE)), 2) AS p90
+           FROM lineitem""",
+        """SELECT percentile_cont(0.5)
+                    WITHIN GROUP (ORDER BY CAST(x AS DOUBLE))
+                  IS NULL AS empty_set
+           FROM (VALUES (1)) t(x) WHERE x > 99""",
+    ],
+    # ── binary encodings: hex, base64, sha2, md5, bin ──────────────────
+    "encoding_surface": [
+        """SELECT hex(255) AS h255, hex(0) AS h0""",
+        """SELECT hex('ab') AS hstr""",
+        ("""SELECT CAST(unhex('6162') AS STRING) AS decoded""",
+         """SELECT CAST(unhex('6162') AS VARCHAR) AS decoded"""),
+        ("""SELECT sha2('abc', 256) AS h""",
+         """SELECT sha256('abc') AS h"""),
+        """SELECT md5('abc') AS h, md5('') AS h_empty""",
+        ("""SELECT base64('abc') AS enc""",
+         """SELECT base64('abc'::BLOB) AS enc"""),
+        ("""SELECT CAST(unbase64('YWJj') AS STRING) AS dec""",
+         """SELECT CAST(from_base64('YWJj') AS VARCHAR) AS dec"""),
+        """SELECT bin(5) AS b5, bin(0) AS b0, bin(255) AS b255""",
+        ("""SELECT hex(n_nationkey * 16) AS h, n_name
+           FROM nation WHERE n_nationkey <= 5
+           ORDER BY n_nationkey""",
+         """SELECT hex(n_nationkey * 16) AS h, n_name
+           FROM nation WHERE n_nationkey <= 5
+           ORDER BY n_nationkey"""),
+        """SELECT md5(n_name) AS h FROM nation
+           ORDER BY n_name LIMIT 5""",
+    ],
 }
 
 
