@@ -3901,6 +3901,124 @@ CORPUS = {
         """SELECT md5(n_name) AS h FROM nation
            ORDER BY n_name LIMIT 5""",
     ],
+    # ── JSON path extraction: both engines index arrays 0-based ────────
+    "json_path": [
+        ("""SELECT get_json_object('{"a": 1, "b": "x"}', '$.b') AS s""",
+         """SELECT json_extract_string('{"a": 1, "b": "x"}', '$.b')
+                   AS s"""),
+        ("""SELECT CAST(get_json_object('{"a": 42}', '$.a') AS BIGINT)
+                   AS n""",
+         """SELECT CAST(json_extract('{"a": 42}', '$.a') AS BIGINT)
+                   AS n"""),
+        ("""SELECT get_json_object('{"a": {"b": [10, 20, 30]}}',
+                                   '$.a.b[1]') AS second""",
+         """SELECT json_extract_string('{"a": {"b": [10, 20, 30]}}',
+                                       '$.a.b[1]') AS second"""),
+        ("""SELECT get_json_object('{"a": 1}', '$.zz') IS NULL
+                   AS missing""",
+         """SELECT json_extract_string('{"a": 1}', '$.zz') IS NULL
+                   AS missing"""),
+        ("""SELECT CAST(json_array_length('[1, 2, 3]') AS BIGINT)
+                   AS n3,
+                   CAST(json_array_length('[]') AS BIGINT) AS n0""",
+         """SELECT CAST(json_array_length('[1, 2, 3]') AS BIGINT)
+                   AS n3,
+                   CAST(json_array_length('[]') AS BIGINT) AS n0"""),
+        ("""SELECT get_json_object('{"nested": {"deep": {"x": "v"}}}',
+                                   '$.nested.deep.x') AS deep""",
+         """SELECT json_extract_string(
+                     '{"nested": {"deep": {"x": "v"}}}',
+                     '$.nested.deep.x') AS deep"""),
+        ("""SELECT get_json_object('{"t": true, "f": false}', '$.t')
+                     AS t,
+                   get_json_object('{"t": true, "f": false}', '$.f')
+                     AS f""",
+         """SELECT json_extract_string('{"t": true, "f": false}',
+                                       '$.t') AS t,
+                   json_extract_string('{"t": true, "f": false}',
+                                       '$.f') AS f"""),
+        ("""SELECT round(CAST(get_json_object('{"pi": 3.14}', '$.pi')
+                              AS DOUBLE), 4) AS pi""",
+         """SELECT round(CAST(json_extract('{"pi": 3.14}', '$.pi')
+                              AS DOUBLE), 4) AS pi"""),
+        ("""SELECT get_json_object('[{"id": 1}, {"id": 2}]',
+                                   '$[1].id') AS arr_obj""",
+         """SELECT json_extract_string('[{"id": 1}, {"id": 2}]',
+                                       '$[1].id') AS arr_obj"""),
+        ("""SELECT get_json_object('{"a": null}', '$.a') IS NULL
+                   AS json_null""",
+         """SELECT json_extract_string('{"a": null}', '$.a') IS NULL
+                   AS json_null"""),
+    ],
+    # ── row-value constructors: struct() vs row() comparisons ──────────
+    "row_comparisons": [
+        ("""SELECT struct(1, 2) = struct(1, 2) AS eq,
+                   struct(1, 2) = struct(1, 3) AS neq""",
+         """SELECT (1, 2) = (1, 2) AS eq, (1, 2) = (1, 3) AS neq"""),
+        ("""SELECT struct(1, 2) < struct(1, 3) AS lt_second,
+                   struct(2, 0) > struct(1, 9) AS gt_first""",
+         """SELECT (1, 2) < (1, 3) AS lt_second,
+                   (2, 0) > (1, 9) AS gt_first"""),
+        ("""SELECT n_name FROM nation
+           WHERE (n_regionkey, n_nationkey) IN
+                 (SELECT r_regionkey, r_regionkey FROM region)
+           ORDER BY n_name""",
+         """SELECT n_name FROM nation
+           WHERE (n_regionkey, n_nationkey) IN
+                 (SELECT (r_regionkey, r_regionkey) FROM region)
+           ORDER BY n_name"""),
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+           WHERE (l_returnflag, l_linestatus) IN (('A', 'F'), ('N', 'O'))""",
+        ("""SELECT struct('a', 1) = struct('a', 1) AS str_eq""",
+         """SELECT ('a', 1) = ('a', 1) AS str_eq"""),
+        """SELECT x, y FROM (VALUES (1, 'b'), (1, 'a'), (2, 'a')) t(x, y)
+           ORDER BY x, y""",
+        ("""SELECT least(struct(2, 'b').col1, struct(1, 'z').col1)
+                   AS min_first""",
+         """SELECT least(2, 1) AS min_first"""),
+        ("""SELECT x FROM (VALUES (1), (2), (3)) t(x)
+           WHERE (x, x * 10) IN (SELECT y, y * 10
+                                 FROM (VALUES (2), (3)) s(y))
+           ORDER BY x""",
+         """SELECT x FROM (VALUES (1), (2), (3)) t(x)
+           WHERE (x, x * 10) IN (SELECT (y, y * 10)
+                                 FROM (VALUES (2), (3)) s(y))
+           ORDER BY x"""),
+    ],
+    # ── try_* arithmetic: Spark's error-safe family; the duck variant
+    #    states the expected value (DuckDB has no try_ arithmetic and
+    #    errors on overflow, so it serves as the spec) ──────────────────
+    "try_arith": [
+        ("""SELECT try_add(2147483647, 1) IS NULL AS int_overflow""",
+         """SELECT true AS int_overflow"""),
+        ("""SELECT try_add(1, 2) AS fine""",
+         """SELECT 3 AS fine"""),
+        ("""SELECT try_subtract(-9223372036854775807 - 1, 1) IS NULL
+                   AS bigint_underflow""",
+         """SELECT true AS bigint_underflow"""),
+        ("""SELECT try_multiply(3037000500, 3037000500) IS NULL
+                   AS mult_overflow,
+                   try_multiply(1000, 1000) AS mult_fine""",
+         """SELECT true AS mult_overflow, 1000000 AS mult_fine"""),
+        ("""SELECT try_divide(10, 0) IS NULL AS div_zero,
+                   round(try_divide(10, 4), 4) AS div_fine""",
+         """SELECT 10 / NULLIF(0, 0) IS NULL AS div_zero,
+                   round(10 / 4.0, 4) AS div_fine"""),
+        ("""SELECT try_divide(10.0, 0.0) IS NULL AS float_div_zero""",
+         """SELECT true AS float_div_zero"""),
+        ("""SELECT CAST(try_sum(x) AS BIGINT) AS s
+           FROM (VALUES (1), (2), (3)) t(x)""",
+         """SELECT CAST(sum(x) AS BIGINT) AS s
+           FROM (VALUES (1), (2), (3)) t(x)"""),
+        ("""SELECT try_add(DATE '2024-01-30', INTERVAL 1 MONTH)
+                   AS clamped""",
+         """SELECT CAST(DATE '2024-01-30' + INTERVAL 1 MONTH AS DATE)
+                   AS clamped"""),
+        ("""SELECT CAST(try_to_number('12,345', '99,999') AS BIGINT)
+                     AS parsed,
+                   try_to_number('abc', '999') IS NULL AS bad""",
+         """SELECT CAST(12345 AS BIGINT) AS parsed, true AS bad"""),
+    ],
 }
 
 
