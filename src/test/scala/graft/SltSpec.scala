@@ -42,7 +42,8 @@ class SltSpec extends AnyFunSuite {
     "quantified_subq", "grouping_sets2", "window_navigation2",
     "rounding_surface", "stats_regression", "stats_moments",
     "sequence_unnest", "listagg_surface", "percentile_modes",
-    "encoding_surface", "json_path", "row_comparisons", "try_arith")
+    "encoding_surface", "json_path", "row_comparisons", "try_arith",
+    "recursive_cte", "window_over_agg")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -4019,6 +4019,126 @@ CORPUS = {
                    try_to_number('abc', '999') IS NULL AS bad""",
          """SELECT CAST(12345 AS BIGINT) AS parsed, true AS bad"""),
     ],
+    # ── WITH RECURSIVE: both engines, UNION ALL recursion ──────────────
+    "recursive_cte": [
+        """WITH RECURSIVE s(n) AS (
+             SELECT 1
+             UNION ALL
+             SELECT n + 1 FROM s WHERE n < 10)
+           SELECT CAST(n AS BIGINT) AS n FROM s ORDER BY n""",
+        """WITH RECURSIVE f(n, fact) AS (
+             SELECT 1, CAST(1 AS BIGINT)
+             UNION ALL
+             SELECT n + 1, fact * (n + 1) FROM f WHERE n < 10)
+           SELECT CAST(max(fact) AS BIGINT) AS f10 FROM f""",
+        """WITH RECURSIVE fib(a, b) AS (
+             SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+             UNION ALL
+             SELECT b, a + b FROM fib WHERE b < 100)
+           SELECT CAST(a AS BIGINT) AS n FROM fib ORDER BY a""",
+        """WITH RECURSIVE reach(node) AS (
+             SELECT 1
+             UNION ALL
+             SELECT e.dst FROM reach r
+             JOIN (VALUES (1, 2), (2, 3), (2, 4), (4, 5),
+                          (6, 7)) e(src, dst)
+               ON e.src = r.node)
+           SELECT DISTINCT CAST(node AS BIGINT) AS node
+           FROM reach ORDER BY node""",
+        """WITH RECURSIVE p(n, v) AS (
+             SELECT 0, CAST(1 AS BIGINT)
+             UNION ALL
+             SELECT n + 1, v * 2 FROM p WHERE n < 16)
+           SELECT CAST(sum(v) AS BIGINT) AS geom_sum FROM p""",
+        """WITH RECURSIVE countdown(n) AS (
+             SELECT 5
+             UNION ALL
+             SELECT n - 1 FROM countdown WHERE n > 0)
+           SELECT CAST(n AS BIGINT) AS n FROM countdown ORDER BY n""",
+        """WITH RECURSIVE dates(d) AS (
+             SELECT DATE '2024-01-01'
+             UNION ALL
+             SELECT CAST(d + INTERVAL 7 DAY AS DATE) FROM dates
+             WHERE d < DATE '2024-02-01')
+           SELECT d FROM dates ORDER BY d""",
+        """WITH RECURSIVE chain(s) AS (
+             SELECT CAST('x' AS STRING)
+             UNION ALL
+             SELECT s || 'x' FROM chain WHERE length(s) < 5)
+           SELECT s FROM chain ORDER BY length(s)""" if False else
+        ("""WITH RECURSIVE chain(s) AS (
+             SELECT CAST('x' AS STRING)
+             UNION ALL
+             SELECT s || 'x' FROM chain WHERE length(s) < 5)
+           SELECT s FROM chain ORDER BY length(s)""",
+         """WITH RECURSIVE chain(s) AS (
+             SELECT CAST('x' AS VARCHAR)
+             UNION ALL
+             SELECT s || 'x' FROM chain WHERE length(s) < 5)
+           SELECT s FROM chain ORDER BY length(s)"""),
+        """WITH RECURSIVE r(n) AS (
+             SELECT CAST(n_nationkey AS BIGINT) FROM nation
+             WHERE n_nationkey = 0
+             UNION ALL
+             SELECT n + 5 FROM r WHERE n < 20)
+           SELECT n FROM r ORDER BY n""",
+    ],
+    # ── windows over aggregated results: the two-level analytic shape ──
+    "window_over_agg": [
+        """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+                  CAST(rank() OVER (ORDER BY count(*) DESC,
+                                    n_regionkey) AS BIGINT) AS rk
+           FROM nation GROUP BY n_regionkey ORDER BY rk, n_regionkey""",
+        """SELECT o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(count(*) * 100.0 / sum(count(*)) OVER (), 4)
+                    AS pct
+           FROM orders GROUP BY o_orderpriority
+           ORDER BY o_orderpriority""",
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(CAST(l_quantity AS DOUBLE)), 2) AS qty,
+                  round(sum(sum(CAST(l_quantity AS DOUBLE)))
+                          OVER (PARTITION BY l_returnflag), 2)
+                    AS flag_total
+           FROM lineitem GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus""",
+        """SELECT o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(count(*)) OVER (ORDER BY o_orderstatus
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT)
+                    AS running
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """SELECT n_regionkey,
+                  CAST(max(n_nationkey) AS BIGINT) AS mx,
+                  CAST(lag(max(n_nationkey)) OVER
+                       (ORDER BY n_regionkey) AS BIGINT) AS prev_mx
+           FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+        """SELECT band, CAST(n AS BIGINT) AS n,
+                  CAST(dense_rank() OVER (ORDER BY n DESC) AS BIGINT)
+                    AS rk
+           FROM (SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                             WHEN c_acctbal < 5000 THEN 'mid'
+                             ELSE 'high' END AS band,
+                        count(*) AS n
+                 FROM customer GROUP BY 1)
+           ORDER BY rk, band""",
+        """SELECT l_returnflag,
+                  round(avg(CAST(l_discount AS DOUBLE)), 4) AS avg_disc,
+                  round(avg(CAST(l_discount AS DOUBLE))
+                          - avg(avg(CAST(l_discount AS DOUBLE)))
+                            OVER (), 4) AS vs_overall
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        """SELECT o_orderpriority, yr, CAST(n AS BIGINT) AS n,
+                  CAST(row_number() OVER (PARTITION BY yr
+                         ORDER BY n DESC, o_orderpriority) AS BIGINT)
+                    AS rk_in_year
+           FROM (SELECT o_orderpriority,
+                        CAST(year(o_orderdate) AS BIGINT) AS yr,
+                        count(*) AS n
+                 FROM orders GROUP BY 1, 2)
+           ORDER BY yr, rk_in_year LIMIT 12""",
+    ],
 }
 
 
