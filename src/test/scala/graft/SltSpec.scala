@@ -43,7 +43,8 @@ class SltSpec extends AnyFunSuite {
     "rounding_surface", "stats_regression", "stats_moments",
     "sequence_unnest", "listagg_surface", "percentile_modes",
     "encoding_surface", "json_path", "row_comparisons", "try_arith",
-    "recursive_cte", "window_over_agg")
+    "recursive_cte", "window_over_agg", "between_like_combos",
+    "limit_subquery", "coalesce_chains", "select_no_from")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -4139,6 +4139,130 @@ CORPUS = {
                  FROM orders GROUP BY 1, 2)
            ORDER BY yr, rk_in_year LIMIT 12""",
     ],
+    # ── BETWEEN / LIKE predicate combinations ──────────────────────────
+    "between_like_combos": [
+        """SELECT 5 BETWEEN 1 AND 10 AS in_range,
+                  5 BETWEEN 10 AND 1 AS reversed_empty,
+                  5 NOT BETWEEN 6 AND 9 AS not_between""",
+        """SELECT 'm' BETWEEN 'a' AND 'z' AS str_range,
+                  'M' BETWEEN 'a' AND 'z' AS case_sensitive""",
+        """SELECT DATE '2024-06-15' BETWEEN DATE '2024-01-01'
+                    AND DATE '2024-12-31' AS date_range""",
+        """SELECT (CAST(NULL AS INT) BETWEEN 1 AND 10) IS NULL
+                    AS null_operand,
+                  (5 BETWEEN CAST(NULL AS INT) AND 10) IS NULL
+                    AS null_low_unknown,
+                  5 BETWEEN CAST(NULL AS INT) AND 4 AS null_low_false""",
+        """SELECT 'hello' LIKE 'h_llo' AS underscore,
+                  'hello' LIKE 'h__lo' AS two_underscores,
+                  'hello' LIKE '_ello' AS first_wild""",
+        """SELECT 'abc' LIKE '%' AS any_match,
+                  '' LIKE '%' AS empty_any,
+                  '' LIKE '_' AS empty_one""",
+        """SELECT 'a%b' LIKE 'a!%b' ESCAPE '!' AS escaped_pct,
+                  'axb' LIKE 'a!%b' ESCAPE '!' AS escaped_no_match""",
+        """SELECT ('x' LIKE CAST(NULL AS STRING)) IS NULL
+                    AS null_pattern""" if False else
+        ("""SELECT ('x' LIKE CAST(NULL AS STRING)) IS NULL
+                    AS null_pattern""",
+         """SELECT ('x' LIKE CAST(NULL AS VARCHAR)) IS NULL
+                    AS null_pattern"""),
+        """SELECT p_name FROM part
+           WHERE p_retailprice BETWEEN 901 AND 910
+             AND p_name LIKE '%a%'
+           ORDER BY p_name LIMIT 6""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+           WHERE o_orderpriority LIKE '_-%'
+             AND o_totalprice NOT BETWEEN 0 AND 100000""",
+        """SELECT NOT ('abc' LIKE 'a%') AS not_like,
+                  'abc' NOT LIKE 'z%' AS not_like_kw""",
+    ],
+    # ── LIMIT/OFFSET in nested positions ───────────────────────────────
+    "limit_subquery": [
+        """SELECT CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT n_nationkey FROM nation
+                 ORDER BY n_nationkey LIMIT 7)""",
+        """SELECT CAST(sum(k) AS BIGINT) AS top3_sum
+           FROM (SELECT n_nationkey AS k FROM nation
+                 ORDER BY n_nationkey DESC LIMIT 3)""",
+        """SELECT x FROM (VALUES (1), (2), (3)) t(x)
+           ORDER BY x LIMIT 0""",
+        """WITH top5 AS (SELECT o_orderkey, o_totalprice FROM orders
+                         ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  round(min(o_totalprice), 2) AS floor_price
+           FROM top5""",
+        """SELECT n_name FROM nation
+           ORDER BY n_name LIMIT 5 OFFSET 20""",
+        """SELECT n_name FROM nation
+           ORDER BY n_name LIMIT 3 OFFSET 0""",
+        """SELECT CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT c_custkey FROM customer
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 5)""",
+        """SELECT x FROM (SELECT x FROM (VALUES (5), (3), (9), (1)) t(x)
+                          ORDER BY x LIMIT 3)
+           ORDER BY x DESC LIMIT 2""",
+        """SELECT r_name,
+                  (SELECT n_name FROM nation
+                   WHERE n_regionkey = r_regionkey
+                   ORDER BY n_name LIMIT 1) AS first_nation
+           FROM region ORDER BY r_name""",
+    ],
+    # ── COALESCE / NULLIF / NVL chains and typing ──────────────────────
+    "coalesce_chains": [
+        """SELECT coalesce(CAST(NULL AS INT), CAST(NULL AS INT), 3)
+                    AS third,
+                  coalesce(1, CAST(NULL AS INT)) AS first""",
+        """SELECT coalesce(CAST(NULL AS INT), CAST(NULL AS INT))
+                    IS NULL AS all_null""",
+        """SELECT round(coalesce(CAST(NULL AS DOUBLE), 2.5), 4)
+                    AS typed_mix""",
+        """SELECT nullif(5, 5) IS NULL AS same,
+                  CAST(nullif(5, 6) AS BIGINT) AS diff""",
+        """SELECT nullif(CAST(NULL AS INT), 5) IS NULL AS null_first,
+                  CAST(nullif(5, CAST(NULL AS INT)) AS BIGINT)
+                    AS null_second""",
+        ("""SELECT CAST(nvl(CAST(NULL AS INT), 7) AS BIGINT) AS n,
+                   CAST(nvl2(1, 10, 20) AS BIGINT) AS has_value,
+                   CAST(nvl2(CAST(NULL AS INT), 10, 20) AS BIGINT)
+                     AS no_value""",
+         """SELECT CAST(coalesce(CAST(NULL AS INT), 7) AS BIGINT) AS n,
+                   CAST(CASE WHEN 1 IS NOT NULL THEN 10 ELSE 20 END
+                        AS BIGINT) AS has_value,
+                   CAST(CASE WHEN CAST(NULL AS INT) IS NOT NULL
+                             THEN 10 ELSE 20 END AS BIGINT)
+                     AS no_value"""),
+        """SELECT coalesce(nullif('a', 'a'), 'fallback') AS composed""",
+        """SELECT CAST(count(coalesce(CAST(NULL AS INT), 1))
+                       AS BIGINT) AS counts_coalesced
+           FROM (VALUES (1), (2)) t(x)""",
+        """SELECT n_name,
+                  coalesce(nullif(n_name, n_name), 'was_self') AS c
+           FROM nation ORDER BY n_name LIMIT 5""",
+        ("""SELECT ifnull(CAST(NULL AS INT), 9) AS ifn""",
+         """SELECT coalesce(CAST(NULL AS INT), 9) AS ifn"""),
+    ],
+    # ── FROM-less selects and literal set operations ───────────────────
+    "select_no_from": [
+        """SELECT 1 AS one, 'a' AS letter, true AS flag""",
+        """SELECT CAST(1 + 2 * 3 AS BIGINT) AS precedence,
+                  CAST((1 + 2) * 3 AS BIGINT) AS parens""",
+        """SELECT 1 AS x WHERE 1 = 1""",
+        """SELECT CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT 1 AS x WHERE 1 = 0)""",
+        """SELECT x FROM (SELECT 1 AS x UNION ALL SELECT 2
+                          UNION ALL SELECT 1) ORDER BY x""",
+        """SELECT x FROM (SELECT 1 AS x UNION SELECT 1) ORDER BY x""",
+        """SELECT CAST(-5 AS BIGINT) AS neg,
+                  CAST(- -5 AS BIGINT) AS double_neg,
+                  CAST(+5 AS BIGINT) AS pos""",
+        """SELECT 'a' || 'b' || 'c' AS chained,
+                  length('a' || '') AS concat_empty""",
+        """SELECT CAST(10 - 3 - 2 AS BIGINT) AS left_assoc,
+                  CAST(2 * 3 % 4 AS BIGINT) AS mul_mod""",
+        """SELECT NOT true AS nt, NOT NOT true AS nnt,
+                  NOT 1 > 2 AS not_cmp""",
+    ],
 }
 
 
