@@ -44,7 +44,8 @@ class SltSpec extends AnyFunSuite {
     "sequence_unnest", "listagg_surface", "percentile_modes",
     "encoding_surface", "json_path", "row_comparisons", "try_arith",
     "recursive_cte", "window_over_agg", "between_like_combos",
-    "limit_subquery", "coalesce_chains", "select_no_from")
+    "limit_subquery", "coalesce_chains", "select_no_from",
+    "epoch_conversions", "collation_order", "distinct_on_emulation")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

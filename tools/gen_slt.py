@@ -4263,6 +4263,98 @@ CORPUS = {
         """SELECT NOT true AS nt, NOT NOT true AS nnt,
                   NOT 1 > 2 AS not_cmp""",
     ],
+    # ── epoch/unix-time conversions (both sessions pinned to UTC) ──────
+    "epoch_conversions": [
+        ("""SELECT from_unixtime(0) AS epoch_start""",
+         """SELECT strftime(to_timestamp(0), '%Y-%m-%d %H:%M:%S')
+                   AS epoch_start"""),
+        ("""SELECT CAST(to_unix_timestamp(TIMESTAMP '2024-01-01 00:00:00')
+                        AS BIGINT) AS secs""",
+         """SELECT CAST(epoch(TIMESTAMP '2024-01-01 00:00:00')
+                        AS BIGINT) AS secs"""),
+        ("""SELECT CAST(timestamp_seconds(86400) AS DATE) AS day_two""",
+         """SELECT CAST(to_timestamp(86400) AS DATE) AS day_two"""),
+        ("""SELECT CAST(unix_millis(TIMESTAMP '1970-01-01 00:00:01')
+                        AS BIGINT) AS ms""",
+         """SELECT CAST(epoch_ms(TIMESTAMP '1970-01-01 00:00:01')
+                        AS BIGINT) AS ms"""),
+        ("""SELECT from_unixtime(1700000000, 'yyyy-MM-dd') AS d""",
+         """SELECT strftime(to_timestamp(1700000000), '%Y-%m-%d')
+                   AS d"""),
+        ("""SELECT CAST(to_unix_timestamp(DATE '2000-01-01') AS BIGINT)
+                   AS y2k""",
+         """SELECT CAST(epoch(CAST(DATE '2000-01-01' AS TIMESTAMP))
+                        AS BIGINT) AS y2k"""),
+        ("""SELECT date_from_unix_date(19000) AS d""",
+         """SELECT CAST(DATE '1970-01-01' + INTERVAL 19000 DAY AS DATE)
+                   AS d"""),
+        ("""SELECT CAST(timestamp_seconds(-86400) AS DATE)
+                   AS before_epoch""",
+         """SELECT CAST(to_timestamp(-86400) AS DATE) AS before_epoch"""),
+        ("""SELECT CAST(to_unix_timestamp(CAST(ts AS TIMESTAMP))
+                        AS BIGINT) AS s, event_id
+           FROM events ORDER BY event_id LIMIT 5""",
+         """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                        AS BIGINT) AS s, event_id
+           FROM events ORDER BY event_id LIMIT 5"""),
+    ],
+    # ── binary (codepoint) string ordering: both engines default ──────
+    "collation_order": [
+        """SELECT c FROM (VALUES ('b'), ('A'), ('a'), ('B')) t(c)
+           ORDER BY c""",
+        """SELECT 'a' < 'B' AS lower_after_upper,
+                  'A' < 'a' AS upper_first,
+                  'Z' < 'a' AS all_upper_first""",
+        """SELECT '10' < '9' AS string_numeric,
+                  '100' < '20' AS leading_digit""",
+        """SELECT 'a ' = 'a' AS no_pad,
+                  'a' < 'a ' AS prefix_first""",
+        """SELECT 'z' < 'é' AS ascii_before_multibyte""",
+        """SELECT c FROM (VALUES ('é'), ('e'), ('f'), ('z')) t(c)
+           ORDER BY c""",
+        """SELECT n_name FROM nation
+           WHERE n_name BETWEEN 'A' AND 'F'
+           ORDER BY n_name LIMIT 8""",
+        """SELECT max(c) AS mx, min(c) AS mn
+           FROM (VALUES ('apple'), ('Apple'), ('APPLE')) t(c)""",
+        """SELECT c, CAST(rank() OVER (ORDER BY c) AS BIGINT) AS rk
+           FROM (VALUES ('b'), ('B'), ('a'), ('A')) t(c)
+           ORDER BY c""",
+    ],
+    # ── DISTINCT ON emulation: row_number vs DuckDB's native form ──────
+    "distinct_on_emulation": [
+        ("""SELECT n_regionkey, n_name FROM (
+             SELECT n_regionkey, n_name,
+                    row_number() OVER (PARTITION BY n_regionkey
+                                       ORDER BY n_name) AS rn
+             FROM nation) WHERE rn = 1
+           ORDER BY n_regionkey""",
+         """SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name
+           FROM nation ORDER BY n_regionkey, n_name"""),
+        ("""SELECT o_orderstatus, o_orderkey FROM (
+             SELECT o_orderstatus, o_orderkey,
+                    row_number() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY o_totalprice DESC,
+                                                o_orderkey) AS rn
+             FROM orders) WHERE rn = 1
+           ORDER BY o_orderstatus""",
+         """SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey
+           FROM orders
+           ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey"""),
+        ("""SELECT l_returnflag, round(l_quantity, 2) AS qty FROM (
+             SELECT l_returnflag, l_quantity,
+                    row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_quantity DESC,
+                                                l_orderkey,
+                                                l_linenumber) AS rn
+             FROM lineitem) WHERE rn = 1
+           ORDER BY l_returnflag""",
+         """SELECT DISTINCT ON (l_returnflag) l_returnflag,
+                   round(l_quantity, 2) AS qty
+           FROM lineitem
+           ORDER BY l_returnflag, l_quantity DESC, l_orderkey,
+                    l_linenumber"""),
+    ],
 }
 
 
