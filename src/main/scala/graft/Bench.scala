@@ -157,7 +157,15 @@ object Bench {
     val memStr2 = memQs.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + c(v) }.mkString("{", ",", "}")
     val memTotal2 = if (memQs.isEmpty) "null" else c(memQs.values.sum)
-    println(s"""{"metric":"total","value":${c(total)},"unit":"sec","queries":$tpchStr,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpch_mem_total":$memTotal2,"tpch_mem":$memStr2,"per_query_floor":${c(floor)},"iters":$iters,"failed":$errs}""")
+    // r5 lesson: a 96-name `failed` array at the END of this line ate the
+    // driver's ~2 KB tail capture and lost every parquet TPC-H number.
+    // The compact line carries only a count + the first 5 names (the full
+    // list stays in total_full above), AND the failure fields print
+    // BEFORE `queries` so the headline numbers survive even if failures
+    // someday bloat again.
+    val errsCapped = failed.take(5).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpch_mem_total":$memTotal2,"per_query_floor":${c(floor)},"iters":$iters,"queries":$tpchStr,"tpch_mem":$memStr2}""")
     Engine.clearCache(spark)
     spark.stop()
   }

@@ -49,10 +49,16 @@ object Engine {
     * reach the scan via Catalyst (verify with .explain: PushedFilters /
     * ReadSchema).
     *
-    * events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent
-    * (µs precision max): read it as long via the legacy conf and truncate
-    * to a µs TimestampType — same truncation DuckDB applies when casting
-    * TIMESTAMP_NS → TIMESTAMP, keeping the oracle compare exact. */
+    * events.parquet's `ts` physical type has changed across testdata
+    * generations, so branch on the actual schema instead of assuming one:
+    *  - TIMESTAMP(NANOS): Spark can't represent sub-µs precision; the
+    *    legacy `nanosAsLong` conf surfaces it as BIGINT, which we truncate
+    *    to a µs TimestampType — the same truncation DuckDB applies casting
+    *    TIMESTAMP_NS → TIMESTAMP, keeping the oracle compare exact.
+    *  - TIMESTAMP(MICROS) NTZ (current generation): cast to session-zone
+    *    TimestampType (session pinned UTC above) — identical instants to
+    *    what DuckDB reads as naive µs timestamps.
+    *  - TimestampType: pass through. */
   // Memoized per (session, dir, table): `spark.read.parquet` re-lists
   // files and re-parses footers on every call, which at ~115 queries per
   // Verify/Bench run is pure repeated driver work. The cached DataFrame
@@ -77,10 +83,17 @@ object Engine {
     evictStopped()
     tableCache.getOrElseUpdate((spark, sfDir, name),
       if (name == "events") {
+        import org.apache.spark.sql.functions.{col, expr}
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType}
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts",
-            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.schema("ts").dataType match {
+          case LongType => // TIMESTAMP(NANOS) surfaced as BIGINT via the conf
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case TimestampNTZType => // TIMESTAMP(MICROS) NTZ → session-UTC instant
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw
+        }
       } else spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 

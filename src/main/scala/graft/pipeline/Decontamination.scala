@@ -44,7 +44,6 @@ object Decontamination {
       .select(col("id").as("doc_id"), col("h"))
     val e = shingleHashes(eval, evalIdCol, evalTextCol, n)
       .select(col("id").as("eval_id"), col("h"))
-      .distinct()
     t.join(e, "h")
       .groupBy("doc_id")
       .agg(countDistinct(col("h")).as("n_hits"),
@@ -69,10 +68,15 @@ object Decontamination {
     train.join(flagged, train(idCol) === flagged("doc_id"), "left_anti")
   }
 
-  /** (id, 64-bit shingle signature) pairs, distinct per document. */
+  /** (id, 64-bit shingle signature) pairs, DISTINCT per document — this
+    * distinct is what bounds the join fan-out by |distinct shingles|
+    * rather than text length (a long doc repeating one contaminated
+    * n-gram must not produce one hit row per repetition). Applied on
+    * BOTH sides: train and eval callers go through here. */
   private def shingleHashes(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         explode(Dedup.shingles(col(textCol), n)).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
+      .distinct()
 }
