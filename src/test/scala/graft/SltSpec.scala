@@ -45,7 +45,11 @@ class SltSpec extends AnyFunSuite {
     "encoding_surface", "json_path", "row_comparisons", "try_arith",
     "recursive_cte", "window_over_agg", "between_like_combos",
     "limit_subquery", "coalesce_chains", "select_no_from",
-    "epoch_conversions", "collation_order", "distinct_on_emulation")
+    "epoch_conversions", "collation_order", "distinct_on_emulation",
+    "overflow_fn_edges", "agg_dense1", "agg_dense2", "string_dense4",
+    "regexp_dense4", "map_dense2", "array_dense4", "datetime_dense4",
+    "cond_bool_dense", "join_null_dense", "window_dense6",
+    "setop_dense", "values_dense")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -4355,6 +4355,768 @@ CORPUS = {
            ORDER BY l_returnflag, l_quantity DESC, l_orderkey,
                     l_linenumber"""),
     ],
+    # ── per-function overflow / precision boundaries (r6; reference
+    #    backbone: test_files/math.slt overflow sections) ─────────────
+    "overflow_fn_edges": [
+        """SELECT CAST(factorial(20) AS BIGINT) AS f20""",
+        ("""SELECT factorial(21) IS NULL AS over""",
+         """SELECT true AS over"""),
+        """SELECT TRY_CAST(1e19 AS BIGINT) IS NULL AS over,
+                  TRY_CAST(-1e19 AS BIGINT) IS NULL AS under""",
+        """SELECT CAST(TRY_CAST(1e15 AS BIGINT) AS BIGINT) AS v""",
+        """SELECT exp(710.0) > 1e308 AS exp_inf,
+                  power(2.0, 1024.0) > 1e308 AS pow_inf""",
+        ("""SELECT isnan(sqrt(-1.0)) AS nan_sqrt""",
+         """SELECT true AS nan_sqrt"""),
+        """SELECT isnan(CAST('NaN' AS DOUBLE)) AS n,
+                  CAST('Infinity' AS DOUBLE) > 1e308 AS inf,
+                  CAST('-Infinity' AS DOUBLE) < -1e308 AS ninf""",
+        """SELECT CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)
+                  = CAST(0.3 AS DOUBLE) AS fp_eq""",
+        """SELECT CAST(CAST(9007199254740993 AS DOUBLE) AS BIGINT)
+                  AS dbl_precision_loss""",
+        ("""SELECT try_sum(x) IS NULL AS s FROM
+              (VALUES (9223372036854775807), (1)) t(x)""",
+         """SELECT true AS s"""),
+        ("""SELECT try_multiply(CAST(-3037000500 AS BIGINT),
+                                CAST(3037000500 AS BIGINT)) IS NULL AS m1,
+                   try_multiply(CAST(3037000499 AS BIGINT),
+                                CAST(3037000499 AS BIGINT)) IS NOT NULL
+                   AS m2""",
+         """SELECT true AS m1, true AS m2"""),
+        ("""SELECT shiftleft(CAST(1 AS BIGINT), 62) AS v""",
+         """SELECT CAST(1 AS BIGINT) << 62 AS v"""),
+        ("""SELECT shiftright(CAST(-8 AS BIGINT), 1) AS v""",
+         """SELECT CAST(-8 AS BIGINT) >> 1 AS v"""),
+        ("""SELECT round(hypot(3.0, 4.0), 4) AS h""",
+         """SELECT round(CAST(5.0 AS DOUBLE), 4) AS h"""),
+        """SELECT round(log10(1000.0), 4) AS l10,
+                  round(cbrt(27.0), 4) AS cb""",
+        ("""SELECT round(log(2.0, 8.0), 4) AS l2""",
+         """SELECT round(CAST(3.0 AS DOUBLE), 4) AS l2"""),
+        """SELECT round(degrees(pi()), 4) AS deg,
+                  round(radians(180.0), 4) AS rad""",
+        # DuckDB TRY_CAST rounds fractional strings ('12.5' -> 13);
+        # Spark rejects them -> NULL. Pin Spark's semantics.
+        ("""SELECT CAST(TRY_CAST('  123  ' AS BIGINT) AS BIGINT) AS ws,
+                   TRY_CAST('12.5' AS BIGINT) IS NULL AS frac_str""",
+         """SELECT CAST(123 AS BIGINT) AS ws, true AS frac_str"""),
+        ("""SELECT try_multiply(CAST(-9223372036854775807 - 1 AS BIGINT),
+                                CAST(-1 AS BIGINT)) IS NULL
+                   AS negate_min""",
+         """SELECT true AS negate_min"""),
+        """SELECT CAST(round(CAST(2.5 AS DOUBLE), 0) AS BIGINT) AS r25,
+                  CAST(round(CAST(3.5 AS DOUBLE), 0) AS BIGINT) AS r35""",
+        """SELECT round(atan2(1.0, 1.0), 4) AS a45,
+                  round(sin(pi() / 2), 4) AS s1""",
+    ],
+    # ── aggregate density 1 (reference: test_files/aggregate.slt) ────
+    "agg_dense1": [
+        """SELECT o_orderstatus,
+                  CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+                       AS BIGINT) AS big,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """SELECT l_returnflag,
+                  round(sum(l_extendedprice)
+                        FILTER (WHERE l_discount > 0.05), 2) AS disc_rev
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        """SELECT round(avg(DISTINCT CAST(l_linenumber AS DOUBLE)), 4)
+                  AS ad FROM lineitem""",
+        """SELECT min(c_name) AS mn, max(c_name) AS mx FROM customer""",
+        """SELECT CAST(min(o_orderdate) AS DATE) AS mn,
+                  CAST(max(o_orderdate) AS DATE) AS mx
+           FROM orders""",
+        """SELECT CAST(count(x) AS BIGINT) AS c, sum(x) IS NULL AS s
+           FROM (VALUES (CAST(NULL AS INT)), (CAST(NULL AS INT))) t(x)""",
+        """SELECT CAST(count(*) AS BIGINT) AS c,
+                  sum(o_totalprice) IS NULL AS s,
+                  min(o_orderdate) IS NULL AS m
+           FROM orders WHERE o_orderkey < 0""",
+        """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
+           FROM nation GROUP BY ALL ORDER BY n_regionkey""",
+        """SELECT l_returnflag,
+                  round(median(CAST(l_quantity AS DOUBLE)), 4) AS med
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        """SELECT CAST(mode(l_linenumber) AS BIGINT) AS m FROM lineitem""",
+        ("""SELECT CAST(count_if(o_totalprice > 100000) AS BIGINT) AS c
+           FROM orders""",
+         """SELECT CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+                        AS BIGINT) AS c FROM orders"""),
+        """SELECT bool_and(l_quantity > 0) AS all_pos,
+                  bool_or(l_quantity > 49) AS any_big FROM lineitem""",
+        """SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS f_cnt
+           FROM orders""",
+        """SELECT n_regionkey FROM nation GROUP BY n_regionkey
+           HAVING count(*) = 5 ORDER BY n_regionkey""",
+        """SELECT round(max(s), 2) AS max_cust_total FROM (
+             SELECT sum(o_totalprice) AS s FROM orders
+             GROUP BY o_custkey) t""",
+        """SELECT o_orderkey % 3 AS k, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderkey % 3 ORDER BY k""",
+        """SELECT k, CAST(sum(v) AS BIGINT) AS s FROM
+             (VALUES (CAST(NULL AS INT), 1), (CAST(NULL AS INT), 2),
+                     (1, 3)) t(k, v)
+           GROUP BY k ORDER BY k NULLS FIRST""",
+        """SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS st,
+                  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS pr
+           FROM orders""",
+        """SELECT CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS sd
+           FROM lineitem""",
+        """SELECT CAST(max(o_orderdate)
+                       FILTER (WHERE o_orderstatus = 'F') AS DATE)
+                  AS last_f FROM orders""",
+        """SELECT max_by(n_name, n_nationkey) AS top,
+                  min_by(n_name, n_nationkey) AS bottom FROM nation""",
+        """SELECT o_orderstatus FROM orders GROUP BY o_orderstatus
+           ORDER BY count(*) DESC, o_orderstatus""",
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+           FROM lineitem GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus""",
+        """SELECT CAST(count(*) AS BIGINT) AS stars,
+                  CAST(count(1) AS BIGINT) AS ones,
+                  CAST(count(o_orderkey) AS BIGINT) AS keyed
+           FROM orders""",
+        """SELECT min(x) FILTER (WHERE x > 100) IS NULL AS none_match
+           FROM (VALUES (1), (2)) t(x)""",
+    ],
+    # ── aggregate density 2 ──────────────────────────────────────────
+    "agg_dense2": [
+        """SELECT CAST(sum(CASE WHEN l_discount > 0.05 THEN 2
+                               WHEN l_discount > 0.02 THEN 1
+                               ELSE 0 END) AS BIGINT) AS tiered
+           FROM lineitem""",
+        """SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) AS rf,
+                  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS ls,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem""",
+        """SELECT round(avg(CASE WHEN o_orderstatus = 'F'
+                               THEN 1.0 ELSE 0.0 END), 4) AS f_ratio
+           FROM orders""",
+        """SELECT o_orderstatus FROM orders GROUP BY o_orderstatus
+           HAVING count(*) > 10 AND max(o_totalprice) > 1000
+           ORDER BY o_orderstatus""",
+        """SELECT r_name, round(sum(o_totalprice), 2) AS rev
+           FROM region
+           JOIN nation ON n_regionkey = r_regionkey
+           JOIN customer ON c_nationkey = n_nationkey
+           JOIN orders ON o_custkey = c_custkey
+           GROUP BY r_name ORDER BY r_name""",
+        """SELECT CAST(sum(CASE WHEN l_linenumber > 3 THEN NULL
+                               ELSE 1 END) AS BIGINT) AS nn
+           FROM lineitem""",
+        """SELECT CAST(count(*) - count(x) AS BIGINT) AS null_count FROM
+             (VALUES (1), (CAST(NULL AS INT)), (3),
+                     (CAST(NULL AS INT))) t(x)""",
+        """SELECT round(sum(o_totalprice) /
+                        (SELECT sum(o_totalprice) FROM orders), 4)
+                  AS share
+           FROM orders WHERE o_orderstatus = 'F'""",
+        """SELECT o_orderstatus, o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderstatus, o_orderpriority
+           ORDER BY o_orderstatus, o_orderpriority LIMIT 12""",
+        """SELECT CAST(count(DISTINCT o_orderdate) AS BIGINT) AS days
+           FROM orders WHERE o_orderdate < DATE '1993-01-01'""",
+        """SELECT round(var_samp(CAST(x AS DOUBLE)), 4) AS vs,
+                  round(var_pop(CAST(x AS DOUBLE)), 4) AS vp
+           FROM (VALUES (1), (2), (3), (4)) t(x)""",
+        """SELECT CAST(count(DISTINCT CASE WHEN o_totalprice > 150000
+                                         THEN o_custkey END) AS BIGINT)
+                  AS big_buyers
+           FROM orders""",
+        """SELECT round(avg(n), 4) AS avg_group_size FROM (
+             SELECT CAST(count(*) AS DOUBLE) AS n FROM orders
+             GROUP BY o_custkey) t""",
+        """SELECT st, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT o_orderstatus AS st FROM orders) t
+           GROUP BY st ORDER BY st""",
+        """SELECT CAST(min(o_orderkey) AS BIGINT) AS mn,
+                  CAST(max(o_orderkey) AS BIGINT) AS mx,
+                  CAST(max(o_orderkey) - min(o_orderkey) AS BIGINT)
+                  AS span
+           FROM orders""",
+        """SELECT l_returnflag,
+                  CAST(count(*) FILTER (WHERE l_quantity < 10) AS BIGINT)
+                  AS small,
+                  CAST(count(*) FILTER (WHERE l_quantity >= 10) AS BIGINT)
+                  AS large
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        """SELECT sum(x) IS NULL AS all_null_sum,
+                  CAST(coalesce(sum(y), 0) AS BIGINT) AS coalesced
+           FROM (VALUES (CAST(NULL AS INT), CAST(NULL AS INT))) t(x, y)""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT o_custkey FROM orders GROUP BY o_custkey
+             HAVING count(*) >= 3) t""",
+        """SELECT round(min(o_totalprice), 2) AS mn,
+                  round(max(o_totalprice), 2) AS mx,
+                  round(avg(o_totalprice), 2) AS av
+           FROM orders WHERE o_orderstatus = 'P'""",
+        """SELECT round(greatest(avg(l_quantity),
+                                 CAST(20 AS DECIMAL(12, 2))), 4) AS g
+           FROM lineitem""",
+    ],
+    # ── string surface density 4 ─────────────────────────────────────
+    "string_dense4": [
+        """SELECT translate('abcba', 'bc', 'xy') AS t1,
+                  translate('hello', 'l', '') AS dropped""",
+        ("""SELECT overlay('Spark SQL' PLACING 'ANSI' FROM 7 FOR 3)
+                   AS o""",
+         """SELECT 'Spark ANSI' AS o"""),
+        ("""SELECT locate('ar', 'Spark') AS l,
+                   locate('zz', 'Spark') AS missing""",
+         """SELECT strpos('Spark', 'ar') AS l,
+                   strpos('Spark', 'zz') AS missing"""),
+        """SELECT instr('Spark', 'ar') AS i""",
+        """SELECT split_part('a,b,c', ',', 2) AS mid,
+                  split_part('a,b,c', ',', 5) AS past""",
+        """SELECT CAST(levenshtein('kitten', 'sitting') AS BIGINT) AS d,
+                  CAST(levenshtein('abc', 'abc') AS BIGINT) AS same""",
+        ("""SELECT initcap('hello world') AS ic""",
+         """SELECT 'Hello World' AS ic"""),
+        """SELECT CAST(ascii('A') AS BIGINT) AS a, chr(97) AS c""",
+        ("""SELECT concat('[', space(3), ']') AS sp""",
+         """SELECT concat('[', repeat(' ', 3), ']') AS sp"""),
+        ("""SELECT startswith('Spark', 'Sp') AS s,
+                   endswith('Spark', 'rk') AS e""",
+         """SELECT starts_with('Spark', 'Sp') AS s,
+                   suffix('Spark', 'rk') AS e"""),
+        """SELECT contains('Spark SQL', 'k S') AS c,
+                  contains('Spark', 'z') AS n""",
+        ("""SELECT substr('hello', -3) AS tail3""",
+         """SELECT 'llo' AS tail3"""),
+        """SELECT lpad('abcdef', 3, 'x') AS truncated,
+                  rpad('ab', 5, 'xy') AS padded""",
+        ("""SELECT trim(LEADING 'x' FROM 'xxabcx') AS l,
+                   trim(TRAILING 'x' FROM 'xxabcx') AS t,
+                   trim(BOTH 'x' FROM 'xxabcx') AS b""",
+         """SELECT ltrim('xxabcx', 'x') AS l, rtrim('xxabcx', 'x') AS t,
+                   trim('xxabcx', 'x') AS b"""),
+        ("""SELECT CAST(octet_length('abc') AS BIGINT) AS ob,
+                   CAST(length('abc') AS BIGINT) AS cb""",
+         """SELECT CAST(strlen('abc') AS BIGINT) AS ob,
+                   CAST(length('abc') AS BIGINT) AS cb"""),
+        """SELECT concat_ws('-', 'a', NULL, 'b') AS skip_null,
+                  concat_ws('/', 'solo') AS solo""",
+        ("""SELECT elt(2, 'a', 'b', 'c') AS second""",
+         """SELECT 'b' AS second"""),
+        ("""SELECT format_number(1234567.891, 2) AS fn""",
+         """SELECT '1,234,567.89' AS fn"""),
+        ("""SELECT CAST(char_length('hello') AS BIGINT) AS n""",
+         """SELECT CAST(length('hello') AS BIGINT) AS n"""),
+        """SELECT repeat('ab', 0) AS empty, repeat('ab', 3) AS thrice""",
+        """SELECT reverse('abcde') AS rev""",
+        """SELECT replace('aaa', 'aa', 'b') AS leftmost""",
+        """SELECT substring('hello' FROM 2 FOR 3) AS mid""",
+        ("""SELECT soundex('Robert') AS sx""",
+         """SELECT 'R163' AS sx"""),
+        """SELECT upper('mixedCase') AS u, lower('MixedCase') AS l,
+                  upper('') AS empty""",
+    ],
+    # ── regexp density 4 (Java-regex surfaces beyond RE2; reference:
+    #    test_files/regexp.slt) ────────────────────────────────────────
+    "regexp_dense4": [
+        ("""SELECT CAST(regexp_count('abcabcabc', 'abc') AS BIGINT)
+                   AS n""",
+         """SELECT CAST(3 AS BIGINT) AS n"""),
+        ("""SELECT CAST(regexp_count('a1b22c333', '[0-9]+') AS BIGINT)
+                   AS runs""",
+         """SELECT CAST(3 AS BIGINT) AS runs"""),
+        ("""SELECT CAST(regexp_instr('hello world', 'o') AS BIGINT)
+                   AS first_o""",
+         """SELECT CAST(5 AS BIGINT) AS first_o"""),
+        ("""SELECT regexp_substr('foo123bar', '[0-9]+') AS num""",
+         """SELECT regexp_extract('foo123bar', '[0-9]+', 0) AS num"""),
+        ("""SELECT regexp_extract('foobar', 'foo(?=bar)', 0) AS ahead""",
+         """SELECT 'foo' AS ahead"""),
+        ("""SELECT regexp_like('foobaz', 'foo(?!bar)') AS neg_ahead""",
+         """SELECT true AS neg_ahead"""),
+        ("""SELECT regexp_like('abab', '^(ab)\\\\1$') AS backref,
+                   regexp_like('abba', '^(ab)\\\\1$') AS no_backref""",
+         """SELECT true AS backref, false AS no_backref"""),
+        ("""SELECT regexp_extract('2024-08', '(?<y>[0-9]{4})', 1)
+                   AS named""",
+         """SELECT '2024' AS named"""),
+        ("""SELECT regexp_extract('a5b', '\\\\p{Digit}', 0) AS posix""",
+         """SELECT '5' AS posix"""),
+        """SELECT regexp_extract('aaaa', 'a{3,}', 0) AS ge3,
+                  regexp_extract('aa', 'a{3,}', 0) = '' AS miss""",
+        ("""SELECT regexp_extract('abcd', 'ab|abcd', 0) AS alt""",
+         """SELECT 'ab' AS alt"""),
+        ("""SELECT regexp_replace('john smith',
+                                  '(\\\\w+) (\\\\w+)', '$2 $1') AS sw""",
+         """SELECT regexp_replace('john smith',
+                                  '(\\w+) (\\w+)', '\\2 \\1', 'g')
+                   AS sw"""),
+        # Spark's idx defaults to 1 (whole-match needs explicit 0);
+        # DuckDB's defaults to 0 — pass 0 on both sides
+        """SELECT regexp_extract_all('a1b2c3', '[0-9]', 0) AS digits""",
+        """SELECT regexp_extract_all('k=1,j=2', '([a-z])=', 1)
+                  AS keys""",
+        ("""SELECT regexp_like('a' || chr(10) || 'b', '(?s)a.b')
+                   AS dotall,
+                   regexp_like('a' || chr(10) || 'b', 'a.b')
+                   AS no_dotall""",
+         """SELECT true AS dotall, false AS no_dotall"""),
+        ("""SELECT regexp_like('x' || chr(10) || 'abc', '(?m)^abc')
+                   AS multiline""",
+         """SELECT true AS multiline"""),
+        ("""SELECT regexp_like('a.b', '\\\\Qa.b\\\\E') AS quoted,
+                   regexp_like('axb', '\\\\Qa.b\\\\E') AS not_quoted""",
+         """SELECT true AS quoted, false AS not_quoted"""),
+        ("""SELECT regexp_replace('aaa', 'a*+a', 'X') AS possessive""",
+         """SELECT 'aaa' AS possessive"""),
+    ],
+    # ── map surface density 2 (reference: test_files/map.slt) ────────
+    "map_dense2": [
+        ("""SELECT array_sort(map_values(map('a', 2, 'b', 1))) AS vs""",
+         """SELECT [1, 2] AS vs"""),
+        ("""SELECT CAST(element_at(map_concat(map('a', 1), map('b', 2)),
+                                   'b') AS BIGINT) AS v""",
+         """SELECT CAST(2 AS BIGINT) AS v"""),
+        ("""SELECT element_at(str_to_map('a:1,b:2', ',', ':'), 'b')
+                   AS v""",
+         """SELECT '2' AS v"""),
+        ("""SELECT CAST(element_at(map_filter(map('a', 1, 'b', 2),
+                                              (k, v) -> v > 1), 'b')
+                        AS BIGINT) AS kept,
+                   element_at(map_filter(map('a', 1, 'b', 2),
+                                         (k, v) -> v > 1), 'a')
+                   IS NULL AS dropped""",
+         """SELECT CAST(2 AS BIGINT) AS kept, true AS dropped"""),
+        ("""SELECT CAST(element_at(transform_values(map('a', 3),
+                                                    (k, v) -> v * 10),
+                                   'a') AS BIGINT) AS v""",
+         """SELECT CAST(30 AS BIGINT) AS v"""),
+        ("""SELECT CAST(element_at(transform_keys(map('a', 7),
+                                                  (k, v) -> upper(k)),
+                                   'A') AS BIGINT) AS v""",
+         """SELECT CAST(7 AS BIGINT) AS v"""),
+        ("""SELECT CAST(element_at(map_zip_with(map('k', 1), map('k', 2),
+                                                (k, v1, v2) -> v1 + v2),
+                                   'k') AS BIGINT) AS merged""",
+         """SELECT CAST(3 AS BIGINT) AS merged"""),
+        ("""SELECT CAST(cardinality(map_concat(map('a', 1),
+                                               map('b', 2), map('c', 3)))
+                        AS BIGINT) AS n""",
+         """SELECT CAST(3 AS BIGINT) AS n"""),
+        ("""SELECT CAST(element_at(map_from_entries(
+                     array(struct('a', 1), struct('b', 2))), 'a')
+                        AS BIGINT) AS v""",
+         """SELECT CAST(1 AS BIGINT) AS v"""),
+        ("""SELECT CAST(element_at(element_at(map('o', map('i', 5)), 'o'),
+                                   'i') AS BIGINT) AS nested""",
+         """SELECT CAST(5 AS BIGINT) AS nested"""),
+        ("""SELECT CAST(size(map()) AS BIGINT) AS empty""",
+         """SELECT CAST(0 AS BIGINT) AS empty"""),
+        ("""SELECT CAST(element_at(coalesce(CAST(NULL AS MAP<STRING, INT>),
+                                            map('d', 9)), 'd')
+                        AS BIGINT) AS v""",
+         """SELECT CAST(9 AS BIGINT) AS v"""),
+        ("""SELECT array_sort(map_keys(map_concat(map('b', 1),
+                                                  map('a', 2)))) AS ks""",
+         """SELECT ['a', 'b'] AS ks"""),
+        ("""SELECT CAST(cardinality(map_concat(map(), map('x', 1)))
+                        AS BIGINT) AS n""",
+         """SELECT CAST(1 AS BIGINT) AS n"""),
+    ],
+    # ── array surface density 4 (reference: test_files/array.slt) ────
+    "array_dense4": [
+        ("""SELECT array_sort(array_union(array(1, 2, 2, 3),
+                                          array(3, 4))) AS u""",
+         """SELECT list_sort(list_distinct(list_concat([1, 2, 2, 3],
+                                                       [3, 4]))) AS u"""),
+        ("""SELECT array_sort(array_intersect(array(1, 2, 3),
+                                              array(2, 3, 4))) AS i""",
+         """SELECT list_sort(list_intersect([1, 2, 3], [2, 3, 4]))
+                   AS i"""),
+        ("""SELECT array_sort(array_except(array(1, 2, 3), array(2)))
+                   AS e""",
+         """SELECT [1, 3] AS e"""),
+        ("""SELECT slice(array(1, 2, 3, 4, 5), 2, 3) AS s""",
+         """SELECT ([1, 2, 3, 4, 5])[2:4] AS s"""),
+        ("""SELECT sequence(1, 10, 3) AS s""",
+         """SELECT [1, 4, 7, 10] AS s"""),
+        ("""SELECT sequence(5, 1) AS descending""",
+         """SELECT [5, 4, 3, 2, 1] AS descending"""),
+        ("""SELECT array_insert(array(1, 2, 3), 2, 99) AS ins""",
+         """SELECT [1, 99, 2, 3] AS ins"""),
+        ("""SELECT array_compact(array(1, CAST(NULL AS INT), 2))
+                   AS compacted""",
+         """SELECT [1, 2] AS compacted"""),
+        ("""SELECT array_distinct(array(3, 1, 3, 2)) AS first_seen""",
+         """SELECT [3, 1, 2] AS first_seen"""),
+        ("""SELECT CAST(array_position(array('a', 'b'), 'b') AS BIGINT)
+                   AS hit,
+                   CAST(array_position(array('a', 'b'), 'z') AS BIGINT)
+                   AS miss""",
+         """SELECT CAST(list_position(['a', 'b'], 'b') AS BIGINT) AS hit,
+                   CAST(coalesce(list_position(['a', 'b'], 'z'), 0)
+                        AS BIGINT) AS miss"""),
+        ("""SELECT array_remove(array(1, 2, 1, 3), 1) AS removed""",
+         """SELECT [2, 3] AS removed"""),
+        ("""SELECT array_repeat('x', 3) AS r""",
+         """SELECT ['x', 'x', 'x'] AS r"""),
+        ("""SELECT flatten(array(array(1, 2), array(3))) AS f""",
+         """SELECT flatten([[1, 2], [3]]) AS f"""),
+        ("""SELECT CAST(array_min(array(3, 1, 2)) AS BIGINT) AS mn,
+                   CAST(array_max(array(3, 1, 2)) AS BIGINT) AS mx""",
+         """SELECT CAST(list_aggregate([3, 1, 2], 'min') AS BIGINT) AS mn,
+                   CAST(list_aggregate([3, 1, 2], 'max') AS BIGINT)
+                   AS mx"""),
+        ("""SELECT array_join(array('a', 'b', 'c'), '-') AS j""",
+         """SELECT array_to_string(['a', 'b', 'c'], '-') AS j"""),
+        ("""SELECT exists(array(1, 2, 3), x -> x > 2) AS any_gt2,
+                   forall(array(1, 2, 3), x -> x > 0) AS all_pos""",
+         """SELECT true AS any_gt2, true AS all_pos"""),
+        ("""SELECT transform(filter(array(1, 2, 3, 4), x -> x % 2 = 0),
+                             x -> x * 10) AS evens_x10""",
+         """SELECT list_transform(list_filter([1, 2, 3, 4],
+                                              x -> x % 2 = 0),
+                                  x -> x * 10) AS evens_x10"""),
+        ("""SELECT CAST(aggregate(array(1, 2, 3), 0,
+                                  (acc, x) -> acc + x) AS BIGINT)
+                   AS total""",
+         """SELECT CAST(6 AS BIGINT) AS total"""),
+        ("""SELECT zip_with(array(1, 2), array(10, 20),
+                            (a, b) -> a + b) AS sums""",
+         """SELECT [11, 22] AS sums"""),
+        ("""SELECT sort_array(array(2, 1, 3), false) AS descending""",
+         """SELECT list_sort([2, 1, 3], 'DESC') AS descending"""),
+        ("""SELECT array_contains(array(1, CAST(NULL AS INT)), 1)
+                   AS found,
+                   array_contains(array(1, CAST(NULL AS INT)), 2)
+                   IS NULL AS unknown""",
+         """SELECT true AS found, true AS unknown"""),
+        ("""SELECT get(array('a', 'b'), 1) AS zero_based,
+                   get(array('a', 'b'), 9) IS NULL AS past""",
+         """SELECT 'b' AS zero_based, true AS past"""),
+        ("""SELECT element_at(array(1, 2, 3), -1) AS last_elem""",
+         """SELECT ([1, 2, 3])[-1] AS last_elem"""),
+    ],
+    # ── datetime surface density 4 ───────────────────────────────────
+    "datetime_dense4": [
+        """SELECT CAST(date_trunc('week', DATE '2024-01-18') AS DATE)
+                  AS wk""",
+        """SELECT CAST(date_trunc('quarter', DATE '2024-08-13') AS DATE)
+                  AS q""",
+        ("""SELECT trunc(DATE '2024-08-13', 'MM') AS m""",
+         """SELECT CAST(date_trunc('month', DATE '2024-08-13') AS DATE)
+                   AS m"""),
+        ("""SELECT add_months(DATE '2024-01-31', 1) AS clamped,
+                   add_months(DATE '2024-03-31', -1) AS back""",
+         """SELECT CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE)
+                   AS clamped,
+                   CAST(DATE '2024-03-31' - INTERVAL 1 MONTH AS DATE)
+                   AS back"""),
+        ("""SELECT round(months_between(DATE '2024-03-31',
+                                        DATE '2024-01-31'), 4) AS whole,
+                   round(months_between(DATE '2024-02-14',
+                                        DATE '2024-01-31'), 4) AS frac""",
+         """SELECT round(CAST(2.0 AS DOUBLE), 4) AS whole,
+                   round(CAST(0.4516129032258065 AS DOUBLE), 4)
+                   AS frac"""),
+        """SELECT last_day(DATE '2024-02-10') AS leap,
+                  last_day(DATE '2023-02-10') AS nonleap""",
+        """SELECT make_date(2024, 2, 29) AS leap_day""",
+        ("""SELECT CAST(datediff(DATE '2024-03-01', DATE '2024-01-01')
+                        AS BIGINT) AS days""",
+         """SELECT CAST(date_diff('day', DATE '2024-01-01',
+                                  DATE '2024-03-01') AS BIGINT)
+                   AS days"""),
+        ("""SELECT date_add(DATE '2024-01-01', 45) AS fwd,
+                   date_sub(DATE '2024-01-01', 10) AS back""",
+         """SELECT DATE '2024-01-01' + 45 AS fwd,
+                   DATE '2024-01-01' - 10 AS back"""),
+        ("""SELECT date_format(DATE '2024-08-13', 'yyyy/MM/dd') AS f""",
+         """SELECT strftime(DATE '2024-08-13', '%Y/%m/%d') AS f"""),
+        ("""SELECT date_format(DATE '2024-08-13', 'EEEE') AS dn""",
+         """SELECT dayname(DATE '2024-08-13') AS dn"""),
+        ("""SELECT CAST(dayofweek(DATE '2024-08-13') AS BIGINT)
+                   AS sun1""",
+         """SELECT CAST(dayofweek(DATE '2024-08-13') + 1 AS BIGINT)
+                   AS sun1"""),
+        ("""SELECT CAST(weekday(DATE '2024-08-13') AS BIGINT) AS mon0""",
+         """SELECT CAST(1 AS BIGINT) AS mon0"""),
+        """SELECT CAST(weekofyear(DATE '2024-01-01') AS BIGINT) AS w1,
+                  CAST(weekofyear(DATE '2023-01-01') AS BIGINT) AS w52""",
+        """SELECT CAST(quarter(DATE '2024-08-13') AS BIGINT) AS q,
+                  CAST(month(DATE '2024-08-13') AS BIGINT) AS m,
+                  CAST(year(DATE '2024-08-13') AS BIGINT) AS y""",
+        """SELECT CAST(dayofyear(DATE '2024-12-31') AS BIGINT) AS leap,
+                  CAST(dayofyear(DATE '2023-12-31') AS BIGINT)
+                  AS nonleap""",
+        ("""SELECT to_date('13/08/2024', 'dd/MM/yyyy') AS d""",
+         """SELECT CAST(strptime('13/08/2024', '%d/%m/%Y') AS DATE)
+                   AS d"""),
+        ("""SELECT CAST(unix_date(DATE '1970-01-10') AS BIGINT) AS pos,
+                   CAST(unix_date(DATE '1969-12-25') AS BIGINT) AS neg""",
+         """SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                  DATE '1970-01-10') AS BIGINT) AS pos,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                  DATE '1969-12-25') AS BIGINT)
+                   AS neg"""),
+        ("""SELECT next_day(DATE '2024-08-13', 'MON') AS nm""",
+         """SELECT DATE '2024-08-19' AS nm"""),
+        """SELECT CAST(extract(HOUR FROM
+                    make_timestamp(2024, 1, 2, 13, 4, 5)) AS BIGINT)
+                  AS h""",
+        """SELECT last_day(DATE '2000-02-01') AS century_leap""",
+        """SELECT CAST(o_orderdate AS DATE) AS od,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders
+           WHERE o_orderdate = (SELECT min(o_orderdate) FROM orders)
+           GROUP BY o_orderdate""",
+    ],
+    # ── conditional / boolean density ────────────────────────────────
+    "cond_bool_dense": [
+        ("""SELECT CAST(greatest(1, NULL, 3) AS BIGINT) AS g,
+                   CAST(least(5, NULL, 2) AS BIGINT) AS l""",
+         """SELECT CAST(3 AS BIGINT) AS g, CAST(2 AS BIGINT) AS l"""),
+        """SELECT CAST(coalesce(NULL, CAST(5 AS BIGINT)) AS BIGINT)
+                  AS c""",
+        ("""SELECT CAST(nvl(NULL, 7) AS BIGINT) AS n,
+                   CAST(nvl(3, 7) AS BIGINT) AS k""",
+         """SELECT CAST(coalesce(NULL, 7) AS BIGINT) AS n,
+                   CAST(coalesce(3, 7) AS BIGINT) AS k"""),
+        ("""SELECT CAST(nvl2(1, 10, 20) AS BIGINT) AS has,
+                   CAST(nvl2(NULL, 10, 20) AS BIGINT) AS hasnt""",
+         """SELECT CAST(10 AS BIGINT) AS has,
+                   CAST(20 AS BIGINT) AS hasnt"""),
+        """SELECT CAST(ifnull(NULL, 9) AS BIGINT) AS i""",
+        """SELECT nullif(5, 5) IS NULL AS same,
+                  CAST(nullif(5, 6) AS BIGINT) AS diff""",
+        ("""SELECT CAST(if(1 < 2, 'yes', 'no') = 'yes' AS BOOLEAN)
+                   AS t""",
+         """SELECT true AS t"""),
+        """SELECT CASE WHEN 1 > 2 THEN 'a' END IS NULL AS no_else""",
+        """SELECT CASE 3 WHEN 1 THEN 'one' WHEN 3 THEN 'three'
+                  ELSE 'other' END AS simple""",
+        """SELECT least(DATE '2024-01-01', DATE '2023-12-31') AS d""",
+        """SELECT greatest('apple', 'banana', 'cherry') AS s""",
+        ("""SELECT round(nanvl(CAST('NaN' AS DOUBLE), 0.0), 4) AS nv""",
+         """SELECT round(CAST(0.0 AS DOUBLE), 4) AS nv"""),
+        """SELECT CAST('true' AS BOOLEAN) AS t,
+                  CAST('false' AS BOOLEAN) AS f,
+                  CAST('1' AS BOOLEAN) AS one,
+                  CAST('0' AS BOOLEAN) AS zero""",
+        """SELECT coalesce(NULL, NULL, 'third') AS c3,
+                  coalesce('first', 'second') AS c1""",
+        """SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+                       WHEN o_totalprice > 100000 THEN 'mid'
+                       ELSE 'low' END AS band,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1 ORDER BY band""",
+    ],
+    # ── join null-key semantics density ──────────────────────────────
+    "join_null_dense": [
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM
+             (VALUES (1), (CAST(NULL AS INT))) a(k)
+           JOIN (VALUES (1), (CAST(NULL AS INT))) b(k)
+           ON a.k = b.k""",
+        """SELECT a.k, b.k IS NULL AS unmatched FROM
+             (VALUES (1), (CAST(NULL AS INT))) a(k)
+           LEFT JOIN (VALUES (1)) b(k) ON a.k = b.k
+           ORDER BY a.k NULLS FIRST""",
+        ("""SELECT CAST(count(*) AS BIGINT) AS n FROM
+              (VALUES (1), (CAST(NULL AS INT))) a(k)
+            JOIN (VALUES (1), (CAST(NULL AS INT))) b(k)
+            ON a.k <=> b.k""",
+         """SELECT CAST(count(*) AS BIGINT) AS n FROM
+              (VALUES (1), (CAST(NULL AS INTEGER))) a(k)
+            JOIN (VALUES (1), (CAST(NULL AS INTEGER))) b(k)
+            ON a.k IS NOT DISTINCT FROM b.k"""),
+        """SELECT CAST(coalesce(a.k, b.k) AS BIGINT) AS k,
+                  a.k IS NULL AS only_right,
+                  b.k IS NULL AS only_left
+           FROM (VALUES (1), (2)) a(k)
+           FULL OUTER JOIN (VALUES (2), (3)) b(k) ON a.k = b.k
+           ORDER BY k""",
+        """SELECT CAST(x AS BIGINT) AS x FROM (VALUES (1), (2), (3)) t(x)
+           WHERE NOT EXISTS (
+             SELECT 1 FROM (VALUES (2), (CAST(NULL AS INT))) u(y)
+             WHERE u.y = t.x)
+           ORDER BY x""",
+        """SELECT CAST(x AS BIGINT) AS x FROM (VALUES (1), (2), (3)) t(x)
+           WHERE EXISTS (
+             SELECT 1 FROM (VALUES (2), (CAST(NULL AS INT))) u(y)
+             WHERE u.y = t.x)
+           ORDER BY x""",
+        """SELECT CAST(a.k AS BIGINT) AS k, CAST(b.j AS BIGINT) AS j
+           FROM (VALUES (1), (2)) a(k)
+           JOIN (VALUES (2), (3)) b(j) ON a.k + 1 = b.j
+           ORDER BY k""",
+        """SELECT n1.n_name AS a, n2.n_name AS b
+           FROM nation n1 JOIN nation n2
+           ON n1.n_regionkey = n2.n_regionkey
+              AND n1.n_nationkey < n2.n_nationkey
+           WHERE n1.n_regionkey = 0
+           ORDER BY a, b LIMIT 10""",
+        """SELECT CAST(count(*) AS BIGINT) AS n
+           FROM region CROSS JOIN region r2""",
+        """SELECT c_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+                          AND n_regionkey = 1
+           ORDER BY c_name LIMIT 5""",
+        """SELECT CAST(count(*) AS BIGINT) AS fanout FROM
+             (VALUES (1), (1)) a(k) JOIN (VALUES (1), (1), (1)) b(k)
+           ON a.k = b.k""",
+        """SELECT r_name, n_name FROM region
+           JOIN nation ON r_regionkey = n_regionkey
+           WHERE r_name = 'ASIA' ORDER BY n_name""",
+        """SELECT CAST(count(*) AS BIGINT) AS n
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_orderstatus = 'F' AND l.l_quantity > 45""",
+    ],
+    # ── window density 6 ─────────────────────────────────────────────
+    "window_dense6": [
+        """SELECT x, CAST(ntile(3) OVER (ORDER BY x) AS BIGINT) AS bucket
+           FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9),
+                        (10)) t(x)
+           ORDER BY x""",
+        """SELECT x, CAST(lag(x, 1, -1) OVER (ORDER BY x) AS BIGINT)
+                  AS prev
+           FROM (VALUES (10), (20), (30)) t(x) ORDER BY x""",
+        """SELECT x, lead(x, 2) OVER (ORDER BY x) IS NULL AS no_lead
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT o_orderstatus,
+                  CAST(rank() OVER (ORDER BY o_orderstatus) AS BIGINT)
+                  AS r,
+                  CAST(dense_rank() OVER (ORDER BY o_orderstatus)
+                       AS BIGINT) AS dr
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """SELECT x, round(percent_rank() OVER (ORDER BY x), 4) AS pr
+           FROM (VALUES (5)) t(x)""",
+        """SELECT x, round(cume_dist() OVER (ORDER BY x), 4) AS cd
+           FROM (VALUES (1), (2), (2), (3)) t(x) ORDER BY x, cd""",
+        """SELECT n_name,
+                  CAST(row_number() OVER (ORDER BY n_nationkey)
+                       AS BIGINT) AS rn
+           FROM nation ORDER BY rn LIMIT 5""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS running
+           FROM (VALUES (1), (2), (3), (4)) t(x) ORDER BY x""",
+        """SELECT x, round(avg(CAST(x AS DOUBLE)) OVER (ORDER BY x
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4)
+                  AS ma3
+           FROM (VALUES (2), (4), (6), (8)) t(x) ORDER BY x""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                       RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS win
+           FROM (VALUES (1), (3), (9), (12)) t(x) ORDER BY x""",
+        """SELECT x,
+                  CAST(first_value(x) OVER w AS BIGINT) AS fv,
+                  CAST(last_value(x) OVER w AS BIGINT) AS lv
+           FROM (VALUES (1), (2), (3)) t(x)
+           WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+           ORDER BY x""",
+        """SELECT n_regionkey, n_name FROM (
+             SELECT n_regionkey, n_name,
+                    row_number() OVER (PARTITION BY n_regionkey
+                                       ORDER BY n_name) AS rn
+             FROM nation) t WHERE rn <= 2
+           ORDER BY n_regionkey, n_name""",
+        """SELECT x,
+                  CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS fwd,
+                  CAST(row_number() OVER (ORDER BY x DESC) AS BIGINT)
+                  AS bwd
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT o_orderstatus, CAST(count(*) OVER () AS BIGINT)
+                  AS total
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """SELECT n_name, CAST(sum(n_nationkey)
+                       OVER (PARTITION BY n_regionkey) AS BIGINT)
+                  AS region_sum
+           FROM nation WHERE n_regionkey = 2 ORDER BY n_name""",
+        """SELECT x, CAST(nth_value(x, 2) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                       FOLLOWING) AS BIGINT) AS second
+           FROM (VALUES (10), (20), (30)) t(x) ORDER BY x""",
+        """SELECT x, CAST(min(x) OVER (ORDER BY x
+                       ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING)
+                       AS BIGINT) AS next_min
+           FROM (VALUES (3), (1), (2)) t(x) ORDER BY x""",
+        """SELECT l_returnflag,
+                  round(max(s) OVER (), 2) AS best FROM (
+             SELECT l_returnflag, sum(l_extendedprice) AS s
+             FROM lineitem GROUP BY l_returnflag) t
+           ORDER BY l_returnflag""",
+    ],
+    # ── set-operation density ────────────────────────────────────────
+    "setop_dense": [
+        """SELECT CAST(x AS BIGINT) AS x FROM (
+             SELECT 1 AS x UNION SELECT 1 UNION SELECT 2) t
+           ORDER BY x""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT o_orderstatus FROM orders
+             UNION ALL SELECT o_orderstatus FROM orders) t""",
+        """SELECT CAST(x AS BIGINT) AS x FROM (
+             SELECT 1 AS x UNION ALL SELECT 2
+             INTERSECT SELECT 2) t ORDER BY x""",
+        """SELECT CAST(x AS BIGINT) AS x FROM (
+             (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 2)
+             EXCEPT ALL (SELECT 2)) t ORDER BY x""",
+        """SELECT o_orderstatus FROM orders
+           INTERSECT SELECT l_linestatus FROM lineitem
+           ORDER BY o_orderstatus""",
+        """SELECT n_name FROM nation WHERE n_regionkey = 0
+           EXCEPT SELECT n_name FROM nation WHERE n_nationkey < 5
+           ORDER BY n_name""",
+        """SELECT CAST(x AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT 1 AS x UNION ALL SELECT 1
+                 INTERSECT ALL SELECT 1 UNION ALL SELECT 1) t
+           GROUP BY x""",
+        """SELECT CAST(x AS BIGINT) AS x FROM (
+             SELECT 1 AS x UNION SELECT NULL UNION SELECT NULL) t
+           ORDER BY x NULLS FIRST""",
+        """SELECT round(x, 4) AS x FROM (
+             SELECT CAST(1 AS DOUBLE) AS x
+             UNION SELECT CAST(1.0 AS DOUBLE)) t""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT n_nationkey FROM nation
+             EXCEPT SELECT r_regionkey FROM region) t""",
+        """SELECT x FROM (
+             SELECT 'a' AS x UNION ALL SELECT 'b'
+             UNION ALL SELECT 'a') t
+           GROUP BY x HAVING count(*) = 2""",
+        """SELECT CAST(a AS BIGINT) AS a, b FROM (
+             SELECT 1 AS a, 'x' AS b UNION SELECT 1, 'y'
+             UNION SELECT 1, 'x') t ORDER BY a, b""",
+    ],
+    # ── VALUES / inline-table density ────────────────────────────────
+    "values_dense": [
+        """SELECT CAST(x AS BIGINT) AS x, y
+           FROM (VALUES (1, 'a'), (2, 'b')) t(x, y) ORDER BY x""",
+        """SELECT round(x, 4) AS x FROM
+             (VALUES (1), (2.5)) t(x) ORDER BY x""",
+        """SELECT CAST(x AS BIGINT) AS x FROM
+             (VALUES (1), (NULL), (3)) t(x) ORDER BY x NULLS FIRST""",
+        """SELECT t.x, u.y FROM (VALUES ('a')) t(x)
+           CROSS JOIN (VALUES ('b'), ('c')) u(y) ORDER BY t.x, u.y""",
+        """SELECT CAST(max(x) AS BIGINT) AS mx FROM
+             (VALUES (5), (3), (9)) t(x)""",
+        """SELECT CAST(x + 1 AS BIGINT) AS inc FROM
+             (VALUES (10)) t(x)""",
+        """SELECT v.x FROM (VALUES ('one'), ('two'), ('three')) v(x)
+           WHERE length(v.x) = 3 ORDER BY v.x""",
+        """SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+           FROM (VALUES (1, 2), (3, 4)) t(a, b)
+           WHERE a < b ORDER BY a""",
+        """SELECT x, CAST(count(*) AS BIGINT) AS n FROM
+             (VALUES ('dup'), ('dup'), ('solo')) t(x)
+           GROUP BY x ORDER BY x""",
+        """SELECT CAST(sum(x * y) AS BIGINT) AS dot FROM
+             (VALUES (1, 10), (2, 20)) t(x, y)""",
+        """SELECT b FROM (VALUES (true), (false), (NULL)) t(b)
+           ORDER BY b NULLS FIRST""",
+        """SELECT d FROM (VALUES (DATE '2024-01-01'),
+                                 (DATE '2023-06-15')) t(d)
+           ORDER BY d""",
+    ],
 }
 
 
