@@ -69,4 +69,51 @@ object Sampling {
       .filter(col("__rk") <= col("__quota"))
       .drop("__rk", "__quota")
   }
+
+  /** Temperature (α-weighted) sampling: draw `total` rows with per-class
+    * quotas ∝ n_c^α — the standard source/language-mixing step for
+    * pre-training corpora (α<1 flattens the head, upweights the tail;
+    * α=1 is proportional, α=0 uniform — cf. the multilingual sampling
+    * exponent in public mC4/mT5 training setups). Downsample-only: a
+    * class quota is capped at n_c (no replacement).
+    *
+    * Determinism contract (same reasoning as rebalanceToTarget):
+    * quotas come from double arithmetic (n^α / Σ n^α), so a floor() at
+    * an exact boundary could flip on a last-ulp difference between
+    * engines; the `+ 1e-9` guard before floor absorbs ulp-level
+    * divergence on BOTH sides. The shipped oracle query uses α=0.5,
+    * where n^α = sqrt(n) is correctly-rounded IEEE on every engine.
+    * Selection inside a class is the same md5-ranked window — rerun-
+    * and engine-reproducible.
+    *
+    * Scale: one count aggregate (one row per class, collected — driver-
+    * tiny), one broadcast of quotas, one per-class ranked window: a
+    * single exchange on classCol, identical to any per-group top-n.
+    */
+  def temperatureSample(df: DataFrame, classCol: String, idCol: String,
+      alpha: Double, total: Long): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(total > 0, s"total must be positive, got $total")
+    val counts = df.filter(col(classCol).isNotNull)
+      .groupBy(col(classCol).cast("string").as(classCol))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no non-null class rows to sample")
+    val weights = counts.map { case (c, n) =>
+      c -> math.pow(n.toDouble, alpha) }
+    // deterministic (sorted-key) summation order: the oracle's SUM may
+    // add in any order; both land within the 1e-9 floor guard
+    val wSum = weights.toSeq.sortBy(_._1).map(_._2).sum
+    val quotas = weights.map { case (c, wc) =>
+      c -> math.min(counts(c), math.floor(total * wc / wSum + 1e-9).toLong)
+    }
+    val quotaDf = df.sparkSession
+      .createDataFrame(quotas.toSeq).toDF(classCol, "__quota")
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(quotaDf), Seq(classCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__rk", "__quota")
+  }
 }

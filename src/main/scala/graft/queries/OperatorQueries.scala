@@ -225,6 +225,28 @@ object OperatorQueries {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // ── temperature (α-weighted) source mixing: quotas ∝ n_lang^0.5,
+    //    md5-ranked selection; α=0.5 keeps pow = sqrt (correctly-rounded
+    //    IEEE on both engines), +1e-9 guards the floor boundary ─────────
+    "sample_temperature" -> Q("""
+      |WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |s AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+      |tot AS (SELECT sum(w) AS sw FROM s),
+      |q AS (SELECT lang, least(n, CAST(floor(300 * w / sw + 1e-9)
+      |                                 AS BIGINT)) AS quota
+      |      FROM s, tot),
+      |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM documents)
+      |SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
+      |WHERE r.rk <= q.quota
+      |ORDER BY r.lang, r.doc_id""") { (s, d) =>
+      Sampling.temperatureSample(Engine.table(s, d, "documents"),
+          "lang", "doc_id", alpha = 0.5, total = 300)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // ── group-level MinHash via custom typed Aggregator ──────────────────
     // (elementwise-min of row signatures = signature of the union of the
     // groups' shingle sets; property-tested in OperatorSpec)

@@ -104,6 +104,38 @@ class PackingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("absent"))
   }
 
+  test("temperatureSample: alpha flattens the mix, quotas capped at n") {
+    import spark.implicits._
+    val df = (
+      (1 to 900).map(i => (i.toLong, "web")) ++
+      (1001 to 1100).map(i => (i.toLong, "code")) ++
+      (2001 to 2004).map(i => (i.toLong, "books"))).toDF("id", "cls")
+    val out = graft.operators.Sampling.temperatureSample(
+      df, "cls", "id", alpha = 0.5, total = 200)
+    val mix = out.groupBy(col("cls")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt weights: 30 / 10 / 2 over sum 42 → floor(200·w/42): 142 / 47 / 9,
+    // books capped at its 4 rows
+    assert(mix == Map("web" -> 142L, "code" -> 47L, "books" -> 4L))
+    // alpha=1 is proportional: web dominates harder than at alpha=0.5
+    val prop = graft.operators.Sampling.temperatureSample(
+        df, "cls", "id", alpha = 1.0, total = 200)
+      .groupBy(col("cls")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop("web") > mix("web"))
+    // alpha=0 is uniform-quota: every class gets the same floor(total/3)
+    val unif = graft.operators.Sampling.temperatureSample(
+        df, "cls", "id", alpha = 0.0, total = 30)
+      .groupBy(col("cls")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unif == Map("web" -> 10L, "code" -> 10L, "books" -> 4L))
+    // deterministic rerun
+    val again = graft.operators.Sampling.temperatureSample(
+      df, "cls", "id", alpha = 0.5, total = 200)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("overlap windows share exactly `overlap` tokens") {
     import spark.implicits._
     val df = Seq((1L, (1 to 20).map("w" + _).mkString(" ")))
