@@ -49,7 +49,9 @@ class SltSpec extends AnyFunSuite {
     "overflow_fn_edges", "agg_dense1", "agg_dense2", "string_dense4",
     "regexp_dense4", "map_dense2", "array_dense4", "datetime_dense4",
     "cond_bool_dense", "join_null_dense", "window_dense6",
-    "setop_dense", "values_dense")
+    "setop_dense", "values_dense", "decimal_dense2", "correlated_dense",
+    "json_dense2", "grouping_dense3", "window_frames7",
+    "interval_dense2", "codec_dense")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

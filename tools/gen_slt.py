@@ -5117,6 +5117,302 @@ CORPUS = {
                                  (DATE '2023-06-15')) t(d)
            ORDER BY d""",
     ],
+    # ── decimal precision / scale propagation ────────────────────────
+    "decimal_dense2": [
+        """SELECT CAST(1.10 AS DECIMAL(10, 2))
+                  + CAST(2.05 AS DECIMAL(10, 2)) AS s""",
+        """SELECT CAST(1.25 AS DECIMAL(10, 2))
+                  * CAST(0.04 AS DECIMAL(10, 2)) AS p""",
+        """SELECT round(CAST(1 AS DECIMAL(10, 2)) / 3, 4) AS third""",
+        """SELECT round(sum(CAST(x AS DECIMAL(10, 2))), 4) AS s FROM
+             (VALUES (1.11), (2.22), (3.33)) t(x)""",
+        """SELECT round(avg(CAST(x AS DECIMAL(10, 2))), 4) AS a FROM
+             (VALUES (1.00), (2.00), (4.00)) t(x)""",
+        """SELECT round(CAST(-2.345 AS DECIMAL(10, 3)), 2) AS neg_half""",
+        # Spark decimal->int CAST truncates toward zero; DuckDB rounds
+        ("""SELECT CAST(CAST(2.9 AS DECIMAL(5, 1)) AS INT) AS t1,
+                   CAST(CAST(-2.9 AS DECIMAL(5, 1)) AS INT) AS t2""",
+         """SELECT CAST(trunc(CAST(2.9 AS DECIMAL(5, 1))) AS INTEGER)
+                   AS t1,
+                   CAST(trunc(CAST(-2.9 AS DECIMAL(5, 1))) AS INTEGER)
+                   AS t2"""),
+        """SELECT round(TRY_CAST('12.345' AS DECIMAL(10, 3)), 4) AS ok,
+                  TRY_CAST('abc' AS DECIMAL(10, 2)) IS NULL AS bad""",
+        """SELECT CAST(1.5 AS DECIMAL(5, 1)) > 1.4999 AS cmp""",
+        """SELECT round(min(CAST(x AS DECIMAL(8, 2))), 4) AS mn,
+                  round(max(CAST(x AS DECIMAL(8, 2))), 4) AS mx FROM
+             (VALUES (-5.25), (0.00), (7.75)) t(x)""",
+        """SELECT round(CAST(10.50 AS DECIMAL(10, 2))
+                        % CAST(3.00 AS DECIMAL(10, 2)), 4) AS m""",
+        """SELECT round(sum(DISTINCT CAST(x AS DECIMAL(8, 2))), 4) AS sd
+           FROM (VALUES (1.50), (1.50), (2.25)) t(x)""",
+        """SELECT CAST(round(12345.678, -2) AS BIGINT) AS hundreds""",
+        ("""SELECT round(bround(2.5, 0), 4) AS even1,
+                   round(bround(3.5, 0), 4) AS even2""",
+         """SELECT round(CAST(2.0 AS DOUBLE), 4) AS even1,
+                   round(CAST(4.0 AS DOUBLE), 4) AS even2"""),
+        """SELECT round(CAST(0.1 AS DECIMAL(3, 1))
+                        + CAST(0.2 AS DECIMAL(3, 1)), 4) AS exact""",
+    ],
+    # ── correlated subquery density ──────────────────────────────────
+    "correlated_dense": [
+        """SELECT o_orderkey,
+                  CAST((SELECT count(*) FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey) AS BIGINT)
+                  AS n_lines
+           FROM orders o ORDER BY o_orderkey LIMIT 10""",
+        """SELECT o_orderkey FROM orders o
+           WHERE EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey
+                           AND l.l_quantity > 49)
+           ORDER BY o_orderkey LIMIT 10""",
+        """SELECT n_name FROM nation n
+           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_nationkey = n.n_nationkey)
+           ORDER BY n_name""",
+        """SELECT o_orderkey,
+                  round(coalesce((SELECT sum(l_extendedprice)
+                                  FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey
+                                    AND l.l_discount > 0.09), 0), 2)
+                  AS heavy_disc
+           FROM orders o ORDER BY o_orderkey LIMIT 8""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM orders o
+           WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",
+        """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n
+           FROM customer c GROUP BY c_nationkey
+           HAVING count(*) > (SELECT count(*) FROM customer)
+                             / (SELECT count(DISTINCT c_nationkey) + 5
+                                FROM customer)
+           ORDER BY c_nationkey""",
+        """SELECT o_orderkey,
+                  CAST((SELECT max(l_linenumber) FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey) AS BIGINT)
+                  AS max_line,
+                  CAST((SELECT min(l_linenumber) FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey) AS BIGINT)
+                  AS min_line
+           FROM orders o ORDER BY o_orderkey LIMIT 10""",
+        """SELECT o_orderkey,
+                  CASE WHEN (SELECT count(*) FROM lineitem l
+                             WHERE l.l_orderkey = o.o_orderkey) > 4
+                       THEN 'big' ELSE 'small' END AS sz
+           FROM orders o ORDER BY o_orderkey LIMIT 10""",
+        """SELECT s_suppkey FROM supplier s
+           WHERE EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_suppkey = s.s_suppkey
+                           AND l.l_returnflag = 'R')
+           ORDER BY s_suppkey LIMIT 10""",
+        """SELECT n_nationkey FROM nation n
+           WHERE n_nationkey = (SELECT min(c_nationkey) FROM customer c
+                                WHERE c.c_nationkey >= n.n_nationkey)
+           ORDER BY n_nationkey LIMIT 10""",
+        """SELECT r_name FROM region r
+           WHERE (SELECT count(*) FROM nation n
+                  WHERE n.n_regionkey = r.r_regionkey) = 5
+           ORDER BY r_name""",
+        """SELECT o_orderkey FROM orders o
+           WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey
+                                  AND l.l_linenumber = 7)
+           ORDER BY o_orderkey LIMIT 10""",
+    ],
+    # ── JSON path density 2 ──────────────────────────────────────────
+    "json_dense2": [
+        ("""SELECT get_json_object('{"a": {"b": [1, 2, 3]}}', '$.a.b[1]')
+                   AS second""",
+         """SELECT json_extract_string('{"a": {"b": [1, 2, 3]}}',
+                                       '$.a.b[1]') AS second"""),
+        ("""SELECT get_json_object('{"a": 1}', '$.missing') IS NULL
+                   AS miss""",
+         """SELECT json_extract_string('{"a": 1}', '$.missing') IS NULL
+                   AS miss"""),
+        ("""SELECT get_json_object('{"k": "v"}', '$.k') AS v""",
+         """SELECT json_extract_string('{"k": "v"}', '$.k') AS v"""),
+        ("""SELECT get_json_object('{"a": {"b": {"c": 42}}}', '$.a.b.c')
+                   AS deep""",
+         """SELECT json_extract_string('{"a": {"b": {"c": 42}}}',
+                                       '$.a.b.c') AS deep"""),
+        ("""SELECT CAST(json_array_length('[1, 2, 3, 4]') AS BIGINT)
+                   AS n""",
+         """SELECT CAST(json_array_length('[1, 2, 3, 4]') AS BIGINT)
+                   AS n"""),
+        ("""SELECT array_sort(json_object_keys('{"b": 1, "a": 2}'))
+                   AS ks""",
+         """SELECT list_sort(json_keys('{"b": 1, "a": 2}')) AS ks"""),
+        ("""SELECT CAST(from_json('{"a": 7}', 'a INT').a AS BIGINT)
+                   AS typed""",
+         """SELECT CAST(7 AS BIGINT) AS typed"""),
+        ("""SELECT to_json(named_struct('a', 1, 'b', 'x')) AS j""",
+         """SELECT '{"a":1,"b":"x"}' AS j"""),
+        ("""SELECT get_json_object('[10, 20, 30]', '$[2]') AS idx""",
+         """SELECT '30' AS idx"""),
+        ("""SELECT from_json('[1, 2, 3]', 'ARRAY<INT>') AS arr""",
+         """SELECT [1, 2, 3] AS arr"""),
+        ("""SELECT get_json_object('{"a": null}', '$.a') IS NULL
+                   AS json_null""",
+         """SELECT true AS json_null"""),
+        ("""SELECT CAST(from_json('{"a": {"b": 5}}',
+                                  'a STRUCT<b: INT>').a.b AS BIGINT)
+                   AS nested""",
+         """SELECT CAST(5 AS BIGINT) AS nested"""),
+    ],
+    # ── grouping sets density 3 ──────────────────────────────────────
+    "grouping_dense3": [
+        """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+                  coalesce(o_orderpriority, 'ALL') AS pr,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                   (o_orderstatus), ())
+           ORDER BY st, pr LIMIT 25""",
+        """SELECT CAST(grouping(o_orderstatus) AS BIGINT) AS g,
+                  coalesce(o_orderstatus, '-') AS st,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY ROLLUP (o_orderstatus)
+           ORDER BY g, st""",
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows FROM (
+             SELECT l_returnflag, l_linestatus, count(*) AS c
+             FROM lineitem
+             GROUP BY CUBE (l_returnflag, l_linestatus)) t""",
+        """SELECT coalesce(l_returnflag, '-') AS rf,
+                  coalesce(l_linestatus, '-') AS ls,
+                  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           ORDER BY g_rf, g_ls, rf, ls""",
+        # grouping() in HAVING doesn't resolve in Spark when the select
+        # list coalesces the key — filter in an outer query instead
+        """SELECT st, rev FROM (
+             SELECT coalesce(o_orderstatus, 'T') AS st,
+                    round(sum(o_totalprice), 2) AS rev,
+                    CAST(grouping(o_orderstatus) AS BIGINT) AS g,
+                    count(*) AS c
+             FROM orders GROUP BY ROLLUP (o_orderstatus)) t
+           WHERE g = 1 OR c > 100 ORDER BY st""",
+        """SELECT st, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN 'total'
+                         ELSE o_orderstatus END AS st
+             FROM orders GROUP BY ROLLUP (o_orderstatus)) t
+           GROUP BY st ORDER BY st""",
+        """SELECT coalesce(n_name, r_name, 'GRAND') AS lvl,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           GROUP BY GROUPING SETS ((n_name), (r_name), ())
+           ORDER BY lvl LIMIT 20""",
+        """SELECT coalesce(o_orderstatus, 'A') AS st,
+                  CAST(year(min(o_orderdate)) AS BIGINT) AS first_year
+           FROM orders GROUP BY ROLLUP (o_orderstatus)
+           ORDER BY st""",
+    ],
+    # ── window frames density 7 ──────────────────────────────────────
+    "window_frames7": [
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS rev_running
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+                       AS BIGINT) AS lagged_pair
+           FROM (VALUES (1), (2), (3), (4)) t(x) ORDER BY x""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                       ROWS BETWEEN 0 PRECEDING AND 0 FOLLOWING)
+                       AS BIGINT) AS self_only
+           FROM (VALUES (5), (7)) t(x) ORDER BY x""",
+        """SELECT x, CAST(count(*) OVER (ORDER BY x
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS BIGINT) AS remaining
+           FROM (VALUES (1), (2), (3), (4)) t(x) ORDER BY x""",
+        """SELECT x, max(x) OVER (ORDER BY x
+                       ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING)
+                  IS NULL AS tail_empty
+           FROM (VALUES (1), (2), (3)) t(x) ORDER BY x""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                       RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS BIGINT) AS suffix_sum
+           FROM (VALUES (1), (2), (2), (3)) t(x) ORDER BY x, suffix_sum""",
+        """SELECT x, CAST(sum(x) OVER (ORDER BY x
+                       RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                       AS BIGINT) AS peer_sum
+           FROM (VALUES (1), (2), (2), (3)) t(x) ORDER BY x, peer_sum""",
+        """SELECT d, CAST(sum(v) OVER (ORDER BY d
+                       RANGE BETWEEN INTERVAL 2 DAY PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS win3d
+           FROM (VALUES (DATE '2024-01-01', 1),
+                        (DATE '2024-01-02', 10),
+                        (DATE '2024-01-05', 100),
+                        (DATE '2024-01-06', 1000)) t(d, v)
+           ORDER BY d""",
+        """SELECT x, CAST(min(x) OVER (ORDER BY x
+                       RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                       AS BIGINT) AS near_min
+           FROM (VALUES (1), (5), (6), (20)) t(x) ORDER BY x""",
+        """SELECT x, round(avg(CAST(x AS DOUBLE)) OVER (
+                       PARTITION BY x % 2 ORDER BY x
+                       ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 4)
+                  AS par_ma
+           FROM (VALUES (1), (2), (3), (4), (5), (6)) t(x)
+           ORDER BY x""",
+        """SELECT x, CAST(count(*) OVER () AS BIGINT) AS n_all,
+                  CAST(count(*) OVER (PARTITION BY x % 2) AS BIGINT)
+                  AS n_par
+           FROM (VALUES (1), (2), (3), (4), (5)) t(x) ORDER BY x""",
+    ],
+    # ── interval arithmetic density 2 ────────────────────────────────
+    "interval_dense2": [
+        """SELECT CAST(DATE '2023-01-31' + INTERVAL 14 MONTH AS DATE)
+                  AS ym""",
+        ("""SELECT date_add(DATE '2024-01-01', 3 * 7) AS mul""",
+         """SELECT CAST(DATE '2024-01-01' + INTERVAL 21 DAY AS DATE)
+                   AS mul"""),
+        """SELECT CAST(DATE '2024-03-15' - INTERVAL 45 DAY AS DATE)
+                  AS back""",
+        """SELECT CAST(TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL 90 MINUTE AS DATE) AS still_day1,
+                  CAST(extract(HOUR FROM TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL 90 MINUTE) AS BIGINT) AS h""",
+        """SELECT CAST(DATE '2024-02-29' + INTERVAL 1 YEAR AS DATE)
+                  AS leap_fwd""",
+        ("""SELECT CAST(datediff(DATE '2024-12-31', DATE '2024-01-01')
+                        AS BIGINT) AS span""",
+         """SELECT CAST(DATE '2024-12-31' - DATE '2024-01-01' AS BIGINT)
+                   AS span"""),
+        """SELECT CAST(extract(MINUTE FROM TIMESTAMP '2024-01-01 10:20:30'
+                       + INTERVAL 100 SECOND) AS BIGINT) AS m""",
+        """SELECT CAST(DATE '2024-01-01' + INTERVAL 0 DAY AS DATE)
+                  AS identity""",
+        """SELECT CAST(TIMESTAMP '2024-06-15 12:00:00'
+                       - INTERVAL 36 HOUR AS DATE) AS prev_day""",
+        """SELECT DATE '2024-01-10' + INTERVAL 5 DAY
+                  > DATE '2024-01-14' AS cmp""",
+    ],
+    # ── encoding / hash codec density ────────────────────────────────
+    "codec_dense": [
+        ("""SELECT base64('abc') AS b64""",
+         """SELECT 'YWJj' AS b64"""),
+        ("""SELECT string(unbase64('YWJj')) AS plain""",
+         """SELECT 'abc' AS plain"""),
+        """SELECT upper(hex(255)) AS ff, lower(hex(16)) AS ten""",
+        ("""SELECT string(unhex('616263')) AS s""",
+         """SELECT 'abc' AS s"""),
+        """SELECT md5('graft') AS m""",
+        ("""SELECT sha1('graft') AS s1""",
+         """SELECT '9c298007ec968fa5b8de22a5356f4bd8a865daf2' AS s1"""),
+        ("""SELECT sha2('graft', 256) AS s256""",
+         """SELECT sha256('graft') AS s256"""),
+        ("""SELECT CAST(crc32('graft') AS BIGINT) AS c""",
+         """SELECT CAST(31255620 AS BIGINT) AS c"""),
+        ("""SELECT url_encode('a b&c') AS enc,
+                   url_decode('a%20b%26c') AS dec""",
+         """SELECT 'a+b%26c' AS enc, 'a b&c' AS dec"""),
+        """SELECT md5('') AS empty_md5""",
+        ("""SELECT CAST(xxhash64('graft') AS BIGINT) =
+                   CAST(xxhash64('graft') AS BIGINT) AS stable""",
+         """SELECT true AS stable"""),
+        ("""SELECT length(sha2('x', 512)) AS hexlen""",
+         """SELECT CAST(128 AS BIGINT) AS hexlen"""),
+    ],
 }
 
 
