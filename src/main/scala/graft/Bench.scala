@@ -25,7 +25,7 @@ object Bench {
     val noExt = sys.env.contains("SPARK_GRAFT_NO_EXT")
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-    val spark = (if (noExt) builder0
+    val builder1 = (if (noExt) builder0
       else builder0.withExtensions(new GraftExtensions))
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled",
@@ -33,6 +33,14 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_CONF="k=v;k2=v2": extra confs for A/B experiments
+    // (e.g. adaptive.coalescePartitions.parallelismFirst) without a
+    // recompile between runs
+    val spark = sys.env.get("SPARK_GRAFT_CONF")
+      .map(_.split(";").filter(_.contains("=")))
+      .getOrElse(Array.empty)
+      .foldLeft(builder1) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k.trim, v.trim) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (noExt) GraftFunctionsRegistry.registerAll(spark)
