@@ -51,7 +51,8 @@ class SltSpec extends AnyFunSuite {
     "cond_bool_dense", "join_null_dense", "window_dense6",
     "setop_dense", "values_dense", "decimal_dense2", "correlated_dense",
     "json_dense2", "grouping_dense3", "window_frames7",
-    "interval_dense2", "codec_dense")
+    "interval_dense2", "codec_dense", "arrays_dense5", "string_dense5",
+    "window_dense8", "agg_dense3", "null_dense3")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -5413,6 +5413,304 @@ CORPUS = {
         ("""SELECT length(sha2('x', 512)) AS hexlen""",
          """SELECT CAST(128 AS BIGINT) AS hexlen"""),
     ],
+    # ── array surface density 5 (reference: array.slt is the densest
+    #    slt file — 6.8k lines) ───────────────────────────────────────
+    "arrays_dense5": [
+        ("""SELECT array('b', 'a') AS arr ORDER BY arr""",
+         """SELECT ['b', 'a'] AS arr ORDER BY arr"""),
+        ("""SELECT a, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT array(x % 2, x % 3) AS a
+              FROM (VALUES (0), (1), (2), (3), (4), (5)) t(x)) g
+            GROUP BY a ORDER BY a""",
+         """SELECT a, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT [x % 2, x % 3] AS a
+              FROM (VALUES (0), (1), (2), (3), (4), (5)) t(x)) g
+            GROUP BY a ORDER BY a"""),
+        ("""SELECT x FROM (VALUES (array(1, 2)), (array(1)),
+                                  (array(2))) t(x)
+            ORDER BY x""",
+         """SELECT x FROM (VALUES ([1, 2]), ([1]), ([2])) t(x)
+            ORDER BY x"""),
+        ("""SELECT array(1, 2) = array(1, 2) AS eq,
+                   array(1, 2) = array(2, 1) AS neq""",
+         """SELECT [1, 2] = [1, 2] AS eq, [1, 2] = [2, 1] AS neq"""),
+        ("""SELECT concat(array(1, 2), array(3)) AS c""",
+         """SELECT [1, 2] || [3] AS c"""),
+        ("""SELECT element_at(element_at(array(array(1, 2),
+                                               array(3, 4)), 2), 1)
+                   AS corner""",
+         """SELECT ([[1, 2], [3, 4]])[2][1] AS corner"""),
+        ("""SELECT CAST(size(array()) AS BIGINT) AS empty,
+                   CAST(size(array(1, 1, 1)) AS BIGINT) AS three""",
+         """SELECT CAST(0 AS BIGINT) AS empty,
+                   CAST(3 AS BIGINT) AS three"""),
+        ("""SELECT array_sort(array('banana', 'apple', 'cherry'))
+                   AS sorted_strs""",
+         """SELECT list_sort(['banana', 'apple', 'cherry'])
+                   AS sorted_strs"""),
+        ("""SELECT CAST(count(*) AS BIGINT) AS n FROM
+              (VALUES (array(1, 2))) a(x)
+            JOIN (VALUES (array(1, 2)), (array(9))) b(y)
+            ON a.x = b.y""",
+         """SELECT CAST(count(*) AS BIGINT) AS n FROM
+              (VALUES ([1, 2])) a(x)
+            JOIN (VALUES ([1, 2]), ([9])) b(y) ON a.x = b.y"""),
+        ("""SELECT transform(array(1, 2, 3),
+                             x -> CASE WHEN x % 2 = 0 THEN x
+                                       ELSE -x END) AS signed""",
+         """SELECT list_transform([1, 2, 3],
+                                  x -> CASE WHEN x % 2 = 0 THEN x
+                                            ELSE -x END) AS signed"""),
+        ("""SELECT array(CAST(NULL AS INT), 1) AS leading_null""",
+         """SELECT [CAST(NULL AS INTEGER), 1] AS leading_null"""),
+        ("""SELECT array_distinct(array(CAST(NULL AS INT), 1,
+                                        CAST(NULL AS INT))) AS dedup""",
+         """SELECT [CAST(NULL AS INTEGER), 1] AS dedup"""),
+        ("""SELECT array_max(array(1, CAST(NULL AS INT), 3)) IS NOT NULL
+                   AS skips_null,
+                   CAST(array_max(array(1, CAST(NULL AS INT), 3))
+                        AS BIGINT) AS mx""",
+         """SELECT true AS skips_null, CAST(3 AS BIGINT) AS mx"""),
+        ("""SELECT filter(array(1, CAST(NULL AS INT), 3),
+                          x -> x IS NOT NULL) AS compact_hof""",
+         """SELECT list_filter([1, CAST(NULL AS INTEGER), 3],
+                               x -> x IS NOT NULL) AS compact_hof"""),
+        ("""SELECT sort_array(collect_list(n_regionkey)) AS ks
+            FROM nation WHERE n_nationkey < 5""",
+         """SELECT list_sort(list(n_regionkey)) AS ks
+            FROM nation WHERE n_nationkey < 5"""),
+        ("""SELECT array_position(array(1, 2, 1), 1) = 1
+                   AS first_occurrence""",
+         """SELECT list_position([1, 2, 1], 1) = 1
+                   AS first_occurrence"""),
+        ("""SELECT reverse(array(1, 2, 3)) AS rev""",
+         """SELECT list_reverse([1, 2, 3]) AS rev"""),
+        ("""SELECT CAST(aggregate(sequence(1, 100), 0,
+                                  (acc, x) -> acc + x) AS BIGINT)
+                   AS gauss""",
+         """SELECT CAST(5050 AS BIGINT) AS gauss"""),
+    ],
+    # ── string surface density 5 ─────────────────────────────────────
+    "string_dense5": [
+        """SELECT 'Spark' ilike 'spark' AS ci,
+                  'Spark' ilike 'sp%' AS ci_prefix""",
+        ("""SELECT 'a1' rlike '^[a-z][0-9]$' AS m""",
+         """SELECT regexp_matches('a1', '^[a-z][0-9]$') AS m"""),
+        """SELECT c FROM (VALUES ('a'), ('B'), ('c'), ('D')) t(c)
+           WHERE c ilike '%b%' OR c ilike '%d%' ORDER BY c""",
+        # a bare 2.5 literal is DECIMAL in Spark and Java's %f rejects it
+        """SELECT printf('%d-%s-%.2f', 7, 'x', CAST(2.5 AS DOUBLE))
+                  AS f""",
+        ("""SELECT format_string('[%05d]', 42) AS padded""",
+         """SELECT printf('[%05d]', 42) AS padded"""),
+        """SELECT length('héllo') AS chars""",
+        """SELECT upper('héllo') AS u""",
+        """SELECT substring('héllo', 2, 3) AS mid""",
+        # Spark LIKE treats backslash as an implicit escape; DuckDB only
+        # escapes with an explicit ESCAPE clause — pin Spark's semantics
+        ("""SELECT 'a_c' LIKE 'a\\\\_c' AS esc_match,
+                   'abc' LIKE 'a\\\\_c' AS esc_reject,
+                   'abc' LIKE 'a_c' AS wild_match""",
+         """SELECT 'a_c' LIKE 'a\\_c' ESCAPE '\\' AS esc_match,
+                   'abc' LIKE 'a\\_c' ESCAPE '\\' AS esc_reject,
+                   'abc' LIKE 'a_c' AS wild_match"""),
+        """SELECT 'abc' LIKE 'a%' AS pre, 'abc' LIKE '%c' AS suf,
+                  'abc' LIKE '%b%' AS mid""",
+        ("""SELECT btrim('xxhixx', 'x') AS b""",
+         """SELECT trim('xxhixx', 'x') AS b"""),
+        """SELECT n_name FROM nation
+           WHERE n_name BETWEEN 'I' AND 'K' ORDER BY n_name""",
+        ("""SELECT find_in_set('b', 'a,b,c') AS pos""",
+         """SELECT CAST(list_position(string_split('a,b,c', ','), 'b')
+                        AS INTEGER) AS pos"""),
+        ("""SELECT substring_index('a.b.c', '.', 2) AS first2,
+                   substring_index('a.b.c', '.', -1) AS last1""",
+         """SELECT 'a.b' AS first2, 'c' AS last1"""),
+        """SELECT lower(n_name) AS l FROM nation
+           WHERE n_regionkey = 3 ORDER BY l""",
+        ("""SELECT conv('ff', 16, 10) AS hex2dec,
+                   conv('255', 10, 2) AS dec2bin""",
+         """SELECT '255' AS hex2dec, '11111111' AS dec2bin"""),
+        # sentences() returns ARRAY<ARRAY<STRING>> — nested output is
+        # banned by the corpus rules, so take the first sentence only
+        ("""SELECT element_at(sentences('Hi there. How are you?'), 1)
+                   AS s1""",
+         """SELECT ['Hi', 'there'] AS s1"""),
+        """SELECT replace('2024-08-13', '-', '/') AS slashes""",
+    ],
+    # ── window density 8: IGNORE NULLS nav + mixed shapes ────────────
+    "window_dense8": [
+        ("""SELECT x, CAST(lag(v) IGNORE NULLS OVER (ORDER BY x)
+                        AS BIGINT) AS prev_nn
+            FROM (VALUES (1, 10), (2, CAST(NULL AS INT)), (3, 30),
+                         (4, CAST(NULL AS INT)), (5, 50)) t(x, v)
+            ORDER BY x""",
+         """SELECT x, CAST(lag(v IGNORE NULLS) OVER (ORDER BY x)
+                        AS BIGINT) AS prev_nn
+            FROM (VALUES (1, 10), (2, CAST(NULL AS INTEGER)), (3, 30),
+                         (4, CAST(NULL AS INTEGER)), (5, 50)) t(x, v)
+            ORDER BY x"""),
+        ("""SELECT x, CAST(first_value(v) IGNORE NULLS
+                        OVER (ORDER BY x) AS BIGINT) AS first_nn
+            FROM (VALUES (1, CAST(NULL AS INT)), (2, 20),
+                         (3, 30)) t(x, v)
+            ORDER BY x""",
+         """SELECT x, CAST(first_value(v IGNORE NULLS)
+                        OVER (ORDER BY x) AS BIGINT) AS first_nn
+            FROM (VALUES (1, CAST(NULL AS INTEGER)), (2, 20),
+                         (3, 30)) t(x, v)
+            ORDER BY x"""),
+        """SELECT x, CAST(rank() OVER (ORDER BY x % 3, x) AS BIGINT)
+                  AS r
+           FROM (VALUES (1), (2), (3), (4), (5), (6)) t(x)
+           ORDER BY x""",
+        """WITH ranked AS (
+             SELECT n_name, n_regionkey,
+                    row_number() OVER (PARTITION BY n_regionkey
+                                       ORDER BY n_name) AS rn
+             FROM nation)
+           SELECT n_regionkey, n_name FROM ranked WHERE rn = 2
+           ORDER BY n_regionkey""",
+        """SELECT x,
+                  CAST(dense_rank() OVER (ORDER BY y) AS BIGINT) AS dr
+           FROM (VALUES (1, 'a'), (2, 'a'), (3, 'b'), (4, 'c'),
+                        (5, 'c')) t(x, y)
+           ORDER BY x""",
+        """SELECT x, round(sum(v) OVER (ORDER BY x), 4) AS cum
+           FROM (VALUES (1, 0.5), (2, 0.25), (3, 0.125)) t(x, v)
+           ORDER BY x""",
+        """SELECT x, CAST(count(v) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS nn_so_far
+           FROM (VALUES (1, 10), (2, CAST(NULL AS INT)), (3, 30)) t(x, v)
+           ORDER BY x""",
+        """SELECT o_orderstatus,
+                  round(sum(o_totalprice) / sum(sum(o_totalprice))
+                        OVER (), 4) AS share
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(rank() OVER (PARTITION BY l_returnflag
+                                    ORDER BY n DESC) AS BIGINT) AS r
+           FROM (SELECT l_returnflag, l_linestatus, count(*) AS n
+                 FROM lineitem GROUP BY 1, 2) t
+           ORDER BY l_returnflag, l_linestatus""",
+        """SELECT x, CAST(ntile(2) OVER (PARTITION BY p ORDER BY x)
+                       AS BIGINT) AS half
+           FROM (VALUES (1, 'a'), (2, 'a'), (3, 'a'),
+                        (4, 'b'), (5, 'b')) t(x, p)
+           ORDER BY x""",
+        """SELECT x,
+                  CAST(lead(x, 1, 0) OVER (ORDER BY x) AS BIGINT)
+                  AS nxt,
+                  CAST(lag(x, 1, 0) OVER (ORDER BY x) AS BIGINT)
+                  AS prv
+           FROM (VALUES (10), (20), (30)) t(x) ORDER BY x""",
+        """SELECT p, x, round(x - avg(x) OVER (PARTITION BY p), 4)
+                  AS dev
+           FROM (VALUES ('a', 1.0), ('a', 3.0), ('b', 10.0),
+                        ('b', 30.0)) t(p, x)
+           ORDER BY p, x""",
+    ],
+    # ── aggregate density 3 ──────────────────────────────────────────
+    "agg_dense3": [
+        """SELECT CAST(count(DISTINCT l_returnflag) FILTER
+                       (WHERE l_quantity > 25) AS BIGINT) AS cdf
+           FROM lineitem""",
+        """SELECT round(avg(cnt), 4) AS avg_lines_per_order FROM (
+             SELECT count(*) AS cnt FROM lineitem
+             GROUP BY l_orderkey) t""",
+        """SELECT CAST(sum(n) AS BIGINT) AS total_rows FROM (
+             SELECT count(*) AS n FROM orders GROUP BY o_orderstatus) t""",
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders
+           WHERE o_orderdate >= DATE '1993-07-01'
+             AND o_orderdate < DATE '1993-10-01'
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        """SELECT round(sum(l_extendedprice * l_discount), 2)
+                  AS revenue_q6_shape
+           FROM lineitem
+           WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+        """SELECT l_returnflag,
+                  round(corr(l_quantity, l_extendedprice), 4) AS c
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        """SELECT CAST(count(*) AS BIGINT) AS pairs FROM (
+             SELECT l_orderkey, l_linenumber FROM lineitem
+             GROUP BY l_orderkey, l_linenumber
+             HAVING count(*) > 1) t""",
+        """SELECT bool_and(n_nationkey >= 0) AS all_nonneg,
+                  bool_or(n_nationkey > 23) AS any_late
+           FROM nation""",
+        """SELECT round(stddev_samp(CAST(o_totalprice AS DOUBLE)), 2)
+                  AS sd
+           FROM orders WHERE o_orderstatus = 'O'""",
+        # CAST(double AS INT) truncates in Spark but rounds in DuckDB —
+        # bucket with an explicit floor so both engines agree
+        """SELECT x, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT CAST(floor(o_totalprice / 50000) AS INT) AS x
+             FROM orders) t
+           GROUP BY x HAVING count(*) > 20 ORDER BY x""",
+        """SELECT CAST(max(len) AS BIGINT) AS longest_name FROM (
+             SELECT length(c_name) AS len FROM customer) t""",
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS uniq,
+                  count(*) > count(DISTINCT o_custkey) AS has_repeat
+           FROM orders""",
+        ("""SELECT round(percentile(CAST(l_quantity AS DOUBLE), 0.5), 4)
+                   AS p50
+            FROM lineitem""",
+         """SELECT round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5),
+                         4) AS p50
+            FROM lineitem"""),
+        """SELECT round(min(o_totalprice) / max(o_totalprice), 6)
+                  AS spread
+           FROM orders""",
+        """SELECT CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 END)
+                       AS BIGINT) AS negatives
+           FROM customer""",
+    ],
+    # ── NULL propagation density 3 ───────────────────────────────────
+    "null_dense3": [
+        """SELECT CAST(x AS BIGINT) AS x FROM
+             (VALUES (1), (NULL), (1), (NULL)) t(x)
+           GROUP BY x ORDER BY x NULLS FIRST""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT DISTINCT x FROM
+               (VALUES (NULL), (NULL), (1)) t(x)) d""",
+        """SELECT (1 IN (2, NULL)) IS NULL AS unknown_in,
+                  1 IN (1, NULL) AS found_in""",
+        """SELECT (1 NOT IN (2, NULL)) IS NULL AS unknown_not_in""",
+        """SELECT nullif(NULL, 5) IS NULL AS n1,
+                  coalesce(nullif(3, 3), -1) = -1 AS collapsed""",
+        """SELECT NULL + 1 IS NULL AS arith,
+                  NULL || 'x' IS NULL AS concat_op,
+                  abs(CAST(NULL AS INT)) IS NULL AS fn""",
+        # Spark concat() is null-propagating (ANSI CONCAT); DuckDB's
+        # skips NULL args — pin Spark's semantics, concat_ws skips
+        ("""SELECT concat('a', CAST(NULL AS STRING), 'b') IS NULL
+                   AS null_propagates,
+                   concat_ws('', 'a', CAST(NULL AS STRING), 'b')
+                   AS ws_skips""",
+         """SELECT true AS null_propagates, 'ab' AS ws_skips"""),
+        """SELECT CASE WHEN CAST(NULL AS BOOLEAN) THEN 'yes'
+                  ELSE 'no' END AS cond""",
+        """SELECT x IS DISTINCT FROM y AS d,
+                  x IS NOT DISTINCT FROM y AS nd FROM
+             (VALUES (CAST(NULL AS INT), CAST(NULL AS INT))) t(x, y)""",
+        """SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+           FROM (VALUES (1, NULL), (NULL, 2), (3, 3)) t(x, y)
+           WHERE x IS DISTINCT FROM y
+           ORDER BY x NULLS FIRST""",
+        """SELECT greatest(NULL, NULL) IS NULL AS all_null""",
+        """SELECT (CAST(NULL AS INT) = CAST(NULL AS INT)) IS NULL
+                  AS eq_unknown""",
+        """SELECT min(x) IS NULL AS empty_min, CAST(count(x) AS BIGINT)
+                  AS c
+           FROM (VALUES (CAST(NULL AS INT))) t(x)""",
+        """SELECT CAST(sum(x) AS BIGINT) AS s FROM
+             (VALUES (1), (NULL), (3)) t(x)""",
+        """SELECT x FROM (VALUES ('a'), (NULL)) t(x)
+           WHERE x = x ORDER BY x""",
+    ],
 }
 
 
