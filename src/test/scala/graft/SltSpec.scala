@@ -52,7 +52,8 @@ class SltSpec extends AnyFunSuite {
     "setop_dense", "values_dense", "decimal_dense2", "correlated_dense",
     "json_dense2", "grouping_dense3", "window_frames7",
     "interval_dense2", "codec_dense", "arrays_dense5", "string_dense5",
-    "window_dense8", "agg_dense3", "null_dense3")
+    "window_dense8", "agg_dense3", "null_dense3", "struct_dense3",
+    "cast_dense3", "exists_dense2", "math_dense4")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -5711,6 +5711,159 @@ CORPUS = {
         """SELECT x FROM (VALUES ('a'), (NULL)) t(x)
            WHERE x = x ORDER BY x""",
     ],
+    # ── struct density 3 ─────────────────────────────────────────────
+    "struct_dense3": [
+        ("""SELECT named_struct('a', 1, 'b', 'x')
+                   = named_struct('a', 1, 'b', 'x') AS eq,
+                   named_struct('a', 1, 'b', 'x')
+                   = named_struct('a', 2, 'b', 'x') AS neq""",
+         """SELECT struct_pack(a := 1, b := 'x')
+                   = struct_pack(a := 1, b := 'x') AS eq,
+                   struct_pack(a := 1, b := 'x')
+                   = struct_pack(a := 2, b := 'x') AS neq"""),
+        ("""SELECT s.a, s.b FROM (
+              SELECT named_struct('a', x, 'b', x * 10) AS s
+              FROM (VALUES (1), (2)) t(x)) q
+            ORDER BY s.a""",
+         """SELECT s.a, s.b FROM (
+              SELECT struct_pack(a := x, b := x * 10) AS s
+              FROM (VALUES (1), (2)) t(x)) q
+            ORDER BY s.a"""),
+        ("""SELECT CAST(count(*) AS BIGINT) AS n, s.k AS k FROM (
+              SELECT named_struct('k', x % 2) AS s
+              FROM (VALUES (0), (1), (2), (3)) t(x)) q
+            GROUP BY s.k ORDER BY k""",
+         """SELECT CAST(count(*) AS BIGINT) AS n, s.k AS k FROM (
+              SELECT struct_pack(k := x % 2) AS s
+              FROM (VALUES (0), (1), (2), (3)) t(x)) q
+            GROUP BY s.k ORDER BY k"""),
+        ("""SELECT s.x FROM (VALUES (named_struct('x', 2)),
+                                    (named_struct('x', 1))) t(s)
+            ORDER BY s""",
+         """SELECT s.x FROM (VALUES (struct_pack(x := 2)),
+                                    (struct_pack(x := 1))) t(s)
+            ORDER BY s"""),
+        ("""SELECT struct(1, 'a').col1 AS anon""",
+         """SELECT 1 AS anon"""),
+        ("""SELECT element_at(array(named_struct('v', 10),
+                                    named_struct('v', 20)), 2).v
+                   AS second_v""",
+         """SELECT CAST(20 AS INTEGER) AS second_v"""),
+        ("""SELECT max(named_struct('k', x, 'id', y)).id AS argmax
+            FROM (VALUES (1, 'lo'), (9, 'hi'), (5, 'mid')) t(x, y)""",
+         """SELECT 'hi' AS argmax"""),
+        ("""SELECT named_struct('a', named_struct('b',
+                     named_struct('c', 99))).a.b.c AS deep""",
+         """SELECT 99 AS deep"""),
+    ],
+    # ── cast density 3 ───────────────────────────────────────────────
+    "cast_dense3": [
+        """SELECT CAST('2024-02-29' AS DATE) AS leap,
+                  TRY_CAST('2024-02-30' AS DATE) IS NULL AS bad_day""",
+        """SELECT TRY_CAST('not a date' AS DATE) IS NULL AS junk,
+                  TRY_CAST('2024-13-01' AS DATE) IS NULL AS bad_month""",
+        """SELECT CAST(true AS INT) AS t, CAST(false AS INT) AS f""",
+        """SELECT CAST(1 AS BOOLEAN) AS one,
+                  CAST(0 AS BOOLEAN) AS zero""",
+        """SELECT concat('n=', CAST(42 AS STRING)) AS s""",
+        """SELECT CAST(CAST('2024-08-13' AS DATE) AS STRING) AS iso""",
+        """SELECT CAST('0042' AS INT) AS leading_zeros,
+                  CAST('-17' AS INT) AS negative""",
+        """SELECT TRY_CAST('' AS DATE) IS NULL AS empty,
+                  TRY_CAST('   ' AS INT) IS NULL AS blank""",
+        """SELECT CAST('1e3' AS DOUBLE) = 1000.0 AS sci,
+                  CAST('-2.5e-1' AS DOUBLE) = -0.25 AS sci_neg""",
+        # Spark keeps the source unit ("INTERVAL '90' MINUTE"); DuckDB
+        # normalizes to 01:30:00 — only the magnitude survives portably
+        ("""SELECT CAST(INTERVAL 90 MINUTE AS STRING) LIKE '%90%'
+                   AS has_magnitude""",
+         """SELECT true AS has_magnitude"""),
+        """SELECT TRY_CAST(CAST(200 AS SMALLINT) AS TINYINT) IS NULL
+                  AS narrow_overflow,
+                  CAST(CAST(100 AS SMALLINT) AS TINYINT) AS fits""",
+        """SELECT CAST('TRUE' AS BOOLEAN) AS upper_t,
+                  TRY_CAST('maybe' AS BOOLEAN) IS NULL AS junk_bool""",
+        """SELECT CAST(x AS STRING) AS s FROM
+             (VALUES (1), (22), (333)) t(x) ORDER BY s""",
+    ],
+    # ── EXISTS variant density 2 ─────────────────────────────────────
+    "exists_dense2": [
+        """SELECT r_name FROM region r
+           WHERE EXISTS (SELECT 1 FROM nation n
+                         WHERE n.n_regionkey = r.r_regionkey LIMIT 1)
+           ORDER BY r_name""",
+        """SELECT n_name FROM nation n
+           WHERE EXISTS (SELECT max(c_acctbal) FROM customer c
+                         WHERE c.c_nationkey = n.n_nationkey
+                         HAVING max(c_acctbal) > 9000)
+           ORDER BY n_name LIMIT 10""",
+        """SELECT r_name FROM region r
+           WHERE EXISTS (SELECT 1 FROM nation n
+                         WHERE n.n_regionkey = r.r_regionkey
+                           AND n.n_name LIKE 'A%')
+           ORDER BY r_name""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM orders o
+           WHERE EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey)
+             AND NOT EXISTS (SELECT 1 FROM lineitem l
+                             WHERE l.l_orderkey = o.o_orderkey
+                               AND l.l_linenumber > 6)""",
+        """SELECT x FROM (VALUES (1), (2), (3)) t(x)
+           WHERE EXISTS (SELECT 1 WHERE t.x > 1) ORDER BY x""",
+        """SELECT n_name FROM nation n WHERE EXISTS (
+             SELECT 1 FROM supplier s
+             WHERE s.s_nationkey = n.n_nationkey
+             UNION ALL
+             SELECT 1 FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9990)
+           ORDER BY n_name LIMIT 8""",
+        """SELECT CAST(count(*) AS BIGINT) AS with_both FROM nation n
+           WHERE EXISTS (SELECT 1 FROM supplier s
+                         WHERE s.s_nationkey = n.n_nationkey)
+             AND EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_nationkey = n.n_nationkey)""",
+        """SELECT EXISTS (SELECT 1 FROM nation WHERE n_nationkey < 0)
+                  AS none,
+                  EXISTS (SELECT 1 FROM nation) AS some""",
+    ],
+    # ── math density 4 ───────────────────────────────────────────────
+    "math_dense4": [
+        """SELECT round(sin(pi() / 6), 4) AS half,
+                  round(cos(pi() / 3), 4) AS also_half""",
+        """SELECT round(atan2(1.0, 0.0), 4) AS north,
+                  round(atan2(0.0, -1.0), 4) AS west,
+                  round(atan2(-1.0, 0.0), 4) AS south""",
+        """SELECT round(tan(pi() / 4), 4) AS one""",
+        """SELECT round(asin(1.0), 4) AS right_angle,
+                  round(acos(0.0), 4) AS same""",
+        """SELECT round(exp(1.0), 4) AS e, round(ln(exp(2.0)), 4)
+                  AS two""",
+        ("""SELECT round(log2(1024.0), 4) AS ten""",
+         """SELECT round(CAST(10.0 AS DOUBLE), 4) AS ten"""),
+        """SELECT round(mod(CAST(10.5 AS DOUBLE),
+                            CAST(3.0 AS DOUBLE)), 4) AS fmod""",
+        """SELECT CAST(floor(-2.5) AS BIGINT) AS f,
+                  CAST(ceil(-2.5) AS BIGINT) AS c""",
+        ("""SELECT round(rint(2.5), 4) AS even_down,
+                   round(rint(3.5), 4) AS even_up""",
+         """SELECT round(CAST(2.0 AS DOUBLE), 4) AS even_down,
+                   round(CAST(4.0 AS DOUBLE), 4) AS even_up"""),
+        """SELECT round(power(0.0, 0.0), 4) AS zero_pow_zero""",
+        ("""SELECT round(sinh(0.0), 4) AS s, round(cosh(0.0), 4) AS c,
+                   round(tanh(0.0), 4) AS t""",
+         """SELECT round(CAST(0.0 AS DOUBLE), 4) AS s,
+                   round(CAST(1.0 AS DOUBLE), 4) AS c,
+                   round(CAST(0.0 AS DOUBLE), 4) AS t"""),
+        ("""SELECT CAST(pmod(-7, 3) AS BIGINT) AS always_pos""",
+         """SELECT CAST(2 AS BIGINT) AS always_pos"""),
+        """SELECT round(abs(CAST(-0.0 AS DOUBLE)) + 0.0, 4)
+                  AS neg_zero""",
+        """SELECT round(greatest(1.5, 2.5, 0.5), 4) AS g,
+                  round(least(1.5, 2.5, 0.5), 4) AS l""",
+        ("""SELECT CAST(width_bucket(5.5, 0.0, 10.0, 5) AS BIGINT)
+                   AS bucket""",
+         """SELECT CAST(3 AS BIGINT) AS bucket"""),
+    ],
 }
 
 
