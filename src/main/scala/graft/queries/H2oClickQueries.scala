@@ -582,6 +582,62 @@ object H2oClickQueries {
       |       count(DISTINCT n_chars % 7) AS dc,
       |       count(DISTINCT length(text) % 5) AS dt
       |FROM documents GROUP BY lang
-      |ORDER BY ds DESC, lang LIMIT 10""")
+      |ORDER BY ds DESC, lang LIMIT 10"""),
+
+    // ── h2o join suite (reference: benchmarks/src/bin/h2o.rs join mode;
+    //    db-benchmark join questions q1-q5: probe x against dims of
+    //    small/medium/big cardinality, inner and left). x = events; the
+    //    dim tables are derived from events via CTEs so Spark and DuckDB
+    //    build identical inputs. Output is aggregated + totally ordered
+    //    for the hash compare. Plan shapes: j1/j4 AQE-broadcast the tiny
+    //    dim, j2/j3 shuffle-hash on user_id, j5 is the big-big SMJ on
+    //    event_id — at 100 TB each stays the right strategy because the
+    //    dim cardinality, not a hint, drives the choice ────────────────
+    "h2o_j1" -> sql("""
+      |WITH small AS (
+      |  SELECT event_type, round(avg(value) + 1e-9, 4) AS v2
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, count(*) AS c, round(sum(e.value), 2) AS v1,
+      |       round(sum(s.v2), 2) AS v2
+      |FROM events e JOIN small s ON e.event_type = s.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type"""),
+
+    "h2o_j2" -> sql("""
+      |WITH medium AS (
+      |  SELECT user_id, round(avg(value) + 1e-9, 4) AS v2
+      |  FROM events GROUP BY user_id)
+      |SELECT e.user_id % 10 AS ub, count(*) AS c,
+      |       round(sum(e.value), 2) AS v1, round(sum(m.v2), 2) AS v2
+      |FROM events e JOIN medium m ON e.user_id = m.user_id
+      |GROUP BY e.user_id % 10 ORDER BY ub"""),
+
+    "h2o_j3" -> sql("""
+      |WITH medium AS (
+      |  SELECT user_id, round(avg(value) + 1e-9, 4) AS v2
+      |  FROM events WHERE user_id % 2 = 0 GROUP BY user_id)
+      |SELECT e.user_id % 10 AS ub, count(*) AS c,
+      |       count(m.user_id) AS matched,
+      |       round(sum(e.value), 2) AS v1,
+      |       round(sum(coalesce(m.v2, 0)), 2) AS v2
+      |FROM events e LEFT JOIN medium m ON e.user_id = m.user_id
+      |GROUP BY e.user_id % 10 ORDER BY ub"""),
+
+    "h2o_j4" -> sql("""
+      |WITH dim AS (
+      |  SELECT event_type, user_id % 100 AS ub,
+      |         round(avg(value) + 1e-9, 4) AS v2
+      |  FROM events GROUP BY event_type, user_id % 100)
+      |SELECT e.event_type, count(*) AS c, round(sum(e.value), 2) AS v1,
+      |       round(sum(d.v2), 2) AS v2
+      |FROM events e JOIN dim d
+      |  ON e.event_type = d.event_type AND e.user_id % 100 = d.ub
+      |GROUP BY e.event_type ORDER BY e.event_type"""),
+
+    "h2o_j5" -> sql("""
+      |WITH big AS (SELECT event_id, value AS v2 FROM events)
+      |SELECT e.event_id % 10 AS b, count(*) AS c,
+      |       round(sum(e.value), 2) AS v1, round(sum(bg.v2), 2) AS v2
+      |FROM events e JOIN big bg ON e.event_id = bg.event_id
+      |GROUP BY e.event_id % 10 ORDER BY b""")
   )
 }

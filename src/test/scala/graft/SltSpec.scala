@@ -17,7 +17,27 @@ import org.scalatest.funsuite.AnyFunSuite
   * an independent implementation.
   */
 class SltSpec extends AnyFunSuite {
-  private val families = Seq("scalar_string", "scalar_math",
+  /** Families are DISCOVERED from the classpath resource directory, not
+    * hardcoded: a file tools/gen_slt.py emits that isn't listed here
+    * would otherwise be silently skipped (that drift actually happened —
+    * six generated families went untested until discovery replaced the
+    * hand-maintained list). `knownFamilies` remains only as a minimum
+    * floor: discovery must find at least everything that was ever green,
+    * so a broken resource copy fails loudly instead of shrinking the run.
+    */
+  private val families: Seq[String] = {
+    val url = getClass.getResource("/slt")
+    require(url != null && url.getProtocol == "file",
+      "slt resource dir not on a file classpath — cannot discover corpus")
+    val found = new java.io.File(url.toURI).listFiles()
+      .map(_.getName).filter(_.endsWith(".slt")).map(_.stripSuffix(".slt"))
+      .toSeq.sorted
+    val missing = knownFamilies.filterNot(found.contains)
+    require(missing.isEmpty, s"slt families vanished from resources: $missing")
+    found
+  }
+
+  private def knownFamilies = Seq("scalar_string", "scalar_math",
     "scalar_datetime", "agg", "join_setop", "window", "subquery",
     "bits_binary", "predicates", "grouping", "null_sort",
     "arrays", "casts_try", "null_logic", "string_fns2", "math_fns2",

@@ -5864,6 +5864,262 @@ CORPUS = {
                    AS bucket""",
          """SELECT CAST(3 AS BIGINT) AS bucket"""),
     ],
+    # ── timezone conversion fns (Spark from_utc_timestamp /
+    #    to_utc_timestamp / convert_timezone; DuckDB goldens are
+    #    precomputed literals — its timezone() reads session config,
+    #    the Spark fns take the zone as an argument) ──────────────────
+    "tz_conversion": [
+        ("""SELECT date_format(from_utc_timestamp(
+                    TIMESTAMP '2024-01-01 12:00:00', 'America/New_York'),
+                  'yyyy-MM-dd HH:mm:ss') AS ny_winter""",
+         """SELECT '2024-01-01 07:00:00' AS ny_winter"""),
+        ("""SELECT date_format(from_utc_timestamp(
+                    TIMESTAMP '2024-07-01 12:00:00', 'America/New_York'),
+                  'yyyy-MM-dd HH:mm:ss') AS ny_summer""",
+         """SELECT '2024-07-01 08:00:00' AS ny_summer"""),
+        ("""SELECT date_format(to_utc_timestamp(
+                    TIMESTAMP '2024-01-01 07:00:00', 'America/New_York'),
+                  'yyyy-MM-dd HH:mm:ss') AS back_to_utc""",
+         """SELECT '2024-01-01 12:00:00' AS back_to_utc"""),
+        ("""SELECT date_format(from_utc_timestamp(
+                    TIMESTAMP '2024-01-01 12:00:00', 'Asia/Kathmandu'),
+                  'yyyy-MM-dd HH:mm:ss') AS npt""",
+         """SELECT '2024-01-01 17:45:00' AS npt"""),
+        # spring-forward: 07:30 UTC on 2024-03-10 is already EDT (-4)
+        ("""SELECT date_format(from_utc_timestamp(
+                    TIMESTAMP '2024-03-10 07:30:00', 'America/New_York'),
+                  'yyyy-MM-dd HH:mm:ss') AS dst_edge""",
+         """SELECT '2024-03-10 03:30:00' AS dst_edge"""),
+        # date rollover across the line
+        ("""SELECT CAST(from_utc_timestamp(
+                    TIMESTAMP '2024-01-01 20:00:00', 'Asia/Tokyo')
+                  AS DATE) AS next_day""",
+         """SELECT DATE '2024-01-02' AS next_day"""),
+        ("""SELECT date_format(convert_timezone(
+                    'UTC', 'Europe/Paris', TIMESTAMP '2024-06-01 10:00:00'),
+                  'yyyy-MM-dd HH:mm:ss') AS paris""",
+         """SELECT '2024-06-01 12:00:00' AS paris"""),
+        # round-trip is identity for any zone
+        ("""SELECT CAST(count(*) AS BIGINT) AS all_roundtrip FROM events
+            WHERE to_utc_timestamp(
+                    from_utc_timestamp(ts, 'Australia/Sydney'),
+                    'Australia/Sydney') = ts""",
+         """SELECT CAST(count(*) AS BIGINT) AS all_roundtrip FROM events"""),
+    ],
+    # ── special math fns Spark has and DuckDB spells differently
+    #    (goldens via equivalent formulas) ─────────────────────────────
+    "math_special": [
+        ("""SELECT round(log1p(0.5), 4) AS l1p, round(expm1(1.0), 4) AS em1""",
+         """SELECT round(ln(1.5), 4) AS l1p, round(exp(1.0) - 1, 4) AS em1"""),
+        ("""SELECT round(log(2, 1024), 4) AS lb2,
+                   round(log(3, 81.0), 4) AS lb3""",
+         """SELECT round(ln(1024) / ln(2), 4) AS lb2,
+                   round(ln(81.0) / ln(3), 4) AS lb3"""),
+        ("""SELECT round(hypot(3.0, 4.0), 4) AS h,
+                   round(cbrt(27.0), 4) AS cb""",
+         """SELECT round(sqrt(9.0 + 16.0), 4) AS h,
+                   round(cbrt(27.0), 4) AS cb"""),
+        ("""SELECT round(sinh(1.0), 4) AS sh, round(cosh(1.0), 4) AS ch,
+                   round(tanh(1.0), 4) AS th""",
+         """SELECT round((exp(1.0) - exp(-1.0)) / 2, 4) AS sh,
+                   round((exp(1.0) + exp(-1.0)) / 2, 4) AS ch,
+                   round((exp(2.0) - 1) / (exp(2.0) + 1), 4) AS th"""),
+        ("""SELECT round(asinh(1.0), 4) AS ash, round(acosh(2.0), 4) AS ach,
+                   round(atanh(0.5), 4) AS ath""",
+         """SELECT round(ln(1.0 + sqrt(2.0)), 4) AS ash,
+                   round(ln(2.0 + sqrt(3.0)), 4) AS ach,
+                   round(ln(3.0) / 2, 4) AS ath"""),
+        ("""SELECT round(csc(1.0), 4) AS csc1, round(sec(1.0), 4) AS sec1,
+                   round(cot(1.0), 4) AS cot1""",
+         """SELECT round(1 / sin(1.0), 4) AS csc1,
+                   round(1 / cos(1.0), 4) AS sec1,
+                   round(cos(1.0) / sin(1.0), 4) AS cot1"""),
+        ("""SELECT CAST(getbit(11, 0) AS BIGINT) AS b0,
+                   CAST(getbit(11, 1) AS BIGINT) AS b1,
+                   CAST(getbit(11, 2) AS BIGINT) AS b2""",
+         """SELECT CAST(1 AS BIGINT) AS b0, CAST(1 AS BIGINT) AS b1,
+                   CAST(0 AS BIGINT) AS b2"""),
+        ("""SELECT CAST(bit_count(255) AS BIGINT) AS c255,
+                   CAST(bit_count(1024) AS BIGINT) AS c1k""",
+         """SELECT CAST(8 AS BIGINT) AS c255, CAST(1 AS BIGINT) AS c1k"""),
+        # aggregate sanity over real data: identity ln(exp(x)) == x
+        """SELECT l_linenumber,
+                  round(exp(ln(CAST(l_linenumber AS DOUBLE))), 4) AS ident
+           FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""",
+        ("""SELECT round(rint(2.5), 4) AS r25, round(rint(3.5), 4) AS r35""",
+         """SELECT round(2.0, 4) AS r25, round(4.0, 4) AS r35"""),
+    ],
+    # ── zip / positional explode / map-entry surfaces ────────────────
+    "array_zip_explode": [
+        ("""SELECT transform(arrays_zip(array(1, 2, 3), array(10, 20, 30)),
+                             s -> s.`0` + s.`1`) AS z""",
+         """SELECT [11, 22, 33] AS z"""),
+        ("""SELECT zip_with(array(1, 2, 3), array(4, 5, 6),
+                            (x, y) -> x * y) AS zw""",
+         """SELECT [4, 10, 18] AS zw"""),
+        ("""SELECT zip_with(array(1, 2, 3), array(10, 20),
+                            (x, y) -> coalesce(x, 0) + coalesce(y, 0))
+                   AS padded""",
+         """SELECT [11, 22, 3] AS padded"""),
+        ("""SELECT pos, val
+            FROM (SELECT posexplode(array('a', 'b', 'c')) AS (pos, val))
+            ORDER BY pos""",
+         """SELECT * FROM (VALUES (0, 'a'), (1, 'b'), (2, 'c'))
+                    t(pos, val) ORDER BY pos"""),
+        ("""SELECT k, v FROM (SELECT explode(map('a', 1, 'b', 2, 'c', 3))
+                              AS (k, v)) ORDER BY k""",
+         """SELECT * FROM (VALUES ('a', 1), ('b', 2), ('c', 3))
+                    t(k, v) ORDER BY k"""),
+        ("""SELECT element_at(map_concat(map('a', 1), map('b', 2)), 'b')
+                   AS mb""",
+         """SELECT 2 AS mb"""),
+        ("""SELECT element_at(map_from_entries(
+                    array(struct('x', 10), struct('y', 20))), 'y') AS my""",
+         """SELECT 20 AS my"""),
+        ("""SELECT a, b FROM (SELECT inline(array(
+                    named_struct('a', 1, 'b', 'x'),
+                    named_struct('a', 2, 'b', 'y')))) ORDER BY a""",
+         """SELECT * FROM (VALUES (1, 'x'), (2, 'y')) t(a, b) ORDER BY a"""),
+        ("""SELECT n, s FROM (SELECT stack(3, 1, 'one', 2, 'two', 3, 'three')
+                              AS (n, s)) ORDER BY n""",
+         """SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three'))
+                    t(n, s) ORDER BY n"""),
+        # transform over entries of a real column-derived map
+        ("""SELECT transform(map_keys(map(n_name, n_nationkey)), k -> k)[0]
+                   AS only_key
+            FROM nation ORDER BY only_key LIMIT 5""",
+         """SELECT n_name AS only_key FROM nation
+            ORDER BY only_key LIMIT 5"""),
+    ],
+    # ── window density 9: defaults, reverse frames, ratios ───────────
+    "window_dense9": [
+        """SELECT l_linenumber, l_quantity,
+                  lag(CAST(l_quantity AS BIGINT), 2, CAST(-1 AS BIGINT))
+                      OVER (ORDER BY l_linenumber) AS lag2
+           FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""",
+        """SELECT l_linenumber,
+                  lead(CAST(l_quantity AS BIGINT), 1, CAST(0 AS BIGINT))
+                      OVER (ORDER BY l_linenumber DESC) AS lead_desc
+           FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""",
+        """SELECT l_linenumber,
+                  CAST(sum(l_quantity) OVER (ORDER BY l_linenumber
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS BIGINT) AS suffix_sum
+           FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""",
+        """SELECT o_orderkey,
+                  CAST(count(*) OVER (ORDER BY o_orderkey
+                    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS near
+           FROM orders WHERE o_orderkey <= 39 ORDER BY o_orderkey""",
+        """SELECT n_name, r_name AS grp,
+                  CAST(count(*) OVER () AS BIGINT) AS total,
+                  CAST(count(*) OVER (PARTITION BY r_name) AS BIGINT)
+                      AS in_grp
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           ORDER BY n_name LIMIT 12""",
+        """SELECT name, qty, rn FROM (
+             SELECT n_name AS name, n_regionkey AS qty,
+                    row_number() OVER (PARTITION BY n_regionkey
+                                       ORDER BY n_name) AS rn
+             FROM nation) WHERE rn <= 2 ORDER BY qty, rn""",
+        """SELECT l_linenumber,
+                  round(l_quantity / max(l_quantity)
+                        OVER (PARTITION BY l_returnflag), 4) AS frac_of_max
+           FROM lineitem WHERE l_orderkey <= 3
+           ORDER BY l_linenumber, frac_of_max""",
+        """SELECT l_returnflag,
+                  CAST(min(l_quantity) OVER w AS BIGINT) AS mn,
+                  CAST(max(l_quantity) OVER w AS BIGINT) AS mx,
+                  l_linenumber
+           FROM lineitem WHERE l_orderkey <= 3
+           WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_linenumber
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+           ORDER BY l_returnflag, l_linenumber""",
+        """SELECT l_linenumber,
+                  first_value(l_linenumber) OVER (ORDER BY l_linenumber
+                    ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS fv_ahead
+           FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""",
+        """SELECT o_orderpriority,
+                  CAST(rank() OVER (ORDER BY o_orderkey DESC) AS BIGINT)
+                      AS rk, o_orderkey
+           FROM orders WHERE o_orderkey <= 32
+           ORDER BY o_orderkey""",
+    ],
+    # ── aggregate FILTER clause density ──────────────────────────────
+    "agg_filter_dense": [
+        """SELECT l_returnflag,
+                  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+                      AS big,
+                  CAST(count(*) FILTER (WHERE l_quantity <= 25) AS BIGINT)
+                      AS small
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        """SELECT l_returnflag,
+                  CAST(sum(CAST(l_quantity AS BIGINT))
+                       FILTER (WHERE l_discount > 0.05) AS BIGINT) AS hi_disc,
+                  round(avg(l_extendedprice)
+                        FILTER (WHERE l_tax < 0.04) + 1e-9, 2) AS lo_tax_avg
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        """SELECT CAST(min(o_orderkey) FILTER (WHERE o_orderpriority
+                       = '1-URGENT') AS BIGINT) AS first_urgent,
+                  CAST(max(o_orderkey) FILTER (WHERE o_orderpriority
+                       = '5-LOW') AS BIGINT) AS last_low
+           FROM orders""",
+        """SELECT o_orderstatus,
+                  CAST(count(DISTINCT o_custkey)
+                       FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+                      AS rich_customers
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        # filter that matches nothing → count 0, sum NULL
+        """SELECT CAST(count(*) FILTER (WHERE l_quantity < 0) AS BIGINT)
+                      AS none_cnt,
+                  CAST(sum(CAST(l_quantity AS BIGINT))
+                       FILTER (WHERE l_quantity < 0) AS BIGINT) AS none_sum
+           FROM lineitem""",
+        """SELECT l_linestatus,
+                  round(avg(l_quantity) FILTER (WHERE l_returnflag = 'R')
+                        + 1e-9, 4) AS r_avg,
+                  round(avg(l_quantity) FILTER (WHERE l_returnflag = 'A')
+                        + 1e-9, 4) AS a_avg
+           FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+        """SELECT event_type,
+                  CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS hi
+           FROM events GROUP BY event_type
+           HAVING count(*) FILTER (WHERE value > 50) > 10
+           ORDER BY event_type""",
+        """SELECT n_regionkey,
+                  CAST(count(*) FILTER (WHERE n_name LIKE '%A%') AS BIGINT)
+                      AS with_a,
+                  CAST(count(*) AS BIGINT) AS total
+           FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    ],
+    # ── unicode / multibyte string edges ─────────────────────────────
+    "unicode_dense": [
+        ("""SELECT length('héllo wörld') AS cp_len,
+                   CAST(octet_length('héllo wörld') AS BIGINT) AS byte_len""",
+         """SELECT length('héllo wörld') AS cp_len,
+                   CAST(octet_length(encode('héllo wörld')) AS BIGINT)
+                       AS byte_len"""),
+        """SELECT upper('héllo') AS up, lower('HÉLLO') AS lo""",
+        """SELECT substr('αβγδε', 2, 3) AS mid,
+                  reverse('αβγδε') AS rev""",
+        # DIVERGENCE pinned: Spark chr() is mod-256 latin-1 (8364 % 256
+        # = 172 = ¬); DuckDB chr() is the unicode codepoint (€)
+        ("""SELECT ascii('€') AS euro_cp, chr(8364) AS euro_ch,
+                   ascii('A') AS a_cp""",
+         """SELECT 8364 AS euro_cp, chr(172) AS euro_ch, 65 AS a_cp"""),
+        """SELECT length('日本語テキスト') AS ja_len,
+                  substr('日本語テキスト', 1, 3) AS ja_head""",
+        """SELECT replace('naïve café', 'é', 'e') AS ascii_ish,
+                  length(replace('naïve café', 'é', 'e')) AS new_len""",
+        """SELECT 'héllo' = 'hello' AS eq_accents,
+                  'héllo' > 'hello' AS gt_accents""",
+        ("""SELECT concat('✓', repeat('─', 3), '✓') AS ruled""",
+         """SELECT '✓' || repeat('─', 3) || '✓' AS ruled"""),
+        """SELECT trim('  ünïcødé  ') AS trimmed,
+                  lpad('æ', 4, '·') AS padded""",
+        """SELECT position('ö' IN 'héllo wörld') AS o_pos,
+                  contains('héllo wörld', 'wörld') AS has_world""",
+    ],
 }
 
 
