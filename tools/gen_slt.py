@@ -6120,6 +6120,201 @@ CORPUS = {
         """SELECT position('ö' IN 'héllo wörld') AS o_pos,
                   contains('héllo wörld', 'wörld') AS has_world""",
     ],
+    # ── GROUP BY ALL shorthand (both engines support it) ─────────────
+    "groupby_all": [
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""",
+        """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS c
+           FROM nation GROUP BY ALL ORDER BY n_regionkey""",
+        """SELECT substr(n_name, 1, 1) AS initial,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM nation GROUP BY ALL ORDER BY initial""",
+        # GROUP BY ALL with a join and a computed key
+        """SELECT r_name, o_orderstatus, CAST(count(*) AS BIGINT) AS c
+           FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+           WHERE o_orderkey <= 200
+           GROUP BY ALL ORDER BY r_name, o_orderstatus""",
+        # mixed aggregate + HAVING still resolves
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+                  round(sum(value), 2) AS v
+           FROM events GROUP BY ALL HAVING count(*) > 100
+           ORDER BY event_type""",
+    ],
+    # ── numeric cast conventions (several pinned divergences) ────────
+    "cast_conventions": [
+        # DIVERGENCE pinned: Spark CAST(double AS INT) truncates toward
+        # zero; DuckDB rounds half away — goldens state Spark's result
+        ("""SELECT CAST(2.7 AS INT) AS p, CAST(-2.7 AS INT) AS n,
+                   CAST(2.5 AS INT) AS h""",
+         """SELECT 2 AS p, -2 AS n, 2 AS h"""),
+        ("""SELECT CAST(CAST(3.999 AS DOUBLE) AS BIGINT) AS t""",
+         """SELECT CAST(3 AS BIGINT) AS t"""),
+        # string→int with surrounding spaces parses in both engines
+        """SELECT CAST('  42  ' AS INT) AS spaced""",
+        # bool casts: numeric nonzero is true in both
+        """SELECT CAST(5 AS BOOLEAN) AS five, CAST(0 AS BOOLEAN) AS zero""",
+        ("""SELECT CAST('true' AS BOOLEAN) AS t,
+                   CAST('FALSE' AS BOOLEAN) AS f,
+                   try_cast('maybe' AS BOOLEAN) AS m""",
+         """SELECT true AS t, false AS f, try_cast('maybe' AS BOOLEAN)
+                   AS m"""),
+        # boolean→int round trip
+        """SELECT CAST(CAST(true AS INT) AS BIGINT) AS ti,
+                  CAST(CAST(false AS INT) AS BIGINT) AS fi""",
+        # int widening / narrowing boundary: 128 doesn't fit TINYINT
+        """SELECT try_cast(127 AS TINYINT) AS fits,
+                  try_cast(128 AS TINYINT) AS overflow""",
+        # decimal → string keeps scale in both
+        """SELECT CAST(CAST(1.50 AS DECIMAL(5, 2)) AS STRING) AS s""",
+        # string float with exponent
+        """SELECT round(CAST('1.5e2' AS DOUBLE), 4) AS sci""",
+        ("""SELECT CAST(INTERVAL '3' DAY AS STRING) AS iv""",
+         """SELECT 'INTERVAL ''3'' DAY' AS iv"""),
+    ],
+    # ── month-end clamping + date arithmetic conventions ─────────────
+    "date_clamping": [
+        ("""SELECT add_months(DATE '2024-01-31', 1) AS clamped,
+                   add_months(DATE '2024-01-31', 13) AS next_year""",
+         """SELECT CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE)
+                       AS clamped,
+                   CAST(DATE '2024-01-31' + INTERVAL 13 MONTH AS DATE)
+                       AS next_year"""),
+        ("""SELECT CAST(DATE '2024-01-31' + INTERVAL '1' MONTH AS DATE)
+                   AS via_interval""",
+         """SELECT CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE)
+                   AS via_interval"""),
+        ("""SELECT add_months(DATE '2024-02-29', 12) AS leap_fwd,
+                   add_months(DATE '2024-02-29', -12) AS leap_back""",
+         """SELECT CAST(DATE '2024-02-29' + INTERVAL 12 MONTH AS DATE)
+                       AS leap_fwd,
+                   CAST(DATE '2024-02-29' - INTERVAL 12 MONTH AS DATE)
+                       AS leap_back"""),
+        """SELECT last_day(DATE '2024-02-10') AS feb_leap,
+                  last_day(DATE '2023-02-10') AS feb_normal""",
+        ("""SELECT date_add(DATE '2024-12-30', 5) AS cross_year,
+                   date_sub(DATE '2024-01-02', 5) AS back_year""",
+         """SELECT DATE '2024-12-30' + 5 AS cross_year,
+                   DATE '2024-01-02' - 5 AS back_year"""),
+        ("""SELECT CAST(datediff(DATE '2024-03-01', DATE '2024-02-01')
+                        AS BIGINT) AS leap_feb,
+                   CAST(datediff(DATE '2023-03-01', DATE '2023-02-01')
+                        AS BIGINT) AS normal_feb""",
+         """SELECT CAST(DATE '2024-03-01' - DATE '2024-02-01' AS BIGINT)
+                       AS leap_feb,
+                   CAST(DATE '2023-03-01' - DATE '2023-02-01' AS BIGINT)
+                       AS normal_feb"""),
+        # DIVERGENCE pinned: Spark months_between special-cases BOTH
+        # dates being month-ends -> exactly 1.0; DuckDB age() counts the
+        # leftover days (1 month 2 days ~ 1.0645)
+        ("""SELECT round(months_between(DATE '2024-03-31',
+                                        DATE '2024-02-29') + 1e-9, 4)
+                   AS fractional""",
+         """SELECT round(1.0 + 0.0, 4) AS fractional"""),
+        ("""SELECT round(months_between(DATE '2024-03-15',
+                                        DATE '2024-02-10') + 1e-9, 4)
+                   AS mixed_days""",
+         """SELECT round(1.0 + 5.0/31, 4) AS mixed_days"""),
+        """SELECT date_trunc('QUARTER', DATE '2024-05-15') = TIMESTAMP
+                  '2024-04-01 00:00:00' AS q2_start""",
+        ("""SELECT dayofweek(DATE '2024-01-07') AS sunday1,
+                   weekday(DATE '2024-01-07') AS sunday0""",
+         """SELECT CAST(date_part('dow', DATE '2024-01-07') + 1 AS INT)
+                       AS sunday1,
+                   CAST(6 AS INT) AS sunday0"""),
+        """SELECT extract(WEEK FROM DATE '2024-01-04') AS iso_week,
+                  extract(QUARTER FROM DATE '2024-08-14') AS q""",
+    ],
+    # ── hex literals + bit ops on them ───────────────────────────────
+    "hex_literals": [
+        # (Spark SQL has NO 0x integer-literal syntax -- hex arrives
+        # via hex()/unhex()/conv() only; DuckDB's 0xFF stays untested)
+        ("""SELECT hex(-1) AS neg_ones""",
+         """SELECT 'FFFFFFFFFFFFFFFF' AS neg_ones"""),
+        ("""SELECT conv('z', 36, 10) AS z36,
+                   conv('7fffffffffffffff', 16, 10) AS int64_max""",
+         """SELECT '35' AS z36, '9223372036854775807' AS int64_max"""),
+        """SELECT CAST(255 & 15 AS BIGINT) AS masked,
+                  CAST(240 | 15 AS BIGINT) AS joined""",
+        ("""SELECT hex(255) AS h, hex(unhex('FF')) AS roundtrip,
+                   CAST(length(unhex('FF')) AS BIGINT) AS nbytes""",
+         """SELECT 'FF' AS h, 'FF' AS roundtrip,
+                   CAST(1 AS BIGINT) AS nbytes"""),
+        ("""SELECT conv('ff', 16, 10) AS to_dec,
+                   conv('255', 10, 2) AS to_bin""",
+         """SELECT '255' AS to_dec, '11111111' AS to_bin"""),
+    ],
+    # ── human number formatting ──────────────────────────────────────
+    "num_format": [
+        ("""SELECT format_number(1234567.891, 2) AS grouped""",
+         """SELECT '1,234,567.89' AS grouped"""),
+        # DIVERGENCE pinned: Spark format_number uses Java DecimalFormat
+        # = HALF_EVEN (0.5 -> 0, 1.5 -> 2), not HALF_UP
+        ("""SELECT format_number(0.5, 0) AS tie_even,
+                   format_number(1.5, 0) AS tie_odd""",
+         """SELECT '0' AS tie_even, '2' AS tie_odd"""),
+        # Spark format_string %f needs a DOUBLE arg (Java Formatter
+        # rejects DECIMAL); DuckDB printf coerces either way
+        ("""SELECT format_string('%05d|%.3f|%s', 42,
+                                 CAST(2.5 AS DOUBLE), 'x') AS fmt""",
+         """SELECT printf('%05d|%.3f|%s', 42, 2.5, 'x') AS fmt"""),
+        ("""SELECT format_string('%e', CAST(12345.678 AS DOUBLE)) AS sci""",
+         """SELECT printf('%e', 12345.678) AS sci"""),
+        ("""SELECT lpad(CAST(7 AS STRING), 3, '0') AS padded,
+                   format_string('%%') AS pct""",
+         """SELECT lpad(CAST(7 AS VARCHAR), 3, '0') AS padded,
+                   '%' AS pct"""),
+    ],
+    # ── join fan-out and aliasing edges ──────────────────────────────
+    "join_dense10": [
+        # duplicate join keys multiply: count equals product of per-key
+        # counts summed — pinned against DuckDB on real data
+        """SELECT CAST(count(*) AS BIGINT) AS fanout
+           FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey <= 10) a
+           JOIN (SELECT l_orderkey FROM lineitem WHERE l_orderkey <= 10) b
+             ON a.l_orderkey = b.l_orderkey""",
+        # self-join aliasing both sides of the same table
+        """SELECT a.n_name AS x, b.n_name AS y
+           FROM nation a JOIN nation b
+             ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+           WHERE a.n_regionkey = 0 ORDER BY x, y""",
+        # join key is an expression; NULL-producing expr never matches
+        """SELECT CAST(count(*) AS BIGINT) AS c
+           FROM nation a JOIN nation b
+             ON nullif(a.n_regionkey, 0) = nullif(b.n_regionkey, 0)""",
+        # FULL OUTER with residual inequality
+        """SELECT a.r_name AS ar, b.r_name AS br
+           FROM region a FULL OUTER JOIN region b
+             ON a.r_regionkey = b.r_regionkey AND a.r_regionkey < 2
+           ORDER BY ar NULLS FIRST, br NULLS FIRST""",
+        # semi via EXISTS with a second correlation level
+        """SELECT r_name FROM region r
+           WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey =
+                           r.r_regionkey
+                         AND EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_nationkey = n.n_nationkey
+                                       AND c.c_acctbal > 9000))
+           ORDER BY r_name""",
+        # anti join via NOT EXISTS over a join of two tables
+        """SELECT n_name FROM nation
+           WHERE NOT EXISTS (SELECT 1 FROM supplier
+                             WHERE s_nationkey = n_nationkey
+                               AND s_acctbal > 5000)
+           ORDER BY n_name LIMIT 15""",
+        # three-way join where the middle table is filtered empty
+        """SELECT CAST(count(*) AS BIGINT) AS c
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+                                   AND r_name = 'NOWHERE'
+                JOIN customer ON c_nationkey = n_nationkey""",
+        # USING column resolves unqualified after the join
+        """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT n_regionkey FROM nation) JOIN
+                (SELECT r_regionkey AS n_regionkey FROM region)
+                USING (n_regionkey)
+           GROUP BY n_regionkey ORDER BY n_regionkey""",
+    ],
 }
 
 
