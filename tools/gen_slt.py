@@ -6315,6 +6315,175 @@ CORPUS = {
                 USING (n_regionkey)
            GROUP BY n_regionkey ORDER BY n_regionkey""",
     ],
+    # ── higher-moment aggregates: Spark is POPULATION skewness /
+    #    excess-population kurtosis; DuckDB is sample-corrected — duck
+    #    sides below undo its correction so the goldens are Spark's ──
+    "stats_dense": [
+        ("""SELECT round(skewness(v) + 1e-9, 4) AS sk
+            FROM VALUES (1.0), (2.0), (3.0), (4.0), (10.0) AS t(v)""",
+         """SELECT round(skewness(v) * (5 - 2)
+                         / sqrt(5.0 * (5 - 1)) + 1e-9, 4) AS sk
+            FROM (VALUES (1.0), (2.0), (3.0), (4.0), (10.0)) t(v)"""),
+        ("""SELECT round(kurtosis(v) + 1e-9, 4) AS ku
+            FROM VALUES (1.0), (2.0), (3.0), (4.0), (10.0) AS t(v)""",
+         """SELECT round(278.8 / 100 - 3 + 1e-9, 4) AS ku"""),
+        # single-row group: sample stats are NULL, population stats 0
+        """SELECT CAST(stddev_samp(v) AS DOUBLE) AS ss,
+                  round(stddev_pop(v), 4) AS sp,
+                  CAST(var_samp(v) AS DOUBLE) AS vs,
+                  round(var_pop(v), 4) AS vp
+           FROM (SELECT 42.0 AS v)""",
+        # perfect correlation is exactly 1; Spark under ANSI raises
+        # DIVIDE_BY_ZERO for the zero-variance case DuckDB NULLs, so
+        # only the defined region is SLT-comparable
+        ("""SELECT round(corr(x, y) + 1e-9, 4) AS c
+            FROM VALUES (1.0, 2.0), (2.0, 4.0), (3.0, 6.0) AS t(x, y)""",
+         """SELECT round(corr(x, y) + 1e-9, 4) AS c
+            FROM (VALUES (1.0, 2.0), (2.0, 4.0), (3.0, 6.0)) t(x, y)"""),
+        ("""SELECT round(covar_pop(x, y), 4) AS cp,
+                   round(covar_samp(x, y), 4) AS cs
+            FROM VALUES (1.0, 2.0), (2.0, 4.0), (3.0, 6.0) AS t(x, y)""",
+         """SELECT round(covar_pop(x, y), 4) AS cp,
+                   round(covar_samp(x, y), 4) AS cs
+            FROM (VALUES (1.0, 2.0), (2.0, 4.0), (3.0, 6.0)) t(x, y)"""),
+        # real-data spot check; the 'A' group's true skewness is ~0 and
+        # both engines emit only cancellation noise (~1e-5, differing in
+        # sign) there, so only the groups with signal are comparable
+        """SELECT l_returnflag, round(skewness(l_quantity) + 1e-9, 3)
+                      AS sk
+           FROM lineitem WHERE l_returnflag <> 'A'
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        ("""SELECT round(stddev_samp(l_quantity) /
+                         stddev_pop(l_quantity) + 1e-9, 6) AS bessel
+            FROM lineitem""",
+         """SELECT round(stddev_samp(l_quantity) /
+                         stddev_pop(l_quantity) + 1e-9, 6) AS bessel
+            FROM lineitem"""),
+    ],
+    # ── array index / position / mutation edges ──────────────────────
+    "array_dense6": [
+        # DIVERGENCE-adjacent: Spark array_position returns 0 for a
+        # missing element (1-based hit index); DuckDB list_position
+        # returns NULL — golden pins Spark's 0
+        ("""SELECT CAST(array_position(array(10, 20, 30), 20) AS BIGINT)
+                       AS hit,
+                   CAST(array_position(array(10, 20, 30), 99) AS BIGINT)
+                       AS miss""",
+         """SELECT CAST(2 AS BIGINT) AS hit, CAST(0 AS BIGINT) AS miss"""),
+        # element_at: negative counts from the end; try_ makes
+        # out-of-range NULL (index 0 stays a hard error even under try_,
+        # INVALID_INDEX_OF_ZERO — asserted in ErrorSemanticsSpec territory)
+        ("""SELECT element_at(array(1, 2, 3), -1) AS last_el,
+                   try_element_at(array(1, 2, 3), 9) AS oob""",
+         """SELECT 3 AS last_el, NULL AS oob"""),
+        ("""SELECT slice(array(1, 2, 3, 4, 5), -3, 2) AS from_end,
+                   slice(array(1, 2, 3, 4, 5), 2, 99) AS clamped""",
+         """SELECT [3, 4] AS from_end, [2, 3, 4, 5] AS clamped"""),
+        ("""SELECT array_insert(array(1, 2, 3), 2, 99) AS mid,
+                   array_insert(array(1, 2, 3), -1, 99) AS at_end""",
+         """SELECT [1, 99, 2, 3] AS mid, [1, 2, 3, 99] AS at_end"""),
+        ("""SELECT array_remove(array(1, 2, 1, 3, 1), 1) AS no_ones""",
+         """SELECT [2, 3] AS no_ones"""),
+        # union/intersect/except keep FIRST-occurrence order, dedup
+        ("""SELECT array_union(array(3, 1, 3), array(1, 2)) AS u,
+                   array_intersect(array(3, 1, 2), array(2, 3)) AS i,
+                   array_except(array(3, 1, 2, 1), array(2)) AS e""",
+         """SELECT [3, 1, 2] AS u, [3, 2] AS i, [3, 1] AS e"""),
+        ("""SELECT array_compact(array(1, NULL, 2, NULL)) AS nonulls,
+                   array_distinct(array(2, 1, 2, 3, 1)) AS first_seen""",
+         """SELECT [1, 2] AS nonulls, [2, 1, 3] AS first_seen"""),
+        # three-valued membership: contains over a NULL element
+        ("""SELECT array_contains(array(1, NULL), 1) AS has1,
+                   array_contains(array(1, NULL), 2) AS maybe2""",
+         """SELECT true AS has1, NULL AS maybe2"""),
+        ("""SELECT sequence(5, 1) AS down,
+                   sequence(1, 9, 3) AS stepped""",
+         """SELECT [5, 4, 3, 2, 1] AS down, [1, 4, 7] AS stepped"""),
+        ("""SELECT array_repeat('ab', 3) AS reps,
+                   array_join(array('a', NULL, 'c'), '-', '?') AS joined""",
+         """SELECT ['ab', 'ab', 'ab'] AS reps, 'a-?-c' AS joined"""),
+        ("""SELECT array_min(array(3, NULL, 1)) AS mn,
+                   array_max(array(3, NULL, 1)) AS mx""",
+         """SELECT 1 AS mn, 3 AS mx"""),
+    ],
+    # ── window tie / remainder semantics ─────────────────────────────
+    "window_dense10": [
+        # ntile remainder goes to the FIRST buckets: 7 rows / 3 tiles
+        """SELECT l_linenumber, CAST(ntile(3) OVER (ORDER BY l_linenumber)
+                      AS BIGINT) AS tile
+           FROM lineitem WHERE l_orderkey = 3 ORDER BY l_linenumber""",
+        # rank gap after a tie vs dense_rank; duplicate quantities occur
+        """SELECT q, CAST(rank() OVER (ORDER BY q) AS BIGINT) AS rk,
+                  CAST(dense_rank() OVER (ORDER BY q) AS BIGINT) AS drk
+           FROM (SELECT CAST(l_quantity AS BIGINT) AS q, l_linenumber
+                 FROM lineitem WHERE l_orderkey <= 3)
+           ORDER BY q, rk LIMIT 20""",
+        # percent_rank of a single-row partition is 0; cume_dist is 1
+        """SELECT round(percent_rank() OVER (PARTITION BY r_regionkey
+                        ORDER BY r_name), 4) AS pr,
+                  round(cume_dist() OVER (PARTITION BY r_regionkey
+                        ORDER BY r_name), 4) AS cd,
+                  r_name
+           FROM region ORDER BY r_name""",
+        # cume_dist counts ALL peers of the current row (ties jump)
+        """SELECT q, round(cume_dist() OVER (ORDER BY q) + 1e-9, 4) AS cd
+           FROM (SELECT CAST(l_quantity AS BIGINT) AS q
+                 FROM lineitem WHERE l_orderkey = 3)
+           ORDER BY q""",
+        # lead beyond the partition edge: NULL without default
+        """SELECT n_name,
+                  lead(n_name) OVER (PARTITION BY n_regionkey
+                                     ORDER BY n_name) AS next_in_region
+           FROM nation WHERE n_regionkey <= 1
+           ORDER BY n_name""",
+        # aggregate + DISTINCT window emulation via dense_rank trick
+        """SELECT l_returnflag,
+                  CAST(max(drk) OVER (PARTITION BY l_returnflag)
+                       AS BIGINT) AS distinct_quantities,
+                  l_linenumber
+           FROM (SELECT l_returnflag, l_linenumber,
+                        dense_rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity) AS drk
+                 FROM lineitem WHERE l_orderkey <= 5)
+           ORDER BY l_returnflag, l_linenumber LIMIT 20""",
+        # frame narrower than partition: moving avg over 2 rows
+        """SELECT l_linenumber,
+                  round(avg(l_quantity) OVER (ORDER BY l_linenumber
+                    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) + 1e-9, 4)
+                      AS mavg
+           FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""",
+    ],
+    # ── boolean / conditional counting aggregates ────────────────────
+    "agg_bool_countif": [
+        ("""SELECT CAST(count_if(l_quantity > 25) AS BIGINT) AS hi,
+                   CAST(count_if(l_quantity <= 25) AS BIGINT) AS lo
+            FROM lineitem""",
+         """SELECT CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hi,
+                   CAST(sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS lo
+            FROM lineitem"""),
+        ("""SELECT l_returnflag,
+                   every(l_quantity > 0) AS all_pos,
+                   any(l_quantity > 49) AS some_big
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+         """SELECT l_returnflag,
+                   bool_and(l_quantity > 0) AS all_pos,
+                   bool_or(l_quantity > 49) AS some_big
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        """SELECT bool_and(n_regionkey < 5) AS all_lt5,
+                  bool_or(n_regionkey = 4) AS has4
+           FROM nation""",
+        # empty input: bool aggs are NULL, count_if is 0
+        ("""SELECT CAST(count_if(true) AS BIGINT) AS c, every(true) AS e
+            FROM nation WHERE n_nationkey < 0""",
+         """SELECT CAST(0 AS BIGINT) AS c, CAST(NULL AS BOOLEAN) AS e"""),
+        # NULL predicate rows are ignored by bool aggs
+        ("""SELECT every(nullif(n_regionkey, 0) > 0) AS nulls_skipped
+            FROM nation""",
+         """SELECT bool_and(nullif(n_regionkey, 0) > 0) AS nulls_skipped
+            FROM nation"""),
+    ],
 }
 
 
