@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Grammar fuzzer for the SLT corpus: random PORTABLE SQL expressions,
+goldens computed by DuckDB, emitted as src/test/resources/slt/fuzz_*.slt
+(SltSpec discovers families from the resource dir, so the output is
+picked up with no code change).
+
+This mechanizes the hand-written corpus's purpose — pinning Spark's
+expression semantics against an independent engine — over a much larger
+sample. The grammar is restricted to surfaces whose semantics the two
+dialects genuinely share:
+
+  int expr  : literals, +, -, *, CASE, coalesce, nullif, abs,
+              CAST(bool AS INT)  [no /, %, greatest/least: ANSI
+              div-by-zero and NULL-handling divergences are pinned by
+              hand-written families instead]
+  bool expr : <, <=, =, <>, IS NULL, IS NOT NULL, AND, OR, NOT,
+              IS [NOT] DISTINCT FROM, BETWEEN, IN (list)
+  str expr  : literals, concat, upper, lower, trim, replace,
+              substr with POSITIVE args only (negative-start semantics
+              diverge), repeat, reverse, left/right with positive args
+
+Every case is deterministic (seeded), FROM-less (single row), and
+output-cast per corpus rules (CAST AS BIGINT / AS STRING; booleans
+print true/false/NULL). Overflow is impossible by construction: int
+literals are in [-4, 4] and expression depth <= 4, bounding |value| by
+4^(2^4) well under int64; string length is bounded by repeat<=3 and
+depth, under ~200 chars.
+
+Usage: python tools/fuzz_slt.py [n_per_family] [seed]
+Then:  sbt "testOnly graft.SltSpec"   (replays through Spark)
+"""
+import random
+import sys
+
+import duckdb
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 20260814
+OUT = "src/test/resources/slt"
+
+
+def lit_int(r):
+    if r.random() < 0.12:
+        return "NULL"
+    return str(r.randint(-4, 4))
+
+
+def int_expr(r, depth):
+    if depth <= 0:
+        return lit_int(r)
+    k = r.random()
+    if k < 0.20:
+        return lit_int(r)
+    if k < 0.34:
+        return f"({int_expr(r, depth - 1)} + {int_expr(r, depth - 1)})"
+    if k < 0.46:
+        return f"({int_expr(r, depth - 1)} - {int_expr(r, depth - 1)})"
+    if k < 0.56:
+        return f"({int_expr(r, depth - 1)} * {int_expr(r, depth - 1)})"
+    if k < 0.70:
+        return (f"CASE WHEN {bool_expr(r, depth - 1)} "
+                f"THEN {int_expr(r, depth - 1)} "
+                f"ELSE {int_expr(r, depth - 1)} END")
+    if k < 0.80:
+        return f"coalesce({int_expr(r, depth - 1)}, {int_expr(r, depth - 1)})"
+    if k < 0.88:
+        return f"nullif({int_expr(r, depth - 1)}, {int_expr(r, depth - 1)})"
+    if k < 0.95:
+        return f"abs({int_expr(r, depth - 1)})"
+    return f"CAST({bool_expr(r, depth - 1)} AS INT)"
+
+
+def bool_expr(r, depth):
+    if depth <= 0:
+        a, b = int_expr(r, 0), int_expr(r, 0)
+        return f"({a} < {b})"
+    k = r.random()
+    if k < 0.30:
+        op = r.choice(["<", "<=", "=", "<>", ">", ">="])
+        return f"({int_expr(r, depth - 1)} {op} {int_expr(r, depth - 1)})"
+    if k < 0.42:
+        return f"({int_expr(r, depth - 1)} IS NULL)"
+    if k < 0.50:
+        return f"({int_expr(r, depth - 1)} IS NOT NULL)"
+    if k < 0.64:
+        return f"({bool_expr(r, depth - 1)} AND {bool_expr(r, depth - 1)})"
+    if k < 0.78:
+        return f"({bool_expr(r, depth - 1)} OR {bool_expr(r, depth - 1)})"
+    if k < 0.82:
+        return f"(NOT {bool_expr(r, depth - 1)})"
+    if k < 0.88:
+        neg = r.choice(["", "NOT "])
+        return (f"({int_expr(r, depth - 1)} IS {neg}DISTINCT FROM "
+                f"{int_expr(r, depth - 1)})")
+    if k < 0.94:
+        lo, hi = sorted([r.randint(-4, 4), r.randint(-4, 4)])
+        return (f"({int_expr(r, depth - 1)} BETWEEN {lo} AND {hi})")
+    vals = ", ".join(str(r.randint(-4, 4))
+                     for _ in range(r.randint(2, 4)))
+    return f"({int_expr(r, depth - 1)} IN ({vals}))"
+
+
+STR_LITS = ["''", "'a'", "'ab'", "'Abc'", "'x y'", "'-'"]
+
+
+def str_expr(r, depth):
+    if depth <= 0 or r.random() < 0.25:
+        return r.choice(STR_LITS)
+    k = r.random()
+    if k < 0.18:
+        return f"concat({str_expr(r, depth - 1)}, {str_expr(r, depth - 1)})"
+    if k < 0.30:
+        return f"upper({str_expr(r, depth - 1)})"
+    if k < 0.42:
+        return f"lower({str_expr(r, depth - 1)})"
+    if k < 0.52:
+        return f"trim({str_expr(r, depth - 1)})"
+    if k < 0.64:
+        return (f"replace({str_expr(r, depth - 1)}, "
+                f"{r.choice(STR_LITS[1:])}, {r.choice(STR_LITS)})")
+    if k < 0.76:
+        start, ln = r.randint(1, 4), r.randint(0, 4)
+        return f"substr({str_expr(r, depth - 1)}, {start}, {ln})"
+    if k < 0.84:
+        return f"repeat({str_expr(r, depth - 1)}, {r.randint(0, 3)})"
+    if k < 0.92:
+        return f"reverse({str_expr(r, depth - 1)})"
+    side = r.choice(["left", "right"])
+    return f"{side}({str_expr(r, depth - 1)}, {r.randint(0, 3)})"
+
+
+def gen_family(name, make_case, n, seed):
+    r = random.Random(seed)
+    con = duckdb.connect()
+    seen = set()
+    out = [f"# {name}.slt — generated by tools/fuzz_slt.py "
+           f"(seed {seed}, n {n})",
+           "# do not edit by hand; regenerate instead", ""]
+    made = 0
+    while made < n:
+        sql = make_case(r)
+        if sql in seen:
+            continue
+        seen.add(sql)
+        rows = con.execute(sql).fetchall()
+        assert len(rows) == 1 and len(rows[0]) == 1, sql
+        v = rows[0][0]
+        if v is None:
+            golden = "NULL"
+        elif isinstance(v, bool):
+            golden = "true" if v else "false"
+        else:
+            golden = str(v)
+        assert golden != "", sql
+        out += ["query", sql, "----", golden, ""]
+        made += 1
+    with open(f"{OUT}/{name}.slt", "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"{name}: {made} cases")
+
+
+def main():
+    gen_family(
+        "fuzz_int",
+        lambda r: f"SELECT CAST({int_expr(r, 4)} AS BIGINT) AS v",
+        N, SEED)
+    gen_family(
+        "fuzz_bool",
+        lambda r: f"SELECT {bool_expr(r, 3)} AS v",
+        N, SEED + 1)
+    gen_family(
+        "fuzz_string",
+        lambda r: f"SELECT concat('<', {str_expr(r, 4)}, '>') AS v",
+        N, SEED + 2)
+
+
+if __name__ == "__main__":
+    main()
