@@ -159,6 +159,93 @@ def gen_family(name, make_case, n, seed):
     print(f"{name}: {made} cases")
 
 
+# ── query-shape fuzzing over the real testdata tables ───────────────
+# Random filter + FK-join + GROUP BY + HAVING + ORDER BY compositions:
+# exercises plan-level interplay (pushdown through joins, partial aggs,
+# having-over-agg) rather than scalar semantics. Group keys are
+# restricted to low-cardinality columns so goldens stay <= 40 rows.
+
+SF = "/root/testdata/sf0.001"
+
+# table -> (group-able low-card cols, int agg cols, join spec or None)
+# join spec: (dim table, fact key, dim key, dim group col)
+QTABLES = {
+    "nation": (["n_regionkey"], ["n_nationkey"],
+               ("region", "n_regionkey", "r_regionkey", "r_name")),
+    "supplier": (["s_nationkey"], ["s_suppkey"],
+                 ("nation", "s_nationkey", "n_nationkey", "n_name")),
+    "customer": (["c_nationkey"], ["c_custkey"],
+                 ("nation", "c_nationkey", "n_nationkey", "n_name")),
+    "orders": (["o_orderstatus", "o_orderpriority"], ["o_orderkey"],
+               None),
+    "lineitem": (["l_returnflag", "l_linestatus", "l_linenumber"],
+                 ["l_orderkey", "l_linenumber"], None),
+}
+
+
+def query_case(r):
+    fact = r.choice(list(QTABLES))
+    group_cols, agg_cols, join = QTABLES[fact]
+    gcol = r.choice(group_cols)
+    acol = r.choice(agg_cols)
+    select = [gcol]
+    frm = fact
+    if join is not None and r.random() < 0.5:
+        dim, fk, dk, dcol = join
+        frm = f"{fact} JOIN {dim} ON {fk} = {dk}"
+        if r.random() < 0.5:
+            gcol = dcol
+            select = [dcol]
+    aggs = r.sample([
+        "CAST(count(*) AS BIGINT) AS cnt",
+        f"CAST(sum(CAST({acol} AS BIGINT)) AS BIGINT) AS s",
+        f"CAST(min({acol}) AS BIGINT) AS mn",
+        f"CAST(max({acol}) AS BIGINT) AS mx",
+        f"CAST(count(DISTINCT {acol}) AS BIGINT) AS dc",
+    ], r.randint(1, 3))
+    where = ""
+    if r.random() < 0.6:
+        m = r.randint(2, 7)
+        where = f" WHERE {acol} % {m} = {r.randint(0, m - 1)}"
+    having = ""
+    if r.random() < 0.35:
+        having = f" HAVING count(*) > {r.randint(0, 3)}"
+    return (f"SELECT {', '.join(select + aggs)} FROM {frm}{where} "
+            f"GROUP BY {gcol}{having} ORDER BY {gcol}")
+
+
+def gen_query_family(name, n, seed):
+    r = random.Random(seed)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    seen = set()
+    out = [f"# {name}.slt — generated by tools/fuzz_slt.py "
+           f"(seed {seed}, n {n})",
+           "# do not edit by hand; regenerate instead", ""]
+    made = 0
+    while made < n:
+        sql = query_case(r)
+        if sql in seen:
+            continue
+        seen.add(sql)
+        rows = con.execute(sql).fetchall()
+        if not (0 < len(rows) <= 40):
+            continue
+        out += ["query", sql, "----"]
+        for row in rows:
+            line = "\t".join("NULL" if v is None else str(v) for v in row)
+            assert line != "", sql
+            out.append(line)
+        out.append("")
+        made += 1
+    with open(f"{OUT}/{name}.slt", "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"{name}: {made} cases")
+
+
 def main():
     gen_family(
         "fuzz_int",
@@ -172,6 +259,7 @@ def main():
         "fuzz_string",
         lambda r: f"SELECT concat('<', {str_expr(r, 4)}, '>') AS v",
         N, SEED + 2)
+    gen_query_family("fuzz_query", N // 2, SEED + 3)
 
 
 if __name__ == "__main__":
