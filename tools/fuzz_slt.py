@@ -246,6 +246,134 @@ def gen_query_family(name, n, seed):
     print(f"{name}: {made} cases")
 
 
+# ── date fuzzing (pair-emitting: Spark and DuckDB spell date
+#    arithmetic differently; the --duck-- section records both) ───────
+
+def rand_date(r):
+    import datetime as dt
+    base = dt.date(2020, 1, 1)
+    return base + dt.timedelta(days=r.randint(0, 2557))  # through 2026
+
+
+def date_case(r):
+    """Returns (spark_sql, duck_sql)."""
+    d = rand_date(r)
+    lit = f"DATE '{d.isoformat()}'"
+    k = r.random()
+    if k < 0.22:
+        n = r.randint(-900, 900)
+        return (f"SELECT date_add({lit}, {n}) AS v",
+                f"SELECT {lit} + {n} AS v")
+    if k < 0.36:
+        d2 = rand_date(r)
+        lit2 = f"DATE '{d2.isoformat()}'"
+        return (f"SELECT CAST(datediff({lit}, {lit2}) AS BIGINT) AS v",
+                f"SELECT CAST({lit} - {lit2} AS BIGINT) AS v")
+    if k < 0.50:
+        n = r.randint(-30, 30)
+        return (f"SELECT add_months({lit}, {n}) AS v",
+                f"SELECT CAST({lit} + {n} * INTERVAL 1 MONTH AS DATE) AS v")
+    if k < 0.60:
+        return (f"SELECT last_day({lit}) AS v", f"SELECT last_day({lit}) AS v")
+    if k < 0.74:
+        unit = r.choice(["YEAR", "MONTH", "WEEK", "QUARTER"])
+        return (f"SELECT CAST(date_trunc('{unit}', {lit}) AS DATE) AS v",
+                f"SELECT CAST(date_trunc('{unit}', {lit}) AS DATE) AS v")
+    if k < 0.92:
+        field = r.choice(["YEAR", "MONTH", "DAY", "QUARTER", "WEEK", "DOY"])
+        return (f"SELECT CAST(extract({field} FROM {lit}) AS BIGINT) AS v",
+                f"SELECT CAST(extract({field} FROM {lit}) AS BIGINT) AS v")
+    n = r.randint(-5, 5)
+    return (f"SELECT CAST(date_add(add_months({lit}, {n}), {n * 7}) AS "
+            f"STRING) AS v",
+            f"SELECT CAST(CAST({lit} + {n} * INTERVAL 1 MONTH AS DATE) "
+            f"+ {n * 7} AS VARCHAR) AS v")
+
+
+def gen_pair_family(name, make_case, n, seed):
+    r = random.Random(seed)
+    con = duckdb.connect()
+    seen = set()
+    out = [f"# {name}.slt — generated by tools/fuzz_slt.py "
+           f"(seed {seed}, n {n})",
+           "# do not edit by hand; regenerate instead", ""]
+    made = 0
+    while made < n:
+        spark_sql, duck_sql = make_case(r)
+        if spark_sql in seen:
+            continue
+        seen.add(spark_sql)
+        rows = con.execute(duck_sql).fetchall()
+        assert len(rows) == 1 and len(rows[0]) == 1, duck_sql
+        v = rows[0][0]
+        golden = "NULL" if v is None else str(v)
+        assert golden != "", duck_sql
+        out.append("query")
+        out.append(spark_sql)
+        if duck_sql != spark_sql:
+            out += ["--duck--", duck_sql]
+        out += ["----", golden, ""]
+        made += 1
+    with open(f"{OUT}/{name}.slt", "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"{name}: {made} cases")
+
+
+# ── int-array fuzzing (dual-rendered: Spark and DuckDB array fns
+#    differ in name AND convention — slice takes (start, LENGTH) in
+#    Spark vs (start, END-INCLUSIVE) in DuckDB; outputs are wrapped in
+#    sort_array/list_sort so order-unstable ops stay comparable) ──────
+
+def array_expr(r, depth):
+    """Returns (spark_text, duck_text) for an int-array expression."""
+    if depth <= 0 or r.random() < 0.25:
+        vals = [r.randint(-4, 9) for _ in range(r.randint(1, 4))]
+        return (f"array({', '.join(map(str, vals))})",
+                f"[{', '.join(map(str, vals))}]")
+    k = r.random()
+    s1, d1 = array_expr(r, depth - 1)
+    if k < 0.16:
+        s2, d2 = array_expr(r, depth - 1)
+        return (f"concat({s1}, {s2})", f"list_concat({d1}, {d2})")
+    if k < 0.30:
+        n = r.randint(-3, 3)
+        return (f"transform({s1}, x -> x + {n})",
+                f"list_transform({d1}, x -> x + {n})")
+    if k < 0.44:
+        m = r.randint(2, 3)
+        return (f"filter({s1}, x -> x % {m} = 0)",
+                f"list_filter({d1}, x -> x % {m} = 0)")
+    if k < 0.56:
+        v = r.randint(-4, 9)
+        return (f"array_remove({s1}, {v})",
+                f"list_filter({d1}, x -> x <> {v})")
+    if k < 0.68:
+        start, ln = r.randint(1, 3), r.randint(0, 3)
+        return (f"slice({s1}, {start}, {ln})",
+                f"list_slice({d1}, {start}, {start + ln - 1})")
+    return (f"reverse({s1})", f"list_reverse({d1})")
+
+
+def array_case(r):
+    s, d = array_expr(r, 3)
+    k = r.random()
+    if k < 0.20:
+        return (f"SELECT CAST(size({s}) AS BIGINT) AS v",
+                f"SELECT CAST(len({d}) AS BIGINT) AS v")
+    # order-UNSTABLE ops (array_union/array_distinct: DuckDB's
+    # list_distinct scrambles order) are only generated here, directly
+    # under the sort wrapper, so their order never feeds another op
+    if k < 0.35:
+        s2, d2 = array_expr(r, 2)
+        return (f"SELECT sort_array(array_union({s}, {s2})) AS v",
+                f"SELECT list_sort(list_distinct(list_concat({d}, {d2})))"
+                f" AS v")
+    if k < 0.45:
+        return (f"SELECT sort_array(array_distinct({s})) AS v",
+                f"SELECT list_sort(list_distinct({d})) AS v")
+    return (f"SELECT sort_array({s}) AS v", f"SELECT list_sort({d}) AS v")
+
+
 def main():
     gen_family(
         "fuzz_int",
@@ -260,6 +388,8 @@ def main():
         lambda r: f"SELECT concat('<', {str_expr(r, 4)}, '>') AS v",
         N, SEED + 2)
     gen_query_family("fuzz_query", N // 2, SEED + 3)
+    gen_pair_family("fuzz_date", date_case, N, SEED + 4)
+    gen_pair_family("fuzz_array", array_case, N, SEED + 5)
 
 
 if __name__ == "__main__":
