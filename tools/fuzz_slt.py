@@ -290,6 +290,20 @@ def date_case(r):
             f"+ {n * 7} AS VARCHAR) AS v")
 
 
+def fmt_scalar(v):
+    import decimal
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (float, decimal.Decimal)):
+        # HALF_UP on the exact binary expansion == SltSpec's
+        # BigDecimal.setScale(4, HALF_UP) (same rule as gen_slt.fmt)
+        return str(decimal.Decimal(v).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP))
+    return str(v)
+
+
 def gen_pair_family(name, make_case, n, seed):
     r = random.Random(seed)
     con = duckdb.connect()
@@ -304,15 +318,18 @@ def gen_pair_family(name, make_case, n, seed):
             continue
         seen.add(spark_sql)
         rows = con.execute(duck_sql).fetchall()
-        assert len(rows) == 1 and len(rows[0]) == 1, duck_sql
-        v = rows[0][0]
-        golden = "NULL" if v is None else str(v)
-        assert golden != "", duck_sql
+        if not (0 < len(rows) <= 40):  # e.g. HAVING filtered everything
+            continue
         out.append("query")
         out.append(spark_sql)
         if duck_sql != spark_sql:
             out += ["--duck--", duck_sql]
-        out += ["----", golden, ""]
+        out.append("----")
+        for row in rows:
+            line = "\t".join(fmt_scalar(v) for v in row)
+            assert line != "", duck_sql
+            out.append(line)
+        out.append("")
         made += 1
     with open(f"{OUT}/{name}.slt", "w") as f:
         f.write("\n".join(out) + "\n")
@@ -374,6 +391,89 @@ def array_case(r):
     return (f"SELECT sort_array({s}) AS v", f"SELECT list_sort({d}) AS v")
 
 
+# ── aggregate / window fuzzing over inline VALUES tables (the
+#    reference's densest slt areas). Spark spells the derived table
+#    `FROM VALUES ... AS t(...)`, DuckDB `FROM (VALUES ...) t(...)` ──
+
+def values_table(r, ncols, nrows, null_frac=0.15):
+    rows = []
+    for _ in range(nrows):
+        row = []
+        for c in range(ncols):
+            if c > 0 and r.random() < null_frac:
+                row.append("NULL")
+            else:
+                row.append(str(r.randint(-5, 9)))
+        rows.append("(" + ", ".join(row) + ")")
+    return ", ".join(rows)
+
+
+AGG_EXPRS = [
+    "CAST(count(*) AS BIGINT) AS cnt",
+    "CAST(count(x) AS BIGINT) AS cx",
+    "CAST(count(DISTINCT x) AS BIGINT) AS dx",
+    "CAST(sum(x) AS BIGINT) AS sx",
+    "CAST(min(x) AS BIGINT) AS mn",
+    "CAST(max(x) AS BIGINT) AS mx",
+    "round(avg(x) + 1e-9, 4) AS ax",
+    "CAST(sum(x) FILTER (WHERE x > 0) AS BIGINT) AS spos",
+    "CAST(count(*) FILTER (WHERE x IS NULL) AS BIGINT) AS cnull",
+]
+
+
+def agg_case(r):
+    vals = values_table(r, 2, r.randint(3, 10))
+    aggs = r.sample(AGG_EXPRS, r.randint(1, 4))
+    having = ""
+    if r.random() < 0.3:
+        having = f" HAVING count(*) > {r.randint(0, 2)}"
+    body = (f"SELECT g, {', '.join(aggs)} FROM {{src}} "
+            f"GROUP BY g{having} ORDER BY g")
+    return (body.format(src=f"VALUES {vals} AS t(g, x)"),
+            body.format(src=f"(VALUES {vals}) t(g, x)"))
+
+
+def window_case(r):
+    n = r.randint(4, 9)
+    # i is a UNIQUE 0..n-1 ordering column (shuffled into the VALUES so
+    # physical order differs from logical); x may tie and be NULL
+    idx = list(range(n))
+    r.shuffle(idx)
+    rows = ", ".join(
+        f"({i}, {r.randint(0, 2)}, "
+        f"{'NULL' if r.random() < 0.15 else r.randint(-5, 9)})"
+        for i in idx)
+    part = r.choice(["", "PARTITION BY g "])
+    k = r.random()
+    if k < 0.18:
+        w = f"CAST(row_number() OVER ({part}ORDER BY i) AS BIGINT)"
+    elif k < 0.36:
+        fn = r.choice(["rank", "dense_rank"])
+        # ties on x are fine: rank values are order-independent
+        w = (f"CAST({fn}() OVER ({part}ORDER BY x NULLS FIRST, i) "
+             f"AS BIGINT)")
+    elif k < 0.50:
+        off = r.randint(1, 2)
+        fn = r.choice(["lag", "lead"])
+        w = f"CAST({fn}(x, {off}) OVER ({part}ORDER BY i) AS BIGINT)"
+    elif k < 0.66:
+        a, b = r.randint(0, 2), r.randint(0, 2)
+        fn = r.choice(["sum", "min", "max"])
+        w = (f"CAST({fn}(x) OVER ({part}ORDER BY i ROWS BETWEEN "
+             f"{a} PRECEDING AND {b} FOLLOWING) AS BIGINT)")
+    elif k < 0.80:
+        w = (f"CAST(sum(x) OVER ({part}ORDER BY i ROWS BETWEEN "
+             f"UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)")
+    elif k < 0.90:
+        w = f"CAST(ntile({r.randint(2, 4)}) OVER (ORDER BY i) AS BIGINT)"
+    else:
+        w = (f"round(cume_dist() OVER ({part}ORDER BY x NULLS FIRST, i)"
+             f" + 1e-9, 4)")
+    body = f"SELECT i, {w} AS w FROM {{src}} ORDER BY i"
+    return (body.format(src=f"VALUES {rows} AS t(i, g, x)"),
+            body.format(src=f"(VALUES {rows}) t(i, g, x)"))
+
+
 def main():
     gen_family(
         "fuzz_int",
@@ -390,6 +490,8 @@ def main():
     gen_query_family("fuzz_query", N // 2, SEED + 3)
     gen_pair_family("fuzz_date", date_case, N, SEED + 4)
     gen_pair_family("fuzz_array", array_case, N, SEED + 5)
+    gen_pair_family("fuzz_agg", agg_case, N // 2, SEED + 6)
+    gen_pair_family("fuzz_window", window_case, N // 2, SEED + 7)
 
 
 if __name__ == "__main__":
