@@ -474,6 +474,41 @@ def window_case(r):
             body.format(src=f"(VALUES {rows}) t(i, g, x)"))
 
 
+# ── set-op and join fuzzing over inline VALUES tables ────────────────
+
+def setop_case(r):
+    a = values_table(r, 2, r.randint(2, 6), null_frac=0.2)
+    b = values_table(r, 2, r.randint(2, 6), null_frac=0.2)
+    op = r.choice(["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+                   "EXCEPT", "EXCEPT ALL"])
+    body = (f"SELECT * FROM (SELECT g, x FROM {{a}} {op} "
+            f"SELECT g, x FROM {{b}}) s "
+            f"ORDER BY g NULLS FIRST, x NULLS FIRST")
+    return (body.format(a=f"VALUES {a} AS t1(g, x)",
+                        b=f"VALUES {b} AS t2(g, x)"),
+            body.format(a=f"(VALUES {a}) t1(g, x)",
+                        b=f"(VALUES {b}) t2(g, x)"))
+
+
+def join_case(r):
+    a = values_table(r, 2, r.randint(2, 6), null_frac=0.25)
+    b = values_table(r, 2, r.randint(2, 6), null_frac=0.25)
+    jt = r.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+    # NULL keys never match (three-valued =) — the draw rate makes
+    # unmatched rows common on both sides
+    extra = ""
+    if r.random() < 0.3:
+        extra = f" AND t1.x > {r.randint(-2, 2)}"
+    body = (f"SELECT t1.g AS g1, t1.x AS x1, t2.g AS g2, t2.x AS x2 "
+            f"FROM {{a}} {jt} {{b}} ON t1.g = t2.g{extra} "
+            f"ORDER BY g1 NULLS FIRST, x1 NULLS FIRST, "
+            f"g2 NULLS FIRST, x2 NULLS FIRST")
+    return (body.format(a=f"VALUES {a} AS t1(g, x)",
+                        b=f"VALUES {b} AS t2(g, x)"),
+            body.format(a=f"(VALUES {a}) t1(g, x)",
+                        b=f"(VALUES {b}) t2(g, x)"))
+
+
 def main():
     gen_family(
         "fuzz_int",
@@ -492,6 +527,8 @@ def main():
     gen_pair_family("fuzz_array", array_case, N, SEED + 5)
     gen_pair_family("fuzz_agg", agg_case, N // 2, SEED + 6)
     gen_pair_family("fuzz_window", window_case, N // 2, SEED + 7)
+    gen_pair_family("fuzz_setop", setop_case, N // 2, SEED + 8)
+    gen_pair_family("fuzz_join", join_case, N // 2, SEED + 9)
 
 
 if __name__ == "__main__":
