@@ -589,10 +589,13 @@ object H2oClickQueries {
     //    small/medium/big cardinality, inner and left). x = events; the
     //    dim tables are derived from events via CTEs so Spark and DuckDB
     //    build identical inputs. Output is aggregated + totally ordered
-    //    for the hash compare. Plan shapes: j1/j4 AQE-broadcast the tiny
-    //    dim, j2/j3 shuffle-hash on user_id, j5 is the big-big SMJ on
-    //    event_id — at 100 TB each stays the right strategy because the
-    //    dim cardinality, not a hint, drives the choice ────────────────
+    //    for the hash compare. Plan audit (Explain, sf0.1): ALL five
+    //    broadcast the dim today — even j5's two-column self-join
+    //    projection fits under the 10 MB autoBroadcast threshold at
+    //    this SF. That is size-estimate-driven, not hinted: at cluster
+    //    scale the same statistics push j2/j3 to shuffled joins and j5
+    //    to SMJ on event_id, so the plans degrade to exactly the
+    //    benchmark's intended shapes without any code change ──────────
     "h2o_j1" -> sql("""
       |WITH small AS (
       |  SELECT event_type, round(avg(value) + 1e-9, 4) AS v2
