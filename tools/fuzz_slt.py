@@ -123,8 +123,18 @@ def str_expr(r, depth):
         return f"substr({str_expr(r, depth - 1)}, {start}, {ln})"
     if k < 0.84:
         return f"repeat({str_expr(r, depth - 1)}, {r.randint(0, 3)})"
-    if k < 0.92:
+    if k < 0.84:
         return f"reverse({str_expr(r, depth - 1)})"
+    if k < 0.88:
+        pad = r.choice(["lpad", "rpad"])
+        return (f"{pad}({str_expr(r, depth - 1)}, {r.randint(0, 6)}, "
+                f"{r.choice(STR_LITS[1:])})")
+    if k < 0.92:
+        sep = r.choice(["'a'", "' '", "'-'"])
+        return (f"split_part({str_expr(r, depth - 1)}, {sep}, "
+                f"{r.randint(1, 3)})")
+    if k < 0.96:
+        return (f"translate({str_expr(r, depth - 1)}, 'abx', 'XY')")
     side = r.choice(["left", "right"])
     return f"{side}({str_expr(r, depth - 1)}, {r.randint(0, 3)})"
 
