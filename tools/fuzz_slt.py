@@ -519,6 +519,51 @@ def join_case(r):
                         b=f"(VALUES {b}) t2(g, x)"))
 
 
+# ── map fuzzing (Spark map('k', v, ...) vs DuckDB MAP {'k': v};
+#    DuckDB map[k] yields a LIST — unwrap with [1]; missing key is []
+#    which unwraps to NULL, matching Spark's element_at miss) ──────────
+
+def map_literal(r, keys):
+    vals = [r.randint(-5, 9) for _ in keys]
+    spark = "map(" + ", ".join(
+        f"'{k}', {v}" for k, v in zip(keys, vals)) + ")"
+    duck = "MAP {" + ", ".join(
+        f"'{k}': {v}" for k, v in zip(keys, vals)) + "}"
+    return spark, duck
+
+
+def map_case(r):
+    pool = list("abcde")
+    r.shuffle(pool)
+    nk = r.randint(1, 4)
+    keys = pool[:nk]
+    s, d = map_literal(r, keys)
+    k = r.random()
+    if k < 0.30:
+        probe = r.choice(pool)  # may hit or miss
+        return (f"SELECT element_at({s}, '{probe}') AS v",
+                f"SELECT ({d})['{probe}'][1] AS v")
+    if k < 0.45:
+        return (f"SELECT sort_array(map_keys({s})) AS v",
+                f"SELECT list_sort(map_keys({d})) AS v")
+    if k < 0.60:
+        return (f"SELECT sort_array(map_values({s})) AS v",
+                f"SELECT list_sort(map_values({d})) AS v")
+    if k < 0.72:
+        return (f"SELECT CAST(size({s}) AS BIGINT) AS v",
+                f"SELECT CAST(cardinality({d}) AS BIGINT) AS v")
+    # concat of DISJOINT maps (Spark's default dedup policy errors on
+    # duplicate keys), then probe one side
+    rest = pool[nk:]
+    if not rest:
+        rest = ["z"]
+    nk2 = r.randint(1, len(rest))
+    s2, d2 = map_literal(r, rest[:nk2])
+    probe = r.choice(keys + rest[:nk2])
+    return (f"SELECT element_at(map_concat({s}, {s2}), '{probe}') AS v",
+            f"SELECT (map_concat({d}, {d2}))['{probe}'][1] AS v")
+
+
 def main():
     gen_family(
         "fuzz_int",
@@ -539,6 +584,7 @@ def main():
     gen_pair_family("fuzz_window", window_case, N // 2, SEED + 7)
     gen_pair_family("fuzz_setop", setop_case, N // 2, SEED + 8)
     gen_pair_family("fuzz_join", join_case, N // 2, SEED + 9)
+    gen_pair_family("fuzz_map", map_case, N // 2, SEED + 10)
 
 
 if __name__ == "__main__":
