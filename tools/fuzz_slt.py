@@ -300,6 +300,18 @@ def date_case(r):
             f"+ {n * 7} AS VARCHAR) AS v")
 
 
+def gen_query_pair_family(name, make_case, n, seed):
+    """gen_pair_family, but with the testdata views registered (for
+    table-reading pair cases)."""
+    r = random.Random(seed)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    _emit_pairs(name, make_case, n, r, con)
+
+
 def fmt_scalar(v):
     import decimal
     if v is None:
@@ -315,11 +327,12 @@ def fmt_scalar(v):
 
 
 def gen_pair_family(name, make_case, n, seed):
-    r = random.Random(seed)
-    con = duckdb.connect()
+    _emit_pairs(name, make_case, n, random.Random(seed), duckdb.connect())
+
+
+def _emit_pairs(name, make_case, n, r, con):
     seen = set()
-    out = [f"# {name}.slt — generated by tools/fuzz_slt.py "
-           f"(seed {seed}, n {n})",
+    out = [f"# {name}.slt — generated by tools/fuzz_slt.py (n {n})",
            "# do not edit by hand; regenerate instead", ""]
     made = 0
     while made < n:
@@ -564,6 +577,86 @@ def map_case(r):
             f"SELECT (map_concat({d}, {d2}))['{probe}'][1] AS v")
 
 
+# ── struct + subquery fuzzing ────────────────────────────────────────
+
+def struct_expr(r, depth):
+    """Nested int-leaf struct; returns (spark_text, duck_text, paths)
+    where paths is the list of dotted field paths to int leaves."""
+    fields = []
+    n = r.randint(1, 3)
+    names = r.sample(list("pqrs"), n)
+    sparks, ducks, paths = [], [], []
+    for nm in names:
+        if depth > 0 and r.random() < 0.35:
+            s, d, sub = struct_expr(r, depth - 1)
+            sparks.append(f"'{nm}', {s}")
+            ducks.append(f"'{nm}': {d}")
+            paths += [f"{nm}.{p}" for p in sub]
+        else:
+            v = r.randint(-5, 9)
+            sparks.append(f"'{nm}', {v}")
+            ducks.append(f"'{nm}': {v}")
+            paths.append(nm)
+    return ("named_struct(" + ", ".join(sparks) + ")",
+            "{" + ", ".join(ducks) + "}", paths)
+
+
+def struct_case(r):
+    s, d, paths = struct_expr(r, 2)
+    p = r.choice(paths)
+    return (f"SELECT CAST({s}.{p} AS BIGINT) AS v",
+            f"SELECT CAST(({d}).{p} AS BIGINT) AS v")
+
+
+def subquery_case(r):
+    """Correlated / IN / EXISTS / scalar subqueries over nation+region+
+    supplier (all non-null keys, so NOT IN stays two-valued)."""
+    k = r.random()
+    cutoff = r.randint(0, 4)
+    if k < 0.25:
+        neg = r.choice(["", "NOT "])
+        q = (f"SELECT n_name FROM nation WHERE n_regionkey {neg}IN "
+             f"(SELECT r_regionkey FROM region WHERE r_regionkey "
+             f"<= {cutoff}) ORDER BY n_name")
+    elif k < 0.50:
+        neg = r.choice(["", "NOT "])
+        q = (f"SELECT r_name FROM region r WHERE {neg}EXISTS "
+             f"(SELECT 1 FROM nation n WHERE n.n_regionkey = "
+             f"r.r_regionkey AND n.n_nationkey > {r.randint(0, 24)}) "
+             f"ORDER BY r_name")
+    elif k < 0.70:
+        q = (f"SELECT n_name, CAST((SELECT count(*) FROM supplier s "
+             f"WHERE s.s_nationkey = nation.n_nationkey) AS BIGINT) "
+             f"AS ns FROM nation WHERE n_regionkey = {cutoff} "
+             f"ORDER BY n_name")
+    elif k < 0.85:
+        agg = r.choice(["min", "max"])
+        q = (f"SELECT n_name FROM nation WHERE n_nationkey "
+             f"{r.choice(['<', '>'])} (SELECT {agg}(n_regionkey) + "
+             f"{r.randint(1, 9)} FROM nation) ORDER BY n_name")
+    else:
+        # DIALECT GAP: Spark has no quantified ALL/ANY(subquery) — the
+        # pair pins the min/max emulation against DuckDB's native form
+        # (subquery is never empty here; the empty-set edge diverges)
+        cmp_ = r.choice(["<", ">="])
+        nk = r.randint(2, 12)
+        op, agg = (("ALL", "max") if cmp_ == ">=" else ("ANY", "max")
+                   ) if r.random() < 0.5 else (
+                   ("ALL", "min") if cmp_ == "<" else ("ANY", "min"))
+        # >= ALL == >= max; < ANY == < max; <  ALL == < min; >= ANY == >= min
+        agg = {"(>= , ALL)": "max", "(< , ANY)": "max",
+               "(< , ALL)": "min", "(>= , ANY)": "min"}[
+                   f"({cmp_} , {op})"]
+        sub = f"SELECT n_regionkey FROM nation WHERE n_nationkey <= {nk}"
+        spark_q = (f"SELECT r_name FROM region WHERE r_regionkey {cmp_} "
+                   f"(SELECT {agg}(n_regionkey) FROM nation WHERE "
+                   f"n_nationkey <= {nk}) ORDER BY r_name")
+        duck_q = (f"SELECT r_name FROM region WHERE r_regionkey {cmp_} "
+                  f"{op} ({sub}) ORDER BY r_name")
+        return (spark_q, duck_q)
+    return (q, q)
+
+
 def main():
     gen_family(
         "fuzz_int",
@@ -585,6 +678,9 @@ def main():
     gen_pair_family("fuzz_setop", setop_case, N // 2, SEED + 8)
     gen_pair_family("fuzz_join", join_case, N // 2, SEED + 9)
     gen_pair_family("fuzz_map", map_case, N // 2, SEED + 10)
+    gen_pair_family("fuzz_struct", struct_case, N // 2, SEED + 11)
+    gen_query_pair_family("fuzz_subquery", subquery_case, N // 2,
+                          SEED + 12)
 
 
 if __name__ == "__main__":
