@@ -404,15 +404,18 @@ object TpchQueries {
         .filter(col("p_brand") =!= "Brand#3" &&
           col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
       val l = Engine.table(s, d, "lineitem")
-      // size(collect_set) instead of countDistinct: one exchange (set
-      // union is the partial agg) vs two (dedupe expand + count). The
-      // state is bounded by |suppliers| per (brand,type,size) group —
-      // a dimension-bounded key space, not data-scaled — so the set
-      // stays small at any SF; same null semantics (both drop nulls).
+      // countDistinct over ONE column plans as two codegen'd
+      // HashAggregates (partial dedup on (keys, suppkey), then count —
+      // no Expand). A/B vs the earlier size(collect_set)
+      // ObjectHashAggregate at sf0.1: parity on parquet (0.39s both) —
+      // the query's cost is scan+join, not aggregate strategy. Kept
+      // because it stays inside whole-stage codegen (the object agg
+      // doesn't) and its extra exchange carries already-deduped
+      // (brand,type,size,suppkey) rows — dimension-bounded at any SF —
+      // which is the safer asymptote at 100 TB.
       l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-        .agg(size(collect_set(col("l_suppkey"))).cast("long")
-          .as("supplier_cnt"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
           col("p_size"))
     },
