@@ -105,6 +105,9 @@ class SltSpec extends AnyFunSuite {
     case s: String => s"'$s'"
     case _: java.lang.Double | _: java.lang.Float =>
       fail("float inside array output — corpus rule violation")
+    // nested array: python str() of the inner list, recursively
+    case seq: scala.collection.Seq[_] =>
+      seq.map(fmtElem).mkString("[", ", ", "]")
     case other => other.toString
   }
 

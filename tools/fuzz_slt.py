@@ -657,6 +657,147 @@ def subquery_case(r):
     return (q, q)
 
 
+# ── higher-order-function fuzzing: lambda pipelines over int-array
+#    literals. Spark transform/filter/aggregate vs DuckDB list_*; the
+#    fold is pinned via list_reduce with the init prepended (DuckDB's
+#    list_reduce has no init parameter), and Spark's 0-based lambda
+#    index vs DuckDB's 1-based is aligned with an explicit -1 ─────────
+
+def hof_array(r, with_nulls=True):
+    vals = [("NULL" if with_nulls and r.random() < 0.12
+             else str(r.randint(-4, 9)))
+            for _ in range(r.randint(1, 5))]
+    return (f"array({', '.join(vals)})", f"[{', '.join(vals)}]")
+
+
+def hof_chain(r, depth, with_nulls=True):
+    """A transform/filter pipeline; returns (spark, duck)."""
+    s, d = hof_array(r, with_nulls)
+    for _ in range(depth):
+        k = r.random()
+        if k < 0.40:
+            c = r.randint(-3, 3)
+            op = r.choice(["+", "-", "*"])
+            s = f"transform({s}, x -> x {op} {c})"
+            d = f"list_transform({d}, x -> x {op} {c})"
+        elif k < 0.65:
+            c = r.randint(-2, 6)
+            cmp_ = r.choice(["<", ">", "<=", ">="])
+            s = f"filter({s}, x -> x {cmp_} {c})"
+            d = f"list_filter({d}, x -> x {cmp_} {c})"
+        else:
+            # indexed transform: Spark i is 0-based, DuckDB 1-based
+            s = f"transform({s}, (x, i) -> x + i)"
+            d = f"list_transform({d}, (x, i) -> x + (i - 1))"
+    return s, d
+
+
+def hof_case(r):
+    k = r.random()
+    if k < 0.40:
+        # fold to a scalar: aggregate(init, +|*) ≡ list_reduce(prepend)
+        s, d = hof_chain(r, r.randint(0, 2))
+        init = r.randint(-2, 3)
+        op = r.choice(["+", "*"])
+        return (f"SELECT CAST(aggregate({s}, {init}, "
+                f"(acc, x) -> acc {op} x) AS BIGINT) AS v",
+                f"SELECT CAST(list_reduce(list_prepend({init}, {d}), "
+                f"(acc, x) -> acc {op} x) AS BIGINT) AS v")
+    if k < 0.60:
+        # exists/forall via DuckDB bool-fold emulation (NULL-free
+        # elements: the three-valued NULL edge is pinned by the
+        # hand-written hof_lambda_dense family instead)
+        s, d = hof_chain(r, r.randint(0, 2), with_nulls=False)
+        c = r.randint(-2, 6)
+        if r.random() < 0.5:
+            return (f"SELECT exists({s}, x -> x > {c}) AS v",
+                    f"SELECT coalesce(list_bool_or(list_transform({d}, "
+                    f"x -> x > {c})), false) AS v")
+        return (f"SELECT forall({s}, x -> x > {c}) AS v",
+                f"SELECT coalesce(list_bool_and(list_transform({d}, "
+                f"x -> x > {c})), true) AS v")
+    if k < 0.80:
+        # ordered output of the whole pipeline
+        s, d = hof_chain(r, r.randint(1, 3))
+        return (f"SELECT sort_array({s}) AS v",
+                f"SELECT list_sort({d}, 'ASC', 'NULLS FIRST') AS v")
+    # zip_with over same-length literals (padding edge is hand-pinned)
+    n = r.randint(1, 4)
+    a = [str(r.randint(-4, 9)) for _ in range(n)]
+    b = [str(r.randint(-4, 9)) for _ in range(n)]
+    op = r.choice(["+", "*", "-"])
+    sa, sb = f"array({', '.join(a)})", f"array({', '.join(b)})"
+    da, db = f"[{', '.join(a)}]", f"[{', '.join(b)}]"
+    return (f"SELECT zip_with({sa}, {sb}, (a, b) -> a {op} b) AS v",
+            f"SELECT list_transform(range(1, {n + 1}), "
+            f"i -> ({da})[i] {op} ({db})[i]) AS v")
+
+
+# ── decimal arithmetic fuzzing: +,-,* chains over DECIMAL(4,s)
+#    literals; the final value is cast to a FIXED (30,10) scale on both
+#    sides so precision-propagation differences in intermediate types
+#    can't leak into the rendering (propagation RULES are pinned by the
+#    hand-written decimal_propagation family; this pins VALUES) ───────
+
+def dec_expr(r, depth):
+    if depth <= 0 or r.random() < 0.30:
+        s = r.choice([0, 1, 2])
+        whole = r.randint(-9, 9)
+        frac = r.randint(0, 10 ** s - 1) if s else 0
+        txt = f"{whole}.{str(frac).zfill(s)}" if s else str(whole)
+        return f"CAST({txt} AS DECIMAL(4,{s}))"
+    op = r.choice(["+", "-", "*"])
+    return f"({dec_expr(r, depth - 1)} {op} {dec_expr(r, depth - 1)})"
+
+
+def dec_case(r):
+    e = dec_expr(r, r.randint(1, 3))
+    return (f"SELECT CAST(CAST({e} AS DECIMAL(30,10)) AS STRING) AS v",
+            f"SELECT CAST(CAST({e} AS DECIMAL(30,10)) AS VARCHAR) AS v")
+
+
+# ── cast-chain fuzzing: value-preserving conversions among int/
+#    bigint/double/string/boolean. The one deliberate divergence —
+#    double→int is trunc-toward-zero in Spark (ANSI) but ROUND in
+#    DuckDB — is aligned by wrapping the DuckDB side in trunc() ───────
+
+def cast_case(r):
+    v = r.randint(-99, 99)
+    spark, duck = str(v), str(v)
+    is_double = False
+    for _ in range(r.randint(1, 4)):
+        k = r.random()
+        if k < 0.20:
+            spark = f"CAST({spark} AS BIGINT)"
+            duck = (f"CAST(trunc({duck}) AS BIGINT)" if is_double
+                    else f"CAST({duck} AS BIGINT)")
+            is_double = False
+        elif k < 0.40:
+            half = r.choice(["0", "5"])  # exactly representable
+            spark = f"(CAST({spark} AS DOUBLE) + 0.{half})"
+            duck = f"(CAST({duck} AS DOUBLE) + 0.{half})"
+            is_double = True
+        elif k < 0.60:
+            spark = f"CAST({spark} AS INT)"
+            duck = (f"CAST(trunc({duck}) AS INT)" if is_double
+                    else f"CAST({duck} AS INT)")
+            is_double = False
+        elif k < 0.80:
+            # string round-trip only from exact-int states
+            if not is_double:
+                spark = f"CAST(CAST({spark} AS STRING) AS INT)"
+                duck = f"CAST(CAST({duck} AS VARCHAR) AS INT)"
+        else:
+            spark = f"(CAST(CAST({spark} AS BOOLEAN) AS INT) + {v})"
+            duck = f"(CAST(CAST({duck} AS BOOLEAN) AS INT) + {v})"
+            is_double = False
+    if is_double:
+        return (f"SELECT round(CAST({spark} AS DOUBLE), 4) AS v",
+                f"SELECT round(CAST({duck} AS DOUBLE), 4) AS v")
+    return (f"SELECT CAST({spark} AS BIGINT) AS v",
+            f"SELECT CAST({duck} AS BIGINT) AS v")
+
+
 def main():
     gen_family(
         "fuzz_int",
@@ -681,6 +822,9 @@ def main():
     gen_pair_family("fuzz_struct", struct_case, N // 2, SEED + 11)
     gen_query_pair_family("fuzz_subquery", subquery_case, N // 2,
                           SEED + 12)
+    gen_pair_family("fuzz_hof", hof_case, N // 2, SEED + 13)
+    gen_pair_family("fuzz_decimal", dec_case, N // 2, SEED + 14)
+    gen_pair_family("fuzz_cast", cast_case, N // 2, SEED + 15)
 
 
 if __name__ == "__main__":

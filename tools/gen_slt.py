@@ -6484,6 +6484,408 @@ CORPUS = {
          """SELECT bool_and(nullif(n_regionkey, 0) > 0) AS nulls_skipped
             FROM nation"""),
     ],
+    # ── higher-order lambdas: the denser tier (aggregate/reduce with
+    #    finish, indexed transform, zip_with length mismatch, map HOFs,
+    #    three-valued exists/forall) — reference array.slt exercises the
+    #    same shapes via DataFusion's array_* kernels ────────────────────
+    "hof_lambda_dense": [
+        # aggregate with merge-only: running sum
+        ("""SELECT aggregate(array(1, 2, 3, 4), 0, (acc, x) -> acc + x)
+                     AS total""",
+         """SELECT 10 AS total"""),
+        # aggregate with finish lambda applied to the final accumulator
+        ("""SELECT aggregate(array(1, 2, 3), 0, (acc, x) -> acc + x,
+                             acc -> acc * 100) AS scaled""",
+         """SELECT 600 AS scaled"""),
+        # reduce is the documented alias of aggregate
+        ("""SELECT reduce(array(2, 3, 4), 1, (acc, x) -> acc * x) AS prod""",
+         """SELECT 24 AS prod"""),
+        # NULL element poisons an arithmetic accumulator
+        ("""SELECT aggregate(array(1, NULL, 3), 0, (acc, x) -> acc + x)
+                     AS poisoned""",
+         """SELECT CAST(NULL AS INTEGER) AS poisoned"""),
+        # string accumulator with a different type than the elements
+        ("""SELECT aggregate(array(1, 2, 3), '', (acc, x) ->
+                             concat(acc, CAST(x AS STRING))) AS glued""",
+         """SELECT '123' AS glued"""),
+        # indexed transform: (element, index) — index is 0-based
+        ("""SELECT transform(array('a', 'b', 'c'),
+                             (x, i) -> concat(CAST(i AS STRING), x)) AS idx""",
+         """SELECT ['0a', '1b', '2c'] AS idx"""),
+        # indexed filter
+        ("""SELECT filter(array(10, 11, 12, 13), (x, i) -> i % 2 = 0)
+                     AS evens_by_pos""",
+         """SELECT [10, 12] AS evens_by_pos"""),
+        # zip_with pads the shorter side with NULL
+        ("""SELECT zip_with(array(1, 2, 3), array(10, 20),
+                            (a, b) -> coalesce(a, 0) + coalesce(b, 0))
+                     AS padded""",
+         """SELECT [11, 22, 3] AS padded"""),
+        ("""SELECT zip_with(array(1, 2), array('x', 'y'),
+                            (a, b) -> concat(CAST(a AS STRING), b)) AS pairs""",
+         """SELECT ['1x', '2y'] AS pairs"""),
+        # exists: three-valued — NULL element + no true match => NULL
+        ("""SELECT exists(array(1, NULL), x -> x > 5) AS ex_null,
+                   exists(array(1, NULL), x -> x > 0) AS ex_true,
+                   exists(array(), x -> x > 0) AS ex_empty""",
+         """SELECT CAST(NULL AS BOOLEAN) AS ex_null, true AS ex_true,
+                   false AS ex_empty"""),
+        # forall: NULL element + no false => NULL; empty => true
+        ("""SELECT forall(array(1, NULL), x -> x > 0) AS fa_null,
+                   forall(array(1, -1), x -> x > 0) AS fa_false,
+                   forall(array(), x -> x > 0) AS fa_empty""",
+         """SELECT CAST(NULL AS BOOLEAN) AS fa_null, false AS fa_false,
+                   true AS fa_empty"""),
+        # map_filter keeps entries whose lambda is true
+        ("""SELECT map_keys(map_filter(map('a', 1, 'b', 2, 'c', 3),
+                                       (k, v) -> v >= 2)) AS kept""",
+         """SELECT ['b', 'c'] AS kept"""),
+        # transform_keys / transform_values
+        ("""SELECT map_keys(transform_keys(map('a', 1, 'b', 2),
+                                           (k, v) -> upper(k))) AS uks,
+                   map_values(transform_values(map('a', 1, 'b', 2),
+                                               (k, v) -> v * 10)) AS tvs""",
+         """SELECT ['A', 'B'] AS uks, [10, 20] AS tvs"""),
+        # map_zip_with joins on keys; missing side surfaces NULL
+        ("""SELECT map_values(map_zip_with(map('a', 1, 'b', 2),
+                                           map('b', 20, 'c', 30),
+                     (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0)))
+                     AS merged""",
+         """SELECT [1, 22, 30] AS merged"""),
+        # lambda over a real column: per-row array pipeline
+        ("""SELECT n_name,
+                   aggregate(transform(split(n_name, ''),
+                                       x -> length(x)), 0,
+                             (acc, x) -> acc + x) AS char_count
+            FROM nation WHERE n_regionkey = 0 ORDER BY n_name""",
+         """SELECT n_name, length(n_name) AS char_count
+            FROM nation WHERE n_regionkey = 0 ORDER BY n_name"""),
+        # nested lambda: transform inside transform (2-D)
+        ("""SELECT transform(array(array(1, 2), array(3)),
+                             xs -> transform(xs, x -> x * 2)) AS nested""",
+         """SELECT [[2, 4], [6]] AS nested"""),
+    ],
+    # ── array mutation surface the corpus missed: append/prepend/
+    #    insert (incl. negative index), array_size, compact+slice edges ──
+    "array_mut_surface": [
+        ("""SELECT array_append(array(1, 2), 3) AS ap,
+                   array_prepend(array(1, 2), 0) AS pp""",
+         """SELECT [1, 2, 3] AS ap, [0, 1, 2] AS pp"""),
+        # append NULL is kept; append to empty
+        ("""SELECT array_append(array(1), NULL) AS keep_null,
+                   array_append(array(), 7) AS from_empty""",
+         """SELECT [1, NULL] AS keep_null, [7] AS from_empty"""),
+        # array_insert: 1-based position; -1 APPENDS at the end (the
+        # legacy place-before-last behavior is off by default)
+        ("""SELECT array_insert(array(1, 2, 3), 2, 99) AS mid,
+                   array_insert(array(1, 2, 3), -1, 99) AS atend""",
+         """SELECT [1, 99, 2, 3] AS mid, [1, 2, 3, 99] AS atend"""),
+        # insert beyond the end pads with NULLs
+        ("""SELECT array_insert(array(1), 4, 9) AS padded""",
+         """SELECT [1, NULL, NULL, 9] AS padded"""),
+        ("""SELECT array_size(array(1, 2, 3)) AS s3,
+                   array_size(array()) AS s0,
+                   array_size(CAST(NULL AS ARRAY<INT>)) AS snull""",
+         """SELECT 3 AS s3, 0 AS s0, CAST(NULL AS INTEGER) AS snull"""),
+        # array_compact drops NULLs only (not empties/zeros)
+        ("""SELECT array_compact(array(0, NULL, '', NULL)) IS NOT NULL
+                     AS not_null""",
+         """SELECT true AS not_null"""),
+        ("""SELECT array_compact(array(1, NULL, 2, NULL, 3)) AS dense""",
+         """SELECT [1, 2, 3] AS dense"""),
+        # slice with negative start counts from the end
+        ("""SELECT slice(array(1, 2, 3, 4, 5), -3, 2) AS tail2,
+                   slice(array(1, 2, 3, 4, 5), 2, 10) AS overrun""",
+         """SELECT [3, 4] AS tail2, [2, 3, 4, 5] AS overrun"""),
+        # array_remove removes ALL occurrences; NULLs are not removable
+        ("""SELECT array_remove(array(1, 2, 1, 3, 1), 1) AS no_ones""",
+         """SELECT [2, 3] AS no_ones"""),
+        # mutation chain over a real column
+        ("""SELECT r_regionkey,
+                   array_size(array_append(
+                     array_compact(array(r_name, NULL)), 'X')) AS sz
+            FROM region ORDER BY r_regionkey""",
+         """SELECT r_regionkey, 2 AS sz FROM region ORDER BY r_regionkey"""),
+    ],
+    # ── Spark-surface functions with no direct DuckDB spelling —
+    #    goldens pinned as literal pairs (values hand-derived, then
+    #    machine-verified by SltSpec's replay) ──────────────────────────
+    "spark_fn_surface": [
+        # equal_null ≡ IS NOT DISTINCT FROM
+        ("""SELECT equal_null(1, 1) AS tt, equal_null(1, 2) AS tf,
+                   equal_null(NULL, NULL) AS nn, equal_null(1, NULL) AS tn""",
+         """SELECT 1 IS NOT DISTINCT FROM 1 AS tt,
+                   1 IS NOT DISTINCT FROM 2 AS tf,
+                   NULL IS NOT DISTINCT FROM NULL AS nn,
+                   1 IS NOT DISTINCT FROM NULL AS tn"""),
+        # luhn_check: valid/invalid card checksums, non-digit rejected
+        ("""SELECT luhn_check('79927398713') AS ok,
+                   luhn_check('79927398714') AS bad,
+                   luhn_check('4111111111111111') AS visa,
+                   luhn_check('12a4') AS nondigit""",
+         """SELECT true AS ok, false AS bad, true AS visa,
+                   false AS nondigit"""),
+        # to_binary modes round-tripped through hex so output is text
+        ("""SELECT hex(to_binary('414243', 'hex')) AS h,
+                   hex(to_binary('ABC', 'utf-8')) AS u,
+                   hex(to_binary('QUJD', 'base64')) AS b""",
+         """SELECT '414243' AS h, '414243' AS u, '414243' AS b"""),
+        # try_to_binary: malformed input -> NULL instead of error
+        ("""SELECT try_to_binary('zz', 'hex') IS NULL AS bad_hex,
+                   hex(try_to_binary('4142', 'hex')) AS good""",
+         """SELECT true AS bad_hex, '4142' AS good"""),
+        # bit_get / getbit are aliases; bit 0 is the LSB
+        ("""SELECT bit_get(5, 0) AS b0, bit_get(5, 1) AS b1,
+                   getbit(5, 2) AS b2""",
+         """SELECT CAST(1 AS TINYINT) AS b0, CAST(0 AS TINYINT) AS b1,
+                   CAST(1 AS TINYINT) AS b2"""),
+        # shiftrightunsigned: logical shift — sign bit does not smear
+        ("""SELECT shiftrightunsigned(CAST(-8 AS BIGINT), 2) AS lsr64,
+                   shiftrightunsigned(-8, 2) AS lsr32,
+                   shiftright(CAST(-8 AS BIGINT), 2) AS asr""",
+         """SELECT 4611686018427387902 AS lsr64, 1073741822 AS lsr32,
+                   -2 AS asr"""),
+        # timestamp_millis/micros land on the same instant as epoch math
+        ("""SELECT unix_seconds(timestamp_millis(86400000)) AS day_s,
+                   unix_millis(timestamp_millis(1500)) AS ms,
+                   unix_micros(timestamp_micros(2500000)) AS us""",
+         """SELECT 86400 AS day_s, 1500 AS ms, 2500000 AS us"""),
+        # unix_date / date_from_unix_date round-trip
+        ("""SELECT unix_date(DATE '1970-02-01') AS d31,
+                   date_from_unix_date(365) AS y71""",
+         """SELECT 31 AS d31, DATE '1971-01-01' AS y71"""),
+        # monthname/dayname: Spark abbreviates to 3 letters (DuckDB
+        # spells the full name — divergence pinned here)
+        ("""SELECT monthname(DATE '2024-02-29') AS mn,
+                   dayname(DATE '2024-02-29') AS dn""",
+         """SELECT 'Feb' AS mn, 'Thu' AS dn"""),
+        # make_interval verified through timestamp arithmetic
+        ("""SELECT CAST(CAST(TIMESTAMP '2020-01-01 00:00:00'
+                        + make_interval(0, 0, 0, 1, 2, 3, 4.5) AS DATE)
+                     AS STRING) AS plus_day""",
+         """SELECT '2020-01-02' AS plus_day"""),
+        ("""SELECT unix_seconds(CAST(TIMESTAMP '2020-01-01 00:00:00'
+                        + make_dt_interval(1, 2, 3, 4.0) AS TIMESTAMP))
+                   - unix_seconds(TIMESTAMP '2020-01-01 00:00:00')
+                     AS dt_secs""",
+         """SELECT 93784 AS dt_secs"""),
+        # positive/negative modulus pair: pmod vs mod
+        ("""SELECT pmod(-7, 3) AS pm, mod(-7, 3) AS m""",
+         """SELECT 2 AS pm, -1 AS m"""),
+        # ceiling/signum aliases and scale-targeted ceil/floor
+        ("""SELECT CAST(ceiling(2.1) AS BIGINT) AS c,
+                   CAST(signum(-3.5) AS BIGINT) AS sg,
+                   CAST(ceil(123.456, 1) AS STRING) AS c1,
+                   CAST(floor(123.456, -2) AS STRING) AS fm2""",
+         """SELECT 3 AS c, -1 AS sg, '123.5' AS c1, '100' AS fm2"""),
+    ],
+    # ── decimal precision/scale propagation (Spark rules pinned as
+    #    literals where DuckDB's differ: division scale, avg widening) ──
+    "decimal_propagation": [
+        # multiply: scale adds (s1+s2); value exact
+        ("""SELECT CAST(CAST(1.50 AS DECIMAL(5,2))
+                        * CAST(2.50 AS DECIMAL(5,2)) AS STRING) AS prod""",
+         """SELECT '3.7500' AS prod"""),
+        # divide: Spark result scale is max(6, s1+p2+1) — here 8
+        ("""SELECT CAST(CAST(1 AS DECIMAL(5,2))
+                        / CAST(3 AS DECIMAL(5,2)) AS STRING) AS third""",
+         """SELECT '0.33333333' AS third"""),
+        # add/sub: scale is max(s1,s2)
+        ("""SELECT CAST(CAST(1.2 AS DECIMAL(5,1))
+                        + CAST(0.05 AS DECIMAL(5,2)) AS STRING) AS s2""",
+         """SELECT '1.25' AS s2"""),
+        # sum widens precision, keeps scale
+        """SELECT CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS STRING)
+                    AS total
+           FROM lineitem WHERE l_orderkey <= 3""",
+        # avg adds 4 to scale in Spark (DuckDB: double) — value-compare
+        ("""SELECT CAST(avg(CAST(l_quantity AS DECIMAL(10,2)))
+                     AS DECIMAL(14,4)) AS a
+            FROM lineitem WHERE l_orderkey <= 3""",
+         """SELECT CAST(avg(CAST(l_quantity AS DECIMAL(10,2)))
+                     AS DECIMAL(14,4)) AS a
+            FROM lineitem WHERE l_orderkey <= 3"""),
+        # round on decimal: HALF_UP (2.5 -> 3), unlike double HALF_EVEN
+        ("""SELECT CAST(round(CAST(2.5 AS DECIMAL(5,1)), 0) AS STRING)
+                     AS dec_r,
+                   CAST(round(CAST(3.5 AS DECIMAL(5,1)), 0) AS STRING)
+                     AS dec_r2""",
+         """SELECT '3' AS dec_r, '4' AS dec_r2"""),
+        # bround on decimal: HALF_EVEN banker's rounding
+        ("""SELECT CAST(bround(CAST(2.5 AS DECIMAL(5,1)), 0) AS STRING)
+                     AS b1,
+                   CAST(bround(CAST(3.5 AS DECIMAL(5,1)), 0) AS STRING)
+                     AS b2""",
+         """SELECT '2' AS b1, '4' AS b2"""),
+        # decimal -> int cast truncates toward zero
+        ("""SELECT CAST(CAST(2.9 AS DECIMAL(5,1)) AS INT) AS t1,
+                   CAST(CAST(-2.9 AS DECIMAL(5,1)) AS INT) AS t2""",
+         """SELECT 2 AS t1, -2 AS t2"""),
+        # mod keeps operand scale
+        ("""SELECT CAST(CAST(10.50 AS DECIMAL(6,2))
+                        % CAST(3 AS DECIMAL(6,2)) AS STRING) AS m""",
+         """SELECT '1.50' AS m"""),
+        # literal typing: 1.0 is DECIMAL(2,1), 1e0 is DOUBLE
+        ("""SELECT CAST(1.0 AS STRING) AS dec_lit,
+                   CAST(1e0 AS STRING) AS dbl_lit""",
+         """SELECT '1.0' AS dec_lit, '1.0' AS dbl_lit"""),
+        # aggregation over the fact table at full decimal precision
+        """SELECT l_returnflag,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(1 - l_discount AS DECIMAL(12,2)))
+                       AS DECIMAL(18,4)) AS revenue
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ],
+    # ── UNION/set-op type widening across branches ──────────────────────
+    "union_widening2": [
+        # int + decimal -> decimal; total order over the merged column
+        """SELECT CAST(x AS STRING) AS xs FROM
+             (SELECT 1 AS x UNION ALL SELECT 2.5) u ORDER BY xs""",
+        # int + double -> double
+        ("""SELECT round(x, 1) AS xr FROM
+              (SELECT 1 AS x UNION ALL SELECT 2.5e0) u ORDER BY xr""",
+         """SELECT round(x, 1) AS xr FROM
+              (SELECT CAST(1 AS DOUBLE) AS x UNION ALL SELECT 2.5) u
+            ORDER BY xr"""),
+        # int + string -> string in BOTH engines
+        """SELECT x FROM (SELECT CAST(1 AS STRING) AS x
+                          UNION ALL SELECT 'a') u ORDER BY x""",
+        # date + timestamp -> timestamp (compare via epoch day)
+        ("""SELECT CAST(CAST(x AS DATE) AS STRING) AS d FROM
+              (SELECT DATE '2020-01-01' AS x
+               UNION ALL SELECT TIMESTAMP '2020-06-01 12:00:00') u
+            ORDER BY d""",
+         """SELECT CAST(CAST(x AS DATE) AS STRING) AS d FROM
+              (SELECT CAST(DATE '2020-01-01' AS TIMESTAMP) AS x
+               UNION ALL SELECT TIMESTAMP '2020-06-01 12:00:00') u
+            ORDER BY d"""),
+        # NULL-typed branch adopts the other side's type
+        """SELECT x FROM (SELECT NULL AS x UNION ALL SELECT 5) u
+           ORDER BY x NULLS FIRST""",
+        # smallint-vs-bigint widening keeps exact 64-bit values
+        """SELECT CAST(x AS BIGINT) AS xb FROM
+             (SELECT CAST(1 AS SMALLINT) AS x
+              UNION ALL SELECT CAST(9007199254740993 AS BIGINT)) u
+           ORDER BY xb""",
+        # three-branch chain: widening is associative
+        ("""SELECT CAST(x AS STRING) AS xs FROM
+              (SELECT 1 AS x UNION ALL SELECT 2.25
+               UNION ALL SELECT 3.5e0) u ORDER BY xs""",
+         """SELECT CAST(x AS STRING) AS xs FROM
+              (SELECT CAST(1 AS DOUBLE) AS x UNION ALL SELECT 2.25
+               UNION ALL SELECT 3.5) u ORDER BY xs"""),
+        # INTERSECT dedups after coercion
+        """SELECT CAST(x AS STRING) AS xs FROM
+             (SELECT 1.0 AS x INTERSECT SELECT 1) u ORDER BY xs""",
+        # widening applies per-column independently
+        """SELECT a, CAST(b AS STRING) AS bs FROM
+             (SELECT 1 AS a, 'x' AS b
+              UNION ALL SELECT 2, CAST(3 AS STRING)) u ORDER BY a""",
+        # real tables: keys arrive as different integer widths
+        ("""SELECT CAST(k AS BIGINT) AS kb FROM
+              (SELECT CAST(n_nationkey AS SMALLINT) AS k FROM nation
+               UNION SELECT CAST(r_regionkey AS BIGINT) FROM region) u
+            ORDER BY kb LIMIT 10""",
+         """SELECT CAST(k AS BIGINT) AS kb FROM
+              (SELECT n_nationkey AS k FROM nation
+               UNION SELECT r_regionkey FROM region) u
+            ORDER BY kb LIMIT 10"""),
+    ],
+    # ── join-key implicit coercion: mixed-width and mixed-family keys ──
+    "join_key_coercion": [
+        # int vs bigint key: exact equality after widening
+        ("""SELECT n.n_name FROM nation n
+            JOIN region r ON CAST(n.n_regionkey AS BIGINT) = r.r_regionkey
+            WHERE r.r_name = 'ASIA' ORDER BY n.n_name""",
+         """SELECT n.n_name FROM nation n
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA' ORDER BY n.n_name"""),
+        # decimal vs int key
+        ("""SELECT count(*) AS c FROM
+              (SELECT CAST(o_custkey AS DECIMAL(12,0)) AS k FROM orders) o
+            JOIN customer c ON o.k = c.c_custkey""",
+         """SELECT count(*) AS c FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey"""),
+        # string vs int key — both engines compare numerically
+        ("""SELECT count(*) AS c FROM
+              (SELECT CAST(n_regionkey AS STRING) AS k FROM nation) n
+            JOIN region r ON n.k = r.r_regionkey""",
+         """SELECT count(*) AS c FROM nation n
+            JOIN region r ON n.n_regionkey = r.r_regionkey"""),
+        # date vs timestamp key: date promotes to midnight instant
+        ("""SELECT count(*) AS c FROM
+              (SELECT DATE '2020-01-01' AS d) a
+            JOIN (SELECT TIMESTAMP '2020-01-01 00:00:00' AS t) b
+              ON a.d = b.t""",
+         """SELECT 1 AS c"""),
+        # double vs int key: representable ints match exactly
+        ("""SELECT count(*) AS c FROM
+              (SELECT CAST(n_nationkey AS DOUBLE) AS k FROM nation) n
+            JOIN nation m ON n.k = m.n_nationkey""",
+         """SELECT count(*) AS c FROM nation"""),
+        # coerced key with NULLs: NULL never matches
+        ("""SELECT count(*) AS c FROM
+              (SELECT nullif(n_regionkey, 0) AS k FROM nation) n
+            JOIN region r ON CAST(n.k AS BIGINT) = r.r_regionkey""",
+         """SELECT count(*) AS c FROM nation n
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE n.n_regionkey <> 0"""),
+    ],
+    # ── outer explode/unnest: empty & NULL collections keep the row ────
+    "explode_outer_dense": [
+        # explode_outer on NULL/empty arrays keeps the parent row
+        ("""SELECT t.id, e.x FROM
+              VALUES (1, array(10, 20)), (2, array()),
+                     (3, CAST(NULL AS ARRAY<INT>)) AS t(id, a)
+            LATERAL VIEW OUTER explode(a) e AS x
+            ORDER BY t.id, e.x""",
+         """SELECT * FROM (VALUES (1, 10), (1, 20),
+                                  (2, CAST(NULL AS INTEGER)),
+                                  (3, CAST(NULL AS INTEGER))) t(id, x)
+            ORDER BY id, x"""),
+        # plain explode DROPS those rows
+        ("""SELECT t.id, e.x FROM
+              VALUES (1, array(10)), (2, array()),
+                     (3, CAST(NULL AS ARRAY<INT>)) AS t(id, a)
+            LATERAL VIEW explode(a) e AS x
+            ORDER BY t.id, e.x""",
+         """SELECT 1 AS id, 10 AS x"""),
+        # posexplode_outer emits NULL pos for missing collections
+        ("""SELECT t.id, e.p, e.x FROM
+              VALUES (1, array('a', 'b')), (2, array()) AS t(id, a)
+            LATERAL VIEW OUTER posexplode(a) e AS p, x
+            ORDER BY t.id, e.p""",
+         """SELECT * FROM (VALUES (1, 0, 'a'), (1, 1, 'b'),
+                                  (2, CAST(NULL AS INTEGER),
+                                      CAST(NULL AS VARCHAR))) t(id, p, x)
+            ORDER BY id, p"""),
+        # map explode_outer: key/value pair columns
+        ("""SELECT t.id, e.k, e.v FROM
+              VALUES (1, map('a', 1)), (2, CAST(NULL AS MAP<STRING,INT>))
+                AS t(id, m)
+            LATERAL VIEW OUTER explode(m) e AS k, v
+            ORDER BY t.id, e.k""",
+         """SELECT * FROM (VALUES (1, 'a', 1),
+                                  (2, CAST(NULL AS VARCHAR),
+                                      CAST(NULL AS INTEGER))) t(id, k, v)
+            ORDER BY id, k"""),
+        # chained laterals multiply only the non-empty sides
+        ("""SELECT t.id, e1.x, e2.y FROM
+              VALUES (1, array(1, 2), array('a')) AS t(id, a, b)
+            LATERAL VIEW explode(a) e1 AS x
+            LATERAL VIEW explode(b) e2 AS y
+            ORDER BY t.id, e1.x, e2.y""",
+         """SELECT * FROM (VALUES (1, 1, 'a'), (1, 2, 'a')) t(id, x, y)
+            ORDER BY id, x, y"""),
+        # explode over a real column computed per-row
+        ("""SELECT r_regionkey, e.w FROM region
+            LATERAL VIEW OUTER explode(split(r_name, ' ')) e AS w
+            ORDER BY r_regionkey, e.w""",
+         """SELECT r_regionkey, w FROM
+              (SELECT r_regionkey, unnest(string_split(r_name, ' ')) AS w
+               FROM region) u
+            ORDER BY r_regionkey, w"""),
+    ],
 }
 
 
