@@ -116,4 +116,37 @@ object Sampling {
       .filter(col("__rk") <= col("__quota"))
       .drop("__rk", "__quota")
   }
+
+  /** Deterministic train/val/test assignment by content hash: adds
+    * `splitCol` mapping each row to the first split whose cumulative
+    * fraction covers its md5 bucket.
+    *
+    * The bucket is the first 4 hex chars of md5(id) compared as a
+    * STRING against precomputed hex thresholds (cumFrac · 16^4) — no
+    * numeric hex conversion, so the assignment is bit-identical in any
+    * engine that has md5 (the DuckDB oracle reproduces it verbatim).
+    * Granularity is 1/65536 ≈ 0.0015%; fractions are rounded to that
+    * grid, fine for split ratios.
+    *
+    * Scale: pure projection — no shuffle, no state; rows keep their
+    * split across reruns, appends, and repartitioning, which is the
+    * property that stops train/test leakage when the corpus grows
+    * (a new drop of documents can't move an old row into train).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.init.map(f => f"${math.round(f * 65536).toInt}%04x")
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
+    val head = when(bucket < lit(thresholds.head), lit(splits.head._1))
+    val chained = splits.tail.init.zip(thresholds.tail).foldLeft(head) {
+      case (acc, ((name, _), th)) => acc.when(bucket < lit(th), lit(name))
+    }
+    df.withColumn(splitCol, chained.otherwise(lit(splits.last._1)))
+  }
 }

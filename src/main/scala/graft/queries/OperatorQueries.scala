@@ -247,6 +247,31 @@ object OperatorQueries {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // ── deterministic train/val/test split (hash-threshold assignment;
+    //    pure projection — rows keep their split across reruns/appends,
+    //    the anti-leakage property). Thresholds: 80% -> 'cccd' (0.80006),
+    //    90% -> 'e666' (0.89999) of the 4-hex md5 prefix space ──────────
+    "sample_split" -> Q("""
+      |WITH a AS (SELECT doc_id,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+      |         THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(doc_id) AS BIGINT) AS first_id,
+      |       CAST(max(doc_id) AS BIGINT) AS last_id
+      |FROM a GROUP BY split ORDER BY split""") { (s, d) =>
+      Sampling.hashSplit(Engine.table(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).cast("long").as("first_id"),
+          max(col("doc_id")).cast("long").as("last_id"))
+        .orderBy(col("split"))
+    },
+
     // ── group-level MinHash via custom typed Aggregator ──────────────────
     // (elementwise-min of row signatures = signature of the union of the
     // groups' shingle sets; property-tested in OperatorSpec)

@@ -436,4 +436,31 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(got == exp)
   }
+
+  test("hashSplit: disjoint-exhaustive, deterministic, near target mix") {
+    import graft.operators.Sampling
+    val docs = Engine.table(spark, sf, "documents")
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    // exhaustive: every row gets exactly one split label
+    assert(total == docs.count())
+    assert(counts.keySet == Set("train", "val", "test"))
+    // fractions within sampling noise of the target (md5 is uniform;
+    // 3σ of a binomial at n≈6000, p=0.1 is ~±0.012)
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.03)
+    assert(math.abs(counts("val").toDouble / total - 0.1) < 0.03)
+    // deterministic: re-running assigns every id the same split
+    val again = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("doc_id", "split").exceptAll(
+      again.select("doc_id", "split")).isEmpty)
+    // anti-leakage: a filtered re-drop of the corpus keeps assignments
+    val subset = Sampling.hashSplit(docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(subset.select("doc_id", "split").exceptAll(
+      split.select("doc_id", "split")).isEmpty)
+  }
 }
