@@ -301,6 +301,26 @@ object MiscQueries {
         .orderBy(col("r_regionkey"), col("pop").asc_nulls_first)
     },
 
+    // ── file-provenance metadata column (_metadata.file_name): row
+    //    lineage for multi-file tables — at 100 TB "which drop did this
+    //    row come from" is a first-class curation dimension. Spark's
+    //    hidden _metadata struct ≡ DuckDB read_parquet(filename=true) ─────
+    //    (the oracle pins the basename literally: the `<table>.parquet`
+    //    single-file layout is the engine-wide testdata contract —
+    //    Engine.table reads exactly that path)
+    "file_provenance" -> Q("""
+      |SELECT 'nation.parquet' AS file, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(n_nationkey) AS BIGINT) AS min_key
+      |FROM nation GROUP BY file ORDER BY file""") { (s, d) =>
+      s.read.parquet(s"$d/nation.parquet")
+        .select(col("n_nationkey"),
+          regexp_extract(col("_metadata.file_name"), "[^/]+$", 0).as("file"))
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_nationkey")).cast("long").as("min_key"))
+        .orderBy(col("file"))
+    },
+
     // ── COPY TO csv → read back → aggregate ──────────────────────────────
     "copyto_csv" -> Q("""
       |SELECT o_orderstatus, count(*) AS n,
