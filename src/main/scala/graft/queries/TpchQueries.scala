@@ -413,6 +413,12 @@ object TpchQueries {
       // doesn't) and its extra exchange carries already-deduped
       // (brand,type,size,suppkey) rows — dimension-bounded at any SF —
       // which is the safer asymptote at 100 TB.
+      // A/B'd r6s3: a pre-join distinct on (l_partkey, l_suppkey) is
+      // 1.5x WORSE at sf0.1 (0.77s vs 0.50s, same floor) — the extra
+      // exchange outweighs the dedup. Note the baseline's q16 reads
+      // partsupp (~800k rows at SF1); this adaptation reads lineitem
+      // (6M) since testdata has no partsupp — the residual ~2x ratio is
+      // a 7.5x input-volume artifact, not a plan defect.
       l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))

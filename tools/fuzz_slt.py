@@ -147,10 +147,16 @@ def gen_family(name, make_case, n, seed):
            f"(seed {seed}, n {n})",
            "# do not edit by hand; regenerate instead", ""]
     made = 0
+    dup_streak = 0
     while made < n:
         sql = make_case(r)
         if sql in seen:
+            dup_streak += 1
+            if dup_streak > 2000:
+                print(f"{name}: grammar exhausted at {made} < {n}")
+                break
             continue
+        dup_streak = 0
         seen.add(sql)
         rows = con.execute(sql).fetchall()
         assert len(rows) == 1 and len(rows[0]) == 1, sql
@@ -236,10 +242,16 @@ def gen_query_family(name, n, seed):
            f"(seed {seed}, n {n})",
            "# do not edit by hand; regenerate instead", ""]
     made = 0
+    dup_streak = 0
     while made < n:
         sql = query_case(r)
         if sql in seen:
+            dup_streak += 1
+            if dup_streak > 2000:
+                print(f"{name}: grammar exhausted at {made} < {n}")
+                break
             continue
+        dup_streak = 0
         seen.add(sql)
         rows = con.execute(sql).fetchall()
         if not (0 < len(rows) <= 40):
@@ -335,10 +347,18 @@ def _emit_pairs(name, make_case, n, r, con):
     out = [f"# {name}.slt — generated by tools/fuzz_slt.py (n {n})",
            "# do not edit by hand; regenerate instead", ""]
     made = 0
+    dup_streak = 0
     while made < n:
         spark_sql, duck_sql = make_case(r)
         if spark_sql in seen:
+            # a finite grammar (e.g. the subquery shapes) can have fewer
+            # unique texts than n — emit what exists instead of spinning
+            dup_streak += 1
+            if dup_streak > 2000:
+                print(f"{name}: grammar exhausted at {made} < {n}")
+                break
             continue
+        dup_streak = 0
         seen.add(spark_sql)
         rows = con.execute(duck_sql).fetchall()
         if not (0 < len(rows) <= 40):  # e.g. HAVING filtered everything
