@@ -6679,6 +6679,73 @@ CORPUS = {
                    CAST(floor(123.456, -2) AS STRING) AS fm2""",
          """SELECT 3 AS c, -1 AS sg, '123.5' AS c1, '100' AS fm2"""),
     ],
+    # ── second Spark-surface batch: numeric formatting, quantified
+    #    LIKE, csv/json structs, alias spellings, JVM reflect ───────────
+    "spark_fn_surface2": [
+        # to_char numeric formatting (to_varchar is the alias)
+        ("""SELECT to_char(454, '999') AS a,
+                   to_char(78.12, '$99.99') AS b,
+                   to_varchar(-12454.8, '99,999.9S') AS c""",
+         """SELECT '454' AS a, '$78.12' AS b, '12,454.8-' AS c"""),
+        # to_number parses the same grammar back
+        ("""SELECT CAST(to_number('454', '999') AS BIGINT) AS n,
+                   CAST(to_number('$78.12', '$99.99') AS STRING) AS d,
+                   try_to_number('bad', '999') IS NULL AS bad""",
+         """SELECT 454 AS n, '78.12' AS d, true AS bad"""),
+        # try_mod: zero divisor -> NULL (ANSI mod errors)
+        ("""SELECT try_mod(10, 3) AS m, try_mod(10, 0) IS NULL AS z""",
+         """SELECT mod(10, 3) AS m, true AS z"""),
+        # quantified LIKE ALL / ANY over pattern lists
+        ("""SELECT 'abcde' LIKE ALL ('%a%', '%c%', '%e%') AS all_hit,
+                   'abcde' LIKE ALL ('%a%', '%z%') AS all_miss,
+                   'abcde' LIKE ANY ('%z%', '%c%') AS any_hit,
+                   'abcde' NOT LIKE ANY ('%a%', '%z%') AS nany""",
+         """SELECT ('abcde' LIKE '%a%' AND 'abcde' LIKE '%c%'
+                    AND 'abcde' LIKE '%e%') AS all_hit,
+                   ('abcde' LIKE '%a%' AND 'abcde' LIKE '%z%') AS all_miss,
+                   ('abcde' LIKE '%z%' OR 'abcde' LIKE '%c%') AS any_hit,
+                   (NOT ('abcde' LIKE '%a%') OR NOT ('abcde' LIKE '%z%'))
+                     AS nany"""),
+        # alias spellings: ucase/lcase/character_length
+        ("""SELECT ucase('mIx') AS u, lcase('mIx') AS l,
+                   character_length('abcd') AS cl""",
+         """SELECT upper('mIx') AS u, lower('mIx') AS l,
+                   length('abcd') AS cl"""),
+        # zeroifnull / nullifzero (Spark 4 surface)
+        ("""SELECT zeroifnull(CAST(NULL AS INT)) AS z, zeroifnull(7) AS p,
+                   nullifzero(0) IS NULL AS nz, nullifzero(5) AS keep""",
+         """SELECT coalesce(CAST(NULL AS INTEGER), 0) AS z,
+                   coalesce(7, 0) AS p,
+                   nullif(0, 0) IS NULL AS nz, nullif(5, 0) AS keep"""),
+        # json_tuple generator: multi-field extraction in one pass
+        ("""SELECT t.a, t.b FROM (SELECT 1) x
+            LATERAL VIEW json_tuple('{"a": "x", "b": 7}', 'a', 'b')
+              t AS a, b""",
+         """SELECT 'x' AS a, '7' AS b"""),
+        # from_csv / to_csv round-trip through a typed struct
+        ("""SELECT from_csv('3,9.5,ok', 'a INT, b DOUBLE, c STRING').a AS a,
+                   to_csv(named_struct('x', 1, 'y', 'z')) AS csv""",
+         """SELECT 3 AS a, '1,z' AS csv"""),
+        # schema inference strings are part of the public surface
+        ("""SELECT schema_of_json('{"n": 1, "s": "x", "l": [1]}') AS sj,
+                   schema_of_csv('1,abc,2.5') AS sc""",
+         """SELECT 'STRUCT<l: ARRAY<BIGINT>, n: BIGINT, s: STRING>' AS sj,
+                   'STRUCT<_c0: INT, _c1: STRING, _c2: DOUBLE>' AS sc"""),
+        # JVM reflection escape hatch (reference exposes UDF registries;
+        # Spark's reflect() is the built-in equivalent surface)
+        ("""SELECT reflect('java.lang.Integer', 'toBinaryString', 10) AS b,
+                   java_method('java.lang.Math', 'floorDiv', 7, 2) AS fd""",
+         """SELECT '1010' AS b, '3' AS fd"""),
+        # elt / char round out the misc string surface (out-of-range elt
+        # is an ANSI INVALID_ARRAY_INDEX error, not NULL — ErrorSemantics
+        # territory, so only in-range indices here)
+        ("""SELECT elt(2, 'a', 'b', 'c') AS e, char(66) AS ch""",
+         """SELECT 'b' AS e, 'B' AS ch"""),
+        # conv: base conversion both directions
+        ("""SELECT conv('ff', 16, 10) AS hex2dec, conv('255', 10, 16) AS dec2hex,
+                   conv('1010', 2, 10) AS bin2dec""",
+         """SELECT '255' AS hex2dec, 'FF' AS dec2hex, '10' AS bin2dec"""),
+    ],
     # ── decimal precision/scale propagation (Spark rules pinned as
     #    literals where DuckDB's differ: division scale, avg widening) ──
     "decimal_propagation": [
