@@ -53,6 +53,9 @@ class ErrorSemanticsSpec extends AnyFunSuite {
   test("array index out of bounds errors; try_element_at returns NULL") {
     failsWith("INVALID_ARRAY_INDEX")("SELECT array(1, 2)[5]")
     nullOf("SELECT try_element_at(array(1, 2), 5)")
+    // elt shares the error class; get() is the tolerant spelling
+    failsWith("INVALID_ARRAY_INDEX")("SELECT elt(9, 'a', 'b')")
+    nullOf("SELECT get(array(1, 2), 5)")
   }
 
   test("aggregate sum overflow errors; try_sum returns NULL") {
