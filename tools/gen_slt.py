@@ -6679,6 +6679,57 @@ CORPUS = {
                    CAST(floor(123.456, -2) AS STRING) AS fm2""",
          """SELECT 3 AS c, -1 AS sg, '123.5' AS c1, '100' AS fm2"""),
     ],
+    # ── array_sort comparator lambdas + the sort_array/array_sort NULL
+    #    placement divergence (asc: sort_array puts NULLs FIRST,
+    #    array_sort puts them LAST) ─────────────────────────────────────
+    "array_sort_lambda": [
+        ("""SELECT array_sort(array(3, 1, 2),
+              (l, r) -> CASE WHEN l < r THEN 1
+                             WHEN l > r THEN -1 ELSE 0 END) AS descending""",
+         """SELECT [3, 2, 1] AS descending"""),
+        # comparator on a derived key: sort strings by LENGTH then text
+        ("""SELECT array_sort(array('ccc', 'a', 'bb', 'd'),
+              (l, r) -> CASE WHEN length(l) < length(r) THEN -1
+                             WHEN length(l) > length(r) THEN 1
+                             WHEN l < r THEN -1 WHEN l > r THEN 1
+                             ELSE 0 END) AS by_len""",
+         """SELECT ['a', 'd', 'bb', 'ccc'] AS by_len"""),
+        # even keys before odd, each half ascending
+        ("""SELECT array_sort(array(5, 2, 7, 4, 1),
+              (l, r) -> CASE WHEN l % 2 = r % 2 THEN
+                               CASE WHEN l < r THEN -1
+                                    WHEN l > r THEN 1 ELSE 0 END
+                             WHEN l % 2 = 0 THEN -1 ELSE 1 END)
+                   AS evens_first""",
+         """SELECT [2, 4, 1, 5, 7] AS evens_first"""),
+        # NULL placement: array_sort asc -> NULLs LAST; sort_array asc ->
+        # NULLs FIRST; sort_array desc -> NULLs LAST
+        ("""SELECT array_sort(array(2, NULL, 1)) AS asort,
+                   sort_array(array(2, NULL, 1)) AS sarr,
+                   sort_array(array(2, NULL, 1), false) AS sdesc""",
+         """SELECT [1, 2, NULL] AS asort, [NULL, 1, 2] AS sarr,
+                   [2, 1, NULL] AS sdesc"""),
+        # comparator over a real column's split parts
+        ("""SELECT r_regionkey,
+                   array_sort(split(r_name, ''),
+                     (l, r) -> CASE WHEN l < r THEN 1
+                                    WHEN l > r THEN -1 ELSE 0 END) AS rev
+            FROM region WHERE r_regionkey <= 1
+            ORDER BY r_regionkey""",
+         """SELECT r_regionkey,
+                   list_sort(string_split(r_name, ''), 'DESC') AS rev
+            FROM region WHERE r_regionkey <= 1
+            ORDER BY r_regionkey"""),
+        # struct-array sort by a chosen field
+        ("""SELECT transform(array_sort(
+              array(named_struct('k', 3, 'v', 'c'),
+                    named_struct('k', 1, 'v', 'a'),
+                    named_struct('k', 2, 'v', 'b')),
+              (l, r) -> CASE WHEN l.k < r.k THEN -1
+                             WHEN l.k > r.k THEN 1 ELSE 0 END),
+              s -> s.v) AS by_k""",
+         """SELECT ['a', 'b', 'c'] AS by_k"""),
+    ],
     # ── second Spark-surface batch: numeric formatting, quantified
     #    LIKE, csv/json structs, alias spellings, JVM reflect ───────────
     "spark_fn_surface2": [
