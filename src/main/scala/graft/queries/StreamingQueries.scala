@@ -132,6 +132,21 @@ object StreamingQueries {
           coalesce(col("c_user"), col("p_user")).as("user_id"),
           col("value"))
         .orderBy(col("c_id").asc_nulls_first, col("p_id").asc_nulls_first)
+    },
+
+    // ── streaming dedup (dropDuplicatesWithinWatermark in stream mode,
+    //    dropDuplicates in batch — StreamingSpec holds the equivalence).
+    //    Output is keyed-only (per-user distinct-type count): which row
+    //    survives per key is arbitrary, the surviving KEY SET is not ────
+    "stream_dedup" -> Q("""
+      |SELECT user_id, count(*) AS n_types FROM (
+      |  SELECT DISTINCT user_id, event_type FROM events) d
+      |GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      Streaming.dedupStream(Engine.table(s, d, "events"),
+          Seq("user_id", "event_type"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_types"))
+        .orderBy(col("user_id"))
     }
   )
 }
