@@ -6679,6 +6679,97 @@ CORPUS = {
                    CAST(floor(123.456, -2) AS STRING) AS fm2""",
          """SELECT 3 AS c, -1 AS sg, '123.5' AS c1, '100' AS fm2"""),
     ],
+    # ── star-EXCEPT projection (Spark EXCEPT ≡ DuckDB EXCLUDE) ─────────
+    "wildcard_except": [
+        ("""SELECT * EXCEPT (r_name) FROM region ORDER BY r_regionkey""",
+         """SELECT * EXCLUDE (r_name) FROM region ORDER BY r_regionkey"""),
+        ("""SELECT * EXCEPT (n_name, n_regionkey) FROM nation
+            ORDER BY n_nationkey LIMIT 10""",
+         """SELECT * EXCLUDE (n_name, n_regionkey) FROM nation
+            ORDER BY n_nationkey LIMIT 10"""),
+        # qualified star with EXCEPT after a join
+        ("""SELECT n.* EXCEPT (n_regionkey), r.r_name FROM nation n
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            ORDER BY n.n_nationkey LIMIT 8""",
+         """SELECT n.* EXCLUDE (n_regionkey), r.r_name FROM nation n
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            ORDER BY n.n_nationkey LIMIT 8"""),
+        # EXCEPT composes with added computed columns
+        ("""SELECT * EXCEPT (r_name), length(r_name) AS len FROM region
+            ORDER BY r_regionkey""",
+         """SELECT * EXCLUDE (r_name), length(r_name) AS len FROM region
+            ORDER BY r_regionkey"""),
+    ],
+    # ── RANGE frames under DESC ordering: offsets invert direction
+    #    (x PRECEDING means LARGER values when ORDER BY is DESC) — the
+    #    18 prior RANGE cases were all ASC ───────────────────────────────
+    "window_range_desc": [
+        # numeric offset under DESC: 5 PRECEDING covers values in
+        # [current, current+5]
+        """SELECT q, CAST(sum(q) OVER (ORDER BY q DESC
+                       RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS s5p
+           FROM (SELECT CAST(l_quantity AS BIGINT) AS q
+                 FROM lineitem WHERE l_orderkey <= 2)
+           ORDER BY q DESC""",
+        # FOLLOWING under DESC walks toward smaller values
+        """SELECT q, CAST(count(*) OVER (ORDER BY q DESC
+                       RANGE BETWEEN CURRENT ROW AND 10 FOLLOWING)
+                     AS BIGINT) AS c10f
+           FROM (SELECT CAST(l_quantity AS BIGINT) AS q
+                 FROM lineitem WHERE l_orderkey <= 2)
+           ORDER BY q DESC""",
+        # ties: all peers are in-frame at CURRENT ROW under RANGE
+        """SELECT k, CAST(sum(k) OVER (ORDER BY k DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+           FROM (SELECT n_regionkey AS k FROM nation) ORDER BY k DESC,
+             cum LIMIT 25""",
+        # two-sided symmetric band under DESC
+        """SELECT q, CAST(count(*) OVER (ORDER BY q DESC
+                       RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                     AS BIGINT) AS band
+           FROM (SELECT CAST(l_quantity AS BIGINT) AS q
+                 FROM lineitem WHERE l_orderkey <= 3)
+           ORDER BY q DESC""",
+        # interval offset on dates, DESC: 30 days PRECEDING = later dates
+        ("""SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(count(*) OVER (ORDER BY CAST(o_orderdate AS DATE)
+                       DESC RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS recent
+            FROM orders WHERE o_custkey <= 20
+            ORDER BY d DESC, recent LIMIT 20""",
+         """SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(count(*) OVER (ORDER BY CAST(o_orderdate AS DATE)
+                       DESC RANGE BETWEEN INTERVAL '30 days' PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS recent
+            FROM orders WHERE o_custkey <= 20
+            ORDER BY d DESC, recent LIMIT 20"""),
+        # DESC with NULLS LAST: NULL keys form their own peer frame
+        """SELECT k, CAST(count(*) OVER (ORDER BY k DESC NULLS LAST
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS c
+           FROM (SELECT nullif(n_regionkey, 0) AS k FROM nation)
+           ORDER BY k DESC NULLS LAST, c LIMIT 25""",
+        # min over a trailing band under DESC ordering
+        """SELECT q, CAST(min(q) OVER (ORDER BY q DESC
+                       RANGE BETWEEN 4 PRECEDING AND 4 FOLLOWING)
+                     AS BIGINT) AS mn
+           FROM (SELECT CAST(l_quantity AS BIGINT) AS q
+                 FROM lineitem WHERE l_orderkey <= 2)
+           ORDER BY q DESC""",
+        # ASC vs DESC on the same key: frames cover opposite sides
+        """SELECT q,
+                  CAST(count(*) OVER (ORDER BY q
+                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS asc_frame,
+                  CAST(count(*) OVER (ORDER BY q DESC
+                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS desc_frame
+           FROM (SELECT CAST(l_quantity AS BIGINT) AS q
+                 FROM lineitem WHERE l_orderkey <= 2)
+           ORDER BY q DESC""",
+    ],
     # ── array_sort comparator lambdas + the sort_array/array_sort NULL
     #    placement divergence (asc: sort_array puts NULLs FIRST,
     #    array_sort puts them LAST) ─────────────────────────────────────
