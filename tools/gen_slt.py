@@ -6679,6 +6679,52 @@ CORPUS = {
                    CAST(floor(123.456, -2) AS STRING) AS fm2""",
          """SELECT 3 AS c, -1 AS sg, '123.5' AS c1, '100' AS fm2"""),
     ],
+    # ── Spark-dialect SQL clause surface: IDENTIFIER(), DISTRIBUTE/
+    #    CLUSTER/SORT BY (plan-level clauses — results pinned equal to
+    #    the plain form), hint comments, backticks, TABLESAMPLE ROWS ─────
+    "sql_dialect_surface": [
+        # IDENTIFIER(): dynamic table/column names from string literals
+        ("""SELECT n_name FROM IDENTIFIER('nation')
+            WHERE n_nationkey < 3 ORDER BY n_name""",
+         """SELECT n_name FROM nation
+            WHERE n_nationkey < 3 ORDER BY n_name"""),
+        ("""SELECT IDENTIFIER('n_name') AS nm FROM nation
+            WHERE n_regionkey = 4 ORDER BY nm LIMIT 5""",
+         """SELECT n_name AS nm FROM nation
+            WHERE n_regionkey = 4 ORDER BY nm LIMIT 5"""),
+        # DISTRIBUTE BY + SORT BY inside a subquery: outer total order
+        # makes the result deterministic; the clauses must parse and
+        # not change the answer
+        ("""SELECT k, n FROM
+              (SELECT n_regionkey AS k, count(*) AS n FROM nation
+               GROUP BY n_regionkey DISTRIBUTE BY k SORT BY k) t
+            ORDER BY k""",
+         """SELECT n_regionkey AS k, count(*) AS n FROM nation
+            GROUP BY n_regionkey ORDER BY k"""),
+        ("""SELECT k FROM (SELECT n_nationkey AS k FROM nation
+                           CLUSTER BY k) t ORDER BY k LIMIT 10""",
+         """SELECT n_nationkey AS k FROM nation ORDER BY k LIMIT 10"""),
+        # join-strategy hint comments parse and leave semantics alone
+        ("""SELECT /*+ BROADCAST(r) */ n_name, r_name
+            FROM nation n JOIN region r ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' ORDER BY n_name""",
+         """SELECT n_name, r_name
+            FROM nation n JOIN region r ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' ORDER BY n_name"""),
+        ("""SELECT /*+ MERGE(o) */ count(*) AS n
+            FROM orders o JOIN customer c ON o_custkey = c_custkey""",
+         """SELECT count(*) AS n
+            FROM orders o JOIN customer c ON o_custkey = c_custkey"""),
+        # backtick identifiers (Spark) vs double quotes (DuckDB)
+        ("""SELECT n_name AS `odd name!` FROM nation
+            WHERE n_nationkey = 7 ORDER BY `odd name!`""",
+         """SELECT n_name AS "odd name!" FROM nation
+            WHERE n_nationkey = 7 ORDER BY "odd name!\""""),
+        # TABLESAMPLE (n ROWS) is a deterministic prefix take
+        ("""SELECT count(*) AS n FROM (
+              SELECT * FROM nation TABLESAMPLE (5 ROWS)) t""",
+         """SELECT 5 AS n"""),
+    ],
     # ── star-EXCEPT projection (Spark EXCEPT ≡ DuckDB EXCLUDE) ─────────
     "wildcard_except": [
         ("""SELECT * EXCEPT (r_name) FROM region ORDER BY r_regionkey""",
