@@ -677,6 +677,34 @@ def subquery_case(r):
     return (q, q)
 
 
+# ── grouping-sets fuzzing: CUBE/ROLLUP/GROUPING SETS over VALUES
+#    tables with NULL-bearing group keys. grouping(g) columns pin the
+#    data-NULL vs total-row distinction; ORDER BY covers all columns so
+#    the multi-grouping output order is fully determined ───────────────
+
+def groupsets_case(r):
+    vals = values_table(r, 3, r.randint(4, 9), null_frac=0.2)
+    spec = r.choice([
+        "CUBE (g1, g2)",
+        "ROLLUP (g1, g2)",
+        "GROUPING SETS ((g1), (g2))",
+        "GROUPING SETS ((g1, g2), (g1), ())",
+        "GROUPING SETS ((g1), (g1, g2))",
+    ])
+    aggs = r.sample([
+        "CAST(count(*) AS BIGINT) AS cnt",
+        "CAST(sum(x) AS BIGINT) AS sx",
+        "CAST(count(x) AS BIGINT) AS cx",
+        "CAST(min(x) AS BIGINT) AS mn",
+    ], r.randint(1, 3))
+    body = (f"SELECT g1, g2, CAST(grouping(g1) AS BIGINT) AS gg1, "
+            f"CAST(grouping(g2) AS BIGINT) AS gg2, {', '.join(aggs)} "
+            f"FROM {{src}} GROUP BY {spec} "
+            f"ORDER BY gg1, gg2, g1 NULLS FIRST, g2 NULLS FIRST")
+    return (body.format(src=f"VALUES {vals} AS t(g1, g2, x)"),
+            body.format(src=f"(VALUES {vals}) t(g1, g2, x)"))
+
+
 # ── higher-order-function fuzzing: lambda pipelines over int-array
 #    literals. Spark transform/filter/aggregate vs DuckDB list_*; the
 #    fold is pinned via list_reduce with the init prepended (DuckDB's
@@ -845,6 +873,7 @@ def main():
     gen_pair_family("fuzz_hof", hof_case, N // 2, SEED + 13)
     gen_pair_family("fuzz_decimal", dec_case, N // 2, SEED + 14)
     gen_pair_family("fuzz_cast", cast_case, N // 2, SEED + 15)
+    gen_pair_family("fuzz_groupsets", groupsets_case, N // 2, SEED + 16)
 
 
 if __name__ == "__main__":
