@@ -6679,6 +6679,70 @@ CORPUS = {
                    CAST(floor(123.456, -2) AS STRING) AS fm2""",
          """SELECT 3 AS c, -1 AS sg, '123.5' AS c1, '100' AS fm2"""),
     ],
+    # ── ANSI typed-interval algebra: YEAR TO MONTH vs DAY TO SECOND are
+    #    distinct types in Spark (ym+dt does not add; each has its own
+    #    arithmetic). Values verified through date/timestamp application
+    #    and division/multiplication — literal pairs where DuckDB's
+    #    untyped INTERVAL spells it differently ──────────────────────────
+    "interval_typed": [
+        # multi-unit YM literal: 1-2 = 14 months
+        ("""SELECT CAST(DATE '2020-01-15' + INTERVAL '1-2' YEAR TO MONTH
+                     AS STRING) AS d""",
+         """SELECT '2021-03-15' AS d"""),
+        # DT literal with full day-to-second precision
+        ("""SELECT CAST(TIMESTAMP '2020-01-01 00:00:00'
+                        + INTERVAL '1 02:03:04' DAY TO SECOND AS STRING)
+                     AS ts""",
+         """SELECT '2020-01-02 02:03:04' AS ts"""),
+        # interval * numeric and interval / numeric stay typed
+        ("""SELECT CAST(DATE '2020-01-01' + (INTERVAL '2' MONTH) * 3
+                     AS STRING) AS mul,
+                   CAST(TIMESTAMP '2020-01-01 00:00:00'
+                        + (INTERVAL '1' DAY) / 2 AS STRING) AS halfday""",
+         """SELECT '2020-07-01' AS mul, '2020-01-01 12:00:00' AS halfday"""),
+        # same-type intervals add; result applied to a date
+        ("""SELECT CAST(DATE '2020-01-01' +
+                        (INTERVAL '1' YEAR + INTERVAL '3' MONTH)
+                     AS STRING) AS ym_sum,
+                   CAST(TIMESTAMP '2020-01-01 00:00:00' +
+                        (INTERVAL '1' DAY + INTERVAL '6' HOUR)
+                     AS STRING) AS dt_sum""",
+         """SELECT '2021-04-01' AS ym_sum, '2020-01-02 06:00:00' AS dt_sum"""),
+        # timestamp difference IS a day-time interval; extract fields
+        ("""SELECT CAST(extract(DAY FROM (TIMESTAMP '2020-01-03 07:30:00'
+                                - TIMESTAMP '2020-01-01 01:00:00'))
+                     AS BIGINT) AS days,
+                   CAST(extract(HOUR FROM (TIMESTAMP '2020-01-03 07:30:00'
+                                - TIMESTAMP '2020-01-01 01:00:00'))
+                     AS BIGINT) AS hours""",
+         """SELECT 2 AS days, 6 AS hours"""),
+        # negative intervals and subtraction symmetry
+        ("""SELECT CAST(DATE '2020-03-31' - INTERVAL '1' MONTH AS STRING)
+                     AS back,
+                   CAST(DATE '2020-03-31' + INTERVAL '-1' MONTH AS STRING)
+                     AS neg""",
+         """SELECT '2020-02-29' AS back, '2020-02-29' AS neg"""),
+        # interval comparison within a type
+        ("""SELECT INTERVAL '2' DAY > INTERVAL '36' HOUR AS cmp_dt,
+                   INTERVAL '1' YEAR = INTERVAL '12' MONTH AS cmp_ym""",
+         """SELECT true AS cmp_dt, true AS cmp_ym"""),
+        # single-field literals KEEP their declared field in rendering
+        # (INTERVAL '14' MONTH is MONTH-typed — no 1-2 YM normalization;
+        # multi-field types like the timestamp-difference below do
+        # render the full DAY TO SECOND form)
+        ("""SELECT CAST(INTERVAL '14' MONTH AS STRING) AS ym,
+                   CAST(INTERVAL '90' MINUTE AS STRING) AS dt""",
+         """SELECT 'INTERVAL ''14'' MONTH' AS ym,
+                   'INTERVAL ''90'' MINUTE' AS dt"""),
+        # aggregation over day-time intervals (sum/avg are defined)
+        ("""SELECT CAST(sum(iv) AS STRING) AS total FROM
+              (SELECT TIMESTAMP '2020-01-01 02:00:00'
+                      - TIMESTAMP '2020-01-01 00:00:00' AS iv
+               UNION ALL
+               SELECT TIMESTAMP '2020-01-01 05:30:00'
+                      - TIMESTAMP '2020-01-01 00:00:00') t""",
+         """SELECT 'INTERVAL ''0 07:30:00'' DAY TO SECOND' AS total"""),
+    ],
     # ── Spark-dialect SQL clause surface: IDENTIFIER(), DISTRIBUTE/
     #    CLUSTER/SORT BY (plan-level clauses — results pinned equal to
     #    the plain form), hint comments, backticks, TABLESAMPLE ROWS ─────
