@@ -6679,6 +6679,44 @@ CORPUS = {
                    CAST(floor(123.456, -2) AS STRING) AS fm2""",
          """SELECT 3 AS c, -1 AS sg, '123.5' AS c1, '100' AS fm2"""),
     ],
+    # ── BINARY type algebra: X'' literals, concat, ordering, lengths —
+    #    outputs always pass through hex() so goldens stay text ──────────
+    "binary_type": [
+        ("""SELECT hex(X'0AFF') AS h, length(X'0AFF') AS len""",
+         """SELECT hex(from_hex('0AFF')) AS h,
+                   octet_length(from_hex('0AFF')) AS len"""),
+        # concat of binary is binary
+        ("""SELECT hex(concat(X'AB', X'CD', X'EF')) AS glued""",
+         """SELECT hex(from_hex('AB') || from_hex('CD') || from_hex('EF'))
+                     AS glued"""),
+        # unhex/hex round-trip and case-insensitive input
+        ("""SELECT hex(unhex('deadBEEF')) AS rt""",
+         """SELECT hex(from_hex('deadBEEF')) AS rt"""),
+        # binary comparison is unsigned byte-lexicographic
+        ("""SELECT X'00FF' < X'01' AS lt, X'AB' = X'ab' AS eq_case,
+                   X'' < X'00' AS empty_first""",
+         """SELECT from_hex('00FF') < from_hex('01') AS lt,
+                   from_hex('AB') = from_hex('ab') AS eq_case,
+                   from_hex('') < from_hex('00') AS empty_first"""),
+        # string -> binary via encode keeps utf-8 bytes
+        ("""SELECT hex(encode('AB', 'utf-8')) AS ab,
+                   hex(encode('é', 'utf-8')) AS accent""",
+         """SELECT hex(encode('AB')) AS ab, hex(encode('é')) AS accent"""),
+        # md5 is text but sha1/sha2 families land on binary-ish hex
+        ("""SELECT length(md5('x')) AS md5_len,
+                   length(sha2('x', 256)) AS sha_len""",
+         """SELECT length(md5('x')) AS md5_len,
+                   length(sha256('x')) AS sha_len"""),
+        # ordering real rows by a binary key
+        ("""SELECT r_regionkey FROM region
+            ORDER BY encode(r_name, 'utf-8'), r_regionkey""",
+         """SELECT r_regionkey FROM region
+            ORDER BY encode(r_name), r_regionkey"""),
+        # binary in aggregates: min/max by byte order
+        ("""SELECT hex(min(encode(r_name, 'utf-8'))) AS first_bytes
+            FROM region""",
+         """SELECT hex(min(encode(r_name))) AS first_bytes FROM region"""),
+    ],
     # ── ANSI typed-interval algebra: YEAR TO MONTH vs DAY TO SECOND are
     #    distinct types in Spark (ym+dt does not add; each has its own
     #    arithmetic). Values verified through date/timestamp application
