@@ -6679,6 +6679,43 @@ CORPUS = {
                    CAST(floor(123.456, -2) AS STRING) AS fm2""",
          """SELECT 3 AS c, -1 AS sg, '123.5' AS c1, '100' AS fm2"""),
     ],
+    # ── name-resolution precedence: alias vs column in ORDER BY /
+    #    GROUP BY / HAVING, ordinal+alias mixes, CTE name shadowing ──────
+    "name_resolution": [
+        # ORDER BY prefers the SELECT alias over the base column when
+        # the alias shadows a real column name
+        ("""SELECT n_name AS n_regionkey FROM nation
+            WHERE n_nationkey < 5 ORDER BY n_regionkey""",
+         """SELECT n_name AS n_regionkey FROM nation
+            WHERE n_nationkey < 5 ORDER BY n_regionkey"""),
+        # GROUP BY resolves output aliases
+        """SELECT n_regionkey + 100 AS g, count(*) AS n FROM nation
+           GROUP BY g ORDER BY g""",
+        # GROUP BY mixes ordinals and aliases
+        """SELECT n_regionkey AS r, n_nationkey % 2 AS par,
+                  count(*) AS n
+           FROM nation GROUP BY 1, par ORDER BY r, par""",
+        # HAVING sees grouping aliases
+        """SELECT n_regionkey AS g, count(*) AS n FROM nation
+           GROUP BY g HAVING count(*) >= 5 ORDER BY g""",
+        # ORDER BY can use expressions over aliases
+        """SELECT n_name, length(n_name) AS ln FROM nation
+           WHERE n_regionkey = 2 ORDER BY ln * -1, n_name""",
+        # CTE shadowing: the inner WITH wins inside its scope
+        """WITH t AS (SELECT 1 AS v)
+           SELECT * FROM (WITH t AS (SELECT 2 AS v) SELECT v FROM t) s""",
+        # CTE name shadows a real table name
+        """WITH nation AS (SELECT 99 AS n_nationkey)
+           SELECT n_nationkey FROM nation""",
+        # chained CTE references resolve left-to-right
+        """WITH a AS (SELECT 3 AS v),
+                b AS (SELECT v + 1 AS v FROM a),
+                c AS (SELECT v * 2 AS v FROM b)
+           SELECT a.v AS av, c.v AS cv FROM a, c""",
+        # subquery alias hides the outer name
+        """SELECT k FROM (SELECT n_regionkey AS k FROM nation
+                          WHERE n_nationkey < 3) nation ORDER BY k""",
+    ],
     # ── BINARY type algebra: X'' literals, concat, ordering, lengths —
     #    outputs always pass through hex() so goldens stay text ──────────
     "binary_type": [
