@@ -73,7 +73,22 @@ class SltSpec extends AnyFunSuite {
     "json_dense2", "grouping_dense3", "window_frames7",
     "interval_dense2", "codec_dense", "arrays_dense5", "string_dense5",
     "window_dense8", "agg_dense3", "null_dense3", "struct_dense3",
-    "cast_dense3", "exists_dense2", "math_dense4")
+    "cast_dense3", "exists_dense2", "math_dense4",
+    // round-6 additions (sessions 1-3)
+    "agg_bool_countif", "agg_filter_dense", "array_dense6",
+    "array_mut_surface", "array_sort_lambda", "array_zip_explode",
+    "binary_type", "cast_conventions", "date_clamping",
+    "decimal_propagation", "explode_outer_dense", "fuzz_agg",
+    "fuzz_array", "fuzz_bool", "fuzz_cast", "fuzz_date", "fuzz_decimal",
+    "fuzz_groupsets", "fuzz_hof", "fuzz_int", "fuzz_join", "fuzz_map",
+    "fuzz_query", "fuzz_setop", "fuzz_string", "fuzz_struct",
+    "fuzz_subquery", "fuzz_window", "groupby_all", "hex_literals",
+    "hof_lambda_dense", "interval_typed", "join_dense10",
+    "join_key_coercion", "math_special", "name_resolution", "num_format",
+    "spark_fn_surface", "spark_fn_surface2", "sql_dialect_surface",
+    "stats_dense", "tz_conversion", "unicode_dense", "union_widening2",
+    "wildcard_except", "window_dense10", "window_dense9",
+    "window_range_desc")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()
