@@ -846,6 +846,32 @@ def cast_case(r):
             f"SELECT CAST({duck} AS BIGINT) AS v")
 
 
+# ── null-ordering fuzzing: ASC/DESC × NULLS FIRST/LAST × LIMIT/OFFSET
+#    over NULL-bearing VALUES. The directives are ALWAYS explicit —
+#    Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST, so the
+#    bare form is exactly the non-portable surface (pinned by hand in
+#    null_sort.slt). A unique tiebreak column keeps LIMIT cuts exact ───
+
+def nullsort_case(r):
+    n = r.randint(4, 9)
+    rows = []
+    for i in range(n):
+        v = "NULL" if r.random() < 0.3 else str(r.randint(-3, 3))
+        rows.append(f"({v}, {i})")
+    vals = ", ".join(rows)
+    d1 = r.choice(["ASC", "DESC"])
+    nd = r.choice(["NULLS FIRST", "NULLS LAST"])
+    lim = ""
+    if r.random() < 0.5:
+        lim = f" LIMIT {r.randint(1, n)}"
+        if r.random() < 0.5:
+            lim += f" OFFSET {r.randint(0, 3)}"
+    body = (f"SELECT v, t FROM {{src}} "
+            f"ORDER BY v {d1} {nd}, t{lim}")
+    return (body.format(src=f"VALUES {vals} AS s(v, t)"),
+            body.format(src=f"(VALUES {vals}) s(v, t)"))
+
+
 def main():
     gen_family(
         "fuzz_int",
@@ -874,6 +900,7 @@ def main():
     gen_pair_family("fuzz_decimal", dec_case, N // 2, SEED + 14)
     gen_pair_family("fuzz_cast", cast_case, N // 2, SEED + 15)
     gen_pair_family("fuzz_groupsets", groupsets_case, N // 2, SEED + 16)
+    gen_pair_family("fuzz_nullsort", nullsort_case, N // 2, SEED + 17)
 
 
 if __name__ == "__main__":
