@@ -504,10 +504,23 @@ def window_case(r):
         fn = r.choice(["sum", "min", "max"])
         w = (f"CAST({fn}(x) OVER ({part}ORDER BY i ROWS BETWEEN "
              f"{a} PRECEDING AND {b} FOLLOWING) AS BIGINT)")
-    elif k < 0.80:
+    elif k < 0.74:
         w = (f"CAST(sum(x) OVER ({part}ORDER BY i ROWS BETWEEN "
              f"UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)")
-    elif k < 0.90:
+    elif k < 0.82:
+        # RANGE frame on the unique int key; DESC flips offset direction
+        a, b = r.randint(0, 3), r.randint(0, 3)
+        d = r.choice(["", "DESC "])
+        fn = r.choice(["sum", "count", "min"])
+        arg = "x" if fn != "count" else "*"
+        w = (f"CAST({fn}({arg}) OVER ({part}ORDER BY i {d}RANGE BETWEEN "
+             f"{a} PRECEDING AND {b} FOLLOWING) AS BIGINT)")
+    elif k < 0.88:
+        # ROWS frame under DESC ordering
+        a = r.randint(0, 2)
+        w = (f"CAST(max(x) OVER ({part}ORDER BY i DESC ROWS BETWEEN "
+             f"{a} PRECEDING AND CURRENT ROW) AS BIGINT)")
+    elif k < 0.94:
         w = f"CAST(ntile({r.randint(2, 4)}) OVER (ORDER BY i) AS BIGINT)"
     else:
         w = (f"round(cume_dist() OVER ({part}ORDER BY x NULLS FIRST, i)"
