@@ -549,6 +549,23 @@ def setop_case(r):
 def join_case(r):
     a = values_table(r, 2, r.randint(2, 6), null_frac=0.25)
     b = values_table(r, 2, r.randint(2, 6), null_frac=0.25)
+    if r.random() < 0.25:
+        # SEMI/ANTI tier: Spark's join syntax vs the portable
+        # EXISTS/NOT EXISTS spelling on the DuckDB side. NULL keys never
+        # match, so ANTI KEEPS null-key rows (unlike NOT IN)
+        semi = r.random() < 0.5
+        kind = "LEFT SEMI JOIN" if semi else "LEFT ANTI JOIN"
+        neg = "" if semi else "NOT "
+        spark_q = (f"SELECT t1.g AS g1, t1.x AS x1 "
+                   f"FROM VALUES {a} AS t1(g, x) {kind} "
+                   f"VALUES {b} AS t2(g, x) ON t1.g = t2.g "
+                   f"ORDER BY g1 NULLS FIRST, x1 NULLS FIRST")
+        duck_q = (f"SELECT t1.g AS g1, t1.x AS x1 "
+                  f"FROM (VALUES {a}) t1(g, x) "
+                  f"WHERE {neg}EXISTS (SELECT 1 FROM (VALUES {b}) t2(g, x) "
+                  f"WHERE t1.g = t2.g) "
+                  f"ORDER BY g1 NULLS FIRST, x1 NULLS FIRST")
+        return (spark_q, duck_q)
     jt = r.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
     # NULL keys never match (three-valued =) — the draw rate makes
     # unmatched rows common on both sides
