@@ -465,6 +465,24 @@ AGG_EXPRS = [
 
 
 def agg_case(r):
+    k = r.random()
+    if k < 0.25:
+        # two group keys (second NULL-bearing) — composite-key hashing
+        vals = values_table(r, 3, r.randint(4, 10))
+        aggs = r.sample(AGG_EXPRS, r.randint(1, 3))
+        body = (f"SELECT g, h, {', '.join(aggs)} FROM {{src}} "
+                f"GROUP BY g, h ORDER BY g, h NULLS FIRST")
+        return (body.format(src=f"VALUES {vals} AS t(g, h, x)"),
+                body.format(src=f"(VALUES {vals}) t(g, h, x)"))
+    if k < 0.40:
+        # expression group key: the key is computed, not a column
+        vals = values_table(r, 2, r.randint(4, 10))
+        m = r.randint(2, 3)
+        aggs = r.sample(AGG_EXPRS, r.randint(1, 3))
+        body = (f"SELECT g % {m} AS gm, {', '.join(aggs)} FROM {{src}} "
+                f"GROUP BY g % {m} ORDER BY gm NULLS FIRST")
+        return (body.format(src=f"VALUES {vals} AS t(g, x)"),
+                body.format(src=f"(VALUES {vals}) t(g, x)"))
     vals = values_table(r, 2, r.randint(3, 10))
     aggs = r.sample(AGG_EXPRS, r.randint(1, 4))
     having = ""
