@@ -6679,6 +6679,31 @@ CORPUS = {
                    CAST(floor(123.456, -2) AS STRING) AS fm2""",
          """SELECT 3 AS c, -1 AS sg, '123.5' AS c1, '100' AS fm2"""),
     ],
+    # ── frame shorthand: `ROWS/RANGE n PRECEDING` without BETWEEN
+    #    implies `AND CURRENT ROW` (pg_compat_window.slt uses these) ─────
+    "frame_shorthand": [
+        """SELECT l_linenumber, CAST(sum(l_linenumber) OVER (
+                    ORDER BY l_linenumber ROWS 2 PRECEDING) AS BIGINT) AS s
+           FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""",
+        """SELECT q, CAST(count(*) OVER (ORDER BY q RANGE 3 PRECEDING)
+                     AS BIGINT) AS c
+           FROM (SELECT CAST(l_quantity AS BIGINT) AS q
+                 FROM lineitem WHERE l_orderkey <= 2) ORDER BY q, c""",
+        """SELECT l_linenumber, CAST(min(l_linenumber) OVER (
+                    ORDER BY l_linenumber ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS m
+           FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""",
+        """SELECT l_linenumber, CAST(count(*) OVER (
+                    ORDER BY l_linenumber ROWS CURRENT ROW) AS BIGINT) AS c1
+           FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""",
+        # shorthand == the explicit BETWEEN form
+        """SELECT q,
+                  CAST(sum(q) OVER (ORDER BY q RANGE 2 PRECEDING) AS BIGINT)
+                    = CAST(sum(q) OVER (ORDER BY q RANGE BETWEEN 2 PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS same
+           FROM (SELECT CAST(l_quantity AS BIGINT) AS q
+                 FROM lineitem WHERE l_orderkey <= 2) ORDER BY q LIMIT 12""",
+    ],
     # ── name-resolution precedence: alias vs column in ORDER BY /
     #    GROUP BY / HAVING, ordinal+alias mixes, CTE name shadowing ──────
     "name_resolution": [
