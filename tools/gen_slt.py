@@ -6606,6 +6606,18 @@ CORPUS = {
                      array_compact(array(r_name, NULL)), 'X')) AS sz
             FROM region ORDER BY r_regionkey""",
          """SELECT r_regionkey, 2 AS sz FROM region ORDER BY r_regionkey"""),
+        # lexicographic array comparison: element order first, then length
+        ("""SELECT array(1, 2) < array(1, 3) AS lt_elem,
+                   array(1, 2) < array(1, 2, 0) AS lt_prefix,
+                   array(2) > array(1, 9, 9) AS gt_first""",
+         """SELECT [1, 2] < [1, 3] AS lt_elem,
+                   [1, 2] < [1, 2, 0] AS lt_prefix,
+                   [2] > [1, 9, 9] AS gt_first"""),
+        # array comparison drives ORDER BY and min/max aggregation
+        ("""SELECT min(a) AS mn, max(a) AS mx FROM (
+              SELECT array(n_regionkey, n_nationkey) AS a FROM nation) t""",
+         """SELECT min(a) AS mn, max(a) AS mx FROM (
+              SELECT [n_regionkey, n_nationkey] AS a FROM nation) t"""),
     ],
     # ── Spark-surface functions with no direct DuckDB spelling —
     #    goldens pinned as literal pairs (values hand-derived, then
