@@ -6691,6 +6691,38 @@ CORPUS = {
                    CAST(floor(123.456, -2) AS STRING) AS fm2""",
          """SELECT 3 AS c, -1 AS sg, '123.5' AS c1, '100' AS fm2"""),
     ],
+    # ── struct ordering: field-order lexicographic comparison, structs
+    #    as sort keys and group keys ─────────────────────────────────────
+    "struct_ordering": [
+        ("""SELECT named_struct('a', 1, 'b', 9)
+                     < named_struct('a', 2, 'b', 0) AS first_field,
+                   named_struct('a', 1, 'b', 1)
+                     < named_struct('a', 1, 'b', 2) AS second_field""",
+         """SELECT {'a': 1, 'b': 9} < {'a': 2, 'b': 0} AS first_field,
+                   {'a': 1, 'b': 1} < {'a': 1, 'b': 2} AS second_field"""),
+        # struct as a sort key over real rows
+        ("""SELECT n_name FROM nation
+            WHERE n_regionkey <= 1
+            ORDER BY named_struct('r', n_regionkey, 'n', n_name)
+            LIMIT 8""",
+         """SELECT n_name FROM nation
+            WHERE n_regionkey <= 1
+            ORDER BY {'r': n_regionkey, 'n': n_name}
+            LIMIT 8"""),
+        # struct as a group key
+        ("""SELECT s.r AS r, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT named_struct('r', n_regionkey) AS s FROM nation) t
+            GROUP BY s ORDER BY r""",
+         """SELECT s.r AS r, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT {'r': n_regionkey} AS s FROM nation) t
+            GROUP BY s ORDER BY r"""),
+        # min/max over struct values picks by field-order comparison
+        ("""SELECT max(named_struct('k', n_regionkey, 'v', n_name)).v
+                     AS top_v
+            FROM nation""",
+         """SELECT max({'k': n_regionkey, 'v': n_name}).v AS top_v
+            FROM nation"""),
+    ],
     # ── frame shorthand: `ROWS/RANGE n PRECEDING` without BETWEEN
     #    implies `AND CURRENT ROW` (pg_compat_window.slt uses these) ─────
     "frame_shorthand": [
