@@ -210,6 +210,26 @@ object ExtrasQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ── HLL sketch ROLLUP: per-day sketches union to the total WITHOUT
+    //    re-reading raw data — the 100 TB pre-aggregation pattern (store
+    //    daily sketches, answer monthly distincts by merging). The query
+    //    proves the two paths agree: estimate(union of day sketches) ==
+    //    estimate(direct sketch over all rows). Deterministic: sketches
+    //    are a pure function of the value multiset and config ────────────
+    "agg_hll_rollup" -> Q.noOracle { (s, d) =>
+      val ev = Engine.table(s, d, "events")
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val viaUnion = daily.agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+      val direct = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"))
+      viaUnion.crossJoin(direct)
+        .select(col("n_days"), col("est_union"), col("est_direct"),
+          (col("est_union") === col("est_direct")).as("paths_agree"))
+    },
+
     // ── count-min sketch (custom TypedImperativeAggregate — the binary-
     //    state UDAF tier; merge is elementwise addition so estimates are
     //    deterministic under any partitioning). 5 keys against a 4×1024
