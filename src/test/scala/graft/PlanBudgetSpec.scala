@@ -36,7 +36,10 @@ class PlanBudgetSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "join_cross", "join_theta",
     "agg_countmin", "pipe_sim_topk", "pipe_text_tfidf",
-    "tpch_q11", "tpch_q22")
+    "tpch_q11", "tpch_q22",
+    // crossJoin of two 1-row global aggregates (union-of-sketches vs
+    // direct-sketch estimates) — both sides scale-constant
+    "agg_hll_rollup")
 
   private val shuffleCap = 10
 
