@@ -18,12 +18,11 @@ class ErrorSemanticsSpec extends AnyFunSuite {
 
   private def failsWith(clazz: String)(sql: String): Unit = {
     val e = intercept[Exception](spark.sql(sql).collect())
-    val msg = e match {
-      case se: SparkException => se.getMessage
-      case other => other.getMessage
-    }
-    assert(msg != null && msg.contains(clazz),
-      s"expected $clazz from: $sql\ngot: $msg")
+    // runtime errors can surface the condition on a wrapped cause
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains(clazz), s"expected $clazz from: $sql\ngot: $msgs")
   }
 
   private def nullOf(sql: String): Unit = {
@@ -62,6 +61,24 @@ class ErrorSemanticsSpec extends AnyFunSuite {
     failsWith("ARITHMETIC_OVERFLOW")(
       "SELECT sum(v) FROM VALUES (9223372036854775807), (1) t(v)")
     nullOf("SELECT try_sum(v) FROM VALUES (9223372036854775807), (1) t(v)")
+  }
+
+  test("scalar subquery with more than one row errors at runtime") {
+    failsWith("SCALAR_SUBQUERY_TOO_MANY_ROWS")(
+      "SELECT (SELECT v FROM VALUES (1), (2) t(v))")
+    // exactly-one-row and zero-row (→ NULL) forms are fine
+    assert(spark.sql(
+      "SELECT (SELECT v FROM VALUES (1), (2) t(v) WHERE v = 2)")
+      .head().getInt(0) == 2)
+    nullOf("SELECT (SELECT v FROM VALUES (1), (2) t(v) WHERE v < 0)")
+  }
+
+  test("window functions reject FILTER and DISTINCT modifiers") {
+    // both parse in DuckDB — Spark refuses loudly rather than ignoring
+    intercept[Exception](spark.sql(
+      "SELECT count(*) FILTER (WHERE true) OVER () FROM range(3)").collect())
+    intercept[Exception](spark.sql(
+      "SELECT count(DISTINCT id) OVER () FROM range(3)").collect())
   }
 
   test("malformed query fails at analysis with a typed error") {
