@@ -32,6 +32,8 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // nanos-generation events testdata reads as BIGINT (see Engine.table)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_CONF="k=v;k2=v2": extra confs for A/B experiments
     // (e.g. adaptive.coalescePartitions.parallelismFirst) without a

@@ -39,6 +39,10 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // TIMESTAMP(NANOS) parquet (one events testdata generation) surfaces
+      // as BIGINT under this conf; table() then truncates to µs. Set once
+      // at session build — the read path must not mutate session state.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -85,7 +89,8 @@ object Engine {
       if (name == "events") {
         import org.apache.spark.sql.functions.{col, expr}
         import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // nanosAsLong is set at session build (session()/Verify/Bench) —
+        // reading must not mutate shared session state (r6 verdict #3)
         val raw = spark.read.parquet(s"$sfDir/events.parquet")
         raw.schema("ts").dataType match {
           case LongType => // TIMESTAMP(NANOS) surfaced as BIGINT via the conf

@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // DuckDB-readable timestamps in the dumped parquet (not INT96)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // nanos-generation events testdata reads as BIGINT (see Engine.table)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -141,7 +141,15 @@ object Sampling {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-    val thresholds = cum.init.map(f => f"${math.round(f * 65536).toInt}%04x")
+    // clamp to 0xffff: a cumulative fraction ≥ ~0.9999924 would round to
+    // 0x10000, whose 5-char hex compares BELOW most 4-char buckets and
+    // silently misassigns ~15/16 of rows; and a fraction too small to get
+    // its own bucket must fail fast, not yield a silently-empty split
+    val rounded = cum.init.map(f =>
+      math.min(math.round(f * 65536).toInt, 65535))
+    require(rounded == rounded.distinct.sorted && rounded.headOption.forall(_ > 0),
+      s"split fractions too fine for the 1/65536 hash grid: $splits")
+    val thresholds = rounded.map(t => f"$t%04x")
     val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
     val head = when(bucket < lit(thresholds.head), lit(splits.head._1))
     val chained = splits.tail.init.zip(thresholds.tail).foldLeft(head) {

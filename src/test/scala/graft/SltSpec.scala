@@ -88,7 +88,9 @@ class SltSpec extends AnyFunSuite {
     "spark_fn_surface", "spark_fn_surface2", "sql_dialect_surface",
     "stats_dense", "tz_conversion", "unicode_dense", "union_widening2",
     "wildcard_except", "window_dense10", "window_dense9",
-    "window_range_desc")
+    "window_range_desc",
+    // round-7 additions
+    "frame_shorthand", "fuzz_nullsort", "struct_ordering")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()
