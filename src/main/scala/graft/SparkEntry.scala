@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.OperatorQueries.defs,
     graft.queries.SqlSurfaceQueries.defs,
     graft.queries.ExtrasQueries.defs,
-    graft.queries.H2oClickQueries.defs
+    graft.queries.H2oClickQueries.defs,
+    graft.tpcds.TpcdsQueries.defs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

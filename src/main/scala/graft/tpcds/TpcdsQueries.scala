@@ -1,0 +1,248 @@
+package graft.tpcds
+
+import graft.Q
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** TPC-DS EXECUTION gate: all 99 spec queries (103 statements — q14/23/24/39
+  * are two-statement) run end-to-end on the deterministic [[TpcdsData]]
+  * tables and are value-compared against DuckDB running the SAME statement
+  * text over the SAME parquet files.
+  *
+  * The reference stops at planning parity (`core/tests/tpcds_planning.rs`,
+  * mirrored by TpcdsPlanningSpec); this adds value semantics — decorrelated
+  * subqueries, rollup/grouping, wide join trees, window mixes — at a density
+  * the hand corpus can't reach (r6 verdict, next-round #1).
+  *
+  * Cross-engine mechanics (the part dsdgen can't help with):
+  *  - Both engines get byte-identical statement text (per-entry PATCHES are
+  *    applied before either side sees it), so any dialect adaptation is
+  *    shared and semantics stay aligned.
+  *  - Result schemas are normalized mechanically: Spark's analyzed output
+  *    schema (computed against an empty catalog — no data needed) drives
+  *    (a) positional renames of the Spark result to stable sanitized names
+  *    and (b) a DuckDB wrapper projection casting each column to Spark's
+  *    exact result type with the same alias. That one mechanism absorbs
+  *    every coercion divergence at once: DuckDB sum(INT)→HUGEINT vs Spark
+  *    BIGINT, avg(DECIMAL)→DOUBLE vs Spark DECIMAL(p+4,s+4), DECIMAL/INT
+  *    division→DOUBLE vs Spark DECIMAL, auto-generated column-name drift.
+  */
+object TpcdsQueries {
+
+  private def resource(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/tpcds/$name")
+    require(in != null, s"missing resource /tpcds/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Per-entry text patches applied to BOTH engines (tie-breaking ORDER BY
+    * extensions and similar determinism adaptations, each documented at the
+    * patch site). Empty until the empirical pass demands one. */
+  private val patches: Map[String, Seq[(String, String)]] = {
+    // DECIMAL-division ratio outputs: Spark divides in DECIMAL (scale per
+    // its promotion rules), DuckDB in DOUBLE — tails differ at the 15th
+    // significant digit. Casting the NUMERATOR to double makes both
+    // engines do the same IEEE double division of exactly-converted
+    // operands, so results are bit-identical. Applied to both engines.
+    def ratio(agg: String) = Seq(
+      s"sum(${agg}_ext_sales_price)*100.0000/" ->
+        s"cast(sum(${agg}_ext_sales_price) as double)*100.0000/")
+    val weekdays = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+    val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul",
+      "aug", "sep", "oct", "nov", "dec")
+    Map(
+      "tpcds_q12" -> ratio("ws"),
+      "tpcds_q20" -> ratio("cs"),
+      "tpcds_q98" -> ratio("ss"),
+      "tpcds_q59" -> weekdays.map(d =>
+        s"${d}_sales1/${d}_sales2" -> s"cast(${d}_sales1 as double)/${d}_sales2"),
+      "tpcds_q61" -> Seq(
+        "cast(promotions AS decimal(15,4))/cast(total AS decimal(15,4))*100" ->
+          "cast(promotions AS double)/cast(total AS decimal(15,4))*100"),
+      // outer sum here folds exactly 2 doubles (one per channel row), so
+      // double summation order cannot perturb the result
+      "tpcds_q66" -> months.map(m =>
+        s"sum(${m}_sales/w_warehouse_sq_ft)" ->
+          s"sum(cast(${m}_sales as double)/w_warehouse_sq_ft)"),
+      // stddev_samp double tails depend on aggregation merge order —
+      // round the emitted stdev/cov stats on both sides (as q39 below)
+      "tpcds_q17" -> Seq("ss", "sr_return", "cs").flatMap { c =>
+        val col = if (c == "sr_return") "sr_return_quantity" else s"${c}_quantity"
+        val alias = Map("ss" -> "store_sales", "sr_return" -> "store_returns",
+          "cs" -> "catalog_sales")(c)
+        Seq(
+          s"stddev_samp($col) AS ${alias}_quantitystdev" ->
+            s"round(stddev_samp($col), 6) AS ${alias}_quantitystdev",
+          s"stddev_samp($col)/avg($col) AS ${alias}_quantitycov" ->
+            s"round(stddev_samp($col)/avg($col), 6) AS ${alias}_quantitycov")
+      },
+      // DECIMAL/DECIMAL quotients → double; these ratios also feed RANK()
+      // so the ordering itself must be engine-identical (one replacement
+      // covers all six channel blocks)
+      "tpcds_q49" -> Seq(
+        "AS decimal(15,4))/ cast(" -> "AS double)/ cast("),
+      // denominator too: Spark's DECIMAL (x+y+z)/3 rounds at decimal
+      // scale where DuckDB divides in double — push the whole expression
+      // to double on both engines (addition order is fixed by the text)
+      "tpcds_q58" -> Seq(
+        "ss_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3)" ->
+          "cast(ss_item_rev as double)/((cast(ss_item_rev as double)+cs_item_rev+ws_item_rev)/3)",
+        "cs_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3)" ->
+          "cast(cs_item_rev as double)/((cast(ss_item_rev as double)+cs_item_rev+ws_item_rev)/3)",
+        "ws_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3)" ->
+          "cast(ws_item_rev as double)/((cast(ss_item_rev as double)+cs_item_rev+ws_item_rev)/3)",
+        "(ss_item_rev+cs_item_rev+ws_item_rev)/3 average" ->
+          "(cast(ss_item_rev as double)+cs_item_rev+ws_item_rev)/3 average"),
+      // DECIMAL/DECIMAL quotient → double (same class as q12/q20/q31)
+      "tpcds_q90" -> Seq(
+        "cast(amc AS decimal(15,4))/cast(pmc AS decimal(15,4))" ->
+          "cast(amc AS double)/cast(pmc AS decimal(15,4))"),
+      // stddev_samp merge order differs across engines (parallel partial
+      // aggregation vs single pass) — cov tails diverge at ~1e-15; round
+      // the OUTPUT to 6 dp on both sides (the cov>1 FILTER keeps its full
+      // precision: a membership flip needs a group within 1e-13 of 1.0)
+      // same DECIMAL-vs-DOUBLE division: compute the output ratios in
+      // double on both engines (the WHERE-clause comparisons keep their
+      // original forms — both engines evaluate those the same way on the
+      // same operands, only the emitted quotient needs normalizing)
+      "tpcds_q31" -> Seq(
+        "(ws2.web_sales*1.0000)/ws1.web_sales web_q1_q2_increase" ->
+          "cast(ws2.web_sales as double)/ws1.web_sales web_q1_q2_increase",
+        "(ss2.store_sales*1.0000)/ss1.store_sales store_q1_q2_increase" ->
+          "cast(ss2.store_sales as double)/ss1.store_sales store_q1_q2_increase",
+        "(ws3.web_sales*1.0000)/ws2.web_sales web_q2_q3_increase" ->
+          "cast(ws3.web_sales as double)/ws2.web_sales web_q2_q3_increase",
+        "(ss3.store_sales*1.0000)/ss2.store_sales store_q2_q3_increase" ->
+          "cast(ss3.store_sales as double)/ss2.store_sales store_q2_q3_increase",
+        // the WHERE compares two quotients — keep membership engine-
+        // independent by computing those in double too
+        "THEN (ws2.web_sales*1.0000)/ws1.web_sales" ->
+          "THEN cast(ws2.web_sales as double)/ws1.web_sales",
+        "THEN (ss2.store_sales*1.0000)/ss1.store_sales" ->
+          "THEN cast(ss2.store_sales as double)/ss1.store_sales",
+        "THEN (ws3.web_sales*1.0000)/ws2.web_sales" ->
+          "THEN cast(ws3.web_sales as double)/ws2.web_sales",
+        "THEN (ss3.store_sales*1.0000)/ss2.store_sales" ->
+          "THEN cast(ss3.store_sales as double)/ss2.store_sales"),
+      "tpcds_q39" -> Seq(
+        "inv1.cov cov1" -> "round(inv1.cov, 6) cov1",
+        "       inv2.cov\nFROM" -> "       round(inv2.cov, 6) cov\nFROM",
+        "inv1.cov NULLS FIRST" -> "round(inv1.cov, 6) NULLS FIRST",
+        "inv2.cov NULLS FIRST" -> "round(inv2.cov, 6) NULLS FIRST"))
+  }
+
+  /** entry name -> patched statement text, in q01..q99 order. */
+  private lazy val texts: Seq[(String, String)] = (1 to 99).flatMap { n =>
+    val stmts = resource(f"q$n%02d.sql")
+      .split(";").map(_.trim).filter(_.nonEmpty)
+    val named: Seq[(String, String)] =
+      if (stmts.length == 1) Seq(f"tpcds_q$n%02d" -> stmts.head)
+      else stmts.toSeq.zipWithIndex.map { case (t, i) =>
+        (f"tpcds_q$n%02d" + ('a' + i).toChar) -> t
+      }
+    named.map { case (name, t) =>
+      name -> patches.getOrElse(name, Nil)
+        .foldLeft(t) { case (acc, (from, to)) => acc.replace(from, to) }
+    }
+  }
+
+  // ── schema analysis against an empty catalog (no data required) ──────
+  private val childSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
+  /** Child session with the TPC-DS catalog over the generated parquet
+    * (shares the SparkContext; its OWN temp-view namespace, so
+    * `customer`/`item` don't clobber the testdata views other corpus
+    * queries register). */
+  private def child(parent: SparkSession): SparkSession = {
+    childSessions.keys.filter(_.sparkContext.isStopped)
+      .foreach(childSessions.remove)
+    childSessions.getOrElseUpdate(parent, {
+      val s = parent.newSession()
+      // the corpus is ANSI SQL: "quoted" identifiers, not string literals
+      s.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+      val dir = TpcdsData.ensure(s)
+      TpcdsData.tables.foreach(t =>
+        s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+      s
+    })
+  }
+
+  /** Analyzed output schema per entry — drives name + type normalization
+    * on both engines. Uses whatever session exists (Verify/Bench/tests all
+    * have one before SparkEntry is touched). */
+  private lazy val schemas: Map[String, StructType] = {
+    val base = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(graft.Engine.session())
+    // a dedicated empty-catalog session, NOT the data session: schema
+    // analysis must work before any data is generated
+    val s = base.newSession()
+    s.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    resource("schema.txt").linesIterator.filter(_.nonEmpty).foreach { l =>
+      val Array(table, ddl) = l.split("\t", 2)
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType.fromDDL(ddl)).createOrReplaceTempView(table)
+    }
+    texts.map { case (name, t) => name -> s.sql(t).schema }.toMap
+  }
+
+  /** Stable output names: keep plain identifiers (deduped), replace
+    * engine-generated expression names (`sum(ss_quantity)`,
+    * `CASE WHEN …`) with positional c<i>. */
+  private def outNames(name: String): Seq[String] = {
+    val ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+    val seen = scala.collection.mutable.Set.empty[String]
+    schemas(name).fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val base = f.name match {
+        case ident() => f.name.toLowerCase
+        case _       => s"c$i"
+      }
+      val unique = if (seen.add(base)) base else { seen.add(s"${base}_$i"); s"${base}_$i" }
+      unique
+    }
+  }
+
+  private def duckType(dt: DataType): String = dt match {
+    case ByteType            => "TINYINT"
+    case ShortType           => "SMALLINT"
+    case IntegerType         => "INTEGER"
+    case LongType            => "BIGINT"
+    case FloatType           => "REAL"
+    case DoubleType          => "DOUBLE"
+    case d: DecimalType      => s"DECIMAL(${d.precision},${d.scale})"
+    case BooleanType         => "BOOLEAN"
+    case StringType          => "VARCHAR"
+    case DateType            => "DATE"
+    case TimestampType       => "TIMESTAMP"
+    case other => throw new IllegalArgumentException(s"tpcds output $other")
+  }
+
+  /** DuckDB oracle: bind the 24 tables as CTEs over the generated parquet
+    * (merging with the statement's own WITH clause when present), then wrap
+    * in a projection that casts every column to Spark's result type under
+    * the shared sanitized alias. */
+  private def oracleFor(name: String, text: String): String = {
+    val tableCtes = TpcdsData.tables.map(t =>
+      s"$t AS (SELECT * FROM read_parquet('${TpcdsData.dir}/$t.parquet/*.parquet'))")
+      .mkString(", ")
+    val merged =
+      if (text.take(4).equalsIgnoreCase("with"))
+        s"WITH $tableCtes, ${text.drop(4)}"
+      else s"WITH $tableCtes $text"
+    val fields = schemas(name).fields.toSeq
+    val inner = fields.indices.map(i => s"g$i").mkString(", ")
+    val proj = fields.zip(outNames(name)).zipWithIndex.map {
+      case ((f, out), i) => s"""CAST(g$i AS ${duckType(f.dataType)}) AS "$out""""
+    }.mkString(", ")
+    s"SELECT $proj FROM ($merged) __graft($inner)"
+  }
+
+  val defs: Map[String, Q] = texts.map { case (name, text) =>
+    name -> Q(
+      build = (parent: SparkSession, _: String) =>
+        child(parent).sql(text).toDF(outNames(name): _*),
+      oracle = Some(oracleFor(name, text)))
+  }.toMap
+}

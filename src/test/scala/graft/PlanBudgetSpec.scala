@@ -39,9 +39,26 @@ class PlanBudgetSpec extends AnyFunSuite {
     "tpch_q11", "tpch_q22",
     // crossJoin of two 1-row global aggregates (union-of-sketches vs
     // direct-sketch estimates) — both sides scale-constant
-    "agg_hll_rollup")
+    "agg_hll_rollup",
+    // TPC-DS spec text (not ours to reshape): q23/q61/q90 broadcast a
+    // 1-row scalar-subquery threshold; q28/q88 cross-join 6/8 single-row
+    // aggregate blocks — every build side is a global aggregate, i.e.
+    // scale-constant at any SF
+    "tpcds_q23", "tpcds_q28", "tpcds_q61", "tpcds_q88", "tpcds_q90")
 
+  /** q77's catalog channel joins the page-level sales and returns
+    * aggregates WITHOUT a key — the spec's own text. Both inputs are
+    * grouped aggregates bounded by |catalog_page|, so the product is
+    * bounded too; sanctioned rather than reshaped. */
+  private val cartesianAllowed = Set("tpcds_q77")
+
+  // our own corpus max is 7 (pipe_dedup_embedding's LSH bucket join);
+  // the TPC-DS spec corpus tops out at q14's 49 (three-channel INTERSECT
+  // + rollup) — a separate, looser regression cap applies there
   private val shuffleCap = 10
+  private val tpcdsShuffleCap = 60
+  private def capFor(name: String): Int =
+    if (name.startsWith("tpcds_")) tpcdsShuffleCap else shuffleCap
 
   private def batchQueries: Map[String, Q] =
     SparkEntry.all -- graft.queries.StreamingQueries.defs.keySet
@@ -60,7 +77,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     }
 
   test("no query plans a CartesianProduct") {
-    val bad = planCounts.collect { case (n, (c, _, _)) if c > 0 => n }
+    val bad = planCounts.collect {
+      case (n, (c, _, _)) if c > 0 && !cartesianAllowed(n) => n }
     assert(bad.isEmpty, s"cartesian products appeared in: $bad")
   }
 
@@ -74,9 +92,10 @@ class PlanBudgetSpec extends AnyFunSuite {
         "side is provably scale-constant, add to bnljAllowed with a note")
   }
 
-  test(s"every plan stays under $shuffleCap shuffle exchanges") {
+  test(s"every plan stays under its shuffle-exchange cap " +
+      s"($shuffleCap corpus / $tpcdsShuffleCap tpcds)") {
     val bad = planCounts.collect {
-      case (n, (_, _, s)) if s > shuffleCap => s"$n=$s"
+      case (n, (_, _, s)) if s > capFor(n) => s"$n=$s"
     }
     assert(bad.isEmpty, s"shuffle budget exceeded: $bad")
   }
