@@ -136,6 +136,61 @@ object Dedup {
           .otherwise(0L)),
       lit(0L), (acc, b) => acc * 2 + b)
 
+  /** Engine-portable per-token hash: codepoint polynomial mod 1e9+7 (the
+    * same word hash as TextAnalysis.fingerprintPortable) — ~30 useful
+    * bits, reproducible in any engine with string/codepoint functions
+    * (the DuckDB oracle replays it with list_reduce + unicode()). */
+  def tokenHashesPortable(text: Column): Column =
+    transform(filter(split(text, "\\s+"), w => w =!= ""), w =>
+      // final Knuth-multiply scramble spreads short words (single chars
+      // hash < 128 under the bare polynomial) across all 30 bits
+      pmod(aggregate(transform(split(w, ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, cp) => pmod(acc * 131 + cp, lit(1000000007L)))
+        * 2654435761L, lit(1073741789L)))
+
+  /** 30-bit SimHash over portable token hashes, bit i at position i —
+    * the fully-oracle-replayable variant behind pipe_dedup_simhash
+    * (r6 verdict #2: no emitted column may be engine-private). The
+    * production 63-bit xxhash64 kernel (simhash63 codegen expression)
+    * stays the scale path; its equivalence to the HOF spec is asserted
+    * in OperatorSpec and re-asserted per-run by pipe_text_rolling_fp. */
+  private[graft] def simhash30FromHashes(hs: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(29)), i =>
+        when(aggregate(hs, lit(0L), (acc, h) =>
+          acc + when(call_function("shiftright", h, i.cast("int"))
+            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
+          call_function("shiftleft", lit(1L), i.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+
+  /** SimHash near-dup pairs over the portable 30-bit signature: 4×8-bit
+    * pigeonhole chunks guarantee every pair with hamming ≤ 3 collides on
+    * at least one chunk — identical blocking shape to [[simhashPairs]],
+    * with a signature an external oracle can recompute bit-for-bit. */
+  def simhashPairsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        simhash30FromHashes(tokenHashesPortable(col(textCol))).as("sig"))
+      .persist()
+    val chunked = sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .select(col("id"), col("sig"),  col("chunk"),
+        expr("shiftright(sig, CAST(chunk * 8 AS INT)) & 255L").as("ck"))
+    chunked.as("l")
+      .join(chunked.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** 63-bit SimHash of a space-tokenized text column. */
   def simhash(textColName: String): Column =
     simhashFromHashes(tokenHashes(col(textColName)))

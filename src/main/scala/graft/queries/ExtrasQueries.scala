@@ -201,12 +201,21 @@ object ExtrasQueries {
         ORDER BY c DESC, event_type""")
     },
 
-    "agg_hll_sketch" -> Q.noOracle { (s, d) =>
+    // bounded-pass (r6 verdict #2): exact side oracled in DuckDB, the
+    // Datasketches HLL estimate asserted within 5% (3σ at lgK=12's
+    // rsd≈1.6%) of it — every emitted column adjudicated
+    "agg_hll_sketch" -> Q("""
+      |SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |       true AS est_in_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
       Engine.table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est_parts"),
+          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("est") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("est_in_bound"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -216,7 +225,17 @@ object ExtrasQueries {
     //    proves the two paths agree: estimate(union of day sketches) ==
     //    estimate(direct sketch over all rows). Deterministic: sketches
     //    are a pure function of the value multiset and config ────────────
-    "agg_hll_rollup" -> Q.noOracle { (s, d) =>
+    // bounded-pass (r6 verdict #2): n_days and the exact user count are
+    // oracled in DuckDB; the union-of-daily-sketches estimate is asserted
+    // within 2% of the direct estimate (exact equality holds at small
+    // cardinality but union promotes the sketch mode at sf0.1+, shifting
+    // the estimate a fraction of a percent) AND within 5% of the exact
+    // count
+    "agg_hll_rollup" -> Q("""
+      |SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       true AS paths_agree, true AS est_in_bound
+      |FROM events""") { (s, d) =>
       val ev = Engine.table(s, d, "events")
       val daily = ev.groupBy(to_date(col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
@@ -224,10 +243,14 @@ object ExtrasQueries {
         count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
       val direct = ev.agg(
-        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"))
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+        countDistinct(col("user_id")).as("exact_users"))
       viaUnion.crossJoin(direct)
-        .select(col("n_days"), col("est_union"), col("est_direct"),
-          (col("est_union") === col("est_direct")).as("paths_agree"))
+        .select(col("n_days"), col("exact_users"),
+          (abs(col("est_union") - col("est_direct"))
+            <= col("est_direct") * 0.02).as("paths_agree"),
+          (abs(col("est_union") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("est_in_bound"))
     },
 
     // ── count-min sketch (custom TypedImperativeAggregate — the binary-
@@ -298,7 +321,33 @@ object ExtrasQueries {
     },
 
     // ── IVF approximate top-k (cell-probed ANN) ──────────────────────────
-    "pipe_sim_ivf" -> Q.noOracle { (s, d) =>
+    // Fully replayed by the oracle (r6 verdict #2): the centroids are a
+    // deterministic md5-ranked corpus sample DuckDB reselects itself,
+    // cell assignment and probing use the bit-identical cosine (see
+    // cosSqlDuck), so the ENTIRE approximate result — probed cells,
+    // candidates, rounded rerank — is value-oracled.
+    "pipe_sim_ivf" -> Q(s"""
+      |WITH base AS (SELECT vec_id id,
+      |       list_transform(embedding, x -> CAST(x AS DOUBLE)) vec
+      |     FROM embeddings),
+      |cent AS (SELECT row_number() OVER
+      |           (ORDER BY md5(CAST(id AS VARCHAR)), id) cell, vec
+      |         FROM base ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+      |sim AS (SELECT b.id, c.cell,
+      |          ${PipelineQueries.cosSqlDuck("b.vec", "c.vec")} s
+      |        FROM base b, cent c),
+      |assigned AS (SELECT id nid, cell FROM sim
+      |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY s DESC, cell) = 1),
+      |probes AS (SELECT id qid, cell FROM sim WHERE id < 10
+      |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY s DESC, cell) <= 4),
+      |res AS (SELECT qid, nid,
+      |          round(${PipelineQueries.cosSqlDuck("q.vec", "n.vec")}, 6) cos
+      |        FROM probes JOIN assigned USING (cell)
+      |        JOIN base q ON q.id = qid JOIN base n ON n.id = nid
+      |        WHERE nid <> qid)
+      |SELECT qid, nid, cos FROM res
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 5
+      |ORDER BY qid, cos DESC, nid""") { (s, d) =>
       val emb = Engine.table(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)

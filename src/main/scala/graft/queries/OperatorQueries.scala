@@ -277,18 +277,35 @@ object OperatorQueries {
     // groups' shingle sets; property-tested in OperatorSpec)
     // (signature flattened to a joined string: the driver sorts even
     //  rows-only outputs and can't hash list columns — CORRECTNESS_r01)
-    "agg_group_minhash" -> Q.noOracle { (s, d) =>
+    // Bounded-pass (r6 verdict #2): the raw signature is engine-private,
+    // so the query emits the adjudicable facts instead — the group set +
+    // doc counts (oracled exactly) and the UDAF's defining property
+    // asserted per run: elementwise-min of row signatures == signature of
+    // the UNION of the groups' shingle sets (computed independently via
+    // explode + collect_set + MinHash64; minhash of a set is
+    // order-independent, so collect_set's ordering is immaterial).
+    "agg_group_minhash" -> Q("""
+      |SELECT source, count(*) AS n_docs, true AS sig_equals_union_sig
+      |FROM documents GROUP BY source ORDER BY source""") { (s, d) =>
       val k = 32
       graft.functions.Sketches.register(s)
-      Engine.table(s, d, "documents")
+      val docs = Engine.table(s, d, "documents")
+      val viaUdaf = docs
         .select(col("source"),
           Dedup.minhashSignature(
             Dedup.shingles(col("text"), 3), k).as("sig"))
         .groupBy(col("source"))
-        .agg(GroupMinHash.groupSignature(col("sig"), k).as("group_sig"))
+        .agg(count(lit(1)).as("n_docs"),
+          GroupMinHash.groupSignature(col("sig"), k).as("group_sig"))
+      val viaUnion = docs
+        .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+        .groupBy(col("source"))
+        .agg(collect_set(col("sh")).as("shs"))
         .select(col("source"),
-          array_join(transform(col("group_sig"), x => x.cast("string")), ",")
-            .as("group_sig"))
+          Dedup.minhashSignature(col("shs"), k).as("union_sig"))
+      viaUdaf.join(viaUnion, "source")
+        .select(col("source"), col("n_docs"),
+          (col("group_sig") === col("union_sig")).as("sig_equals_union_sig"))
         .orderBy(col("source"))
     },
 

@@ -15,6 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** DuckDB cosine identical to the CosineSim kernel: 0-initialized
+    * left-to-right folds for dot and both norms, dot/(sqrt·sqrt) — the
+    * operands convert exactly (float32→double) and every operation is
+    * IEEE-determined, so the doubles match Spark's bit-for-bit. */
+  private[queries] def cosSqlDuck(a: String, b: String): String =
+    s"(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 64), j -> $a[j] * $b[j])), (x, y) -> x + y)" +
+      s" / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (x, y) -> x + y))" +
+      s" * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($b, x -> x * x)), (x, y) -> x + y))))"
+
+  /** The LSH hyperplane matrices as a VALUES literal — planeMatrix is a
+    * pure function of (rot, planes, dim), so the oracle ships the SAME
+    * constants Spark's codegen kernel uses and replays signature
+    * extraction exactly (dot > 0 per plane, MSB-first packing). */
+  private[queries] def lshPlanesSqlDuck(
+      rotations: Int, planes: Int, dim: Int): String =
+    (0 until rotations).map { rot =>
+      val m = graft.pipeline.Similarity.planeMatrix(rot, planes, dim)
+      val rows = m.map(r => "[" + r.mkString(",") + "]")
+        .mkString("[", ",", "]")
+      s"($rot, CAST($rows AS DOUBLE[][]))"
+    }.mkString("(VALUES ", ", ", ") planes(rot, m)")
+
   private val shingleSqlDuck =
     """SELECT doc_id,
       |       list_distinct(list_transform(
@@ -276,16 +298,73 @@ object PipelineQueries {
     },
 
     // ── MinHash + LSH banding near-dup pairs (the 100 TB path) ───────────
-    "pipe_dedup_minhash" -> Q.noOracle { (s, d) =>
+    // Bounded-pass (r6 verdict #2): minhashPairs verifies every LSH
+    // candidate with the EXACT shingle jaccard and keeps pairs >= 0.8, so
+    // the emitted pair set equals the brute-force all-pairs set whenever
+    // banding recall is 1 at the threshold — which PipelineSpec gates and
+    // the oracle now PROVES per run by recomputing all pairs in SQL. The
+    // minhash estimate is asserted within 0.2 of exact (>4σ at k=64).
+    "pipe_dedup_minhash" -> Q(s"""
+      |WITH sh0 AS ($shingleSqlDuck),
+      |sh AS (SELECT doc_id, unnest(sh) s FROM sh0),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard,
+      |       true AS est_in_bound
+      |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+      |ORDER BY id_a, id_b""") { (s, d) =>
       Dedup.minhashPairs(Engine.table(s, d, "documents"), "doc_id", "text",
           shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (abs(col("est_jaccard") - col("jaccard")) <= 0.2).as("est_in_bound"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // ── SimHash near-dup pairs ───────────────────────────────────────────
-    "pipe_dedup_simhash" -> Q.noOracle { (s, d) =>
-      Dedup.simhashPairs(Engine.table(s, d, "documents"), "doc_id", "text",
-          maxHamming = 3)
+    // ── SimHash near-dup pairs — fully replayed by the oracle ────────────
+    // The 30-bit portable signature (codepoint-polynomial token hashes,
+    // per-bit majority vote) is recomputed bit-for-bit by DuckDB, so the
+    // ENTIRE pair set is value-oracled, blocking included (pigeonhole
+    // guarantees Spark's 4×8-bit chunk join finds exactly the
+    // near-dup pairs the oracle's all-pairs scan finds). maxHamming=1
+    // here: 30-bit signatures make 3 bits a loose 10% relative cut
+    // (vocabulary correlation alone yields thousands of pairs); 1 bit
+    // matches the 63-bit kernel's ~5% selectivity.
+    "pipe_dedup_simhash" -> Q(s"""
+      |WITH th AS (
+      |  SELECT doc_id,
+      |         list_transform(
+      |           list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+      |           w -> (list_reduce(
+      |                  list_transform(string_split_regex(w, ''),
+      |                    c -> CAST(unicode(c) AS BIGINT)),
+      |                  (acc, cp) -> (acc * 131 + cp) % 1000000007)
+      |                 * 2654435761) % 1073741789) hs
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(generate_series(0, 29), i ->
+      |             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                    list_transform(hs, h ->
+      |                      CASE WHEN (h >> i) & 1 = 1
+      |                           THEN CAST(1 AS BIGINT)
+      |                           ELSE CAST(-1 AS BIGINT) END)),
+      |                    (a, b) -> a + b) > 0
+      |                  THEN CAST(1 AS BIGINT) << i
+      |                  ELSE CAST(0 AS BIGINT) END)),
+      |           (a, b) -> a + b) sig
+      |  FROM th)
+      |SELECT a.doc_id id_a, b.doc_id id_b,
+      |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) hamming
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 1
+      |ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.simhashPairsPortable(Engine.table(s, d, "documents"),
+          "doc_id", "text", maxHamming = 1)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -343,7 +422,37 @@ object PipelineQueries {
     },
 
     // ── LSH near-pairs over embeddings (approximate scale path) ──────────
-    "pipe_sim_lsh" -> Q.noOracle { (s, d) =>
+    // Fully replayed by the oracle (r6 verdict #2): the hyperplane
+    // matrices are deterministic literals shipped INTO the oracle SQL, so
+    // DuckDB recomputes every signature, band bucket, candidate pair and
+    // verified cosine — banding included. (Spark joins on
+    // xxhash64(rot,band,bits); the oracle joins on the tuple itself —
+    // identical sets barring a 64-bit hash collision across ~6k keys.)
+    "pipe_sim_lsh" -> Q(s"""
+      |WITH base AS (SELECT vec_id id,
+      |       list_transform(embedding, x -> CAST(x AS DOUBLE)) vec
+      |     FROM embeddings),
+      |sigs AS (
+      |  SELECT id, rot,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(m, row ->
+      |             CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |                    list_transform(generate_series(1, 64),
+      |                      j -> vec[j] * row[j])),
+      |                    (a, b) -> a + b) > 0
+      |                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |           (a, b) -> a * 2 + b) sig
+      |  FROM base, ${lshPlanesSqlDuck(3, 16, 64)}),
+      |bk AS (SELECT id, rot, band, (sig >> (band * 4)) & 15 bits
+      |       FROM sigs, generate_series(0, 3) g(band)),
+      |cand AS (SELECT DISTINCT l.id id_a, r.id id_b
+      |         FROM bk l JOIN bk r ON l.rot = r.rot AND l.band = r.band
+      |                            AND l.bits = r.bits AND l.id < r.id),
+      |res AS (SELECT id_a, id_b,
+      |          round(${cosSqlDuck("a.vec", "b.vec")}, 6) cos
+      |        FROM cand JOIN base a ON a.id = id_a JOIN base b ON b.id = id_b)
+      |SELECT id_a, id_b, cos FROM res WHERE cos >= 0.2
+      |ORDER BY id_a, id_b""") { (s, d) =>
       Similarity.lshNearPairs(Engine.table(s, d, "embeddings"),
           "vec_id", "embedding", planes = 16, bandBits = 4, rotations = 3,
           threshold = 0.2)
@@ -537,15 +646,44 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // ── rolling-hash fingerprint (xxhash64-seeded — Spark-side only) ─────
-    "pipe_text_rolling_fp" -> Q.noOracle { (s, d) =>
+    // ── rolling-hash fingerprint — production kernels, adjudicated ───────
+    // The xxhash64-seeded RollingFpXx / SimHash63 codegen kernels run in
+    // the query but their raw values are engine-private; what the oracle
+    // adjudicates (r6 verdict #2) is (a) the exact token count, (b) the
+    // portable-polynomial fingerprint DuckDB recomputes bit-for-bit, and
+    // (c) a per-run re-assertion that each production kernel equals its
+    // interpreted HOF spec on every row (the OperatorSpec equivalence,
+    // executed inside the gated query itself).
+    "pipe_text_rolling_fp" -> Q("""
+      |SELECT doc_id,
+      |       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+      |       CASE WHEN len(ws) = 0 THEN 0 ELSE
+      |         list_reduce(
+      |           list_transform(ws,
+      |             w -> list_reduce(
+      |                    list_transform(string_split_regex(w, ''),
+      |                      c -> CAST(unicode(c) AS BIGINT)),
+      |                    (acc, cp) -> (acc * 131 + cp) % 1000000007)),
+      |           (acc, h) -> (acc * 31 + h) % 1000000007)
+      |       END AS portable_fp,
+      |       true AS kernels_match_spec
+      |FROM (SELECT doc_id, text,
+      |             list_filter(string_split_regex(text, '\s+'),
+      |                         w -> w <> '') AS ws
+      |      FROM documents)
+      |ORDER BY doc_id""") { (s, d) =>
       graft.functions.Sketches.register(s)
       Engine.table(s, d, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.fingerprintRolling(col("text")).as("rolling_fp"),
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.fingerprintPortable(col("text")).as("portable_fp"),
           Dedup.tokenHashes(col("text")).as("hs"))
-        .select(col("doc_id"), col("rolling_fp"),
-          graft.functions.Sketches.simhash63(col("hs")).as("simhash"))
+        .select(col("doc_id"), col("n_tokens"), col("portable_fp"),
+          ((TextAnalysis.fingerprintRolling(col("text"))
+              === TextAnalysis.fingerprintRollingHof(col("text"))) &&
+           (graft.functions.Sketches.simhash63(col("hs"))
+              === Dedup.simhashFromHashes(col("hs"))))
+            .as("kernels_match_spec"))
         .orderBy(col("doc_id"))
     },
 
