@@ -90,7 +90,9 @@ class SltSpec extends AnyFunSuite {
     "wildcard_except", "window_dense10", "window_dense9",
     "window_range_desc",
     // round-7 additions
-    "frame_shorthand", "fuzz_nullsort", "struct_ordering")
+    "frame_shorthand", "fuzz_nullsort", "struct_ordering",
+    "ts_dst_matrix", "ts_tz_roundtrip", "ts_trunc_local",
+    "ts_interval_clamp", "ts_format_matrix", "ts_epoch_edges")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

@@ -7352,6 +7352,176 @@ CORPUS = {
 }
 
 
+
+# ── timestamp/tz density push (r6 verdict #5) ─────────────────────────
+# The reference's timestamps.slt is its single largest file (2,846
+# lines); these five generated families close our thinnest area with an
+# INDEPENDENT oracle: expectations come from Python's zoneinfo/datetime
+# (IANA tzdata + proleptic Gregorian), not from DuckDB — the duck side
+# of each pair is the precomputed literal. Zones/instants stay within
+# 2016-2027 where IANA and JDK tzdata agree.
+def _ts_families():
+    import calendar
+    from zoneinfo import ZoneInfo
+    import datetime as _dt
+    UTC = _dt.timezone.utc
+    F = "%Y-%m-%d %H:%M:%S"
+
+    def ts(v):
+        # explicit zero-padded render: strftime young-year behavior is
+        # platform-dependent (year 1 prints "1" under glibc)
+        return (f"{v.year:04d}-{v.month:02d}-{v.day:02d} "
+                f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}")
+    zones = ["America/New_York", "Europe/Paris", "Australia/Sydney",
+             "America/Sao_Paulo", "Asia/Kathmandu", "Asia/Kolkata",
+             "America/Phoenix", "Europe/London", "Pacific/Auckland",
+             "America/St_Johns"]
+    instants = [_dt.datetime(y, m, d, 6, 30)
+                for y in (2016, 2020, 2024, 2027)
+                for (m, d) in ((1, 15), (3, 10), (3, 27), (4, 6),
+                               (6, 30), (10, 27), (11, 3), (12, 31))]
+
+    # 1. from_utc_timestamp across DST transitions, 8 instants per zone
+    dst = []
+    for zi, z in enumerate(zones):
+        for inst in instants[zi % 4::4]:
+            loc = inst.replace(tzinfo=UTC).astimezone(ZoneInfo(z))
+            dst.append((
+                f"SELECT date_format(from_utc_timestamp(TIMESTAMP "
+                f"'{inst:{F}}', '{z}'), 'yyyy-MM-dd HH:mm:ss') AS local_time",
+                f"SELECT '{loc:{F}}' AS local_time"))
+
+    # 2. to_utc_timestamp round-trips on unambiguous local times
+    rev = []
+    for z in zones:
+        for inst in (_dt.datetime(2024, 1, 15, 6, 30),
+                     _dt.datetime(2024, 6, 30, 6, 30),
+                     _dt.datetime(2020, 12, 31, 23, 30)):
+            loc = inst.replace(tzinfo=UTC).astimezone(ZoneInfo(z)) \
+                .replace(tzinfo=None)
+            rev.append((
+                f"SELECT date_format(to_utc_timestamp(TIMESTAMP "
+                f"'{loc:{F}}', '{z}'), 'yyyy-MM-dd HH:mm:ss') AS utc_time",
+                f"SELECT '{inst:{F}}' AS utc_time"))
+
+    # 3. tz-aware truncation: date_trunc over local wall-clock times
+    def _trunc(t, u):
+        if u == "year":
+            return t.replace(month=1, day=1, hour=0, minute=0, second=0)
+        if u == "quarter":
+            return t.replace(month=((t.month - 1) // 3) * 3 + 1, day=1,
+                             hour=0, minute=0, second=0)
+        if u == "month":
+            return t.replace(day=1, hour=0, minute=0, second=0)
+        if u == "week":  # Spark date_trunc week = Monday 00:00
+            m = t - _dt.timedelta(days=t.weekday())
+            return m.replace(hour=0, minute=0, second=0)
+        if u == "day":
+            return t.replace(hour=0, minute=0, second=0)
+        if u == "hour":
+            return t.replace(minute=0, second=0)
+        return t.replace(second=0)
+    tr = []
+    for zi, z in enumerate(zones[:8]):
+        for ui, u in enumerate(
+                ("year", "quarter", "month", "week", "day", "hour", "minute")):
+            inst = instants[(zi * 7 + ui) % len(instants)]
+            loc = inst.replace(tzinfo=UTC).astimezone(ZoneInfo(z)) \
+                .replace(tzinfo=None)
+            tr.append((
+                f"SELECT date_format(date_trunc('{u}', TIMESTAMP "
+                f"'{loc:{F}}'), 'yyyy-MM-dd HH:mm:ss') AS t",
+                f"SELECT '{_trunc(loc, u):{F}}' AS t"))
+
+    # 4. interval month arithmetic — end-of-month clamping matrix
+    def _add_months(d, n):
+        y, m = divmod(d.year * 12 + d.month - 1 + n, 12)
+        m += 1
+        return _dt.date(y, m, min(d.day, calendar.monthrange(y, m)[1]))
+    ia = []
+    for b in ("2024-01-31", "2024-02-29", "2023-01-31", "2024-03-31",
+              "2024-05-31", "2024-08-31", "2023-02-28", "2024-10-31",
+              "2000-02-29", "1900-01-31"):
+        d0 = _dt.date.fromisoformat(b)
+        for n in (1, 2, 3, 6, 11, 12, 13, 24, -1, -12):
+            exp = _add_months(d0, n)
+            spark = (f"SELECT CAST(DATE '{b}' + INTERVAL '{n}' MONTH AS DATE)"
+                     f" AS viaint, add_months(DATE '{b}', {n}) AS viafn")
+            ia.append((spark,
+                       f"SELECT DATE '{exp}' AS viaint, DATE '{exp}' AS viafn"))
+    for (t0, iv, unit, exp) in (
+            ("2024-01-01 23:59:59", "1", "SECOND", "2024-01-02 00:00:00"),
+            ("2024-02-28 23:00:00", "90", "MINUTE", "2024-02-29 00:30:00"),
+            ("2023-02-28 23:00:00", "90", "MINUTE", "2023-03-01 00:30:00"),
+            ("2024-12-31 23:59:00", "61", "SECOND", "2025-01-01 00:00:01"),
+            ("2024-03-01 00:00:30", "-31", "SECOND", "2024-02-29 23:59:59"),
+            ("2024-01-31 12:00:00", "24", "HOUR", "2024-02-01 12:00:00")):
+        ia.append((
+            f"SELECT date_format(TIMESTAMP '{t0}' + INTERVAL '{iv}' {unit}, "
+            f"'yyyy-MM-dd HH:mm:ss') AS t",
+            f"SELECT '{exp}' AS t"))
+
+    # 5. format matrix: Java DateTimeFormatter pattern vs strftime golden
+    pats = [("yyyy-MM-dd", "%Y-%m-%d"), ("dd/MM/yyyy", "%d/%m/%Y"),
+            ("MM-dd-yyyy HH:mm", "%m-%d-%Y %H:%M"), ("yyyyMMdd", "%Y%m%d"),
+            ("HH:mm:ss", "%H:%M:%S"), ("EEEE", "%A"), ("MMM", "%b"),
+            ("DDD", "%j")]
+    vals = [_dt.datetime(2024, 2, 29, 13, 5, 9),
+            _dt.datetime(2016, 1, 1, 0, 0, 0),
+            _dt.datetime(2027, 12, 31, 23, 59, 58),
+            _dt.datetime(2020, 7, 4, 6, 45, 1),
+            _dt.datetime(2021, 11, 30, 18, 30, 59),
+            _dt.datetime(2019, 3, 10, 2, 30, 0),
+            _dt.datetime(2025, 10, 26, 1, 30, 0),
+            _dt.datetime(2022, 5, 15, 12, 0, 0),
+            _dt.datetime(2023, 9, 23, 9, 9, 9),
+            _dt.datetime(2018, 4, 1, 4, 4, 4),
+            _dt.datetime(2026, 8, 8, 20, 8, 0),
+            _dt.datetime(2024, 6, 20, 22, 22, 2)]
+    fm = []
+    for vi, v in enumerate(vals):
+        for pj, (jp, sp) in enumerate(pats):
+            if (vi + pj) % 2 == 0:  # interleave: 48 print cases
+                fm.append((
+                    f"SELECT date_format(TIMESTAMP '{v:{F}}', '{jp}') AS s",
+                    f"SELECT '{v.strftime(sp)}' AS s"))
+    for v in vals[:10]:  # parse direction on full-precision patterns
+        for (jp, sp) in (("yyyy-MM-dd HH:mm:ss", F),
+                         ("dd/MM/yyyy HH:mm:ss", "%d/%m/%Y %H:%M:%S")):
+            s = v.strftime(sp)
+            fm.append((
+                f"SELECT date_format(to_timestamp('{s}', '{jp}'), "
+                f"'yyyy-MM-dd HH:mm:ss') AS t",
+                f"SELECT '{v:{F}}' AS t"))
+
+    # 6. epoch boundaries: seconds/millis/micros constructors + reverse
+    ep = []
+    for sec in (-62135596800, -2208988800, -1, 0, 1, 951782399, 951782400,
+                2147483647, 2147483648, 4102444800, 253402300799):
+        v = _dt.datetime.fromtimestamp(sec, UTC).replace(tzinfo=None)
+        ep.append((
+            f"SELECT date_format(timestamp_seconds({sec}), "
+            f"'yyyy-MM-dd HH:mm:ss') AS t",
+            f"SELECT '{ts(v)}' AS t"))
+        ep.append((
+            f"SELECT unix_timestamp(TIMESTAMP '{ts(v)}') AS s",
+            f"SELECT CAST({sec} AS BIGINT) AS s"))
+    for ms in (-1, 1, 999, 1000, 1712345678901, -62135596800000):
+        v = _dt.datetime.fromtimestamp(ms // 1000, UTC) \
+            + _dt.timedelta(milliseconds=ms % 1000)
+        ep.append((
+            f"SELECT date_format(timestamp_millis({ms}), "
+            f"'yyyy-MM-dd HH:mm:ss.SSS') AS t",
+            f"SELECT '{ts(v)}.{(ms % 1000):03d}' AS t"))
+
+    return {"ts_dst_matrix": dst, "ts_tz_roundtrip": rev,
+            "ts_trunc_local": tr, "ts_interval_clamp": ia,
+            "ts_format_matrix": fm, "ts_epoch_edges": ep}
+
+
+CORPUS.update(_ts_families())
+
+
 def fmt_elem(e):
     """Array-ELEMENT formatting, mirrored in SltSpec: python's str() of a
     list is the golden shape — None / 'quoted str' / True / digits.
