@@ -37,9 +37,17 @@ object TpcdsData {
     "store_sales", "time_dim", "warehouse", "web_page", "web_returns",
     "web_sales", "web_site")
 
-  /** Data directory; the DuckDB oracle embeds this absolute path. */
-  val dir: String =
-    sys.env.getOrElse("SPARK_GRAFT_TPCDS_DIR", "/root/repo/target/tpcds")
+  /** Fact-row multiplier for scale rehearsals (dims/date/time stay
+    * fixed): SPARK_GRAFT_TPCDS_SCALE=10 → 10× orders per channel. The
+    * default gate runs at 1. */
+  val scale: Int =
+    sys.env.getOrElse("SPARK_GRAFT_TPCDS_SCALE", "1").toInt
+
+  /** Data directory; the DuckDB oracle embeds this absolute path (scale
+    * variants get their own dir so rehearsals don't clobber the gate). */
+  val dir: String = sys.env.getOrElse("SPARK_GRAFT_TPCDS_DIR",
+    if (scale == 1) "/root/repo/target/tpcds"
+    else s"/root/repo/target/tpcds-x$scale")
 
   // ── deterministic value helpers (SQL expression fragments) ───────────
   /** Uniform int in [0, m) from the row id (+ extra key columns). */
@@ -532,7 +540,7 @@ object TpcdsData {
         "cast(quantity * sales_c * tax_pct div 100 as int) as tax_c")
 
   private def storeSales(s: SparkSession): DataFrame =
-    salesLines(s, 60000, 1000).selectExpr(
+    salesLines(s, 60000L * scale, 1000).selectExpr(
       "sold_date_sk as ss_sold_date_sk",
       "sold_time_sk as ss_sold_time_sk",
       "item_sk as ss_item_sk",
@@ -560,7 +568,7 @@ object TpcdsData {
   private def storeReturns(s: SparkSession): DataFrame =
     // ~10% of sale lines return; FK (item_sk, ticket_number) references a
     // real store_sales line, returned 5-120 days after the sale
-    salesLines(s, 60000, 1000)
+    salesLines(s, 60000L * scale, 1000)
       .where(s"${h(1060, 10, "id, line")} = 0")
       .selectExpr(
         s"cast(sold_date_sk + 5 + ${h(1061, 116, "id, line")} as int) as sr_returned_date_sk",
@@ -590,7 +598,7 @@ object TpcdsData {
         s"${dec("500 + ret_qty * 7 + ret_qty * 250 + ret_qty * sales_c * tax_pct div 100")} as sr_net_loss")
 
   private def catalogSales(s: SparkSession): DataFrame =
-    salesLines(s, 32000, 2000).selectExpr(
+    salesLines(s, 32000L * scale, 2000).selectExpr(
       "sold_date_sk as cs_sold_date_sk",
       "sold_time_sk as cs_sold_time_sk",
       s"cast(sold_date_sk + 2 + ${h(2050, 60, "id, line")} as int) as cs_ship_date_sk",
@@ -629,7 +637,7 @@ object TpcdsData {
       s"${dec("quantity * sales_c - coupon_c - quantity * whole_c")} as cs_net_profit")
 
   private def catalogReturns(s: SparkSession): DataFrame =
-    salesLines(s, 32000, 2000)
+    salesLines(s, 32000L * scale, 2000)
       .where(s"${h(2070, 10, "id, line")} = 0")
       .selectExpr(
         s"cast(sold_date_sk + 10 + ${h(2071, 110, "id, line")} as int) as cr_returned_date_sk",
@@ -670,7 +678,7 @@ object TpcdsData {
         s"${dec("500 + ret_qty * 7 + ret_qty * 250 + ret_qty * sales_c * tax_pct div 100")} as cr_net_loss")
 
   private def webSales(s: SparkSession): DataFrame =
-    salesLines(s, 20000, 3000).selectExpr(
+    salesLines(s, 20000L * scale, 3000).selectExpr(
       "sold_date_sk as ws_sold_date_sk",
       "sold_time_sk as ws_sold_time_sk",
       s"cast(sold_date_sk + 2 + ${h(3050, 60, "id, line")} as int) as ws_ship_date_sk",
@@ -707,7 +715,7 @@ object TpcdsData {
       s"${dec("quantity * sales_c - coupon_c - quantity * whole_c")} as ws_net_profit")
 
   private def webReturns(s: SparkSession): DataFrame =
-    salesLines(s, 20000, 3000)
+    salesLines(s, 20000L * scale, 3000)
       .where(s"${h(3070, 10, "id, line")} < 2")
       .selectExpr(
         s"cast(sold_date_sk + 10 + ${h(3071, 110, "id, line")} as int) as wr_returned_date_sk",

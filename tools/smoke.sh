@@ -10,6 +10,8 @@
 #   stream_tumbling Structured Streaming over events
 #   click_count     events via the DataFrame path
 #   pipe_dedup_exact documents / pipeline tier
+#   tpcds_q96       TPC-DS child-session path (generates target/tpcds on
+#                   first run; catches generator/catalog regressions)
 #
 # Usage: tools/smoke.sh [sfDir]   (default /root/testdata/sf0.001)
 # Exit non-zero if any query fails to produce output.
@@ -18,7 +20,7 @@ cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.001}"
 OUT="$(mktemp -d /tmp/graft_smoke.XXXXXX)"
 trap 'rm -rf "$OUT"' EXIT
-QUERIES=(tpch_q6 sql_expressions stream_tumbling click_count pipe_dedup_exact)
+QUERIES=(tpch_q6 sql_expressions stream_tumbling click_count pipe_dedup_exact tpcds_q96)
 SPARK_GRAFT_ONLY="$(IFS=,; echo "${QUERIES[*]}")" \
   sbt -batch "runMain graft.Verify $SF $OUT" >/dev/null 2>"$OUT/err.log" || {
     echo "SMOKE: Verify crashed; tail of stderr:"; tail -20 "$OUT/err.log"; exit 1; }
