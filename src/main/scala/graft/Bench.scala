@@ -182,6 +182,8 @@ object Bench {
     // measured by the cheapest query)
     val tpchTotal = results.collect {
       case (k, v) if k.startsWith("tpch_") => v }.sum
+    val tpcdsTotal = results.collect {
+      case (k, v) if k.startsWith("tpcds_") => v }.sum
     val floor = if (results.isEmpty) 0.0 else results.map(_._2).min
 
     // in-memory TPC-H variant (reference: tpch_mem in BASELINE.md —
@@ -280,7 +282,7 @@ object Bench {
       .mkString("{", ",", "}")
     val pqfStr = pqfRes.map { case (k, v) => "\"" + k + "\":" + c(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpch_mem_total":$memTotal2,"per_query_floor":${c(floor)},"iters":$iters,"stat":"median","queries":$tpchStr,"tpch_ratio_adj":$radjStr,"sort":$sortStr,"pqf":$pqfStr,"tpch_mem":$memStr2}""")
+    println(s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpcds_total":${c(tpcdsTotal)},"tpch_mem_total":$memTotal2,"per_query_floor":${c(floor)},"iters":$iters,"stat":"median","queries":$tpchStr,"tpch_ratio_adj":$radjStr,"sort":$sortStr,"pqf":$pqfStr,"tpch_mem":$memStr2}""")
     Engine.clearCache(spark)
     spark.stop()
   }
