@@ -65,6 +65,32 @@ object TpcdsQueries {
       "tpcds_q66" -> months.map(m =>
         s"sum(${m}_sales/w_warehouse_sq_ft)" ->
           s"sum(cast(${m}_sales as double)/w_warehouse_sq_ft)"),
+      // q72 SCALE FIX — semantics-preserving inner-join reassociation.
+      // The spec text joins catalog_sales to inventory on ITEM ALONE and
+      // only equates the two week_seqs in the WHERE, after each side has
+      // separately joined date_dim: without table statistics Spark plans
+      // the FROM order literally, so the cs×inv step fans out by
+      // |weeks|×|warehouses| (~1,566 rows per sale line; quadratic in SF)
+      // before the week filter can bite — the one scale-killer shape in
+      // the corpus (5.7s at the gate SF, ~quadratic beyond). Rewritten:
+      // d1 joins first, inventory arrives week-annotated, and the join
+      // carries the composite (item, week) key. Pure associativity over
+      // inner joins (d2's columns are referenced nowhere else), applied
+      // to BOTH engines, and the result stays oracle-verified; the
+      // original text still must PLAN via TpcdsPlanningSpec.
+      "tpcds_q72" -> Seq(
+        "JOIN inventory ON (cs_item_sk = inv_item_sk)\nJOIN warehouse" ->
+          ("JOIN date_dim d1 ON (d1.d_date_sk = cs_sold_date_sk)\n" +
+           "JOIN (SELECT inv_item_sk, inv_warehouse_sk, inv_quantity_on_hand, " +
+           "d_week_seq AS inv_week_seq FROM inventory " +
+           "JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)) inv " +
+           "ON (cs_item_sk = inv_item_sk AND d1.d_week_seq = inv_week_seq)\n" +
+           "JOIN warehouse"),
+        "JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)\n" +
+          "JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)\n" +
+          "JOIN date_dim d3" -> "JOIN date_dim d3",
+        "WHERE d1.d_week_seq = d2.d_week_seq\n  AND inv_quantity_on_hand" ->
+          "WHERE inv_quantity_on_hand"),
       // stddev_samp double tails depend on aggregation merge order —
       // round the emitted stdev/cov stats on both sides (as q39 below)
       "tpcds_q17" -> Seq("ss", "sr_return", "cs").flatMap { c =>
