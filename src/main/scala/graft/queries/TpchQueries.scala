@@ -419,6 +419,11 @@ object TpchQueries {
       // partsupp (~800k rows at SF1); this adaptation reads lineitem
       // (6M) since testdata has no partsupp — the residual ~2x ratio is
       // a 7.5x input-volume artifact, not a plan defect.
+      // A/B'd r7: coalesce(1)+sortWithinPartitions in place of the final
+      // orderBy (to save the range exchange) is 1.6× WORSE — coalesce's
+      // narrow dependency folds into the final-aggregate stage and runs
+      // it single-task. The range exchange on a few hundred rows is the
+      // cheaper evil; keep orderBy.
       l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
