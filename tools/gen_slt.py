@@ -7514,7 +7514,83 @@ def _ts_families():
             f"'yyyy-MM-dd HH:mm:ss.SSS') AS t",
             f"SELECT '{ts(v)}.{(ms % 1000):03d}' AS t"))
 
-    return {"ts_dst_matrix": dst, "ts_tz_roundtrip": rev,
+    # ── deep decimal/cast matrices (r6 verdict #2 residual) ──────────
+    # Exactness by construction: +,-,* of decimals are exact in both
+    # engines; division cases are built so the exact quotient terminates
+    # within 4 dp (v1 = q*v2 exactly), so engine result-scale rules
+    # cannot introduce rounding. Every output is CAST to an explicit
+    # DECIMAL type, pinning the cross-engine surface.
+    import decimal as _dec
+    _dec.getcontext().prec = 60  # 18,2 x 18,2 products + 14 dp quantize
+    import random as _rnd
+    rng = _rnd.Random(20260814)
+    dm = []
+    for _ in range(60):
+        p1, s1 = rng.choice([(5, 2), (9, 4), (12, 6), (18, 2), (20, 8)])
+        p2, s2 = rng.choice([(5, 2), (9, 4), (12, 6), (18, 2)])
+        v1 = _dec.Decimal(rng.randint(-10**(p1-s1-1)+1, 10**(p1-s1-1)-1)) \
+            + _dec.Decimal(rng.randint(0, 10**s1 - 1)) / (10**s1)
+        v2 = _dec.Decimal(rng.randint(-10**(p2-s2-1)+1, 10**(p2-s2-1)-1)) \
+            + _dec.Decimal(rng.randint(0, 10**s2 - 1)) / (10**s2)
+        add = (v1 + v2).quantize(_dec.Decimal(10)**-8)
+        sub = (v1 - v2).quantize(_dec.Decimal(10)**-8)
+        spark = (f"SELECT CAST(CAST('{v1}' AS DECIMAL({p1},{s1})) + "
+                 f"CAST('{v2}' AS DECIMAL({p2},{s2})) AS DECIMAL(28,8)) AS a, "
+                 f"CAST(CAST('{v1}' AS DECIMAL({p1},{s1})) - "
+                 f"CAST('{v2}' AS DECIMAL({p2},{s2})) AS DECIMAL(28,8)) AS s")
+        duck = (f"SELECT CAST('{add}' AS DECIMAL(28,8)) AS a, "
+                f"CAST('{sub}' AS DECIMAL(28,8)) AS s")
+        if (p1 - s1) + (p2 - s2) <= 20:  # product fits DECIMAL(38,14)
+            mul = (v1 * v2).quantize(_dec.Decimal(10)**-14)
+            spark += (f", CAST(CAST('{v1}' AS DECIMAL({p1},{s1})) * "
+                      f"CAST('{v2}' AS DECIMAL({p2},{s2})) AS DECIMAL(38,14)) AS m")
+            duck += f", CAST('{mul}' AS DECIMAL(38,14)) AS m"
+        dm.append((spark, duck))
+    for _ in range(30):
+        q = _dec.Decimal(rng.randint(-99999, 99999)) / 10**rng.randint(0, 4)
+        v2 = _dec.Decimal(rng.randint(1, 9999)) / 10**rng.randint(0, 2)
+        v1 = q * v2  # exact product -> v1/v2 terminates at q
+        dm.append((
+            f"SELECT CAST(CAST('{v1}' AS DECIMAL(24,8)) / "
+            f"CAST('{v2}' AS DECIMAL(10,2)) AS DECIMAL(20,6)) AS q",
+            f"SELECT CAST('{q}' AS DECIMAL(20,6)) AS q"))
+
+    cm = []
+    # cast matrix: in-range and overflow try_cast across
+    # string/int/decimal/double, NULL on failure in BOTH engines
+    for (expr, golden) in [
+        ("try_cast('123.456' AS DECIMAL(6,2))", "CAST('123.46' AS DECIMAL(6,2))"),
+        ("try_cast('99999.99' AS DECIMAL(7,2))", "CAST('99999.99' AS DECIMAL(7,2))"),
+        ("try_cast('100000.0' AS DECIMAL(7,2))", "NULL"),
+        ("try_cast('-99999.99' AS DECIMAL(7,2))", "CAST('-99999.99' AS DECIMAL(7,2))"),
+        ("try_cast('abc' AS DECIMAL(7,2))", "NULL"),
+        ("try_cast('' AS DECIMAL(7,2))", "NULL"),
+        ("try_cast('2147483647' AS INT)", "2147483647"),
+        ("try_cast('2147483648' AS INT)", "NULL"),
+        ("try_cast('-2147483648' AS INT)", "CAST(-2147483648 AS INT)"),
+        ("try_cast('9223372036854775807' AS BIGINT)", "CAST(9223372036854775807 AS BIGINT)"),
+        ("try_cast('9223372036854775808' AS BIGINT)", "NULL"),
+        ("try_cast('32767' AS SMALLINT)", "CAST(32767 AS SMALLINT)"),
+        ("try_cast('32768' AS SMALLINT)", "NULL"),
+        ("try_cast('127' AS TINYINT)", "CAST(127 AS TINYINT)"),
+        ("try_cast('128' AS TINYINT)", "NULL"),
+        ("CAST(CAST(1.5 AS DOUBLE) AS DECIMAL(4,1))", "CAST('1.5' AS DECIMAL(4,1))"),
+        ("CAST(CAST('0.1' AS DECIMAL(3,1)) AS DOUBLE)", "CAST(0.1 AS DOUBLE)"),
+        ("CAST(CAST(255 AS BIGINT) AS DECIMAL(10,3))", "CAST('255.000' AS DECIMAL(10,3))"),
+        ("try_cast(CAST('99.995' AS DECIMAL(5,3)) AS DECIMAL(4,2))", "NULL"),
+        ("CAST(CAST('99.994' AS DECIMAL(5,3)) AS DECIMAL(4,2))", "CAST('99.99' AS DECIMAL(4,2))"),
+    ]:
+        cm.append((f"SELECT {expr} AS v", f"SELECT {golden} AS v"))
+    # signed-zero / rounding edges on decimal-int interplay
+    for n in (1, 7, -7, 10, -10, 25, -25, 999, -999):
+        for d in (2, 4, 8):
+            exact = _dec.Decimal(n) / d  # terminates (d is a power of 2)
+            cm.append((
+                f"SELECT CAST(CAST({n} AS DECIMAL(10,0)) / {d} AS DECIMAL(16,6)) AS v",
+                f"SELECT CAST('{exact}' AS DECIMAL(16,6)) AS v"))
+
+    return {"decimal_matrix": dm, "cast_matrix2": cm,
+            "ts_dst_matrix": dst, "ts_tz_roundtrip": rev,
             "ts_trunc_local": tr, "ts_interval_clamp": ia,
             "ts_format_matrix": fm, "ts_epoch_edges": ep}
 
