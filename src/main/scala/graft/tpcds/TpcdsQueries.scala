@@ -245,6 +245,30 @@ object TpcdsQueries {
     case other => throw new IllegalArgumentException(s"tpcds output $other")
   }
 
+  /** Spark side of the decimal→double canonicalization (see [[duckType]]).
+    * Exactness guard: a DECIMAL(p,s) converts to double losslessly iff its
+    * unscaled value fits 2^53; p ≤ 15 guarantees that statically
+    * (10^15 < 2^53), wider columns get a per-cell runtime check that
+    * raises rather than silently rounding at larger SFs. */
+  private def canonical(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case d: DecimalType if d.precision <= 15 =>
+          col(f.name).cast(DoubleType).as(f.name)
+        case d: DecimalType =>
+          val bound = math.pow(2, 53) / math.pow(10, d.scale)
+          when(abs(col(f.name)) >= lit(bound), raise_error(concat(
+            lit(s"tpcds decimal output '${f.name}' exceeds 2^53 unscaled "
+              + s"(double no longer exact at scale ${d.scale}): "),
+            col(f.name).cast(StringType))))
+            .otherwise(col(f.name).cast(DoubleType)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** DuckDB oracle: bind the 24 tables as CTEs over the generated parquet
     * (merging with the statement's own WITH clause when present), then wrap
     * in a projection that casts every column to Spark's result type under
@@ -260,7 +284,21 @@ object TpcdsQueries {
     val fields = schemas(name).fields.toSeq
     val inner = fields.indices.map(i => s"g$i").mkString(", ")
     val proj = fields.zip(outNames(name)).zipWithIndex.map {
-      case ((f, out), i) => s"""CAST(g$i AS ${duckType(f.dataType)}) AS "$out""""
+      // DECIMAL outputs: align to Spark's exact result scale first (that
+      // rounding is load-bearing — e.g. DuckDB computes avg(DECIMAL) in
+      // double, Spark in DECIMAL(p+4,s+4)), THEN cast to DOUBLE. Both
+      // engines emit DOUBLE because the driver's comparator hashes the
+      // Spark parquet's scale-faithful decimal rendering (`9338.50`)
+      // against DuckDB's float-normalized one (`9338.5`) — any
+      // trailing-zero decimal cell flips the hash even though values are
+      // identical (r7 verdict: 56/99 failed on exactly this, 0
+      // exceptions). decimal→double is the correctly-rounded conversion
+      // on both engines while the unscaled value fits 2^53, enforced
+      // Spark-side in [[canonical]].
+      case ((f, out), i) if f.dataType.isInstanceOf[DecimalType] =>
+        s"""CAST(CAST(g$i AS ${duckType(f.dataType)}) AS DOUBLE) AS "$out""""
+      case ((f, out), i) =>
+        s"""CAST(g$i AS ${duckType(f.dataType)}) AS "$out""""
     }.mkString(", ")
     s"SELECT $proj FROM ($merged) __graft($inner)"
   }
@@ -268,7 +306,7 @@ object TpcdsQueries {
   val defs: Map[String, Q] = texts.map { case (name, text) =>
     name -> Q(
       build = (parent: SparkSession, _: String) =>
-        child(parent).sql(text).toDF(outNames(name): _*),
+        canonical(child(parent).sql(text).toDF(outNames(name): _*)),
       oracle = Some(oracleFor(name, text)))
   }.toMap
 }
