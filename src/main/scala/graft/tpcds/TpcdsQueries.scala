@@ -48,6 +48,11 @@ object TpcdsQueries {
     def ratio(agg: String) = Seq(
       s"sum(${agg}_ext_sales_price)*100.0000/" ->
         s"cast(sum(${agg}_ext_sales_price) as double)*100.0000/")
+    val q39Rounding = Seq(
+      "inv1.cov cov1" -> "round(inv1.cov, 6) cov1",
+      "       inv2.cov\nFROM" -> "       round(inv2.cov, 6) cov\nFROM",
+      "inv1.cov NULLS FIRST" -> "round(inv1.cov, 6) NULLS FIRST",
+      "inv2.cov NULLS FIRST" -> "round(inv2.cov, 6) NULLS FIRST")
     val weekdays = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
     val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul",
       "aug", "sep", "oct", "nov", "dec")
@@ -151,11 +156,12 @@ object TpcdsQueries {
           "THEN cast(ws3.web_sales as double)/ws2.web_sales",
         "THEN (ss3.store_sales*1.0000)/ss2.store_sales" ->
           "THEN cast(ss3.store_sales as double)/ss2.store_sales"),
-      "tpcds_q39" -> Seq(
-        "inv1.cov cov1" -> "round(inv1.cov, 6) cov1",
-        "       inv2.cov\nFROM" -> "       round(inv2.cov, 6) cov\nFROM",
-        "inv1.cov NULLS FIRST" -> "round(inv1.cov, 6) NULLS FIRST",
-        "inv2.cov NULLS FIRST" -> "round(inv2.cov, 6) NULLS FIRST"))
+      "tpcds_q39a" -> q39Rounding,
+      // statement b adds `inv1.cov > 1.5` (volatile-only filter) — the
+      // emitted cov columns need the same 6dp rounding; the new filter
+      // itself keeps full precision (membership flip needs a group
+      // within ~1e-13 of 1.5, same accepted risk as statement a's >1)
+      "tpcds_q39b" -> q39Rounding)
   }
 
   /** entry name -> patched statement text, in q01..q99 order. */
@@ -303,10 +309,45 @@ object TpcdsQueries {
     s"SELECT $proj FROM ($merged) __graft($inner)"
   }
 
+  /** Mechanical ORDER BY totalizer (r7 verdict #3): several spec texts
+    * order by a non-total key (q73's cnt ties observed order-divergent
+    * across engines; any LIMIT cutting inside a tie group would even
+    * change the row SET). Where a statement ends in a top-level ORDER BY
+    * (optionally + LIMIT), append every output ordinal as an explicit
+    * `i NULLS FIRST` tie-break — both engines support ordinal sort keys,
+    * and pinning the null order matters because Spark defaults ASC to
+    * NULLS FIRST while DuckDB defaults to NULLS LAST. Duplicate full
+    * rows remain interchangeable, so the emitted multiset is exact.
+    * Applied to BOTH engines; the unmodified text still must plan
+    * (TpcdsPlanningSpec reads the raw resources). */
+  private def totalize(name: String, text: String): String = {
+    val t = text.trim
+    val upper = t.toUpperCase
+    val obIdx = upper.lastIndexOf("ORDER BY")
+    def topLevel(from: Int): Boolean = {
+      val seg = t.substring(from)
+      seg.count(_ == '(') == seg.count(_ == ')')
+    }
+    if (obIdx < 0 || !topLevel(obIdx)) t
+    else {
+      val tie = (1 to schemas(name).fields.length)
+        .map(i => s"$i NULLS FIRST").mkString(", ")
+      val limitIdx = upper.lastIndexOf("LIMIT ")
+      if (limitIdx > obIdx &&
+          t.substring(limitIdx).matches("(?is)LIMIT\\s+\\d+\\s*"))
+        t.substring(0, limitIdx).stripTrailing() + s",\n         $tie\n" +
+          t.substring(limitIdx)
+      else if (limitIdx < obIdx) s"$t,\n         $tie"
+      else t
+    }
+  }
+
   val defs: Map[String, Q] = texts.map { case (name, text) =>
     name -> Q(
-      build = (parent: SparkSession, _: String) =>
-        canonical(child(parent).sql(text).toDF(outNames(name): _*)),
-      oracle = Some(oracleFor(name, text)))
+      build = (parent: SparkSession, _: String) => {
+        val exec = totalize(name, text)
+        canonical(child(parent).sql(exec).toDF(outNames(name): _*))
+      },
+      oracle = Some(oracleFor(name, totalize(name, text))))
   }.toMap
 }

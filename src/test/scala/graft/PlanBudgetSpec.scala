@@ -44,7 +44,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // 1-row scalar-subquery threshold; q28/q88 cross-join 6/8 single-row
     // aggregate blocks — every build side is a global aggregate, i.e.
     // scale-constant at any SF
-    "tpcds_q23", "tpcds_q28", "tpcds_q61", "tpcds_q88", "tpcds_q90")
+    "tpcds_q23a", "tpcds_q23b", "tpcds_q28", "tpcds_q61", "tpcds_q88",
+    "tpcds_q90")
 
   /** q77's catalog channel joins the page-level sales and returns
     * aggregates WITHOUT a key — the spec's own text. Both inputs are
