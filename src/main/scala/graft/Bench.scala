@@ -40,6 +40,26 @@ object Bench {
     "tpch_q16" -> 168.57, "tpch_q17" -> 2032.57, "tpch_q18" -> 1912.80,
     "tpch_q19" -> 391.64, "tpch_q20" -> 648.22, "tpch_q21" -> 866.25,
     "tpch_q22" -> 115.94)
+
+  /** pqf suite predicates (benchmarks/src/parquet_filter.rs: seven
+    * filters of descending selectivity). Shared with MiscQueries'
+    * `bench_suite_rows` corpus entry so the timing suite's filters are
+    * row-count-oracled against DuckDB by the driver gate each round —
+    * a silent semantic drift in a filter becomes a correctness red, not
+    * just a mysteriously-fast timing. */
+  val pqfPredicates: Seq[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions.col
+    Seq(
+      "selective" -> (col("event_type") === "click"),
+      "unselective" -> (col("event_type") =!= "click"),
+      "conjunction" -> (col("event_type") === "purchase" && col("value") > 400),
+      "and_or" -> (col("event_type") === "purchase" &&
+        (col("value") > 450 || col("value") < 10)),
+      "many" -> (col("event_type") =!= "click" &&
+        col("value") > 100 && col("user_id") % 7 === 0),
+      "everything" -> (col("value") < 0),
+      "nothing" -> (col("value") >= 0))
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
@@ -133,37 +153,25 @@ object Bench {
       "int" -> (() => noop(events.orderBy("user_id"))),
       "decimal" -> (() => noop(li.orderBy("l_extendedprice"))),
       "int_tuple" -> (() => noop(events.orderBy("user_id", "event_id"))),
-      // testdata carries two wide utf8 columns (event_type, props) plus
-      // lineitem's two flag chars — 4-wide utf8 tuple like the reference's
-      "utf8_tuple" -> (() => noop(li.orderBy(
-        "l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey"))),
+      // a GENUINE 4-wide utf8 key like the reference's (r7 ADVICE: the
+      // old case under this name mixed strings with a DATE and a BIGINT
+      // and is now labeled mixed_tuple4): two real string columns plus
+      // two cast-derived ones — the cast projection runs before the
+      // exchange, the measured shuffle+sort carries 4 utf8 keys
+      "utf8_tuple" -> (() => noop(events.orderBy(
+        col("event_type"), col("props"),
+        col("user_id").cast("string"), col("event_id").cast("string")))),
       "utf8_pair" -> (() => noop(events.orderBy("event_type", "props"))),
       "mixed_tuple" -> (() => noop(events.orderBy(
-        col("event_type"), col("user_id"), col("value")))))
-    val pqfCases: Seq[(String, () => Unit)] = Seq(
-      "selective" -> (() => noop(
-        events.filter(col("event_type") === "click")
-          .select("event_id", "user_id", "value"))),
-      "unselective" -> (() => noop(
-        events.filter(col("event_type") =!= "click")
-          .select("event_id", "user_id", "value"))),
-      "conjunction" -> (() => noop(
-        events.filter(col("event_type") === "purchase" && col("value") > 400)
-          .select("event_id", "user_id", "value"))),
-      "and_or" -> (() => noop(
-        events.filter(col("event_type") === "purchase" &&
-            (col("value") > 450 || col("value") < 10))
-          .select("event_id", "user_id", "value"))),
-      "many" -> (() => noop(
-        events.filter(col("event_type") =!= "click" &&
-            col("value") > 100 && col("user_id") % 7 === 0)
-          .select("event_id", "user_id", "value"))),
-      "everything" -> (() => noop(
-        events.filter(col("value") < 0)
-          .select("event_id", "user_id", "value"))),
-      "nothing" -> (() => noop(
-        events.filter(col("value") >= 0)
-          .select("event_id", "user_id", "value"))))
+        col("event_type"), col("user_id"), col("value")))),
+      // the r1-r7 "utf8_tuple" shape, kept under an honest name: two
+      // utf8 flags + DATE + BIGINT over lineitem
+      "mixed_tuple4" -> (() => noop(li.orderBy(
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey"))))
+    val pqfCases: Seq[(String, () => Unit)] = pqfPredicates.map {
+      case (name, pred) => name -> (() => noop(
+        events.filter(pred).select("event_id", "user_id", "value")))
+    }
     // suites run on full passes, or alone via SPARK_GRAFT_ONLY=suites
     val suitesOn = only.forall(_.contains("suites"))
     val sortRes: Seq[(String, Double)] =
@@ -174,6 +182,26 @@ object Bench {
       if (!suitesOn) Nil
       else pqfCases.flatMap { case (n, t) =>
         timeThunk(t, s"pqf:$n").map(n -> _) }
+    // rows oracle for the timing suites (r7 verdict #6): the DuckDB-
+    // adjudicated twin is MiscQueries' bench_suite_rows corpus entry
+    // (same pqfPredicates object, value-compared by the driver gate);
+    // here the cheap partition invariants guard the bench run itself —
+    // a filter that silently stopped matching reads as rows_ok:false
+    // next to its suspiciously-fast timing, not as a win
+    val pqfRows: Seq[(String, Long)] =
+      if (!suitesOn) Nil
+      else pqfPredicates.map { case (n, p) => n -> events.filter(p).count() }
+    val rowsOk: String =
+      if (!suitesOn) "null"
+      else {
+        val m = pqfRows.toMap
+        val total = events.count()
+        val ok = m("selective") + m("unselective") == total &&
+          m("everything") + m("nothing") == total &&
+          m("many") <= m("unselective") && m("selective") > 0 &&
+          m("everything") == 0
+        ok.toString
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -253,7 +281,9 @@ object Bench {
       .mkString("{", ",", "}")
     val pqfFull = pqfRes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tpch_total":$tpchTotal,"tpch_mem_total":$memTotal,"tpch_mem":$memStr,"sort":$sortFull,"pqf":$pqfFull,"per_query_floor":$floor,"iters":$iters,"failed":$errs}""")
+    val pqfRowsStr = pqfRows.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tpch_total":$tpchTotal,"tpch_mem_total":$memTotal,"tpch_mem":$memStr,"sort":$sortFull,"pqf":$pqfFull,"pqf_rows":$pqfRowsStr,"rows_ok":$rowsOk,"per_query_floor":$floor,"iters":$iters,"failed":$errs}""")
     // the driver's tail capture keeps only the last ~2 KB of stdout —
     // r4 lost tpch_q1/q10..q16 to it ("parsed": null). Emit the headline
     // comparison set (BASELINE.md = the 22 TPC-H queries, disk + mem) as
@@ -282,7 +312,14 @@ object Bench {
       .mkString("{", ",", "}")
     val pqfStr = pqfRes.map { case (k, v) => "\"" + k + "\":" + c(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpcds_total":${c(tpcdsTotal)},"tpch_mem_total":$memTotal2,"per_query_floor":${c(floor)},"iters":$iters,"stat":"median","queries":$tpchStr,"tpch_ratio_adj":$radjStr,"sort":$sortStr,"pqf":$pqfStr,"tpch_mem":$memStr2}""")
+    // regression detection for 99 tpcds queries needs more than the one
+    // tpcds_total scalar (r7 verdict #5): the 5 slowest medians ride in
+    // the compact line (~130 bytes) so a q72-class outlier is diffable
+    // even when only the tail-captured line survives
+    val tpcdsTopStr = results.filter(_._1.startsWith("tpcds_"))
+      .sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + c(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpcds_total":${c(tpcdsTotal)},"tpcds_top5":$tpcdsTopStr,"tpch_mem_total":$memTotal2,"per_query_floor":${c(floor)},"iters":$iters,"stat":"median","queries":$tpchStr,"tpch_ratio_adj":$radjStr,"sort":$sortStr,"pqf":$pqfStr,"rows_ok":$rowsOk,"tpch_mem":$memStr2}""")
     Engine.clearCache(spark)
     spark.stop()
   }

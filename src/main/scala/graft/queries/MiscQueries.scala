@@ -16,6 +16,33 @@ object MiscQueries {
   private def scratch(name: String) = s"/tmp/graft_io/$name"
 
   val defs: Map[String, Q] = Map(
+    // ── rows oracle for Bench's timing suites (r7 verdict #6): the pqf
+    //    suite's filters (THE SAME Column objects — Bench.pqfPredicates)
+    //    plus the sort suite's input cardinalities, value-adjudicated by
+    //    DuckDB every round so the timing-only suites can't silently go
+    //    semantically wrong ──────────────────────────────────────────────
+    "bench_suite_rows" -> Q("""
+      |SELECT
+      |  (SELECT count(*) FROM events WHERE event_type = 'click') AS selective,
+      |  (SELECT count(*) FROM events WHERE event_type <> 'click') AS unselective,
+      |  (SELECT count(*) FROM events WHERE event_type = 'purchase' AND value > 400) AS conjunction,
+      |  (SELECT count(*) FROM events WHERE event_type = 'purchase' AND (value > 450 OR value < 10)) AS and_or,
+      |  (SELECT count(*) FROM events WHERE event_type <> 'click' AND value > 100 AND user_id % 7 = 0) AS many,
+      |  (SELECT count(*) FROM events WHERE value < 0) AS everything,
+      |  (SELECT count(*) FROM events WHERE value >= 0) AS nothing,
+      |  (SELECT count(*) FROM events) AS events_rows,
+      |  (SELECT count(*) FROM lineitem) AS li_rows""") { (s, d) =>
+      val e = Engine.table(s, d, "events")
+      val li = Engine.table(s, d, "lineitem")
+      val aggCols = graft.Bench.pqfPredicates.map { case (n, p) =>
+        count(when(p, 1)).as(n) } :+ count(lit(1)).as("events_rows")
+      // one pass over events (9 conditional counts fold map-side), then
+      // a 1-row × 1-row join to attach the lineitem cardinality —
+      // scale-constant build sides (sanctioned in PlanBudgetSpec)
+      e.agg(aggCols.head, aggCols.tail: _*)
+        .crossJoin(li.agg(count(lit(1)).as("li_rows")))
+    },
+
     // ── WITH RECURSIVE: series generation ────────────────────────────────
     "recursive_series" -> Q("""
       |WITH RECURSIVE t(n) AS (

@@ -40,6 +40,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // crossJoin of two 1-row global aggregates (union-of-sketches vs
     // direct-sketch estimates) — both sides scale-constant
     "agg_hll_rollup",
+    // 1-row events-counts × 1-row lineitem-count join — scale-constant
+    "bench_suite_rows",
     // TPC-DS spec text (not ours to reshape): q23/q61/q90 broadcast a
     // 1-row scalar-subquery threshold; q28/q88 cross-join 6/8 single-row
     // aggregate blocks — every build side is a global aggregate, i.e.
