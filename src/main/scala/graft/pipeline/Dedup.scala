@@ -143,8 +143,11 @@ object Dedup {
   def tokenHashesPortable(text: Column): Column =
     transform(filter(split(text, "\\s+"), w => w =!= ""), w =>
       // final Knuth-multiply scramble spreads short words (single chars
-      // hash < 128 under the bare polynomial) across all 30 bits
-      pmod(aggregate(transform(split(w, ""), c => ascii(c).cast("long")),
+      // hash < 128 under the bare polynomial) across all 30 bits;
+      // codepoint iteration (not UTF-16 units) matches the DuckDB
+      // oracle's unicode() on astral chars too — see
+      // TextAnalysis.codepoints
+      pmod(aggregate(TextAnalysis.codepoints(w),
         lit(0L), (acc, cp) => pmod(acc * 131 + cp, lit(1000000007L)))
         * 2654435761L, lit(1073741789L)))
 
@@ -171,9 +174,13 @@ object Dedup {
   def simhashPairsPortable(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // no persist here (r7 ADVICE: it was never released): both self-join
+    // sides read the same sigs subplan and Spark's ReuseExchange serves
+    // the second side from the first's shuffle output — this is the
+    // verification-path variant, and leaking cached blocks across a
+    // 366-query Verify run costs more than any recompute would
     val sigs = df.select(col(idCol).as("id"),
         simhash30FromHashes(tokenHashesPortable(col(textCol))).as("sig"))
-      .persist()
     val chunked = sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .select(col("id"), col("sig"),  col("chunk"),

@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Codepoint sequence of a string, as pure Column algebra: UTF-32
+    * bytes (Java's UTF-32 charset encodes big-endian, no BOM) → 8-hex-
+    * char chunks → longs. The naive `transform(split(w, ""), ascii)`
+    * iterates UTF-16 CODE UNITS — lone surrogates for astral chars —
+    * while the DuckDB oracles iterate codepoints via unicode(), and the
+    * codegen'd kernels (RollingFpPortable etc.) loop with codePointAt;
+    * this formulation agrees with both on ALL inputs, not just the BMP
+    * (r7 ADVICE: emoji in a future documents corpus would have broken
+    * the bit-for-bit oracle claim). Identical to ascii() on BMP text,
+    * so existing signatures are unchanged. */
+  private[graft] def codepoints(w: Column): Column =
+    transform(
+      regexp_extract_all(hex(encode(w, "UTF-32")), lit("(.{8})"), lit(1)),
+      h => conv(h, 16, 10).cast("long"))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, "\\s+")).cast("long")
 
@@ -161,8 +176,7 @@ object TextAnalysis {
     aggregate(
       transform(
         filter(split(text, "\\s+"), w => w =!= ""),
-        w => aggregate(
-          transform(split(w, ""), c => ascii(c).cast("long")),
+        w => aggregate(codepoints(w),
           lit(0L), (acc, cp) => (acc * 131 + cp) % p)),
       lit(0L), (acc, h) => (acc * 31 + h) % p)
   }

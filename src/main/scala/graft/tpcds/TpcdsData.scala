@@ -779,19 +779,35 @@ object TpcdsData {
   }
 
   /** Generate all tables under `dir` if not already present; returns dir.
-    * Synchronized: Verify/tests run queries sequentially per JVM, and a
-    * marker file written LAST makes a half-finished dir regenerate. */
+    * `synchronized` serializes threads within one JVM; an OS FileLock
+    * serializes ACROSS JVMs (r7 ADVICE: sbt test and a concurrent
+    * Verify run could both see the missing marker and write the dir
+    * under each other). The marker file is written LAST, so a crashed
+    * half-finished dir regenerates, and the second process re-checks
+    * the marker after acquiring the lock instead of rewriting. */
   def ensure(s: SparkSession): String = synchronized {
-    val marker = new java.io.File(dir, "_graft_ok")
-    if (!marker.exists()) {
-      tables.foreach { t =>
-        // single output file per table: small data; DuckDB reads the
-        // same files via read_parquet('<dir>/<t>.parquet/*.parquet')
-        build(s, t).coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/$t.parquet")
-      }
-      marker.createNewFile()
-    }
+    val root = new java.io.File(dir)
+    root.mkdirs()
+    val marker = new java.io.File(root, "_graft_ok")
+    if (marker.exists()) return dir
+    val ch = java.nio.channels.FileChannel.open(
+      new java.io.File(root, "_graft_lock").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock() // blocks until a concurrent generator finishes
+      try {
+        if (!marker.exists()) {
+          tables.foreach { t =>
+            // single output file per table: small data; DuckDB reads the
+            // same files via read_parquet('<dir>/<t>.parquet/*.parquet')
+            build(s, t).coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/$t.parquet")
+          }
+          marker.createNewFile()
+        }
+      } finally lock.release()
+    } finally ch.close()
     dir
   }
 }

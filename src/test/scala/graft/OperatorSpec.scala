@@ -269,7 +269,11 @@ class OperatorSpec extends AnyFunSuite {
     assert(diff.count() == 0)
     // edge shapes: empty, whitespace-only, mixed-script text
     import spark.implicits._
-    val edge = Seq("", "   ", "the der el 的", "a  b", " leading trailing ")
+    // the emoji entries are astral-plane (surrogate pairs): the HOF spec
+    // must iterate CODEPOINTS like the kernel's codePointAt loop, not
+    // UTF-16 units (r7 ADVICE — split+ascii yielded lone surrogates)
+    val edge = Seq("", "   ", "the der el 的", "a  b", " leading trailing ",
+      "emoji 😀🔥 mix", "🍕")
       .toDF("text")
     val rows = edge.select(
       TextAnalysis.langId(col("text")).as("f"),
