@@ -7598,6 +7598,81 @@ def _ts_families():
 CORPUS.update(_ts_families())
 
 
+def _unsigned_policy():
+    """unsigned_widening: executable pin of SURVEY §1's type-mapping
+    policy for arrow types Spark lacks (r7 verdict #7 — policy was
+    prose-only). u8→SMALLINT, u16→INT, u32→BIGINT each hold their
+    unsigned max with +1 headroom; u64→DECIMAL(20,0) carries full
+    unsigned-64 arithmetic (sum/product/mod/exact division); the
+    Decimal256 gap is pinned as p-capped-at-38 with try_* overflow
+    returning NULL — never a wrapped or silently-rounded value."""
+    import decimal as _dec
+    _dec.getcontext().prec = 80
+    U8, U16, U32 = 255, 65535, 4294967295
+    U64 = 18446744073709551615
+    up = []
+    # widened-type headroom: each unsigned max, and max+1 still exact in
+    # the WIDER Spark type (the reason u32 cannot map to INT etc.)
+    for umax, ty in [(U8, "SMALLINT"), (U16, "INT"), (U32, "BIGINT")]:
+        up.append(f"SELECT CAST(CAST({umax} AS {ty}) AS BIGINT) AS vmax, "
+                  f"CAST(CAST({umax} AS {ty}) + 1 AS BIGINT) AS vnext")
+    # u64 → DECIMAL(20,0): max value round-trips; arithmetic widens
+    u64d = f"CAST('{U64}' AS DECIMAL(20,0))"
+    up.append((f"SELECT CAST({u64d} AS DECIMAL(20,0)) AS v",
+               f"SELECT CAST('{U64}' AS DECIMAL(20,0)) AS v"))
+    up.append((f"SELECT CAST({u64d} + 1 AS DECIMAL(22,0)) AS v",
+               f"SELECT CAST('{U64 + 1}' AS DECIMAL(22,0)) AS v"))
+    up.append((f"SELECT CAST({u64d} * 2 AS DECIMAL(24,0)) AS v",
+               f"SELECT CAST('{U64 * 2}' AS DECIMAL(24,0)) AS v"))
+    up.append((f"SELECT CAST({u64d} % 1000003 AS BIGINT) AS v",
+               f"SELECT CAST({U64 % 1000003} AS BIGINT) AS v"))
+    # exact division: U64 ends in 5, so /5 terminates at scale 0
+    up.append((f"SELECT CAST({u64d} / 5 AS DECIMAL(21,1)) AS v",
+               f"SELECT CAST('{U64 // 5}' AS DECIMAL(21,1)) AS v"))
+    # u64 aggregate: sum of (max, max-1, 1) needs 21 digits — exact in
+    # the widened DECIMAL, impossible in any 64-bit integer type
+    up.append((
+        "SELECT CAST(sum(v) AS DECIMAL(24,0)) AS s FROM VALUES "
+        f"(CAST('{U64}' AS DECIMAL(20,0))), "
+        f"(CAST('{U64 - 1}' AS DECIMAL(20,0))), "
+        "(CAST(1 AS DECIMAL(20,0))) AS t(v)",
+        f"SELECT CAST('{2 * U64}' AS DECIMAL(24,0)) AS s FROM (VALUES "
+        f"(CAST('{U64}' AS DECIMAL(20,0)))) t(v)"))
+    # try_cast overflow → NULL (and the in-range twin → the value):
+    # narrowing below each unsigned max must refuse, not wrap
+    up.append(f"SELECT try_cast('{U64}' AS BIGINT) AS n, "
+              f"CAST(try_cast('{U64 // 2}' AS BIGINT) AS BIGINT) AS ok")
+    up.append(f"SELECT try_cast(CAST({U32} AS BIGINT) + 1 AS INT) AS n, "
+              f"CAST(try_cast(CAST({U32} AS BIGINT) AS BIGINT) AS BIGINT) AS ok")
+    up.append("SELECT try_cast(CAST(256 AS INT) AS TINYINT) AS n, "
+              "CAST(try_cast(CAST(127 AS INT) AS TINYINT) AS BIGINT) AS ok")
+    up.append("SELECT try_cast(CAST(65536 AS INT) AS SMALLINT) AS n, "
+              "CAST(try_cast(CAST(32767 AS INT) AS SMALLINT) AS BIGINT) AS ok")
+    # Decimal256 gap: precision is capped at 38 — a 39-digit literal is
+    # NULL under try_cast on both engines, and the widest in-range
+    # product (19,0)x(19,0) -> 38 digits stays EXACT
+    p38max = 10 ** 38 - 1
+    up.append((f"SELECT try_cast('{10 ** 38}' AS DECIMAL(38,0)) AS n, "
+               f"try_cast('{p38max}' AS DECIMAL(38,0)) AS ok",
+               f"SELECT CAST(NULL AS DECIMAL(38,0)) AS n, "
+               f"CAST('{p38max}' AS DECIMAL(38,0)) AS ok"))
+    m19 = 10 ** 19 - 1
+    up.append((
+        f"SELECT CAST(CAST('{m19}' AS DECIMAL(19,0)) * "
+        f"CAST('{m19}' AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS v",
+        f"SELECT CAST('{m19 * m19}' AS DECIMAL(38,0)) AS v"))
+    # beyond 38 digits there is no Decimal256 to widen into: u64max^2
+    # (39 digits) under Spark's try_multiply is NULL — the documented
+    # policy, asserted as a value (duck side is the literal golden)
+    up.append((
+        f"SELECT try_multiply({u64d}, {u64d}) AS v",
+        "SELECT CAST(NULL AS DECIMAL(38,0)) AS v"))
+    return {"unsigned_widening": up}
+
+
+CORPUS.update(_unsigned_policy())
+
+
 def fmt_elem(e):
     """Array-ELEMENT formatting, mirrored in SltSpec: python's str() of a
     list is the golden shape — None / 'quoted str' / True / digits.
