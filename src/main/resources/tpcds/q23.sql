@@ -46,24 +46,28 @@ SELECT sum(sales) total_sales
 FROM
   (SELECT cs_quantity*cs_list_price sales
    FROM catalog_sales,
-        date_dim,
-        frequent_ss_items,
-        best_ss_customer
+        date_dim
    WHERE d_year = 2000
      AND d_moy = 2
      AND cs_sold_date_sk = d_date_sk
-     AND cs_item_sk = item_sk
-     AND cs_bill_customer_sk = best_ss_customer.c_customer_sk
+     AND cs_item_sk IN
+       (SELECT item_sk
+        FROM frequent_ss_items)
+     AND cs_bill_customer_sk IN
+       (SELECT c_customer_sk
+        FROM best_ss_customer)
    UNION ALL SELECT ws_quantity*ws_list_price sales
    FROM web_sales,
-        date_dim,
-        frequent_ss_items,
-        best_ss_customer
+        date_dim
    WHERE d_year = 2000
      AND d_moy = 2
      AND ws_sold_date_sk = d_date_sk
-     AND ws_item_sk = item_sk
-     AND ws_bill_customer_sk = best_ss_customer.c_customer_sk) sq3;
+     AND ws_item_sk IN
+       (SELECT item_sk
+        FROM frequent_ss_items)
+     AND ws_bill_customer_sk IN
+       (SELECT c_customer_sk
+        FROM best_ss_customer)) sq3;
 
 WITH frequent_ss_items AS
   (SELECT itemdesc,
@@ -118,14 +122,16 @@ FROM
           sum(cs_quantity*cs_list_price) sales
    FROM catalog_sales,
         customer,
-        date_dim,
-        frequent_ss_items,
-        best_ss_customer
+        date_dim
    WHERE d_year = 2000
      AND d_moy = 2
      AND cs_sold_date_sk = d_date_sk
-     AND cs_item_sk = item_sk
-     AND cs_bill_customer_sk = best_ss_customer.c_customer_sk
+     AND cs_item_sk IN
+       (SELECT item_sk
+        FROM frequent_ss_items)
+     AND cs_bill_customer_sk IN
+       (SELECT c_customer_sk
+        FROM best_ss_customer)
      AND cs_bill_customer_sk = customer.c_customer_sk
    GROUP BY c_last_name,
             c_first_name
@@ -134,14 +140,16 @@ FROM
                     sum(ws_quantity*ws_list_price) sales
    FROM web_sales,
         customer,
-        date_dim,
-        frequent_ss_items,
-        best_ss_customer
+        date_dim
    WHERE d_year = 2000
      AND d_moy = 2
      AND ws_sold_date_sk = d_date_sk
-     AND ws_item_sk = item_sk
-     AND ws_bill_customer_sk = best_ss_customer.c_customer_sk
+     AND ws_item_sk IN
+       (SELECT item_sk
+        FROM frequent_ss_items)
+     AND ws_bill_customer_sk IN
+       (SELECT c_customer_sk
+        FROM best_ss_customer)
      AND ws_bill_customer_sk = customer.c_customer_sk
    GROUP BY c_last_name,
             c_first_name) sq3

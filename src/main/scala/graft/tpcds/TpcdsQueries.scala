@@ -156,6 +156,26 @@ object TpcdsQueries {
           "THEN cast(ws3.web_sales as double)/ws2.web_sales",
         "THEN (ss3.store_sales*1.0000)/ss2.store_sales" ->
           "THEN cast(ss3.store_sales as double)/ss2.store_sales"),
+      // avg(DECIMAL) boundary class (found by the ×100 rehearsal, one
+      // cell each in q26/q27/q83): Spark computes avg exactly in
+      // DECIMAL(p+4,s+4) (HALF_UP), DuckDB in double (wrapper rounds it
+      // to Spark's scale) — when the exact average sits within a double
+      // ulp of the scale boundary the two round opposite ways. Rewrite
+      // the emitted columns as exact-sum-cast-to-double ÷ count: both
+      // engines then perform the SAME IEEE division of exactly-converted
+      // operands (sums are order-independent and « 2^53), bit-identical
+      // at any scale.
+      "tpcds_q26" -> Seq("quantity", "list_price", "coupon_amt",
+        "sales_price").zipWithIndex.map { case (c, i) =>
+        s"avg(cs_$c) agg${i + 1}" ->
+          s"cast(sum(cs_$c) as double)/count(cs_$c) agg${i + 1}" },
+      "tpcds_q27" -> (1 to 4).map(i =>
+        s"avg(agg$i) agg$i" ->
+          s"cast(sum(agg$i) as double)/count(agg$i) agg$i"),
+      "tpcds_q83" -> (Seq("sr", "cr", "wr").map(c =>
+        s"(${c}_item_qty*1.0000)/" -> s"cast(${c}_item_qty as double)/") ++ Seq(
+        "(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 average" ->
+          "cast(sr_item_qty+cr_item_qty+wr_item_qty as double)/3.0 average")),
       "tpcds_q39a" -> q39Rounding,
       // statement b adds `inv1.cov > 1.5` (volatile-only filter) — the
       // emitted cov columns need the same 6dp rounding; the new filter
@@ -341,6 +361,17 @@ object TpcdsQueries {
       else t
     }
   }
+
+  /** (name, executed text) — patched + totalized, exactly what [[defs]]
+    * feeds both engines. Exposed so TpcdsPlanningSpec can assert every
+    * EXECUTED text (not just the raw spec text) parses, analyzes to the
+    * same schema the oracle wrapper was derived from, and plans. */
+  private[graft] lazy val executedTexts: Seq[(String, String)] =
+    texts.map { case (name, text) => name -> totalize(name, text) }
+
+  /** Analyzed output schema of `sql` against the sf=0 schema catalog —
+    * test hook for the totalizer regression net. */
+  private[graft] def analyzedSchema(name: String): StructType = schemas(name)
 
   val defs: Map[String, Q] = texts.map { case (name, text) =>
     name -> Q(

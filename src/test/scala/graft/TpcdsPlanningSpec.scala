@@ -52,4 +52,21 @@ class TpcdsPlanningSpec extends AnyFunSuite {
         }
     }
   }
+
+  // Totalizer regression net: the EXECUTED texts (shared-text patches +
+  // appended ordinal tie-breaks) must also plan, and totalization must
+  // not have changed the analyzed output schema the oracle wrapper was
+  // derived from — a malformed append (ordinal past the select list, a
+  // tie-break landing inside a subquery) fails here, not at gate time.
+  test("all executed tpcds texts plan with unchanged schemas") {
+    catalogReady
+    graft.tpcds.TpcdsQueries.executedTexts.foreach { case (name, text) =>
+      val qe = spark.sql(text).queryExecution
+      assert(qe.executedPlan != null, name)
+      assert(qe.analyzed.schema.fields.map(_.dataType).toSeq ==
+        graft.tpcds.TpcdsQueries.analyzedSchema(name).fields
+          .map(_.dataType).toSeq,
+        s"$name: totalization changed the analyzed schema")
+    }
+  }
 }
