@@ -295,11 +295,12 @@ object Bench {
     val memTotal2 = if (memQs.isEmpty) "null" else c(memQs.values.sum)
     // r5 lesson: a 96-name `failed` array at the END of this line ate the
     // driver's ~2 KB tail capture and lost every parquet TPC-H number.
-    // The compact line carries only a count + the first 5 names (the full
+    // The compact line carries only a count + the first 3 names (the full
     // list stays in total_full above), AND the failure fields print
     // BEFORE `queries` so the headline numbers survive even if failures
-    // someday bloat again.
-    val errsCapped = failed.take(5).map("\"" + _ + "\"")
+    // someday bloat again. (r8: the line measured 1797 B with tpcds_top5
+    // + rows_ok aboard — the cap dropped 5→3 names to keep headroom.)
+    val errsCapped = failed.take(3).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     // floor-adjusted ratio vs BASELINE.md per TPC-H query: the fixed
     // harness floor is subtracted before dividing, so sub-0.4s queries
@@ -319,7 +320,15 @@ object Bench {
     val tpcdsTopStr = results.filter(_._1.startsWith("tpcds_"))
       .sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + c(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpcds_total":${c(tpcdsTotal)},"tpcds_top5":$tpcdsTopStr,"tpch_mem_total":$memTotal2,"per_query_floor":${c(floor)},"iters":$iters,"stat":"median","queries":$tpchStr,"tpch_ratio_adj":$radjStr,"sort":$sortStr,"pqf":$pqfStr,"rows_ok":$rowsOk,"tpch_mem":$memStr2}""")
+    val compact = s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpcds_total":${c(tpcdsTotal)},"tpcds_top5":$tpcdsTopStr,"tpch_mem_total":$memTotal2,"per_query_floor":${c(floor)},"iters":$iters,"stat":"median","queries":$tpchStr,"tpch_ratio_adj":$radjStr,"sort":$sortStr,"pqf":$pqfStr,"rows_ok":$rowsOk,"tpch_mem":$memStr2}"""
+    // the driver tail-captures ~2000 B of stdout and sbt appends its own
+    // ~75 B success line — past ~1900 B this line's HEAD (the JSON
+    // opener) would be what truncation eats, so warn while iterating
+    // locally instead of discovering it in a null-parsed BENCH_r{N}
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} B" +
+        " > 1900 — trim fields or the driver tail capture will clip it")
+    println(compact)
     Engine.clearCache(spark)
     spark.stop()
   }
