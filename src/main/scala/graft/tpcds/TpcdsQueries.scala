@@ -195,7 +195,14 @@ object TpcdsQueries {
       }
     named.map { case (name, t) =>
       name -> patches.getOrElse(name, Nil)
-        .foldLeft(t) { case (acc, (from, to)) => acc.replace(from, to) }
+        .foldLeft(t) { case (acc, (from, to)) =>
+          val next = acc.replace(from, to)
+          // a patch that stops matching after a resource edit would
+          // silently revert to unpatched semantics — fail loudly instead
+          require(next != acc, s"$name: shared-text patch no longer " +
+            s"matches its statement: ${from.takeWhile(_ != '\n')}")
+          next
+        }
     }
   }
 
