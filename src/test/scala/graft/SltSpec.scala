@@ -93,7 +93,7 @@ class SltSpec extends AnyFunSuite {
     "frame_shorthand", "fuzz_nullsort", "struct_ordering",
     "ts_dst_matrix", "ts_tz_roundtrip", "ts_trunc_local",
     "ts_interval_clamp", "ts_format_matrix", "ts_epoch_edges",
-    "decimal_matrix", "cast_matrix2", "unsigned_widening")
+    "decimal_matrix", "cast_matrix2", "unsigned_widening", "time_mapping")
 
   private lazy val spark = {
     val s = SparkTestSession.spark.newSession()

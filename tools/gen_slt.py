@@ -7673,6 +7673,74 @@ def _unsigned_policy():
 CORPUS.update(_unsigned_policy())
 
 
+def _time_mapping():
+    """time_mapping: executable pin of SURVEY §1's Time32/Time64 policy —
+    Spark has no TIME type, so time-of-day is represented as BIGINT
+    micros-since-midnight (or kept inside TimestampType). These cases
+    pin the representation: extraction from timestamps, round-trip
+    against hour/minute/second, literal construction, wrap-around
+    arithmetic, and the hour-of-day aggregation a 100 TB log pipeline
+    actually runs."""
+    tod_spark = "unix_micros(ts) - unix_micros(date_trunc('DAY', ts))"
+    tod_duck = "epoch_us(ts) - epoch_us(date_trunc('day', ts))"
+    tm = []
+    # extraction: micros since midnight from a timestamp column
+    tm.append((
+        f"SELECT event_id, {tod_spark} AS tod_us FROM events "
+        "ORDER BY event_id LIMIT 10",
+        f"SELECT event_id, {tod_duck} AS tod_us FROM events "
+        "ORDER BY event_id LIMIT 10"))
+    # round-trip: micros FLOOR-divided to seconds agrees with
+    # hour/minute/second fields (Spark DIV / DuckDB // — plain `/` is
+    # true division in both and the BIGINT cast then truncs vs rounds)
+    tm.append((
+        f"SELECT event_id, CAST(({tod_spark}) DIV 1000000 AS BIGINT) - "
+        "CAST(hour(ts)*3600 + minute(ts)*60 + second(ts) AS BIGINT) AS drift "
+        "FROM events ORDER BY event_id LIMIT 10",
+        f"SELECT event_id, CAST(({tod_duck}) // 1000000 AS BIGINT) - "
+        "CAST(hour(ts)*3600 + minute(ts)*60 + second(ts) AS BIGINT) AS drift "
+        "FROM events ORDER BY event_id LIMIT 10"))
+    # literal construction: a wall-time as BIGINT micros
+    tm.append((
+        "SELECT unix_micros(to_timestamp('1970-01-01 12:34:56.789', "
+        "'yyyy-MM-dd HH:mm:ss.SSS')) AS t",
+        "SELECT epoch_us(TIMESTAMP '1970-01-01 12:34:56.789') AS t"))
+    # wrap-around arithmetic: +1h stays inside [0, 24h) under pmod
+    tm.append((
+        f"SELECT event_id, pmod(({tod_spark}) + 3600000000, 86400000000) "
+        "AS shifted FROM events ORDER BY event_id LIMIT 10",
+        f"SELECT event_id, (({tod_duck}) + 3600000000) % 86400000000 "
+        "AS shifted FROM events ORDER BY event_id LIMIT 10"))
+    # ordering by time-of-day ACROSS dates (the reason a raw timestamp
+    # cannot stand in for a TIME value)
+    tm.append((
+        f"SELECT event_id, {tod_spark} AS tod_us FROM events "
+        "ORDER BY tod_us, event_id LIMIT 10",
+        f"SELECT event_id, {tod_duck} AS tod_us FROM events "
+        "ORDER BY tod_us, event_id LIMIT 10"))
+    # hour-of-day histogram + per-type min/max time-of-day
+    tm.append(
+        "SELECT CAST(hour(ts) AS BIGINT) AS h, CAST(count(*) AS BIGINT) "
+        "AS n FROM events GROUP BY hour(ts) ORDER BY h")
+    tm.append((
+        f"SELECT event_type, min({tod_spark}) AS t0, max({tod_spark}) AS t1 "
+        "FROM events GROUP BY event_type ORDER BY event_type",
+        f"SELECT event_type, min({tod_duck}) AS t0, max({tod_duck}) AS t1 "
+        "FROM events GROUP BY event_type ORDER BY event_type"))
+    # boundary literals: midnight and 23:59:59.999999 as micros
+    tm.append((
+        "SELECT unix_micros(to_timestamp('1970-01-01 00:00:00', "
+        "'yyyy-MM-dd HH:mm:ss')) AS lo, "
+        "unix_micros(to_timestamp('1970-01-01 23:59:59.999999', "
+        "'yyyy-MM-dd HH:mm:ss.SSSSSS')) AS hi",
+        "SELECT epoch_us(TIMESTAMP '1970-01-01 00:00:00') AS lo, "
+        "epoch_us(TIMESTAMP '1970-01-01 23:59:59.999999') AS hi"))
+    return {"time_mapping": tm}
+
+
+CORPUS.update(_time_mapping())
+
+
 def fmt_elem(e):
     """Array-ELEMENT formatting, mirrored in SltSpec: python's str() of a
     list is the golden shape — None / 'quoted str' / True / digits.
