@@ -795,7 +795,17 @@ object TpcdsData {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
     try {
-      val lock = ch.lock() // blocks until a concurrent generator finishes
+      // FileLock is held per-JVM: if a second classloader in the same JVM
+      // (sbt's layered classloaders) reaches here while the first holds
+      // the lock, lock() throws instead of blocking — fall back to
+      // polling for the marker the holder writes last (r8 ADVICE).
+      val lock =
+        try ch.lock() // blocks until a concurrent generator finishes
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            while (!marker.exists()) Thread.sleep(200)
+            return dir
+        }
       try {
         if (!marker.exists()) {
           tables.foreach { t =>

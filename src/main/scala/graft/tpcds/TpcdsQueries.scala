@@ -184,8 +184,10 @@ object TpcdsQueries {
       "tpcds_q39b" -> q39Rounding)
   }
 
-  /** entry name -> patched statement text, in q01..q99 order. */
-  private lazy val texts: Seq[(String, String)] = (1 to 99).flatMap { n =>
+  /** entry name -> patched statement text, in q01..q99 order. Exposed so
+    * TpcdsPlanningSpec can analyze the PRE-totalize text and assert the
+    * totalizer actually fired on every top-level-sorted statement. */
+  private[graft] lazy val texts: Seq[(String, String)] = (1 to 99).flatMap { n =>
     val stmts = resource(f"q$n%02d.sql")
       .split(";").map(_.trim).filter(_.nonEmpty)
     val named: Seq[(String, String)] =
@@ -279,10 +281,15 @@ object TpcdsQueries {
   }
 
   /** Spark side of the decimal→double canonicalization (see [[duckType]]).
-    * Exactness guard: a DECIMAL(p,s) converts to double losslessly iff its
-    * unscaled value fits 2^53; p ≤ 15 guarantees that statically
-    * (10^15 < 2^53), wider columns get a per-cell runtime check that
-    * raises rather than silently rounding at larger SFs. */
+    * Exactness guard: while a DECIMAL(p,s)'s unscaled value fits 2^53 the
+    * decimal→double conversion is a single correctly-rounded division of
+    * exactly-held integers (unscaled / 10^s), so BOTH engines produce the
+    * bit-identical double — that cross-engine identity (not exactness of
+    * the double itself) is what the gate relies on. p ≤ 15 guarantees it
+    * statically (10^15 < 2^53); wider columns get a per-cell runtime check
+    * that raises rather than silently diverging at larger SFs. The bound
+    * is an exact decimal literal (2^53 × 10^-s at the column's scale), so
+    * the comparison itself carries no float slop. */
   private def canonical(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val cols = df.schema.fields.map { f =>
@@ -290,7 +297,7 @@ object TpcdsQueries {
         case d: DecimalType if d.precision <= 15 =>
           col(f.name).cast(DoubleType).as(f.name)
         case d: DecimalType =>
-          val bound = math.pow(2, 53) / math.pow(10, d.scale)
+          val bound = java.math.BigDecimal.valueOf(1L << 53, d.scale)
           when(abs(col(f.name)) >= lit(bound), raise_error(concat(
             lit(s"tpcds decimal output '${f.name}' exceeds 2^53 unscaled "
               + s"(double no longer exact at scale ${d.scale}): "),

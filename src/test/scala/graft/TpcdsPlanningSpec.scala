@@ -69,4 +69,39 @@ class TpcdsPlanningSpec extends AnyFunSuite {
         s"$name: totalization changed the analyzed schema")
     }
   }
+
+  // Totalizer COVERAGE net (r8 ADVICE): totalize detects "ends in a
+  // top-level ORDER BY" by paren counting, which could silently skip a
+  // statement (no tie-break appended → undetectable until a
+  // nondeterministic order divergence at gate time). Ask the ANALYZER
+  // instead: a statement whose analyzed plan is a global Sort (possibly
+  // under LIMIT / output projection) has a final ORDER BY, and its
+  // executed text must carry the appended ordinal tie-breaks.
+  test("totalizer fired on every top-level-sorted statement") {
+    catalogReady
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def topSorted(p: LogicalPlan): Boolean = p match {
+      case s: Sort           => s.global
+      case g: GlobalLimit    => topSorted(g.child)
+      case l: LocalLimit     => topSorted(l.child)
+      case pr: Project       => topSorted(pr.child)
+      case w: WithCTE        => topSorted(w.plan)
+      case a: SubqueryAlias  => topSorted(a.child)
+      case _                 => false
+    }
+    val executed = graft.tpcds.TpcdsQueries.executedTexts.toMap
+    var sorted = 0
+    graft.tpcds.TpcdsQueries.texts.foreach { case (name, raw) =>
+      if (topSorted(spark.sql(raw).queryExecution.analyzed)) {
+        sorted += 1
+        val exec = executed(name)
+        assert(exec != raw && exec.contains("NULLS FIRST"),
+          s"$name: analyzer sees a top-level ORDER BY but totalize " +
+            "left the text unmodified (silent skip)")
+      }
+    }
+    // the corpus is overwhelmingly ORDER BY-terminated; a collapse here
+    // means the detection itself broke
+    assert(sorted > 90, s"only $sorted statements detected as sorted")
+  }
 }

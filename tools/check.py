@@ -90,7 +90,9 @@ def main():
         # that for a whole round. Enforce the corpus convention instead:
         # oracled Spark outputs must not carry DECIMAL columns at all —
         # canonicalize to DOUBLE on both engines at the query layer.
-        dec = [f.name for f in pq.read_schema(files[0])
+        # unified schema across ALL parts (r8 ADVICE: files[0] alone could
+        # miss a decimal column if parts ever diverged)
+        dec = [f.name for f in pq.ParquetDataset(files).schema
                if pa.types.is_decimal(f.type)]
         if dec:
             print(f"FAIL {name}: DECIMAL output cols {dec} — driver hashes "
