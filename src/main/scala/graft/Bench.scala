@@ -113,7 +113,13 @@ object Bench {
     // the measurement, so min-of-iters is warm-vs-warm by construction
     // (r3 lesson: min-of-2 cold pairs read up to 7× high on sub-100ms
     // queries). Reference convention is likewise warm-process times.
-    def timeThunk(thunk: () => Unit, tag: String): Option[Double] = {
+    // Reported statistic: lower MEDIAN of the warm iterations, with the
+    // MIN kept alongside (r8 verdict #2: median-of-3 alone cannot
+    // separate box variance from regression — tpch_q16 drifted
+    // 0.399→0.502 round-over-round with pinned plans and flat local
+    // medians; min tracking median ⇒ real slowdown, min flat while the
+    // median floats ⇒ variance).
+    def timeThunk(thunk: () => Unit, tag: String): Option[(Double, Double)] = {
       try thunk() catch { case _: Throwable => () }
       val times = (1 to math.max(1, iters)).map { _ =>
         val t0 = System.nanoTime()
@@ -125,15 +131,16 @@ object Bench {
       }
       // exclude failed queries entirely: their near-zero exception time
       // must not shrink total/tpch_total or fake the per-query floor.
-      // Reported statistic: lower MEDIAN of the warm iterations.
       if (failed.contains(tag)) None
-      else Some(times.sorted.apply((times.size - 1) / 2))
+      else Some((times.sorted.apply((times.size - 1) / 2), times.min))
     }
-    def timeQuery(name: String, tag: String): Option[Double] =
+    def timeQuery(name: String, tag: String): Option[(Double, Double)] =
       timeThunk(() => run(name), tag)
-    val results = SparkEntry.queries.keys.toSeq.sorted
+    val resultsFull = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .flatMap(name => timeQuery(name, name).map(name -> _))
+    val results = resultsFull.map { case (k, (med, _)) => k -> med }
+    val mins = resultsFull.map { case (k, (_, mn)) => k -> mn }.toMap
 
     // ── reference synthetic suites, re-expressed over testdata ───────────
     // sort (benchmarks/src/sort.rs): full-dataset sorts over the six key
@@ -177,11 +184,11 @@ object Bench {
     val sortRes: Seq[(String, Double)] =
       if (!suitesOn) Nil
       else sortCases.flatMap { case (n, t) =>
-        timeThunk(t, s"sort:$n").map(n -> _) }
+        timeThunk(t, s"sort:$n").map(r => n -> r._1) }
     val pqfRes: Seq[(String, Double)] =
       if (!suitesOn) Nil
       else pqfCases.flatMap { case (n, t) =>
-        timeThunk(t, s"pqf:$n").map(n -> _) }
+        timeThunk(t, s"pqf:$n").map(r => n -> r._1) }
     // rows oracle for the timing suites (r7 verdict #6): the DuckDB-
     // adjudicated twin is MiscQueries' bench_suite_rows corpus entry
     // (same pqfPredicates object, value-compared by the driver gate);
@@ -212,6 +219,15 @@ object Bench {
       case (k, v) if k.startsWith("tpch_") => v }.sum
     val tpcdsTotal = results.collect {
       case (k, v) if k.startsWith("tpcds_") => v }.sum
+    // ClickBench/h2o wall-time visibility (r8 verdict #5): the 60
+    // click_*/h2o_* queries are already timed in `results`; surface
+    // their subtotals + 3 slowest medians so a plan regression there is
+    // latency-visible round-over-round (self-baselined — the reference
+    // publishes no in-repo numbers for these suites).
+    val clickTotal = results.collect {
+      case (k, v) if k.startsWith("click_") => v }.sum
+    val h2oTotal = results.collect {
+      case (k, v) if k.startsWith("h2o_") => v }.sum
     val floor = if (results.isEmpty) 0.0 else results.map(_._2).min
 
     // in-memory TPC-H variant (reference: tpch_mem in BASELINE.md —
@@ -258,7 +274,7 @@ object Bench {
         // on stderr so a regression in BENCH_r{N} is attributable
         val m = tpchNames.flatMap { name =>
           val g0 = gcMillis
-          val r = timeQuery(name, s"mem:$name").map(name -> _)
+          val r = timeQuery(name, s"mem:$name").map(t => name -> t._1)
           r.foreach { case (n, v) => System.err.println(
             f"[bench] mem $n $v%.3fs gc ${gcMillis - g0}ms") }
           r
@@ -283,15 +299,15 @@ object Bench {
       .mkString("{", ",", "}")
     val pqfRowsStr = pqfRows.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tpch_total":$tpchTotal,"tpch_mem_total":$memTotal,"tpch_mem":$memStr,"sort":$sortFull,"pqf":$pqfFull,"pqf_rows":$pqfRowsStr,"rows_ok":$rowsOk,"per_query_floor":$floor,"iters":$iters,"failed":$errs}""")
+    val minsFull = mins.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"queries_min":$minsFull,"sf":"$sfDir","tpch_total":$tpchTotal,"tpch_mem_total":$memTotal,"tpch_mem":$memStr,"sort":$sortFull,"pqf":$pqfFull,"pqf_rows":$pqfRowsStr,"rows_ok":$rowsOk,"per_query_floor":$floor,"iters":$iters,"failed":$errs}""")
     // the driver's tail capture keeps only the last ~2 KB of stdout —
     // r4 lost tpch_q1/q10..q16 to it ("parsed": null). Emit the headline
     // comparison set (BASELINE.md = the 22 TPC-H queries, disk + mem) as
     // ONE compact final line (~1.1 KB) that always survives truncation.
     val tpchStr = results.collect { case (k, v) if k.startsWith("tpch_") =>
       "\"" + k + "\":" + c(v) }.mkString("{", ",", "}")
-    val memStr2 = memQs.toSeq.sorted
-      .map { case (k, v) => "\"" + k + "\":" + c(v) }.mkString("{", ",", "}")
     val memTotal2 = if (memQs.isEmpty) "null" else c(memQs.values.sum)
     // r5 lesson: a 96-name `failed` array at the END of this line ate the
     // driver's ~2 KB tail capture and lost every parquet TPC-H number.
@@ -305,22 +321,46 @@ object Bench {
     // floor-adjusted ratio vs BASELINE.md per TPC-H query: the fixed
     // harness floor is subtracted before dividing, so sub-0.4s queries
     // are adjudicated against the 2× line mechanically (r6 verdict #1)
+    def m3(v: Double): String = f"$v%.3f"
+    // short q-keys here too (r9 byte diet; the tpch_ prefix is implied
+    // by the field name, matching tpch_min's convention)
     val radjStr = results.collect {
       case (k, v) if baselineMs.contains(k) =>
-        "\"" + k + "\":" + f"${math.max(0.0, v - floor) * 1000 / baselineMs(k)}%.2f"
+        "\"" + k.stripPrefix("tpch_") + "\":" +
+          f"${math.max(0.0, v - floor) * 1000 / baselineMs(k)}%.2f"
     }.mkString("{", ",", "}")
-    val sortStr = sortRes.map { case (k, v) => "\"" + k + "\":" + c(v) }
+    val sortStr = sortRes.map { case (k, v) => "\"" + k + "\":" + m3(v) }
       .mkString("{", ",", "}")
-    val pqfStr = pqfRes.map { case (k, v) => "\"" + k + "\":" + c(v) }
+    val pqfStr = pqfRes.map { case (k, v) => "\"" + k + "\":" + m3(v) }
       .mkString("{", ",", "}")
     // regression detection for 99 tpcds queries needs more than the one
     // tpcds_total scalar (r7 verdict #5): the 5 slowest medians ride in
     // the compact line (~130 bytes) so a q72-class outlier is diffable
     // even when only the tail-captured line survives
-    val tpcdsTopStr = results.filter(_._1.startsWith("tpcds_"))
+    val tpcdsTop5 = results.filter(_._1.startsWith("tpcds_"))
       .sortBy(-_._2).take(5)
+    val tpcdsTopStr = tpcdsTop5
       .map { case (k, v) => "\"" + k + "\":" + c(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpcds_total":${c(tpcdsTotal)},"tpcds_top5":$tpcdsTopStr,"tpch_mem_total":$memTotal2,"per_query_floor":${c(floor)},"iters":$iters,"stat":"median","queries":$tpchStr,"tpch_ratio_adj":$radjStr,"sort":$sortStr,"pqf":$pqfStr,"rows_ok":$rowsOk,"tpch_mem":$memStr2}"""
+    // dispersion maps (r8 verdict #2): per-query MIN beside the median
+    // for the two adjudicated sets. Byte diet to stay inside the ~1900 B
+    // tail budget: short keys (q1/q14a — the prefix is in the field
+    // name), 3 decimals (1 ms, plenty for variance-vs-regression), and
+    // the per-query tpch_mem map moved to the full line only (its total
+    // stays here; per-query mem hasn't been adjudicated since r4, min
+    // dispersion is what r9+ judges act on).
+    val tpchMinStr = resultsFull.collect {
+      case (k, (_, mn)) if k.startsWith("tpch_") =>
+        "\"" + k.stripPrefix("tpch_") + "\":" + m3(mn)
+    }.mkString("{", ",", "}")
+    val tpcdsTopMinStr = tpcdsTop5.map { case (k, _) =>
+      "\"" + k.stripPrefix("tpcds_") + "\":" + m3(mins(k))
+    }.mkString("{", ",", "}")
+    def top3(prefix: String): String = results
+      .filter(_._1.startsWith(prefix)).sortBy(-_._2).take(3)
+      .map { case (k, v) =>
+        "\"" + k.stripPrefix(prefix) + "\":" + m3(v) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpcds_total":${c(tpcdsTotal)},"tpcds_top5":$tpcdsTopStr,"tpcds_top5_min":$tpcdsTopMinStr,"tpch_mem_total":$memTotal2,"click_total":${c(clickTotal)},"h2o_total":${c(h2oTotal)},"click_top3":${top3("click_")},"h2o_top3":${top3("h2o_")},"per_query_floor":${c(floor)},"iters":$iters,"stat":"median","queries":$tpchStr,"tpch_min":$tpchMinStr,"tpch_ratio_adj":$radjStr,"sort":$sortStr,"pqf":$pqfStr,"rows_ok":$rowsOk}"""
     // the driver tail-captures ~2000 B of stdout and sbt appends its own
     // ~75 B success line — past ~1900 B this line's HEAD (the JSON
     // opener) would be what truncation eats, so warn while iterating
