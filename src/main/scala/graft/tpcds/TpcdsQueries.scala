@@ -387,11 +387,71 @@ object TpcdsQueries {
     * test hook for the totalizer regression net. */
   private[graft] def analyzedSchema(name: String): StructType = schemas(name)
 
+  /** q14 shared-CTE materialization (r8 verdict #3). Both q14 statements
+    * define `cross_items` (item triple-intersection across the three
+    * channels) and `avg_sales` (one global average over a 3-channel
+    * UNION ALL of full fact scans) and then reference them 3×/2× — and
+    * Spark re-plans the whole CTE subtree per reference (no exchange or
+    * subquery reuse fires across the references: A/B'd, 0 ReusedExchange
+    * in either statement's plan). At 100 TB each avg_sales reference is
+    * an extra full scan of all three fact tables, so the reference count
+    * is the scale story, not a constant factor. Fix: evaluate each CTE
+    * ONCE, localCheckpoint the (small: ≤|item| rows / 1 row) results,
+    * and run the remainder against them as temp views. The statement
+    * TEXT both engines see is unchanged — this is a Spark-side execution
+    * strategy, semantics-preserving by CTE definition.
+    *
+    * A/B (local[32], median of 3 warm): ×1 q14a 2.15→1.24s, q14b
+    * 1.28→1.04s; ×10 q14a 3.79→3.34s, q14b 3.89→3.41s. cache() instead
+    * of localCheckpoint was NOT adopted: mixed results (×10 q14b 2.69s
+    * win but ×1 q14a 1.73s — worse than checkpoint's 1.24s); checkpoint
+    * improved every cell. */
+  private def runQ14(s: SparkSession, exec: String): DataFrame = {
+    val (ci, av, rest) = splitQ14(exec)
+    val ciDf = s.sql(ci).localCheckpoint(true)
+    val avDf = s.sql(av).localCheckpoint(true)
+    ciDf.createOrReplaceTempView("cross_items")
+    avDf.createOrReplaceTempView("avg_sales")
+    // the returned DataFrame captures its analyzed plan at sql() time,
+    // so the views can be dropped immediately (keeps the child session's
+    // namespace clean for the planning specs)
+    try s.sql(rest)
+    finally {
+      s.catalog.dropTempView("cross_items")
+      s.catalog.dropTempView("avg_sales")
+    }
+  }
+
+  /** Split a q14 statement into (cross_items body, avg_sales body, main
+    * SELECT), anchored on the spec structure: `avg_sales AS` opens the
+    * second CTE and its subquery alias `sq2)` closes it. Totalization
+    * only appends at the tail, so the executed text splits identically. */
+  private def splitQ14(text: String): (String, String, String) = {
+    def stripOuter(b: String): String = {
+      val t = b.trim
+      require(t.head == '(' && t.last == ')', s"q14 split: not parenthesized")
+      t.substring(1, t.length - 1)
+    }
+    val ciStart = text.indexOf("(SELECT")
+    val avMark = text.indexOf("avg_sales AS")
+    val sq2 = text.indexOf("sq2)", avMark)
+    require(ciStart >= 0 && avMark > ciStart && sq2 > avMark, "q14 split fail")
+    val ci = stripOuter(text.substring(ciStart, text.lastIndexOf("),", avMark) + 1))
+    val av = stripOuter(text.substring(text.indexOf("(SELECT", avMark), sq2 + 4))
+    val rest = text.substring(sq2 + 4).trim
+    require(rest.toUpperCase.startsWith("SELECT"), "q14 split: rest not SELECT")
+    (ci, av, rest)
+  }
+
   val defs: Map[String, Q] = texts.map { case (name, text) =>
     name -> Q(
       build = (parent: SparkSession, _: String) => {
         val exec = totalize(name, text)
-        canonical(child(parent).sql(exec).toDF(outNames(name): _*))
+        val s = child(parent)
+        val df =
+          if (name == "tpcds_q14a" || name == "tpcds_q14b") runQ14(s, exec)
+          else s.sql(exec)
+        canonical(df.toDF(outNames(name): _*))
       },
       oracle = Some(oracleFor(name, totalize(name, text))))
   }.toMap
