@@ -81,6 +81,39 @@ class ErrorSemanticsSpec extends AnyFunSuite {
       "SELECT count(DISTINCT id) OVER () FROM range(3)").collect())
   }
 
+  test("Decimal256 gap: >38-digit values refuse with classed errors") {
+    // SURVEY §1: the reference's Decimal256 (common/src/scalar/mod.rs:
+    // 204-206) has no Spark runtime representation — precision caps at
+    // 38. The documented REFUSAL surface (r8 verdict #7), one classed
+    // error per entry path, all SQLSTATE 22003, never a wrapped or
+    // silently-rounded value:
+    val nines38 = "9" * 38
+    // arithmetic past p=38 (multiply, aggregate sum, division whose
+    // result scale pushes the integral part out of range)
+    failsWith("NUMERIC_VALUE_OUT_OF_RANGE")(
+      s"SELECT CAST('$nines38' AS DECIMAL(38,0)) * 10")
+    failsWith("NUMERIC_VALUE_OUT_OF_RANGE")(
+      s"SELECT sum(v) FROM VALUES (CAST('$nines38' AS DECIMAL(38,0))), " +
+        s"(CAST('$nines38' AS DECIMAL(38,0))) t(v)")
+    failsWith("NUMERIC_VALUE_OUT_OF_RANGE")(
+      s"SELECT CAST('$nines38' AS DECIMAL(38,0)) / 0.0000001")
+    // a 39-digit literal (and a DECIMAL(39,0) type ask) fail at ANALYSIS
+    failsWith("DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION")(
+      "SELECT " + "9" * 39)
+    failsWith("DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION")(
+      "SELECT CAST(1 AS DECIMAL(39,0))")
+    // a 39-digit STRING cast fails at runtime with its own class
+    failsWith("NUMERIC_OUT_OF_SUPPORTED_RANGE")(
+      "SELECT CAST('" + "9" * 39 + "' AS DECIMAL(38,0))")
+    // try_ escape hatches degrade to NULL (matching unsigned_widening's
+    // SLT pins); the in-range twin keeps the exact 38-digit value
+    nullOf("SELECT try_multiply(CAST('" + nines38 + "' AS DECIMAL(38,0)), 10)")
+    nullOf("SELECT TRY_CAST('" + "9" * 39 + "' AS DECIMAL(38,0))")
+    assert(spark.sql(
+      s"SELECT CAST(try_multiply(CAST('${"9" * 37}' AS DECIMAL(37,0)), 10) " +
+        "AS STRING)").head().getString(0) == "9" * 37 + "0")
+  }
+
   test("malformed query fails at analysis with a typed error") {
     val e = intercept[Exception](spark.sql("SELECT no_such_col FROM range(1)"))
     assert(e.getMessage.contains("UNRESOLVED_COLUMN"))
