@@ -387,60 +387,114 @@ object TpcdsQueries {
     * test hook for the totalizer regression net. */
   private[graft] def analyzedSchema(name: String): StructType = schemas(name)
 
-  /** q14 shared-CTE materialization (r8 verdict #3). Both q14 statements
-    * define `cross_items` (item triple-intersection across the three
-    * channels) and `avg_sales` (one global average over a 3-channel
-    * UNION ALL of full fact scans) and then reference them 3×/2× — and
-    * Spark re-plans the whole CTE subtree per reference (no exchange or
-    * subquery reuse fires across the references: A/B'd, 0 ReusedExchange
-    * in either statement's plan). At 100 TB each avg_sales reference is
-    * an extra full scan of all three fact tables, so the reference count
-    * is the scale story, not a constant factor. Fix: evaluate each CTE
-    * ONCE, localCheckpoint the (small: ≤|item| rows / 1 row) results,
-    * and run the remainder against them as temp views. The statement
-    * TEXT both engines see is unchanged — this is a Spark-side execution
-    * strategy, semantics-preserving by CTE definition.
+  /** Shared-CTE materialization (r8 verdict #3, generalized r9). Spark
+    * re-plans a WITH definition's whole subtree at EVERY reference — no
+    * exchange or subquery reuse fires across references (A/B'd: 0
+    * ReusedExchange in q14's plan) — so a CTE that scans the fact
+    * tables and is referenced k times costs k fact scans. At 100 TB the
+    * reference count is the scale story, not a constant factor (q4's
+    * `year_total` feeds six self-join arms = 18 channel scans inline vs
+    * 3 materialized). Fix, for the entries in [[cteMaterialized]]:
+    * evaluate each multi-referenced top-level CTE ONCE, localCheckpoint
+    * the (dimension-bounded: grouped-by-customer/item, or 1-row) result,
+    * register it as a temp view, and run the remainder against it. The
+    * statement TEXT both engines see is unchanged — this is a Spark-side
+    * execution strategy, semantics-preserving by CTE definition.
     *
-    * A/B (local[32], median of 3 warm): ×1 q14a 2.15→1.24s, q14b
-    * 1.28→1.04s; ×10 q14a 3.79→3.34s, q14b 3.89→3.41s. cache() instead
-    * of localCheckpoint was NOT adopted: mixed results (×10 q14b 2.69s
-    * win but ×1 q14a 1.73s — worse than checkpoint's 1.24s); checkpoint
-    * improved every cell. */
-  private def runQ14(s: SparkSession, exec: String): DataFrame = {
-    val (ci, av, rest) = splitQ14(exec)
-    val ciDf = s.sql(ci).localCheckpoint(true)
-    val avDf = s.sql(av).localCheckpoint(true)
-    ciDf.createOrReplaceTempView("cross_items")
-    avDf.createOrReplaceTempView("avg_sales")
-    // the returned DataFrame captures its analyzed plan at sql() time,
-    // so the views can be dropped immediately (keeps the child session's
-    // namespace clean for the planning specs)
-    try s.sql(rest)
-    finally {
-      s.catalog.dropTempView("cross_items")
-      s.catalog.dropTempView("avg_sales")
+    * localCheckpoint vs cache(): A/B'd on q14 at ×1 and ×10 — checkpoint
+    * won every cell (×1 q14a 2.15→1.24s plain→ckpt but 1.73s cache; ×10
+    * 3.79→3.34 vs 3.71); cache's lazy columnar build re-scans on first
+    * use of each reference arm. Adoption is allowlist-gated: each entry
+    * was A/B'd plain-vs-materialized (graft.tools.CteAb) and only
+    * statements with a reproducible win are listed. */
+  private[graft] def materialize(s: SparkSession, exec: String): DataFrame =
+    parseWith(exec) match {
+      case None => s.sql(exec)
+      case Some((defs0, rest)) =>
+        val registered = scala.collection.mutable.Buffer.empty[String]
+        val pending = scala.collection.mutable.Buffer.empty[(String, String)]
+        def withPrefix(body: String): String =
+          if (pending.isEmpty) body
+          else "WITH " + pending.map { case (n, b) => s"$n AS ($b)" }
+            .mkString(",\n") + "\n" + body
+        try {
+          defs0.zipWithIndex.foreach { case ((name, body), i) =>
+            // crude-but-safe reference count: word occurrences in later
+            // defs + main body (over-counts column aliases sharing the
+            // name; the per-statement A/B vets the net effect)
+            val scope = defs0.drop(i + 1).map(_._2).mkString(" ") + " " + rest
+            val refs = s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
+              .findAllIn(scope).length
+            if (refs >= 2) {
+              val df = s.sql(withPrefix(body)).localCheckpoint(true)
+              df.createOrReplaceTempView(name)
+              registered += name
+            } else pending += (name -> body)
+          }
+          s.sql(withPrefix(rest))
+        } finally
+          // the returned DataFrame captured its analyzed plan at sql()
+          // time, so the views can be dropped immediately (keeps the
+          // child session's namespace clean)
+          registered.foreach(s.catalog.dropTempView)
     }
+
+  /** Parse `WITH a AS (...), b AS (...) <main>` into (defs, main). The
+    * corpus has no parens inside string literals and no CTE/table name
+    * collisions (both scanned r9), so paren-depth splitting is exact.
+    * Returns None for statements without a top-level WITH. */
+  private[graft] def parseWith(text: String)
+      : Option[(Seq[(String, String)], String)] = {
+    val t = text.trim
+    if (!t.take(4).equalsIgnoreCase("with")) return None
+    var i = 4
+    val defs = Seq.newBuilder[(String, String)]
+    def skipWs(): Unit = while (i < t.length && t(i).isWhitespace) i += 1
+    var done = false
+    while (!done) {
+      skipWs()
+      val start = i
+      while (i < t.length && (t(i).isLetterOrDigit || t(i) == '_')) i += 1
+      val name = t.substring(start, i)
+      skipWs()
+      require(t.regionMatches(true, i, "AS", 0, 2), s"parseWith: no AS after $name")
+      i += 2
+      skipWs()
+      require(i < t.length && t(i) == '(', s"parseWith: no ( after $name AS")
+      val bodyStart = i
+      var depth = 0
+      while ({
+        if (t(i) == '(') depth += 1 else if (t(i) == ')') depth -= 1
+        i += 1
+        depth > 0
+      }) ()
+      defs += name -> t.substring(bodyStart + 1, i - 1)
+      skipWs()
+      if (i < t.length && t(i) == ',') i += 1 else done = true
+    }
+    Some((defs.result(), t.substring(i)))
   }
 
-  /** Split a q14 statement into (cross_items body, avg_sales body, main
-    * SELECT), anchored on the spec structure: `avg_sales AS` opens the
-    * second CTE and its subquery alias `sq2)` closes it. Totalization
-    * only appends at the tail, so the executed text splits identically. */
-  private def splitQ14(text: String): (String, String, String) = {
-    def stripOuter(b: String): String = {
-      val t = b.trim
-      require(t.head == '(' && t.last == ')', s"q14 split: not parenthesized")
-      t.substring(1, t.length - 1)
-    }
-    val ciStart = text.indexOf("(SELECT")
-    val avMark = text.indexOf("avg_sales AS")
-    val sq2 = text.indexOf("sq2)", avMark)
-    require(ciStart >= 0 && avMark > ciStart && sq2 > avMark, "q14 split fail")
-    val ci = stripOuter(text.substring(ciStart, text.lastIndexOf("),", avMark) + 1))
-    val av = stripOuter(text.substring(text.indexOf("(SELECT", avMark), sq2 + 4))
-    val rest = text.substring(sq2 + 4).trim
-    require(rest.toUpperCase.startsWith("SELECT"), "q14 split: rest not SELECT")
-    (ci, av, rest)
+  /** Entries that run through [[materialize]] — every one A/B'd with a
+    * reproducible plain→materialized win at BOTH ×1 and ×10 (numbers in
+    * ROUND_NOTES r9): q14a/b (cross_items+avg_sales, the r8 verdict
+    * lead), q27/q36 (`results` grouped-aggregate referenced 3× for
+    * rollup emulation), q47 (`v1` dim-bounded window CTE, 3 self-join
+    * arms). NEGATIVE results, pinned so nobody re-tries them blind:
+    * q04 1.10 / q11 1.38 / q23a 1.24 / q23b 1.08 / q30 1.27 / q59 1.13
+    * / q95 1.88 / q97 1.74 — their CTEs are customer- or order-sized
+    * (fact-scaled), so the eager checkpoint write dominates, and inline
+    * references benefit from per-arm predicate pushdown into the CTE
+    * subtree that materialization forfeits. q74 0.81→0.98 and q57
+    * 0.95→1.07 and q75 0.95→1.26 regressed at ×10 — rejected; q02 1.04
+    * / q31 1.00 / q64 1.01 flat — left inline. */
+  private[graft] val cteMaterialized: Set[String] =
+    Set("tpcds_q14a", "tpcds_q14b", "tpcds_q27", "tpcds_q36", "tpcds_q47")
+
+  /** Totalized executed text for one entry — hook for graft.tools.CteAb. */
+  private[graft] def execText(name: String): String = {
+    val t = texts.toMap.apply(name)
+    totalize(name, t)
   }
 
   val defs: Map[String, Q] = texts.map { case (name, text) =>
@@ -449,7 +503,7 @@ object TpcdsQueries {
         val exec = totalize(name, text)
         val s = child(parent)
         val df =
-          if (name == "tpcds_q14a" || name == "tpcds_q14b") runQ14(s, exec)
+          if (cteMaterialized(name)) materialize(s, exec)
           else s.sql(exec)
         canonical(df.toDF(outNames(name): _*))
       },
