@@ -104,4 +104,26 @@ class TpcdsPlanningSpec extends AnyFunSuite {
     // means the detection itself broke
     assert(sorted > 90, s"only $sorted statements detected as sorted")
   }
+
+  // CTE-materialization parser net (r9): parseWith must decompose every
+  // WITH statement such that re-wrapping the defs verbatim analyzes to
+  // the SAME schema as the original text — a parser that mis-splits a
+  // body (paren slip, swallowed comma) fails here, not at gate time.
+  // (The materialize() execution path itself is gate-covered for the
+  // allowlisted entries at ×1/×10/×100.)
+  test("parseWith round-trips every WITH statement's schema") {
+    catalogReady
+    var withCount = 0
+    graft.tpcds.TpcdsQueries.executedTexts.foreach { case (name, text) =>
+      graft.tpcds.TpcdsQueries.parseWith(text).foreach { case (defs, rest) =>
+        withCount += 1
+        assert(defs.nonEmpty, s"$name: WITH parsed to zero defs")
+        val rebuilt = "WITH " +
+          defs.map { case (n, b) => s"$n AS ($b)" }.mkString(", ") + " " + rest
+        assert(spark.sql(rebuilt).schema == spark.sql(text).schema,
+          s"$name: parseWith round-trip changed the analyzed schema")
+      }
+    }
+    assert(withCount >= 30, s"only $withCount WITH statements found")
+  }
 }
