@@ -68,6 +68,59 @@ object Decontamination {
     train.join(flagged, train(idCol) === flagged("doc_id"), "left_anti")
   }
 
+  /** Bloom-prefiltered contamination report — same result as
+    * [[contaminationReport]] at the same parameters, different shuffle
+    * bill. The plain path shuffles EVERY distinct train shingle hash
+    * into the join with the eval side; at 100 TB train / small eval
+    * that shuffle is ~all of train's shingle volume for a join whose
+    * output is almost empty. Here the eval side's hashes are first
+    * aggregated into a fixed-size Bloom sketch (one binary, collected
+    * as a 1-row driver scalar like the IVF centroid list) and probed
+    * MAP-SIDE on the train scan, before the per-document distinct and
+    * the join — so the shuffle carries only shingles that might match
+    * (true hits + the sketch's false-positive rate of the non-hits).
+    * The exact join over the surviving slice then kills every false
+    * positive: results are bit-identical to the plain path, including
+    * under 64-bit signature collisions, because both paths join on the
+    * same xxhash64 values.
+    *
+    * Sizing: default 2^23 bits ≈ 1 MB sketch; at numHashes=5 that holds
+    * ~840k distinct eval shingles at ≈1% fp. The sketch is built from
+    * eval DISTINCT hashes, so repeated n-grams don't inflate it.
+    */
+  def contaminationReportBloom(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      evalIdCol: String, evalTextCol: String,
+      n: Int = 13, minHits: Int = 1,
+      bloomBits: Int = 1 << 23, bloomHashes: Int = 5): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    graft.functions.Sketches.register(train.sparkSession)
+    graft.functions.Bloom.register(train.sparkSession)
+    val e = shingleHashes(eval, evalIdCol, evalTextCol, n)
+      .select(col("id").as("eval_id"), col("h"))
+    // one row, sketch bytes only — a sanctioned driver scalar (same
+    // class as IVF centroids / packing partition totals)
+    val sketch = e.select(col("h")).distinct()
+      .agg(graft.functions.Bloom.sketch(col("h"), bloomBits, bloomHashes))
+      .head().getAs[Array[Byte]](0)
+    val t = train
+      .select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      // map-side probe BEFORE the distinct: both the distinct's shuffle
+      // and the join's carry only sketch-passing rows
+      .filter(graft.functions.Bloom.contains(lit(sketch), col("h")))
+      .distinct()
+      .select(col("id").as("doc_id"), col("h"))
+    t.join(e, "h")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** (id, 64-bit shingle signature) pairs, DISTINCT per document — this
     * distinct is what bounds the join fan-out by |distinct shingles|
     * rather than text length (a long doc repeating one contaminated

@@ -185,6 +185,44 @@ object PipelineQueries {
           sum(col("doc_id")).as("id_sum"))
     },
 
+    // ── bloom-prefiltered decontamination: same report as
+    //    pipe_decontaminate (same oracle SQL), but the train shingles
+    //    are probed MAP-SIDE against a bloom sketch of the eval hashes
+    //    before any shuffle — the 100 TB shuffle-reduction pattern; the
+    //    exact join kills the sketch's false positives, so the result
+    //    is bit-identical to the plain path. Sketch deliberately small
+    //    (2^16 bits) so the fp path is exercised, not just the reject ──
+    "pipe_decontaminate_bloom" -> Q("""
+      |WITH tsh0 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           generate_series(1, greatest(len(ws) - 2, 1)),
+      |           i -> array_to_string(ws[i:i+2], ' '))) sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') ws
+      |        FROM documents WHERE doc_id % 17 <> 0)),
+      |esh0 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           generate_series(1, greatest(len(ws) - 2, 1)),
+      |           i -> array_to_string(ws[i:i+2], ' '))) sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') ws
+      |        FROM documents WHERE doc_id % 17 = 0)),
+      |tsh AS (SELECT doc_id, unnest(sh) s FROM tsh0),
+      |esh AS (SELECT doc_id AS eval_id, unnest(sh) s FROM esh0)
+      |SELECT t.doc_id,
+      |       CAST(count(DISTINCT t.s) AS BIGINT) AS n_hits,
+      |       CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+      |FROM tsh t JOIN esh e ON t.s = e.s
+      |GROUP BY t.doc_id
+      |HAVING count(DISTINCT t.s) >= 3
+      |ORDER BY t.doc_id""") { (s, d) =>
+      val docs = Engine.table(s, d, "documents")
+      Decontamination.contaminationReportBloom(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", "doc_id", "text", n = 3, minHits = 3,
+          bloomBits = 1 << 16, bloomHashes = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // ── duplicate-cluster assignment: exact ngram pairs → connected
     //    components (large-star/small-star; oracle: DuckDB recursive-CTE
     //    min-label closure over the SAME pair list) ─────────────────────────

@@ -273,4 +273,25 @@ class PipelineSpec extends AnyFunSuite {
     val maxEval = flagged.agg(max(col("n_eval_docs"))).head().getLong(0)
     assert(maxEval <= eval.count())
   }
+
+  test("bloom-prefiltered decontamination == plain path, any sketch size") {
+    import graft.pipeline.Decontamination
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val eval = docs.filter(col("doc_id") % 17 === 0)
+    val plain = Decontamination.contaminationReport(
+      train, eval, "doc_id", "text", "doc_id", "text", n = 3, minHits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plain.nonEmpty)
+    // tiny (heavily saturated → ~all false positives pass the sketch)
+    // and roomy sketches must BOTH reproduce the exact report: the
+    // confirm join makes the sketch a pure performance knob
+    for (bits <- Seq(64, 1 << 16, 1 << 22)) {
+      val bloom = Decontamination.contaminationReportBloom(
+        train, eval, "doc_id", "text", "doc_id", "text", n = 3,
+        minHits = 3, bloomBits = bits, bloomHashes = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(bloom == plain, s"bloom path diverged at numBits=$bits")
+    }
+  }
+
 }
