@@ -8,6 +8,7 @@
 #   4. full corpus oracle gate at sf0.1     (10x headroom)
 #   5. TPC-DS x10 rehearsal (103 stmts)     (oracle-checked)
 #   6. TPC-DS x100 rehearsal (103 stmts)    (standing gate since r9)
+#   7. pipeline-tier x20 rehearsal          (PipeScale; standing since r9)
 #
 # Usage: tools/gates.sh [--skip-test] [--skip-x100]
 #   --skip-test   when `sbt test` already ran green on this exact tree
@@ -67,4 +68,10 @@ run_tpcds 10; ok "tpcds x10"
 if [[ " $* " != *" --skip-x100 "* ]]; then
   run_tpcds 100; ok "tpcds x100"
 fi
+SPARK_GRAFT_PIPE_SCALE=20 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" JVM_MEM="${JVM_MEM:-24g}" \
+  tools/run_jvm.sh graft.tools.PipeScale >target/pipescale.log 2>&1 \
+  || { tail -15 target/pipescale.log; fail "pipescale x20"; }
+grep "ALL PASS" target/pipescale.log
+ok "pipescale x20"
 echo "== ALL GATES GREEN ==" | tee -a "$LOG"
