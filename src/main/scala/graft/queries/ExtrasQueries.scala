@@ -100,15 +100,26 @@ object ExtrasQueries {
       val p = Engine.table(s, d, "part").filter(col("p_size") === 15)
       val su = Engine.table(s, d, "supplier")
       val l = Engine.table(s, d, "lineitem")
-      val minCost = l.join(su, l("l_suppkey") === su("s_suppkey"))
-        .groupBy(col("l_partkey").as("mc_partkey"))
-        .agg(min(col("s_acctbal")).as("min_bal"))
-      // part/supplier are SF-scaled: no hints — AQE broadcasts them at
-      // small SF and degrades to a shuffled join past the threshold
+      // One-pass window rewrite (r9, same class as tpch_q21): the naive
+      // shape computes minCost = (l ⨝ su) grouped over the FULL fact —
+      // the p_size filter restricts which PARTS survive, not which
+      // lineitems per part, so Catalyst cannot push it into the
+      // aggregate side and the whole fact shuffles twice. Instead join
+      // p (broadcast) FIRST — the fact slice shrinks to the qualifying
+      // parts (~2%) before anything shuffles — and derive the
+      // per-part minimum as a window over the SAME l_partkey hash
+      // partitioning the plan already has (min over all suppliers of a
+      // qualifying part ≡ the correlated subquery, because the part
+      // filter is independent of the lineitem rows). A/B sf0.1
+      // (targeted, iters=5, quiet box): 0.360 → 0.319/0.281 s median
+      // across two runs — and the removed shuffle+aggregate carried
+      // the FULL fact, so the win compounds with SF.
+      import org.apache.spark.sql.expressions.Window
       l.join(p, l("l_partkey") === p("p_partkey"))
         .join(su, l("l_suppkey") === su("s_suppkey"))
-        .join(minCost, col("p_partkey") === col("mc_partkey") &&
-          col("s_acctbal") === col("min_bal"))
+        .withColumn("min_bal",
+          min(col("s_acctbal")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("s_acctbal") === col("min_bal"))
         .select(col("p_partkey"), col("p_name"), col("s_name"), col("s_acctbal"))
         .distinct()
         .orderBy(col("s_acctbal"), col("p_partkey"))
@@ -136,6 +147,20 @@ object ExtrasQueries {
       val scoped = l.join(su, l("l_suppkey") === su("s_suppkey"))
         .select(col("l_partkey"),
           (col("l_quantity") * col("l_extendedprice")).as("v"))
+      // NEGATIVE A/B, pinned (r9): deriving the threshold from the
+      // grouped result (grand total = exact sum of per-part DECIMAL
+      // sums) looks like it halves the fact work, but Spark re-plans
+      // the grouped subtree for the threshold's broadcast side — no
+      // exchange reuse fires (verified in the plan; the q14-CTE
+      // lesson) — so the "one-pass" form does the fact join TWICE
+      // anyway: 0.504 → 0.643 s median (sf0.1, targeted, iters=5).
+      // Eagerly checkpointing the part-bounded grouped frame fixes the
+      // recompute but the write cost makes it a wash locally (0.500
+      // median, min 0.394 → 0.456), so the straightforward two-pass
+      // shape stays: its threshold pass is a partial aggregate (no
+      // shuffle of the fact), and at 100 TB the checkpoint variant's
+      // win is one fact scan vs a part-cardinality write — re-A/B at
+      // a bigger SF before adopting.
       val threshold = scoped.agg((sum(col("v")) * 0.001).as("thr"))
       scoped.groupBy(col("l_partkey"))
         .agg(sum(col("v")).as("raw_value"))
