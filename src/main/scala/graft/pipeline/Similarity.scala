@@ -110,7 +110,17 @@ object Similarity {
     * signature (P[found] = 1-(1-p^bandBits)^(bands·rotations), p =
     * 1-θ/π), then exact cosine verifies, keeping only true positives.
     * The shuffle key is (rot, band, bandHash) — the N×N product never
-    * forms; quadratic work is bounded by bucket size. */
+    * forms; quadratic work is bounded by bucket size.
+    *
+    * SIZE THE BANDS TO THE CORPUS (r9 rehearsal finding): a band has
+    * only 2^bandBits buckets and that count does not grow with the
+    * corpus, so under fixed parameters the mean bucket holds
+    * n/2^bandBits vectors and intra-bucket candidate work grows
+    * QUADRATICALLY in n. The 16/4 defaults suit ~10^3-10^4 vectors;
+    * PipeScale pinned the negative at 40k vectors (673 s) where 32/8
+    * (256 buckets/band, recall ≈ 94% at cos 0.85) is sane. Rule of
+    * thumb: pick bandBits ≥ log2(n / 200), then planes = 4·bandBits
+    * keeps the per-rotation band count (and thus recall) unchanged. */
   def lshNearPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       planes: Int = 16, bandBits: Int = 4, rotations: Int = 3,

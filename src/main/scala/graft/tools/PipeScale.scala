@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Engine
-import graft.pipeline.{Clustering, Decontamination, Dedup}
+import graft.pipeline.{Clustering, Decontamination, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -110,8 +110,76 @@ object PipeScale {
       s"decontamination mismatch: extra=${(flN diff flExpect).take(3)} " +
         s"missing=${(flExpect diff flN).take(3)}")
 
+    // ── 4. similarity tier: ANN at ×fac embeddings ──────────────────
+    // Replicas get a deterministic ~1e-6 per-dimension perturbation so
+    // every vector is distinct (no top-k ties to adjudicate), while
+    // the geometry — and therefore any recall statement — is unmoved.
+    // Exact-copy ids can't be asserted against ×1 here (top-k sets
+    // change when the corpus grows), so the invariant is RECALL: IVF
+    // top-k recall against the in-run brute-force ground truth must
+    // not collapse as the corpus scales (×fac recall ≥ ×1 recall −
+    // 0.15, both measured in this run with identical parameters).
+    val emb = Engine.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val embN = emb
+      .withColumn("rep", explode(sequence(lit(0), lit(fac - 1))))
+      .select((col("vec_id") * fac + col("rep")).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
+          (v, j) => v.cast("double") +
+            pmod(xxhash64(col("vec_id") * fac + col("rep"), j), lit(1000L))
+              .cast("double") * 1e-6).as("embedding"))
+      .localCheckpoint(true)
+    def queriesOf(df: DataFrame, everyNth: Long): DataFrame =
+      df.filter(col("vec_id") % everyNth === 0)
+    // Recall of IVF vs in-run brute-force ground truth. At ×fac each
+    // query's literal top-k is its own fac−1 replicas (cos ≈ 1, same
+    // cell — recall would be trivially 1.0), so both sides fetch
+    // k + fac − 1, drop same-original rows, and keep the first 10 in
+    // the ops' own (cos desc, nid) order: the recall statement is then
+    // about the GEOMETRY (replicas of the ×1 neighbors), not about
+    // finding one's own copies.
+    def recall(corpus: DataFrame, queries: DataFrame, f: Int): Double = {
+      def top10(df: DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(
+          _.filter { case (q, n, _) => n / f != q / f }
+            .sortBy { case (_, n, c) => (-c, n) }.take(10).map(_._2).toSet)
+        .toMap
+      val kk = 10 + f - 1
+      val exact = top10(Similarity.bruteForceTopK(
+        corpus, queries, "vec_id", "embedding", kk))
+      val ivf = top10(Similarity.ivfTopK(
+        corpus, queries, "vec_id", "embedding", kk))
+      require(exact.nonEmpty && exact.values.forall(_.size == 10),
+        "brute-force ground truth malformed")
+      exact.map { case (q, s) =>
+        (s intersect ivf.getOrElse(q, Set.empty)).size / 10.0
+      }.sum / exact.size
+    }
+    val r1 = recall(emb, queriesOf(emb, 40), 1)       // 2000/40 = 50 queries
+    val rN = timed(s"ivf top-k recall ×$fac") {
+      recall(embN, queriesOf(embN, 40L * fac), fac)   // same 50 originals
+    }
+    println(f"[pipescale] ivf recall ×1=$r1%.3f ×$fac=$rN%.3f")
+    require(rN >= r1 - 0.15,
+      f"ivf recall collapsed with scale: ×1=$r1%.3f ×$fac=$rN%.3f")
+    // LSH near-pairs needs scale-sized bands: the band bucket COUNT is
+    // 2^bandBits and does not grow with the corpus, so bucket size —
+    // and intra-bucket pair work — grows linearly (quadratically) in
+    // corpus size. Pinned negative: at ×20 (40k vectors) the small-
+    // corpus defaults (planes=16, bandBits=4 → 16 buckets/band,
+    // ~2.5k/bucket) took 673 s on this harness; 8-bit bands of a
+    // 32-plane signature (256 buckets/band) hold recall ≈ 94% at
+    // cos 0.85 and collapse the candidate volume. Sizing rule in
+    // SCALE.md: pick bandBits so 2^bandBits ≳ corpus / 200.
+    val lshPairs = timed(s"lsh near-pairs ×$fac (32/8)") {
+      Similarity.lshNearPairs(embN, "vec_id", "embedding",
+        planes = 32, bandBits = 8).count()
+    }
+
     println(s"[pipescale] ALL PASS at ×$fac " +
-      s"(exact=${exN.size} groups, keepers=${keepN.size}, flagged=${flN.size})")
+      s"(exact=${exN.size} groups, keepers=${keepN.size}, " +
+      s"flagged=${flN.size}, ivf_recall=$rN, lsh_pairs=$lshPairs)")
     spark.stop()
   }
 }
