@@ -166,15 +166,20 @@ object PipeScale {
     // LSH near-pairs needs scale-sized bands: the band bucket COUNT is
     // 2^bandBits and does not grow with the corpus, so bucket size —
     // and intra-bucket pair work — grows linearly (quadratically) in
-    // corpus size. Pinned negative: at ×20 (40k vectors) the small-
-    // corpus defaults (planes=16, bandBits=4 → 16 buckets/band,
-    // ~2.5k/bucket) took 673 s on this harness; 8-bit bands of a
-    // 32-plane signature (256 buckets/band) hold recall ≈ 94% at
-    // cos 0.85 and collapse the candidate volume. Sizing rule in
-    // SCALE.md: pick bandBits so 2^bandBits ≳ corpus / 200.
-    val lshPairs = timed(s"lsh near-pairs ×$fac (32/8)") {
+    // corpus size. The harness applies the documented sizing rule
+    // (Similarity scaladoc / SCALE.md): bandBits ≥ log2(n/200),
+    // planes = 4·bandBits (band count per rotation — hence the recall
+    // shape — unchanged). Pinned negatives from fixed parameters:
+    // 16/4 defaults at ×20 (40k vectors) = 673 s; 32/8 at ×50 (100k
+    // vectors) = 423 s where the rule's 36/9 takes 167 s. Replica
+    // pairs sit at cos ≈ 1 (p = 1 per band), so the verified pair
+    // count is invariant to the sizing — only candidate volume moves.
+    val nVec = embN.count()
+    val bandBits = math.max(8,
+      math.ceil(math.log(nVec / 200.0) / math.log(2)).toInt)
+    val lshPairs = timed(s"lsh near-pairs ×$fac (${4 * bandBits}/$bandBits)") {
       Similarity.lshNearPairs(embN, "vec_id", "embedding",
-        planes = 32, bandBits = 8).count()
+        planes = 4 * bandBits, bandBits = bandBits).count()
     }
 
     println(s"[pipescale] ALL PASS at ×$fac " +
