@@ -91,6 +91,24 @@ object PipeScale {
       s"cluster-keep mismatch: extra=${(keepN diff keepExpect).take(3)} " +
         s"missing=${(keepExpect diff keepN).take(3)}")
 
+    // ── 2b. simhash pigeonhole path, same keeper-mapping assertion —
+    //    its bucket count (4 chunks × 2^16) is also fixed, but the
+    //    headroom is corpus ≲ 10M docs (SCALE.md), far above any
+    //    rehearsal factor; this stage watches the wall-time curve ────
+    val simKeep1 = Clustering.dedupByPairs(docs, "doc_id",
+        Dedup.simhashPairs(docs, "doc_id", "text", 3)
+          .select("id_a", "id_b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val simKeepN = timed(s"simhash cluster-keep ×$fac") {
+      Clustering.dedupByPairs(docsN, "doc_id",
+          Dedup.simhashPairs(docsN, "doc_id", "text", 3)
+            .select("id_a", "id_b"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    require(simKeepN == simKeep1.map(_ * fac),
+      s"simhash cluster-keep mismatch: " +
+        s"extra=${(simKeepN diff simKeep1.map(_ * fac)).take(3)}")
+
     // ── 3. bloom decontamination (train ×fac, eval fixed at ×1) ────
     val eval1 = docs.filter(col("doc_id") % 17 === 0)
     val trainN = docsN.filter((col("doc_id") / fac).cast("long") % 17 =!= 0)
