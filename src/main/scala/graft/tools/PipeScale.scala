@@ -128,6 +128,32 @@ object PipeScale {
       s"decontamination mismatch: extra=${(flN diff flExpect).take(3)} " +
         s"missing=${(flExpect diff flN).take(3)}")
 
+    // ── 3b. token-stream packing at ×fac — the two-phase distributed
+    //    prefix sum under a 20× id-domain. Invariants are closed-form,
+    //    no ×1 mapping needed: offsets form an exact gapless partition
+    //    of [0, total) in id order, and the ×fac total is exactly
+    //    fac × the ×1 total (replicas carry identical token counts) ───
+    val toks1 = docs.select(col("doc_id"),
+      graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val toksN = docsN.select(col("doc_id"),
+      graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val total1 = toks1.agg(sum(col("n_tokens"))).head().getLong(0)
+    val packed = timed(s"pack token stream ×$fac") {
+      graft.pipeline.Packing.packTokenStream(
+          toksN, "doc_id", "n_tokens", budget = 2048)
+        .select(col("doc_id"), col("tok_start"), col("tok_end"))
+        .collect().sortBy(_.getLong(0))
+    }
+    require(packed.length == nN, "packing dropped rows")
+    var expectStart = 0L
+    packed.foreach { r =>
+      require(r.getLong(1) == expectStart,
+        s"packing gap at doc ${r.getLong(0)}: ${r.getLong(1)} != $expectStart")
+      expectStart = r.getLong(2)
+    }
+    require(expectStart == total1 * fac,
+      s"packing total ${expectStart} != ${total1 * fac}")
+
     // ── 4. similarity tier: ANN at ×fac embeddings ──────────────────
     // Replicas get a deterministic ~1e-6 per-dimension perturbation so
     // every vector is distinct (no top-k ties to adjudicate), while
