@@ -96,6 +96,10 @@ object Decontamination {
       bloomBits: Int = 1 << 23, bloomHashes: Int = 5): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    require(bloomBits > 0 && bloomBits % 64 == 0,
+      s"bloomBits must be a positive multiple of 64, got $bloomBits")
+    require(bloomHashes >= 1 && bloomHashes <= 16,
+      s"bloomHashes must be in 1..16, got $bloomHashes")
     graft.functions.Sketches.register(train.sparkSession)
     graft.functions.Bloom.register(train.sparkSession)
     val e = shingleHashes(eval, evalIdCol, evalTextCol, n)

@@ -111,7 +111,9 @@ object PipeScale {
 
     // ── 3. bloom decontamination (train ×fac, eval fixed at ×1) ────
     val eval1 = docs.filter(col("doc_id") % 17 === 0)
-    val trainN = docsN.filter((col("doc_id") / fac).cast("long") % 17 =!= 0)
+    // integral floor division — exact at any scale (double division is
+    // only exact while doc_id*fac stays under 2^53)
+    val trainN = docsN.filter(expr(s"doc_id div $fac") % 17 =!= 0)
     val fl1 = Decontamination.contaminationReport(
         docs.filter(col("doc_id") % 17 =!= 0), eval1,
         "doc_id", "text", "doc_id", "text", n = 3, minHits = 3)
@@ -155,7 +157,8 @@ object PipeScale {
       s"packing total ${expectStart} != ${total1 * fac}")
 
     // ── 4. similarity tier: ANN at ×fac embeddings ──────────────────
-    // Replicas get a deterministic ~1e-6 per-dimension perturbation so
+    // Replicas get a deterministic per-dimension perturbation of up to
+    // ~1e-3 (pmod(hash,1000)*1e-6) so
     // every vector is distinct (no top-k ties to adjudicate), while
     // the geometry — and therefore any recall statement — is unmoved.
     // Exact-copy ids can't be asserted against ×1 here (top-k sets

@@ -58,7 +58,8 @@ ok "smoke"
 if [[ " $* " != *" --skip-test "* ]]; then
   sbt -batch test >target/gates_sbt_test.log 2>&1 \
     || { tail -30 target/gates_sbt_test.log; fail "sbt test"; }
-  grep -E "Tests: succeeded" target/gates_sbt_test.log | tail -1
+  grep -E "Tests: succeeded" target/gates_sbt_test.log | tail -1 \
+    || fail "sbt test (no 'Tests: succeeded' line)"
   ok "sbt test"
 fi
 
@@ -72,6 +73,6 @@ SPARK_GRAFT_PIPE_SCALE=20 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" JVM_MEM="${JVM_MEM:-24g}" \
   tools/run_jvm.sh graft.tools.PipeScale >target/pipescale.log 2>&1 \
   || { tail -15 target/pipescale.log; fail "pipescale x20"; }
-grep "ALL PASS" target/pipescale.log
+grep "ALL PASS" target/pipescale.log || fail "pipescale x20 (no ALL PASS)"
 ok "pipescale x20"
 echo "== ALL GATES GREEN ==" | tee -a "$LOG"
