@@ -141,6 +141,13 @@ object Dedup {
     * bits, reproducible in any engine with string/codepoint functions
     * (the DuckDB oracle replays it with list_reduce + unicode()). */
   def tokenHashesPortable(text: Column): Column =
+    tokenHashesPortableScrambled(text, 2654435761L)
+
+  /** [[tokenHashesPortable]] with a caller-chosen scramble multiplier —
+    * distinct odd multipliers yield independent portable hash families
+    * (the wide-signature variant needs two). */
+  private[graft] def tokenHashesPortableScrambled(
+      text: Column, mult: Long): Column =
     transform(filter(split(text, "\\s+"), w => w =!= ""), w =>
       // final Knuth-multiply scramble spreads short words (single chars
       // hash < 128 under the bare polynomial) across all 30 bits;
@@ -149,7 +156,7 @@ object Dedup {
       // TextAnalysis.codepoints
       pmod(aggregate(TextAnalysis.codepoints(w),
         lit(0L), (acc, cp) => pmod(acc * 131 + cp, lit(1000000007L)))
-        * 2654435761L, lit(1073741789L)))
+        * mult, lit(1073741789L)))
 
   /** 30-bit SimHash over portable token hashes, bit i at position i —
     * the fully-oracle-replayable variant behind pipe_dedup_simhash
@@ -229,6 +236,113 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
           .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle-replayable twin of [[simhashPairsWide]]: a 60-bit signature
+    * from TWO independent portable 30-bit SimHashes (scramble multipliers
+    * 2654435761 / 2246822519 — xxhash's prime2, also odd, so both spread
+    * the polynomial across the full 30 bits), blocked on 4×15-bit
+    * pigeonhole chunks (2 per signature — any pair within maxHamming ≤ 3
+    * over the concatenated 60 bits collides on ≥ 1 chunk). DuckDB
+    * recomputes both signatures bit-for-bit, so the emitted pair set is
+    * fully value-oracled, blocking included (pipe_dedup_simhash_wide). */
+  def simhashPairsPortableWide(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 pigeonhole chunks cover maxHamming <= 3, got $maxHamming")
+    val sigs = df.select(col(idCol).as("id"),
+      simhash30FromHashes(
+        tokenHashesPortableScrambled(col(textCol), 2654435761L)).as("sig0"),
+      simhash30FromHashes(
+        tokenHashesPortableScrambled(col(textCol), 2246822519L)).as("sig1"))
+    val chunked = sigs
+      .select(col("id"), col("sig0"), col("sig1"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .select(col("id"), col("sig0"), col("sig1"), col("chunk"),
+        expr("shiftright(CASE WHEN chunk < 2 THEN sig0 ELSE sig1 END, " +
+          "CAST((chunk % 2) * 15 AS INT)) & 32767L").as("ck"))
+    chunked.as("l")
+      .join(chunked.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig0").as("s0a"), col("l.sig1").as("s1a"),
+        col("r.sig0").as("s0b"), col("r.sig1").as("s1b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("s0a").bitwiseXOR(col("s0b"))) +
+          bit_count(col("s1a").bitwiseXOR(col("s1b")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Wide-signature SimHash near-dup pairs — the >10M-doc variant of
+    * [[simhashPairs]] (SCALE.md "SimHash fixed-bucket caveat"): the
+    * narrow path's 4×2^16 chunk buckets are fixed, so bucket occupancy
+    * — and intra-bucket pair work — grows linearly (candidate volume
+    * quadratically) with the corpus; past ~10M docs the fix is a WIDER
+    * signature, since the chunk COUNT is forced to maxHamming+1 by the
+    * pigeonhole bound and only chunk WIDTH can buy more buckets.
+    *
+    * `sigLongs` independent 63-bit signatures are built from
+    * independently-seeded token hashes (xxhash64(token, j) — each token
+    * still hashed once per seed, map-side) and concatenated into a
+    * 63·sigLongs-bit signature. Pigeonhole blocking chops EACH long into
+    * ceil((maxHamming+1)/sigLongs) pieces — ≥ maxHamming+1 chunks
+    * total, so any pair within `maxHamming` over the concatenated
+    * signature still collides on at least one chunk — and chunk width
+    * rises from 16 to ~31 bits at sigLongs=2: bucket space grows from
+    * 4×2^16 to 4×2^31, holding bucket sizes sane to ~10^12 docs.
+    *
+    * Semantics knob: hamming ≤ maxHamming over MORE bits is a stricter
+    * similarity statement (3/126 ≈ cosine of the 63-bit threshold at
+    * 1.5/63), so callers widening the signature at fixed maxHamming get
+    * higher precision / lower recall; scale maxHamming ∝ sigLongs to
+    * keep the similarity threshold (PipeScale exercises sigLongs=2 at
+    * both maxHamming=3 and the threshold-preserving 6). */
+  def simhashPairsWide(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, sigLongs: Int = 2): DataFrame = {
+    require(sigLongs >= 1 && sigLongs <= 8,
+      s"sigLongs must be in 1..8, got $sigLongs")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    graft.functions.Sketches.register(df.sparkSession)
+    // one signature per seed; each long is an independent 63-bit SimHash
+    val sigArr = array((0 until sigLongs).map { j =>
+      graft.functions.Sketches.simhash63(
+        transform(split(col(textCol), " "), t => xxhash64(t, lit(j))))
+    }: _*)
+    val sigs = df.select(col(idCol).as("id"), sigArr.as("sig")).persist()
+    val chunksPerLong =
+      math.max(1, math.ceil((maxHamming + 1).toDouble / sigLongs).toInt)
+    val width = 63 / chunksPerLong
+    // chunk c of long j covers bits [c*width, ...); the LAST chunk of
+    // each long takes the 63 - (chunksPerLong-1)*width remainder bits —
+    // chunks partition all 63*sigLongs bits, so the pigeonhole holds
+    val pieces = for (j <- 0 until sigLongs; c <- 0 until chunksPerLong)
+      yield {
+        val w = if (c == chunksPerLong - 1) 63 - c * width else width
+        struct(lit(j * chunksPerLong + c).as("chunk"),
+          expr(s"shiftright(element_at(sig, ${j + 1}), ${c * width}) & " +
+            s"${(1L << w) - 1}L").as("ck"))
+      }
+    val chunked = sigs
+      .select(col("id"), col("sig"), explode(array(pieces: _*)).as("p"))
+      .select(col("id"), col("sig"),
+        col("p.chunk").as("chunk"), col("p.ck").as("ck"))
+    chunked.as("l")
+      .join(chunked.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

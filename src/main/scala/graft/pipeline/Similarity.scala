@@ -207,25 +207,107 @@ object Similarity {
     transform(slice(array_sort(scored), 1, nProbe), s => s.getField("cell"))
   }
 
+  /** IVF sizing rule (the nCells analogue of lshNearPairs' band rule —
+    * empirically validated, see SCALE.md "IVF sizing rule" and the
+    * PipeScale ANN stage which derives parameters from this function):
+    *
+    *   nCells = 2^ceil(log2(n / 200)), clamped to [16, 2^16]
+    *   nProbe = nCells / 4
+    *
+    * Why: at a FIXED probe fraction (nProbe/nCells — the per-query cost
+    * fraction), measured recall is governed by the ABSOLUTE number of
+    * cells, because finer cells conform better to the query's cosine
+    * cap. On structureless 64-dim data (the worst case — no cluster
+    * structure for the centroids to find) at probe fraction 1/4:
+    * 16 cells ≈ 0.45–0.60 recall regardless of n, 256 cells ≈ 0.77,
+    * 1024 ≈ 0.84–0.89, 4096 ≈ 0.98 (sampled centroids; +0.1–0.2 more
+    * with kmeansIters=2 — 256 cells reaches 0.86–0.94). Target cell
+    * size ~200 keeps intra-cell candidate work bounded as n grows —
+    * the same quadratic-bucket trap the LSH rule fixes. The 2^16 clamp
+    * bounds the broadcast centroid matrix (2^16 × dim doubles ≈ 32 MB
+    * at dim 64) and the map-side assignment cost; past the clamp the
+    * probe fraction — not granularity — is the remaining recall lever. */
+  def ivfParams(n: Long): (Int, Int) = {
+    val raw = math.max(1L, n / 200L)
+    val h = java.lang.Long.highestOneBit(raw)
+    val pow = if (h == raw) raw else h * 2          // 2^ceil(log2(raw))
+    val cells = math.max(16L, math.min(1L << 16, pow)).toInt
+    (cells, math.max(1, cells / 4))
+  }
+
+  /** Unit-normalized copy of a double-array column (norm let-bound via
+    * the 1-element transform wrapper — HOF lambdas are not CSE'd). */
+  private def unitize(v: Column): Column =
+    element_at(
+      transform(
+        array(greatest(
+          sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)), lit(1e-12))),
+        nrm => transform(v, x => x / nrm)),
+      1)
+
+  /** `iters` rounds of spherical k-means (Lloyd) refinement over the
+    * corpus: assign each unit vector to its nearest centroid (map-side,
+    * same kernel as ivfTopK), average per (cell, dimension) — a
+    * (nCells×dim)-group aggregate, driver result exactly the size of
+    * the centroid matrix we broadcast anyway — and renormalize. Cells
+    * that lose all members keep their previous centroid. Each round is
+    * one corpus pass; 2 rounds buy +0.1–0.2 recall on structureless
+    * data (see ivfParams scaladoc). */
+  private def refineCentroids(
+      base: DataFrame, init: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
+    var cent = init
+    val dim = init.head.size
+    val unitVecs = base.select(unitize(col("vec")).as("uvec"))
+    for (_ <- 0 until iters) {
+      // two selects: a generator (posexplode) in the same projection as
+      // the lambda-built scored structs makes ExtractGenerator re-resolve
+      // the lambda and drop the struct field aliases (FIELD_NOT_FOUND)
+      val means = unitVecs
+        .select(col("uvec"),
+          element_at(nearestCells(col("uvec"), cent, 1), 1).as("cell"))
+        .select(col("cell"), posexplode(col("uvec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val v = new Array[Double](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+          cell -> v.map(_ / n).toSeq
+        }
+      cent = cent.indices.map(i => means.getOrElse(i + 1, cent(i)))
+    }
+    cent
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest centroid cell; each query searches only its `nProbe`
-    * nearest cells. Centroids are a deterministic hash-ranked sample of
-    * the corpus itself (k-means would slot in the same shape) and ship as
-    * an ~nCells×dim literal — at 100 TB the corpus is scanned once to
-    * assign cells (map-side), and each query touches nProbe/nCells of the
-    * data. Returns (qid, nid, cos) top-k per query. */
+    * nearest cells. Centroids start as a deterministic hash-ranked sample
+    * of the corpus, optionally refined by `kmeansIters` rounds of
+    * spherical k-means (each round = one corpus pass; recommended 2 for
+    * recall-sensitive use — float-sum order makes refined centroids
+    * bit-nondeterministic across partitionings, so the oracle-replayable
+    * path is kmeansIters=0), and ship as an ~nCells×dim literal — at
+    * 100 TB the corpus is scanned once to assign cells (map-side), and
+    * each query touches nProbe/nCells of the data. Size nCells/nProbe
+    * with ivfParams (see its scaladoc for the measured recall curve).
+    * Returns (qid, nid, cos) top-k per query. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
     graft.functions.Sketches.register(corpus.sparkSession)
     val base = corpus.select(col(idCol).as("id"),
       asDouble(col(vecCol)).as("vec"))
     // deterministic "centroids": nCells corpus vectors by md5-rank
-    val centroids: Seq[Seq[Double]] = base
+    val sampled: Seq[Seq[Double]] = base
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(nCells)
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val centroids =
+      if (kmeansIters <= 0) sampled
+      else refineCentroids(base, sampled, kmeansIters)
     val assigned = base.select(col("id").as("nid"), col("vec").as("nvec"),
       element_at(nearestCells(col("vec"), centroids, 1), 1).as("cell"))
     val probed = queries

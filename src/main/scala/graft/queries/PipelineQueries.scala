@@ -406,6 +406,63 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ── wide-signature SimHash pairs (the >10M-doc variant, oracled) ─────
+    // 60-bit signature = two independent portable 30-bit SimHashes
+    // (scramble multipliers 2654435761 / 2246822519); blocking is 4×15-bit
+    // pigeonhole chunks, so bucket space is 4×2^15 per hash family where
+    // the narrow path's was 4×2^8 — the scale story is the xxhash64 twin
+    // simhashPairsWide (sigLongs=2 → 4×2^31 buckets, PipeScale-rehearsed);
+    // THIS portable twin exists so the whole pair set, blocking included,
+    // is value-oracled: DuckDB recomputes both signatures bit-for-bit and
+    // scans all pairs. maxHamming=2 over 60 bits preserves the narrow
+    // query's 1-in-30 relative threshold.
+    "pipe_dedup_simhash_wide" -> Q(s"""
+      |WITH th AS (
+      |  SELECT doc_id,
+      |         list_transform(
+      |           list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+      |           w -> list_reduce(
+      |                  list_transform(string_split_regex(w, ''),
+      |                    c -> CAST(unicode(c) AS BIGINT)),
+      |                  (acc, cp) -> (acc * 131 + cp) % 1000000007)) ph
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(generate_series(0, 29), i ->
+      |             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                    list_transform(ph, h ->
+      |                      CASE WHEN (((h * 2654435761) % 1073741789) >> i) & 1 = 1
+      |                           THEN CAST(1 AS BIGINT)
+      |                           ELSE CAST(-1 AS BIGINT) END)),
+      |                    (a, b) -> a + b) > 0
+      |                  THEN CAST(1 AS BIGINT) << i
+      |                  ELSE CAST(0 AS BIGINT) END)),
+      |           (a, b) -> a + b) sig0,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(generate_series(0, 29), i ->
+      |             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                    list_transform(ph, h ->
+      |                      CASE WHEN (((h * 2246822519) % 1073741789) >> i) & 1 = 1
+      |                           THEN CAST(1 AS BIGINT)
+      |                           ELSE CAST(-1 AS BIGINT) END)),
+      |                    (a, b) -> a + b) > 0
+      |                  THEN CAST(1 AS BIGINT) << i
+      |                  ELSE CAST(0 AS BIGINT) END)),
+      |           (a, b) -> a + b) sig1
+      |  FROM th)
+      |SELECT a.doc_id id_a, b.doc_id id_b,
+      |       CAST(bit_count(xor(a.sig0, b.sig0))
+      |            + bit_count(xor(a.sig1, b.sig1)) AS BIGINT) hamming
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig0, b.sig0))
+      |      + bit_count(xor(a.sig1, b.sig1)) <= 2
+      |ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.simhashPairsPortableWide(Engine.table(s, d, "documents"),
+          "doc_id", "text", maxHamming = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ── embedding-cosine near-dup dedup (LSH scale path, oracled) ────────
     // Corpus = embeddings ∪ positively-scaled copies of every 10th vector
     // (scaling preserves hyperplane signs bit-for-bit, so the LSH

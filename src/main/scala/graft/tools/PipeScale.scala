@@ -109,6 +109,37 @@ object PipeScale {
       s"simhash cluster-keep mismatch: " +
         s"extra=${(simKeepN diff simKeep1.map(_ * fac)).take(3)}")
 
+    // ── 2c. WIDE simhash (the >10M-doc variant, SCALE.md) — the same
+    //    keeper-mapping assertion against ITS OWN ×1 run, at the
+    //    precision-raising maxHamming=3 (3 bits over 126 — the setting
+    //    the widening exists for: chunk width 16→31 bits, bucket space
+    //    4×2^16 → 4×2^31). Replica pairs have identical signatures
+    //    (hamming 0) so the mapping invariant is exact. PINNED NEGATIVE
+    //    (measured here once, r10): the threshold-PRESERVING setting
+    //    (mh=6 over 126 bits = narrow's 3/63 rate) took 174 s at ×20 vs
+    //    11.6 s for mh=3 — pigeonhole forces chunks = mh+1, so at a
+    //    constant hamming RATE chunk width stays ~constant (15–16 bits)
+    //    no matter how wide the signature: widening buys blocking
+    //    granularity ONLY at fixed absolute maxHamming. Not a standing
+    //    stage: the cost is the finding, re-measuring it every gate
+    //    buys nothing ──────────────────────────────────────────────────
+    for (mh <- Seq(3)) {
+      val wideKeep1 = Clustering.dedupByPairs(docs, "doc_id",
+          Dedup.simhashPairsWide(docs, "doc_id", "text",
+            maxHamming = mh, sigLongs = 2).select("id_a", "id_b"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val wideKeepN = timed(s"wide simhash keep ×$fac (mh=$mh)") {
+        Clustering.dedupByPairs(docsN, "doc_id",
+            Dedup.simhashPairsWide(docsN, "doc_id", "text",
+              maxHamming = mh, sigLongs = 2).select("id_a", "id_b"))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      }
+      require(wideKeepN == wideKeep1.map(_ * fac),
+        s"wide simhash (mh=$mh) keeper mismatch: " +
+          s"extra=${(wideKeepN diff wideKeep1.map(_ * fac)).take(3)} " +
+          s"missing=${(wideKeep1.map(_ * fac) diff wideKeepN).take(3)}")
+    }
+
     // ── 3. bloom decontamination (train ×fac, eval fixed at ×1) ────
     val eval1 = docs.filter(col("doc_id") % 17 === 0)
     // integral floor division — exact at any scale (double division is
@@ -185,6 +216,14 @@ object PipeScale {
     // the ops' own (cos desc, nid) order: the recall statement is then
     // about the GEOMETRY (replicas of the ×1 neighbors), not about
     // finding one's own copies.
+    // IVF parameters come from the sizing rule under test
+    // (Similarity.ivfParams: nCells = 2^ceil(log2(n/200)) clamped to
+    // [16, 2^16], nProbe = nCells/4, kmeansIters=2) — the rehearsal
+    // validates the rule itself, same contract as the LSH band rule
+    // below. Recall floor: ≥ 0.8 at probe fraction 1/4 whenever the
+    // derived granularity is ≥ 256 cells (the measured curve's knee —
+    // below that, e.g. at ×1's 2000 vectors → 16 cells, structureless
+    // data tops out near 0.5 and only the no-collapse bound applies).
     def recall(corpus: DataFrame, queries: DataFrame, f: Int): Double = {
       def top10(df: DataFrame) = df
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -193,10 +232,12 @@ object PipeScale {
             .sortBy { case (_, n, c) => (-c, n) }.take(10).map(_._2).toSet)
         .toMap
       val kk = 10 + f - 1
+      val (nCells, nProbe) = Similarity.ivfParams(corpus.count())
       val exact = top10(Similarity.bruteForceTopK(
         corpus, queries, "vec_id", "embedding", kk))
       val ivf = top10(Similarity.ivfTopK(
-        corpus, queries, "vec_id", "embedding", kk))
+        corpus, queries, "vec_id", "embedding", kk,
+        nCells = nCells, nProbe = nProbe, kmeansIters = 2))
       require(exact.nonEmpty && exact.values.forall(_.size == 10),
         "brute-force ground truth malformed")
       exact.map { case (q, s) =>
@@ -207,9 +248,15 @@ object PipeScale {
     val rN = timed(s"ivf top-k recall ×$fac") {
       recall(embN, queriesOf(embN, 40L * fac), fac)   // same 50 originals
     }
-    println(f"[pipescale] ivf recall ×1=$r1%.3f ×$fac=$rN%.3f")
+    val (cellsN, _) = Similarity.ivfParams(2000L * fac)
+    println(f"[pipescale] ivf recall ×1=$r1%.3f ×$fac=$rN%.3f " +
+      s"(nCells ×$fac=$cellsN)")
     require(rN >= r1 - 0.15,
       f"ivf recall collapsed with scale: ×1=$r1%.3f ×$fac=$rN%.3f")
+    if (cellsN >= 256)
+      require(rN >= 0.8,
+        f"ivf recall $rN%.3f below the 0.8 floor the sizing rule " +
+          s"promises at $cellsN cells (probe fraction 1/4, kmeansIters=2)")
     // LSH near-pairs needs scale-sized bands: the band bucket COUNT is
     // 2^bandBits and does not grow with the corpus, so bucket size —
     // and intra-bucket pair work — grows linearly (quadratically) in

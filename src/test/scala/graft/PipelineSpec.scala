@@ -91,6 +91,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("wide simhash: pigeonhole blocking == brute-force pair set") {
+    // The completeness claim of simhashPairsWide: chunk blocking over the
+    // concatenated 126-bit signature finds EXACTLY the pairs an all-pairs
+    // hamming scan finds (pigeonhole: hamming <= 3 over 4 chunks leaves
+    // one chunk untouched). Verified here with the identical signature
+    // recomputed independently and cross-joined.
+    graft.functions.Sketches.register(spark)
+    val sigs = docs.select(col("doc_id"),
+      array((0 until 2).map { j =>
+        graft.functions.Sketches.simhash63(
+          transform(split(col("text"), " "), t => xxhash64(t, lit(j))))
+      }: _*).as("sig"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = Dedup.simhashPairsWide(docs, "doc_id", "text",
+        maxHamming = 3, sigLongs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == brute,
+      s"missing=${(brute diff blocked).take(3)} extra=${(blocked diff brute).take(3)}")
+  }
+
+  test("portable wide simhash: blocking == brute force, 60-bit signature") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash30FromHashes(
+        Dedup.tokenHashesPortableScrambled(col("text"), 2654435761L)).as("s0"),
+      Dedup.simhash30FromHashes(
+        Dedup.tokenHashesPortableScrambled(col("text"), 2246822519L)).as("s1"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (bit_count(col("a.s0").bitwiseXOR(col("b.s0"))) +
+          bit_count(col("a.s1").bitwiseXOR(col("b.s1")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = Dedup.simhashPairsPortableWide(docs, "doc_id", "text",
+        maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == brute,
+      s"missing=${(brute diff blocked).take(3)} extra=${(blocked diff brute).take(3)}")
+  }
+
   test("embedding dedup: LSH path == exact path, planted dups dropped") {
     // corpus = originals + positively-scaled copies of every 10th vector
     // (cos = 1 with the original; scaling preserves hyperplane signs, so
@@ -129,6 +177,33 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
+
+  test("ivfParams sizing rule: powers of two, clamped, quarter probe") {
+    // rule: nCells = 2^ceil(log2(n/200)) in [16, 2^16], nProbe = nCells/4
+    assert(Similarity.ivfParams(500L) == ((16, 4)))        // floor clamp
+    assert(Similarity.ivfParams(2000L) == ((16, 4)))
+    assert(Similarity.ivfParams(40000L) == ((256, 64)))    // 40000/200=200→256
+    assert(Similarity.ivfParams(100000L) == ((512, 128)))  // 500→512
+    assert(Similarity.ivfParams(51200L) == ((256, 64)))    // exact power stays
+    assert(Similarity.ivfParams(100000000000L) == ((65536, 16384))) // cap clamp
+  }
+
+  test("ivfTopK with kmeansIters refines without breaking the contract") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 6, kmeansIters = 2).collect()
+    // contract: <= k ranked rows per query, cos is the TRUE cosine
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val cs = rs.map(_.getDouble(2)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+    val recall = (exact & rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .size.toDouble / exact.size
+    assert(recall >= 0.5, s"refined IVF recall@5 = $recall")
   }
 
   test("multimodal resize + frame sampling: deterministic, bounded fan-out") {
