@@ -155,6 +155,12 @@ object Bench {
     def li = Engine.table(spark, sfDir, "lineitem")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // NOTE (r10 adjudication, SCALE.md): cases run over DIFFERENT tables
+    // (decimal/mixed_tuple4 sort 600k-row 16-col lineitem; the rest sort
+    // 100k-row events), so comparing one case against ANOTHER conflates
+    // key type with table size and payload width — graft.tools.SortAb
+    // showed decimal at parity-or-faster than int on the same table.
+    // The valid read is each case against ITSELF round-over-round.
     val sortCases: Seq[(String, () => Unit)] = Seq(
       "utf8" -> (() => noop(events.orderBy("event_type"))),
       "int" -> (() => noop(events.orderBy("user_id"))),

@@ -303,15 +303,28 @@ object H2oClickQueries {
       |SELECT s.user_id, st, pt, pt - st AS secs_to_convert
       |FROM s LEFT JOIN p ON s.user_id = p.user_id
       |ORDER BY s.user_id""") { (s, d) =>
+      // one-pass window shape (r10, same class as the tpch q21/q2
+      // rewrites): the join formulation scanned events 3× and computed
+      // the signup aggregate twice (the two subtrees carry different
+      // null filters, so ReuseExchange can't unify them), and its
+      // purchase⨝signup-mins join only broadcasts while the per-user
+      // dim fits — at 100 TB it degrades to a raw-purchase shuffle PLUS
+      // the two aggregate shuffles. Here: ONE scan (event_type IN
+      // pushed down), ONE hash exchange on user_id; the window computes
+      // each user's first signup and the groupBy reuses the window's
+      // partitioning (zero extra exchanges before the output sort).
       val ev = Engine.table(s, d, "events")
+        .filter(col("event_type").isin("signup", "purchase"))
         .select(col("user_id"), col("event_type"),
           unix_timestamp(col("ts")).as("es"))
-      val sgn = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("es")).as("st"))
-      val pur = ev.filter(col("event_type") === "purchase")
-        .join(sgn, "user_id").filter(col("es") >= col("st"))
-        .groupBy(col("user_id")).agg(min(col("es")).as("pt"))
-      sgn.join(pur, Seq("user_id"), "left")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val isSignup = col("event_type") === "signup"
+      ev.withColumn("stw", min(when(isSignup, col("es"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(when(isSignup, col("es"))).as("st"),
+          min(when(col("event_type") === "purchase" &&
+            col("es") >= col("stw"), col("es"))).as("pt"))
+        .filter(col("st").isNotNull)
         .select(col("user_id"), col("st"), col("pt"),
           (col("pt") - col("st")).as("secs_to_convert"))
         .orderBy(col("user_id"))
@@ -407,20 +420,39 @@ object H2oClickQueries {
       |ORDER BY props, event_id LIMIT 10"""),
 
     // q30 — regex-REPLACE key extraction + HAVING (Spark replaces all
-    // matches by default; DuckDB needs the 'g' flag)
-    "click_regex_replace" -> sql(
-      """
-      |SELECT regexp_replace(props, '[^0-9]', '') AS k,
-      |       round(avg(length(props)) + 1e-9, 4) AS l, count(*) AS c,
-      |       min(props) AS first_props
-      |FROM events GROUP BY regexp_replace(props, '[^0-9]', '')
-      |HAVING count(*) > 5 ORDER BY l DESC, k LIMIT 25""",
+    // matches by default; DuckDB needs the 'g' flag). Spark side is the
+    // two-level shape (r10): min(props) has an immutable string buffer,
+    // so the single-level plan falls back to SortAggregate — TWO full
+    // sorts of every raw row by the regex key. Pre-aggregating by
+    // (k, props) first runs as a mutable-buffer HashAggregate with
+    // map-side partials (shuffle ∝ distinct pairs, regex still once per
+    // row), leaving the string-min SortAggregate only the distinct
+    // (k, props) pairs. avg(length) is recomposed exactly from the
+    // partials: lengths and counts are small integers, so the double
+    // sums are exact on both engines. At 100 TB the sorted bytes drop
+    // from the full fact to the pair cardinality.
+    "click_regex_replace" -> Q(
       """
       |SELECT regexp_replace(props, '[^0-9]', '', 'g') AS k,
       |       round(avg(length(props)) + 1e-9, 4) AS l, count(*) AS c,
       |       min(props) AS first_props
       |FROM events GROUP BY regexp_replace(props, '[^0-9]', '', 'g')
-      |HAVING count(*) > 5 ORDER BY l DESC, k LIMIT 25"""),
+      |HAVING count(*) > 5 ORDER BY l DESC, k LIMIT 25""") { (s, d) =>
+      Engine.table(s, d, "events")
+        .groupBy(regexp_replace(col("props"), "[^0-9]", "").as("k"),
+          col("props"))
+        .agg(count(lit(1)).as("c2"))
+        .groupBy(col("k"))
+        .agg(
+          round((sum(length(col("props")) * col("c2")) / sum(col("c2")))
+            + 1e-9, 4).as("l"),
+          sum(col("c2")).as("c"),
+          min(col("props")).as("first_props"))
+        .filter(col("c") > 5)
+        .orderBy(col("l").desc, col("k"))
+        .limit(25)
+        .select(col("k"), col("l"), col("c"), col("first_props"))
+    },
 
     // q32-q34 — high-cardinality pair grouping with count+sum+avg
     "click_pair_heavy" -> sql("""
