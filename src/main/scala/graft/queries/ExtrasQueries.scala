@@ -147,20 +147,24 @@ object ExtrasQueries {
       val scoped = l.join(su, l("l_suppkey") === su("s_suppkey"))
         .select(col("l_partkey"),
           (col("l_quantity") * col("l_extendedprice")).as("v"))
-      // NEGATIVE A/B, pinned (r9): deriving the threshold from the
-      // grouped result (grand total = exact sum of per-part DECIMAL
-      // sums) looks like it halves the fact work, but Spark re-plans
-      // the grouped subtree for the threshold's broadcast side — no
-      // exchange reuse fires (verified in the plan; the q14-CTE
-      // lesson) — so the "one-pass" form does the fact join TWICE
-      // anyway: 0.504 → 0.643 s median (sf0.1, targeted, iters=5).
-      // Eagerly checkpointing the part-bounded grouped frame fixes the
-      // recompute but the write cost makes it a wash locally (0.500
-      // median, min 0.394 → 0.456), so the straightforward two-pass
-      // shape stays: its threshold pass is a partial aggregate (no
-      // shuffle of the fact), and at 100 TB the checkpoint variant's
-      // win is one fact scan vs a part-cardinality write — re-A/B at
-      // a bigger SF before adopting.
+      // NEGATIVE A/B, pinned (r9, RE-CONFIRMED r10 at larger SF —
+      // closes the r9 "re-A/B at a bigger SF" follow-up): deriving the
+      // threshold from the grouped result makes Spark re-plan the
+      // grouped subtree for the broadcast side (no exchange reuse,
+      // 0.504 → 0.643 s — the q14-CTE lesson), and the checkpointed
+      // fix was briefly ADOPTED in r10 then REVERTED: graft.tools.Q11Ab
+      // (fact replicated in-memory ×10/×30/×100, values identical both
+      // variants) showed checkpoint −19%/−10%/wash — but that harness
+      // pays explode CPU on BOTH passes, overstating the second pass.
+      // Against real parquet, like-for-like targeted bench (iters=7,
+      // same box, same mode): checkpoint 0.49 s median vs this
+      // two-pass shape 0.42–0.45 s — localCheckpoint's eager job +
+      // write costs more than the threshold pass (a vectorized scan +
+      // map-side partial aggregate, NO fact shuffle) saves locally.
+      // At true 100 TB the second scan is real IO and the checkpoint
+      // write is bounded by part cardinality — IF a deployment is
+      // scan-bound there, the checkpoint variant is three lines away;
+      // the shipped shape optimizes the measured regime.
       val threshold = scoped.agg((sum(col("v")) * 0.001).as("thr"))
       scoped.groupBy(col("l_partkey"))
         .agg(sum(col("v")).as("raw_value"))
