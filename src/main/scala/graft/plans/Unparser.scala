@@ -33,10 +33,13 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * Sort, Limit/Offset, Distinct, Window, Union [ALL/DISTINCT],
   * Intersect/Except [ALL], all join types, subquery expressions
   * (EXISTS / NOT EXISTS / IN / NOT IN / scalar, incl. correlated),
-  * SubqueryAlias, and base relations reached through a SubqueryAlias
-  * (spark.table). Lower-level scans (raw files without a view name),
-  * grouping()/grouping_id() output columns, and streaming/recursive
-  * nodes are out of scope and raise a named error.
+  * Generate/unnest re-emitted as LATERAL VIEW [OUTER] (r10; reference
+  * round-trips its Unnest plan), SubqueryAlias, base relations reached
+  * through a SubqueryAlias (spark.table), and raw single-location
+  * parquet/csv/json file scans via the direct-file-query syntax
+  * format.`path` (r10; reference round-trips TableScan). In-memory
+  * LocalRelations, grouping()/grouping_id() output columns, and
+  * streaming/recursive nodes are out of scope and raise a named error.
   *
   * Caveat (same as the reference's unparser): generated SQL refers to
   * columns by NAME, so plans that join two relations sharing a column
@@ -195,6 +198,29 @@ object Unparser {
       val all = if (isAll) " ALL" else ""
       s"(${setOpChild(l, c)}) EXCEPT$all (${setOpChild(r, c)})"
 
+    // Unnest/Generate (reference: sql/src/unparser/plan.rs round-trips
+    // its Unnest plan): re-emitted as LATERAL VIEW — the generator
+    // expression (explode/posexplode/inline/explode of a map/custom
+    // registered Generators) renders via Expression.sql, child columns
+    // minus the analyzer's unrequired indices pass through, and OUTER
+    // maps to LATERAL VIEW OUTER
+    case g: Generate =>
+      val childCols = g.child.output.zipWithIndex
+        .filterNot { case (_, i) => g.unrequiredChildIndex.contains(i) }
+        .map { case (a, _) => s"`${a.name}`" }
+      val genCols = g.generatorOutput.map(a => s"`${a.name}`")
+      val outerKw = if (g.outer) "OUTER " else ""
+      s"SELECT ${(childCols ++ genCols).mkString(", ")} " +
+        s"FROM ${from(g.child, c)} LATERAL VIEW $outerKw" +
+        s"${exprSql(g.generator, c)} `${nextAlias(c)}` " +
+        s"AS ${genCols.mkString(", ")}"
+
+    // bare file scan at the top of a plan (reference: TableScan
+    // round-trip): spark.read.<format>(path) with no view name renders
+    // through the direct-file-query syntax — SELECT * FROM parquet.`p`
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      s"SELECT * FROM ${fileTable(lr)}"
+
     case Join(left, right, joinType, cond, _) =>
       val kw = joinType match {
         case Inner => "JOIN"
@@ -326,11 +352,42 @@ object Unparser {
     case other => render(other, c)
   }
 
-  /** Render a child as a FROM item: base tables by name, everything
-    * else as a named derived table. */
+  /** Render a child as a FROM item: base tables by name, raw file scans
+    * through the direct-file-query syntax, everything else as a named
+    * derived table. */
   private def from(plan: LogicalPlan,
       c: java.util.concurrent.atomic.AtomicInteger): String = plan match {
     case sa: SubqueryAlias => render(sa, c)
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      fileTable(lr)
     case other => s"(${render(other, c)}) AS `${nextAlias(c)}`"
   }
+
+  /** A nameless LogicalRelation (spark.read.parquet/csv/json with no
+    * registered view) renders as the engine's direct-file-query table
+    * term — format.`path` — so plans built straight over files
+    * round-trip like the reference's TableScan (single-root locations
+    * only: a multi-path relation has no file-query spelling). */
+  private def fileTable(
+      lr: org.apache.spark.sql.execution.datasources.LogicalRelation): String =
+    lr.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+          if fs.location.rootPaths.length == 1 =>
+        val fmt = fs.fileFormat match {
+          case _: org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat =>
+            "parquet"
+          case _: org.apache.spark.sql.execution.datasources.csv.CSVFileFormat =>
+            "csv"
+          case _: org.apache.spark.sql.execution.datasources.json.JsonFileFormat =>
+            "json"
+          case other => throw new IllegalArgumentException(
+            s"Unparser: no direct-file-query syntax for file format " +
+              s"${other.getClass.getSimpleName}")
+        }
+        s"$fmt.`${fs.location.rootPaths.head}`"
+      case other => throw new IllegalArgumentException(
+        "Unparser: nameless non-file relation " +
+          s"${other.getClass.getSimpleName} — register a view and read " +
+          "it via spark.table so the plan carries a resolvable name")
+    }
 }

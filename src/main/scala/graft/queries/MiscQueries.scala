@@ -285,6 +285,34 @@ object MiscQueries {
       s.sql(graft.plans.Unparser.toSql(df))
     },
 
+    // ── unparser: Unnest/Generate — the explode plan re-emits as
+    //    LATERAL VIEW and the GENERATED text executes (reference:
+    //    sql/src/unparser/plan.rs Unnest round-trip) ─────────────────────
+    "unparse_unnest" -> Q("""
+      |SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id, word""") { (s, d) =>
+      Engine.registerAll(s, d)
+      val df = s.table("documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .orderBy(col("doc_id"), col("word"))
+      s.sql(graft.plans.Unparser.toSql(df))
+    },
+
+    // ── unparser: raw file scan — a plan built straight over
+    //    spark.read.parquet (no view name) renders through the
+    //    direct-file-query syntax parquet.`path` and the generated text
+    //    executes (reference: TableScan-with-filters round-trip) ─────────
+    "unparse_file_scan" -> Q("""
+      |SELECT n_nationkey, n_name FROM nation
+      |WHERE n_regionkey <= 2 ORDER BY n_nationkey""") { (s, d) =>
+      val df = s.read.parquet(s"$d/nation.parquet")
+        .filter(col("n_regionkey") <= 2)
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey"))
+      s.sql(graft.plans.Unparser.toSql(df))
+    },
+
     // ── unparser: PIVOT — the PivotFirst two-level aggregate is
     //    recovered and re-emitted as a PIVOT clause; absent combos pivot
     //    to NULL on both the original and regenerated plan, and the

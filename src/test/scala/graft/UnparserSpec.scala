@@ -197,10 +197,39 @@ class UnparserSpec extends AnyFunSuite {
     roundtrip(n.except(r))
   }
 
+  test("generate/unnest round-trips as LATERAL VIEW") {
+    val docs = spark.table("documents").filter(col("doc_id") < 20)
+    roundtrip(docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word")))
+    roundtrip(docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word"))))
+    // OUTER: an empty array keeps the row with NULL under explode_outer
+    roundtrip(docs.select(col("doc_id"),
+      explode_outer(slice(split(col("text"), " "), lit(1),
+        (col("doc_id") % 2).cast("int"))).as("word")))
+    // map generator: two output columns from explode of a map
+    roundtrip(docs.select(col("doc_id"),
+      explode(map(lit("lang"), col("lang"), lit("src"), col("source")))))
+    val sql = Unparser.toSql(docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word")))
+    assert(sql.contains("LATERAL VIEW"), sql)
+  }
+
+  test("raw file scans round-trip via direct-file-query syntax") {
+    val df = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_regionkey") <= 2)
+      .select(col("n_nationkey"), col("n_name"))
+    roundtrip(df)
+    val sql = Unparser.toSql(df)
+    assert(sql.contains("parquet.`"), sql)
+    roundtrip(spark.read.parquet(s"$sf/region.parquet").limit(3))
+  }
+
   test("unsupported nodes raise a named error") {
+    import spark.implicits._
     val e = intercept[IllegalArgumentException] {
-      // raw parquet read without a view name — no catalog identity
-      Unparser.toSql(spark.read.parquet(s"$sf/orders.parquet").limit(1))
+      // a LocalRelation (in-memory rows) has no catalog/file identity
+      Unparser.toSql(Seq((1, "a")).toDF("x", "y").limit(1))
     }
     assert(e.getMessage.contains("Unparser"))
   }
