@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       exprs => CosineSim(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("graft_pq_codes"),
+      new ExpressionInfo(classOf[functions.PqCodes].getName,
+        "graft_pq_codes"),
+      exprs => functions.PqCodes(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       exprs => Shingles(exprs(0), exprs(1))))

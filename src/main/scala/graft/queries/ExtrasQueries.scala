@@ -383,6 +383,62 @@ object ExtrasQueries {
         .orderBy(col("qid"), col("cos").desc, col("nid"))
     },
 
+    // ── product quantization: codes + reconstruction error (r10) ─────────
+    // Fully replayed by the oracle like pipe_sim_ivf: codebooks are the
+    // SAME md5-ranked deterministic sample (kmeansIters=0 — the
+    // refined path is float-sum nondeterministic and gated by
+    // PipelineSpec/recall instead), per-subspace argmin uses exact IEEE
+    // squared-L2 with a pinned fold order (list_prepend(0.0,...) ≡
+    // Spark's aggregate-from-0.0), first-index tie break on both
+    // engines (array_position / min(c) at the min distance). Emits the
+    // m=4 codes (ints — fp-free) and the per-vector reconstruction
+    // error folded in subspace order.
+    "pipe_sim_pq" -> Q("""
+      |WITH base AS (SELECT vec_id id,
+      |       list_transform(embedding, x -> CAST(x AS DOUBLE)) vec
+      |     FROM embeddings),
+      |cw AS (SELECT row_number() OVER
+      |         (ORDER BY md5(CAST(id AS VARCHAR)), id) c, vec
+      |       FROM base ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+      |d AS (SELECT b.id, j.j, cw.c,
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(generate_series(1, 16), t ->
+      |            (b.vec[(j.j - 1) * 16 + t] - cw.vec[(j.j - 1) * 16 + t])
+      |            * (b.vec[(j.j - 1) * 16 + t] - cw.vec[(j.j - 1) * 16 + t]))),
+      |          (a, x) -> a + x) dist
+      |      FROM base b, generate_series(1, 4) j(j), cw),
+      |mins AS (SELECT id, j, min(dist) md FROM d GROUP BY id, j),
+      |best AS (SELECT d.id, d.j, CAST(min(d.c) - 1 AS INT) code, min(m.md) md
+      |         FROM d JOIN mins m ON d.id = m.id AND d.j = m.j
+      |         WHERE d.dist = m.md GROUP BY d.id, d.j)
+      |SELECT id AS vec_id,
+      |       max(CASE WHEN j = 1 THEN code END) AS c1,
+      |       max(CASE WHEN j = 2 THEN code END) AS c2,
+      |       max(CASE WHEN j = 3 THEN code END) AS c3,
+      |       max(CASE WHEN j = 4 THEN code END) AS c4,
+      |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |         list(md ORDER BY j)), (a, x) -> a + x), 6) AS recon
+      |FROM best GROUP BY id ORDER BY vec_id""") { (s, d) =>
+      val emb = Engine.table(s, d, "embeddings")
+      val cbs = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8)
+      val cbLit = typedlit(cbs)
+      val v = transform(col("embedding"), _.cast("double"))
+      Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+        .join(emb.select(col("vec_id").as("id"), v.as("v")), "id")
+        .select(col("id").as("vec_id"),
+          element_at(col("codes"), 1).as("c1"),
+          element_at(col("codes"), 2).as("c2"),
+          element_at(col("codes"), 3).as("c3"),
+          element_at(col("codes"), 4).as("c4"),
+          round(aggregate(
+            zip_with(col("codes"), sequence(lit(1), lit(4)), (code, j) =>
+              Similarity.l2sq(
+                slice(col("v"), (j - 1) * 16 + 1, lit(16)),
+                element_at(element_at(cbLit, j), code + 1))),
+            lit(0.0), (acc, x) => acc + x), 6).as("recon"))
+        .orderBy(col("vec_id"))
+    },
+
     // ── salted aggregation ≡ plain aggregation (skew mitigation) ─────────
     "skew_salted_agg" -> Q("""
       |SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS rev,

@@ -206,6 +206,10 @@ object PipeScale {
           (v, j) => v.cast("double") +
             pmod(xxhash64(col("vec_id") * fac + col("rep"), j), lit(1000L))
               .cast("double") * 1e-6).as("embedding"))
+      // the source parquet is one tiny file → ONE partition; without
+      // this the per-vector ANN kernels (ivf assignment, pq encode)
+      // run the whole ×fac corpus on a single core
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     def queriesOf(df: DataFrame, everyNth: Long): DataFrame =
       df.filter(col("vec_id") % everyNth === 0)
@@ -257,6 +261,55 @@ object PipeScale {
       require(rN >= 0.8,
         f"ivf recall $rN%.3f below the 0.8 floor the sizing rule " +
           s"promises at $cellsN cells (probe fraction 1/4, kmeansIters=2)")
+
+    // ── 4c. PQ/ADC rerank recall at ×fac (r10) — PQ approximates L2,
+    //    so the ground truth here is exact squared-L2 top-k (own
+    //    original excluded, same replica discipline as the ivf stage).
+    //    m=16/k=64/iters=2/rerank=5 measured ≈0.85 at ×1 (2000
+    //    vectors); the scale statement is no-collapse + an absolute
+    //    0.6 floor — more distractors at ×fac lower the pre-rerank
+    //    shortlist hit rate, and the rerank factor, not corpus size,
+    //    is then the recall lever ─────────────────────────────────────
+    def pqRecall(corpus: DataFrame, queries: DataFrame, f: Int): Double = {
+      def top10(df: DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(
+          _.filter { case (q, n, _) => n / f != q / f }
+            .sortBy { case (_, n, dd) => (dd, n) }.take(10).map(_._2).toSet)
+        .toMap
+      val kk = 10 + f - 1
+      val cD = corpus.select(col("vec_id").as("nid"),
+        transform(col("embedding"), _.cast("double")).as("nvec"))
+      val qD = queries.select(col("vec_id").as("qid"),
+        transform(col("embedding"), _.cast("double")).as("qvec"))
+      val wL2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d").asc, col("nid"))
+      val exact = top10(cD.crossJoin(broadcast(qD))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          Similarity.l2sq(col("qvec"), col("nvec")).as("d"))
+        .withColumn("rn", row_number().over(wL2))
+        .filter(col("rn") <= kk)
+        .select(col("qid"), col("nid"), col("d")))
+      val pq = top10(Similarity.pqTopK(corpus, queries,
+        "vec_id", "embedding", topk = kk,
+        m = 16, k = 64, kmeansIters = 2, rerankFactor = 5))
+      require(exact.nonEmpty && exact.values.forall(_.size == 10),
+        "PQ L2 ground truth malformed")
+      exact.map { case (q, s) =>
+        (s intersect pq.getOrElse(q, Set.empty)).size / 10.0
+      }.sum / exact.size
+    }
+    val pq1 = pqRecall(emb, queriesOf(emb, 40), 1)
+    val pqN = timed(s"pq rerank recall ×$fac") {
+      pqRecall(embN, queriesOf(embN, 40L * fac), fac)
+    }
+    println(f"[pipescale] pq recall ×1=$pq1%.3f ×$fac=$pqN%.3f")
+    require(pqN >= pq1 - 0.15,
+      f"pq recall collapsed with scale: ×1=$pq1%.3f ×$fac=$pqN%.3f")
+    require(pqN >= 0.6,
+      f"pq rerank recall $pqN%.3f below the 0.6 floor (m=16, k=64, " +
+        "kmeansIters=2, rerank=5)")
     // LSH near-pairs needs scale-sized bands: the band bucket COUNT is
     // 2^bandBits and does not grow with the corpus, so bucket size —
     // and intra-bucket pair work — grows linearly (quadratically) in
@@ -278,7 +331,8 @@ object PipeScale {
 
     println(s"[pipescale] ALL PASS at ×$fac " +
       s"(exact=${exN.size} groups, keepers=${keepN.size}, " +
-      s"flagged=${flN.size}, ivf_recall=$rN, lsh_pairs=$lshPairs)")
+      s"flagged=${flN.size}, ivf_recall=$rN, pq_recall=$pqN, " +
+      s"lsh_pairs=$lshPairs)")
     spark.stop()
   }
 }

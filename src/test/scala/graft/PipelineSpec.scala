@@ -206,6 +206,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"refined IVF recall@5 = $recall")
   }
 
+  test("PQ codegen kernel == HOF executable spec, code for code") {
+    graft.functions.Sketches.register(spark)
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16)
+    val v = transform(col("embedding"), _.cast("double"))
+    val both = emb.select(col("vec_id"),
+        graft.functions.Sketches.pqCodes(v, cbs).as("kernel"),
+        Similarity.pqCodesHof(v, cbs).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"vec ${r.getLong(0)}: kernel ${r.getSeq[Int](1)} != hof ${r.getSeq[Int](2)}")
+    }
+  }
+
+  test("PQ: nested codebooks make reconstruction error monotone in k") {
+    // kmeansIters=0 codebooks are md5-rank samples and NESTED (the k=8
+    // sample is a prefix of the k=32 sample), so each vector's best
+    // codeword distance can only shrink — an exact law, not a bound
+    val cb8 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 8)
+    val cb32 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 32)
+    cb8.zip(cb32).foreach { case (a, b) => assert(b.take(8) == a) }
+    // reconstruction error via pqEncode + codebook lookup, driver-side
+    // (500 vectors at sf0.01 — bounded)
+    def mse(cbs: Seq[Seq[Seq[Double]]]): Double = {
+      val sub = cbs.head.head.size
+      val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+      codes.map { case (id, cs) =>
+        val v = vecs(id)
+        cs.zipWithIndex.map { case (code, j) =>
+          v.slice(j * sub, (j + 1) * sub).zip(cbs(j)(code))
+            .map { case (x, y) => (x - y) * (x - y) }.sum
+        }.sum
+      }.sum / codes.length
+    }
+    val m8 = mse(cb8); val m32 = mse(cb32)
+    assert(m32 <= m8, s"mse k=32 ($m32) must be <= mse k=8 ($m8)")
+  }
+
+  test("PQ/ADC top-k with rerank: recall floor vs exact L2 brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    // exact L2 ground truth (PQ approximates L2, not cosine)
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qids = queries.select("vec_id").collect().map(_.getLong(0))
+    val exact = qids.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (n, v) =>
+          val d = v.zip(vecs(q)).map { case (x, y) => (x - y) * (x - y) }.sum
+          (q, n, d)
+        }.sortBy(t => (t._3, t._2)).take(10).map(t => (t._1, t._2))
+    }.toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        topk = 10, m = 16, k = 64, kmeansIters = 3, rerankFactor = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ rerank recall@10 = $recall")
+    // emitted distances are exact L2 (rerank recomputes on originals)
+    val d = Similarity.pqTopK(emb, queries.limit(2), "vec_id", "embedding",
+        topk = 3, m = 8, k = 16, kmeansIters = 0).collect()
+    d.foreach { r =>
+      val t = vecs(r.getLong(1)).zip(vecs(r.getLong(0)))
+        .map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(math.abs(r.getDouble(2) - t) < 1e-4,
+        s"rerank distance ${r.getDouble(2)} != true $t")
+    }
+  }
+
   test("multimodal resize + frame sampling: deterministic, bounded fan-out") {
     val media = Multimodal.withSyntheticMedia(
       docs.select(col("doc_id")).limit(50), "doc_id")
