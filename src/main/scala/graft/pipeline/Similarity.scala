@@ -323,6 +323,36 @@ object Similarity {
     })
   }
 
+  /** PQ sizing rule — the (codebook size, rerank factor) analogue of
+    * ivfParams/the LSH band rule, validated by PipeScale at ×20/×50
+    * (SCALE.md "PQ sizing rule"):
+    *
+    *   k            = 2^ceil(log2(n / 200)), clamped to [16, 256]
+    *   rerankFactor = max(5, ceil(0.01 · n / topk))
+    *
+    * Why both levers: ADC error per vector is set by quantization
+    * granularity and does NOT shrink as the corpus grows, while the
+    * number of distractors inside that error band grows ∝ n — fixed
+    * parameters therefore COLLAPSE with scale (measured: 0.836 → 0.532
+    * recall from ×1 to ×50 at fixed k=64/rerank=5). k follows the same
+    * n/200 granularity rule as IVF cells but caps at 256 so codes stay
+    * one byte; past the cap the exact-rerank shortlist must hold a
+    * ~1% corpus fraction (the 0.01 factor) to out-scale the distractor
+    * count — measured recall under the rule: 0.62 at n=2000 (k at the
+    * 16 floor), ≥0.95 at 40k/100k. A 1%-of-corpus shortlist per query
+    * is the honest WORST-CASE (structureless data) bound for
+    * PQ-alone search; at production scale compose with IVF (probe
+    * nProbe/nCells of the corpus, ADC within the probed cells) so the
+    * fraction applies to the probed slice, not all of n. */
+  def pqParams(n: Long, topk: Int): (Int, Int) = {
+    val raw = math.max(1L, n / 200L)
+    val h = java.lang.Long.highestOneBit(raw)
+    val pow = if (h == raw) raw else h * 2
+    val k = math.max(16L, math.min(256L, pow)).toInt
+    val rer = math.max(5L, math.ceil(0.01 * n / math.max(1, topk)).toLong)
+    (k, rer.toInt)
+  }
+
   /** Train product-quantization codebooks: the vector space is split
     * into `m` contiguous subspaces (dim divisible by m); each subspace
     * gets `k` codewords — a deterministic md5-rank sample of the corpus

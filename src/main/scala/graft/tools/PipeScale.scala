@@ -265,11 +265,16 @@ object PipeScale {
     // ── 4c. PQ/ADC rerank recall at ×fac (r10) — PQ approximates L2,
     //    so the ground truth here is exact squared-L2 top-k (own
     //    original excluded, same replica discipline as the ivf stage).
-    //    m=16/k=64/iters=2/rerank=5 measured ≈0.85 at ×1 (2000
-    //    vectors); the scale statement is no-collapse + an absolute
-    //    0.6 floor — more distractors at ×fac lower the pre-rerank
-    //    shortlist hit rate, and the rerank factor, not corpus size,
-    //    is then the recall lever ─────────────────────────────────────
+    //    Parameters come from the sizing rule under test
+    //    (Similarity.pqParams): ADC error doesn't shrink as the corpus
+    //    grows while distractors inside the error band grow ∝ n, so
+    //    FIXED parameters collapse — measured 0.836 → 0.532 from ×1 to
+    //    ×50 at fixed k=64/rerank=5 (pinned negative, SCALE.md). Under
+    //    the rule (k by the n/200 granularity rule capped at one byte,
+    //    shortlist ≥ 1% of the corpus): 0.62 at ×1 (k at the 16
+    //    floor), ≥0.95 at ×20/×50 — recall RISES with scale. Floors:
+    //    no-collapse vs ×1, and ≥0.8 absolute once k reaches the
+    //    256 cap (the rule's knee, mirroring the ivf 256-cell floor) ──
     def pqRecall(corpus: DataFrame, queries: DataFrame, f: Int): Double = {
       def top10(df: DataFrame) = df
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -291,9 +296,10 @@ object PipeScale {
         .withColumn("rn", row_number().over(wL2))
         .filter(col("rn") <= kk)
         .select(col("qid"), col("nid"), col("d")))
+      val (kCw, rer) = Similarity.pqParams(corpus.count(), kk)
       val pq = top10(Similarity.pqTopK(corpus, queries,
         "vec_id", "embedding", topk = kk,
-        m = 16, k = 64, kmeansIters = 2, rerankFactor = 5))
+        m = 16, k = kCw, kmeansIters = 2, rerankFactor = rer))
       require(exact.nonEmpty && exact.values.forall(_.size == 10),
         "PQ L2 ground truth malformed")
       exact.map { case (q, s) =>
@@ -304,12 +310,15 @@ object PipeScale {
     val pqN = timed(s"pq rerank recall ×$fac") {
       pqRecall(embN, queriesOf(embN, 40L * fac), fac)
     }
-    println(f"[pipescale] pq recall ×1=$pq1%.3f ×$fac=$pqN%.3f")
+    val (kN, rerN) = Similarity.pqParams(2000L * fac, 10 + fac - 1)
+    println(f"[pipescale] pq recall ×1=$pq1%.3f ×$fac=$pqN%.3f " +
+      s"(k=$kN rerank=$rerN)")
     require(pqN >= pq1 - 0.15,
       f"pq recall collapsed with scale: ×1=$pq1%.3f ×$fac=$pqN%.3f")
-    require(pqN >= 0.6,
-      f"pq rerank recall $pqN%.3f below the 0.6 floor (m=16, k=64, " +
-        "kmeansIters=2, rerank=5)")
+    if (kN >= 256)
+      require(pqN >= 0.8,
+        f"pq rerank recall $pqN%.3f below the 0.8 floor the sizing " +
+          s"rule promises at k=$kN (m=16, kmeansIters=2, rerank=$rerN)")
     // LSH near-pairs needs scale-sized bands: the band bucket COUNT is
     // 2^bandBits and does not grow with the corpus, so bucket size —
     // and intra-bucket pair work — grows linearly (quadratically) in

@@ -179,6 +179,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("pqParams sizing rule: byte-capped granularity, 1% shortlist") {
+    assert(Similarity.pqParams(2000L, 10) == ((16, 5)))      // both floors
+    assert(Similarity.pqParams(40000L, 29) == ((256, 14)))   // 0.01n/topk
+    assert(Similarity.pqParams(100000L, 59) == ((256, 17)))  // k capped
+    assert(Similarity.pqParams(51200L, 10) == ((256, 52)))
+  }
+
   test("ivfParams sizing rule: powers of two, clamped, quarter probe") {
     // rule: nCells = 2^ceil(log2(n/200)) in [16, 2^16], nProbe = nCells/4
     assert(Similarity.ivfParams(500L) == ((16, 4)))        // floor clamp
