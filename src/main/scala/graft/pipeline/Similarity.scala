@@ -471,6 +471,89 @@ object Similarity {
       .select(col("qid"), col("nid"), col("dist"))
   }
 
+  /** Index of the centroid (1-based) nearest to `vec` by SQUARED L2,
+    * same shape as [[nearestCells]] (ascending array_sort on (dist,
+    * cell) structs) — the metric-consistent cell router for the
+    * L2-ranked PQ composition. */
+  private def nearestCellsL2(vec: Column, centroids: Seq[Seq[Double]],
+      nProbe: Int): Column = {
+    val m = typedlit(centroids)
+    val scored = transform(sequence(lit(1), lit(centroids.size)), c =>
+      struct(l2sq(vec, element_at(m, c)).as("dist"), c.as("cell")))
+    transform(slice(array_sort(scored), 1, nProbe), s => s.getField("cell"))
+  }
+
+  /** IVF × PQ composition — the production ANN shape at 100 TB: the
+    * corpus is scanned ONCE producing (id, cell, m-byte codes); a query
+    * probes its `nProbe` nearest cells and ADC-scores ONLY the codes
+    * inside them, so the candidate set is nProbe/nCells of the corpus
+    * and the scored payload is bytes, not vectors; the exact-L2 rerank
+    * then touches originals only for the per-query shortlist. This is
+    * why pqParams' 1%-shortlist worst case is affordable here: the
+    * fraction applies to the probed slice, not all of n (SCALE.md "PQ
+    * sizing rule"). Cells and codes both rank by squared L2
+    * (nearestCellsL2), so the router, the ADC score, and the rerank
+    * agree on the metric. Size nCells/nProbe with ivfParams and
+    * k/rerankFactor with pqParams. Returns (qid, nid, dist) — exact
+    * L2² for every emitted row (approximation gates only shortlist
+    * membership). */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, topk: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 16, k: Int = 64, kmeansIters: Int = 2,
+      rerankFactor: Int = 5): DataFrame = {
+    graft.functions.Sketches.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    val sampled: Seq[Seq[Double]] = base
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nCells)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val centroids =
+      if (kmeansIters <= 0) sampled
+      else refineCentroids(base, sampled, kmeansIters)
+    val cbs = pqTrain(corpus, idCol, vecCol, m, k, kmeansIters)
+    val sub = cbs.head.head.size
+    val cbLit = typedlit(cbs)
+    // ONE corpus pass: cell + codes, vectors dropped before any shuffle
+    val indexed = base.select(col("id").as("nid"),
+      element_at(nearestCellsL2(col("vec"), centroids, 1), 1).as("cell"),
+      pqCodes(col("vec"), cbs).as("codes"))
+    val probed = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), j =>
+        element_at(
+          transform(array(slice(col("qvec"), j * lit(sub) + 1, lit(sub))),
+            sv => transform(sequence(lit(1), lit(cbs.head.size)),
+              c => l2sq(sv, element_at(element_at(cbLit, j + 1), c)))),
+          1)))
+      .select(col("qid"), col("qvec"), col("lut"),
+        explode(nearestCellsL2(col("qvec"), centroids, nProbe)).as("cell"))
+    val adist = aggregate(
+      zip_with(col("codes"), sequence(lit(1), lit(m)),
+        (code, j) => element_at(element_at(col("lut"), j), code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("nid"))
+    val shortlist = indexed.join(broadcast(probed), "cell")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("qvec"), col("nid"), adist.as("adist"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= topk * rerankFactor)
+      .select(col("qid"), col("qvec"), col("nid"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("nid"))
+    shortlist
+      .join(corpus.select(col(idCol).as("nid"),
+        asDouble(col(vecCol)).as("nvec")), "nid")
+      .select(col("qid"), col("nid"),
+        round(l2sq(col("qvec"), col("nvec")), 6).as("dist"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= topk)
+      .select(col("qid"), col("nid"), col("dist"))
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest centroid cell; each query searches only its `nProbe`
     * nearest cells. Centroids start as a deterministic hash-ranked sample
