@@ -20,6 +20,13 @@ import org.apache.spark.sql.SparkSession
   * measured by the cheapest query, so borderline sub-0.4s ratios are
   * adjudicated mechanically instead of by floor arithmetic in prose.
   *
+  * The complete per-query record (medians + mins + per-tier subtotals)
+  * is persisted to BENCH_FULL.json at the repo root on every full run
+  * (r10 verdict #1: the driver keeps only ~2 KB of stdout, which lost
+  * the decomposition of a grand-total regression); the compact stdout
+  * line carries the headline subtotals including pipe_total and
+  * other_total so total is decomposable even from the tail capture.
+  *
   * Also included: the reference's two synthetic suites re-expressed
   * over testdata — `sort` (benchmarks/src/sort.rs: six sort shapes
   * over wide rows) and `pqf` (benchmarks/src/parquet_filter.rs: seven
@@ -234,6 +241,12 @@ object Bench {
       case (k, v) if k.startsWith("click_") => v }.sum
     val h2oTotal = results.collect {
       case (k, v) if k.startsWith("h2o_") => v }.sum
+    // pipeline-tier subtotal + the unlabeled remainder (r10 verdict #1:
+    // the grand total doubled while every NAMED suite was flat, and the
+    // compact line had no field that could say where — total now
+    // decomposes as tpch + tpcds + click + h2o + pipe + other)
+    val pipeTotal = results.collect {
+      case (k, v) if k.startsWith("pipe_") => v }.sum
     val floor = if (results.isEmpty) 0.0 else results.map(_._2).min
 
     // in-memory TPC-H variant (reference: tpch_mem in BASELINE.md —
@@ -307,13 +320,31 @@ object Bench {
       .mkString("{", ",", "}")
     val minsFull = mins.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"queries_min":$minsFull,"sf":"$sfDir","tpch_total":$tpchTotal,"tpch_mem_total":$memTotal,"tpch_mem":$memStr,"sort":$sortFull,"pqf":$pqfFull,"pqf_rows":$pqfRowsStr,"rows_ok":$rowsOk,"per_query_floor":$floor,"iters":$iters,"failed":$errs}""")
+    // per-tier subtotals (generic first-token grouping: tpch/tpcds/
+    // click/h2o/pipe/agg/func/window/...) — the full decomposition of
+    // `value`, so a grand-total move is attributable without re-running
+    val tiersStr = results.groupBy(_._1.takeWhile(_ != '_'))
+      .view.mapValues(_.map(_._2).sum).toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + c(v) }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total_full","value":$total,"unit":"sec","tiers":$tiersStr,"queries":$qs,"queries_min":$minsFull,"sf":"$sfDir","tpch_total":$tpchTotal,"tpch_mem_total":$memTotal,"tpch_mem":$memStr,"sort":$sortFull,"pqf":$pqfFull,"pqf_rows":$pqfRowsStr,"rows_ok":$rowsOk,"per_query_floor":$floor,"iters":$iters,"failed":$errs}"""
+    println(fullLine)
+    // persist the full record (r10 verdict #1): the driver tail-captures
+    // only ~2 KB of stdout, so the per-query map above never reaches
+    // BENCH_r{N}.json — the repo-root file is committed at round end and
+    // diffable round-over-round. Skipped on SPARK_GRAFT_ONLY runs so a
+    // targeted A/B can't clobber the last full record.
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
     // the driver's tail capture keeps only the last ~2 KB of stdout —
     // r4 lost tpch_q1/q10..q16 to it ("parsed": null). Emit the headline
     // comparison set (BASELINE.md = the 22 TPC-H queries, disk + mem) as
     // ONE compact final line (~1.1 KB) that always survives truncation.
+    // short q-keys (r11 byte diet — the tpch_ prefix is implied by the
+    // field name, matching tpch_min/tpch_ratio_adj; frees ~110 B for the
+    // pipe_total/other_total/pipe_top3 decomposition fields)
     val tpchStr = results.collect { case (k, v) if k.startsWith("tpch_") =>
-      "\"" + k + "\":" + c(v) }.mkString("{", ",", "}")
+      "\"" + k.stripPrefix("tpch_") + "\":" + c(v) }.mkString("{", ",", "}")
     val memTotal2 = if (memQs.isEmpty) "null" else c(memQs.values.sum)
     // r5 lesson: a 96-name `failed` array at the END of this line ate the
     // driver's ~2 KB tail capture and lost every parquet TPC-H number.
@@ -366,7 +397,14 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k.stripPrefix(prefix) + "\":" + m3(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpcds_total":${c(tpcdsTotal)},"tpcds_top5":$tpcdsTopStr,"tpcds_top5_min":$tpcdsTopMinStr,"tpch_mem_total":$memTotal2,"click_total":${c(clickTotal)},"h2o_total":${c(h2oTotal)},"click_top3":${top3("click_")},"h2o_top3":${top3("h2o_")},"per_query_floor":${c(floor)},"iters":$iters,"stat":"median","queries":$tpchStr,"tpch_min":$tpchMinStr,"tpch_ratio_adj":$radjStr,"sort":$sortStr,"pqf":$pqfStr,"rows_ok":$rowsOk}"""
+    // other_total: the unlabeled remainder (agg_/func_/window_/...),
+    // so total = tpch + tpcds + click + h2o + pipe + other by
+    // construction; the full per-tier map lives in BENCH_FULL.json.
+    // ("stat":"median" dropped r11 for bytes — the statistic is pinned
+    // in the scaladoc above and hasn't changed since r6.)
+    val otherTotal =
+      total - tpchTotal - tpcdsTotal - clickTotal - h2oTotal - pipeTotal
+    val compact = s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"sf":"$sfDir","tpch_total":${c(tpchTotal)},"tpcds_total":${c(tpcdsTotal)},"pipe_total":${c(pipeTotal)},"other_total":${c(otherTotal)},"tpcds_top5":$tpcdsTopStr,"tpcds_top5_min":$tpcdsTopMinStr,"tpch_mem_total":$memTotal2,"click_total":${c(clickTotal)},"h2o_total":${c(h2oTotal)},"click_top3":${top3("click_")},"h2o_top3":${top3("h2o_")},"pipe_top3":${top3("pipe_")},"per_query_floor":${c(floor)},"iters":$iters,"queries":$tpchStr,"tpch_min":$tpchMinStr,"tpch_ratio_adj":$radjStr,"sort":$sortStr,"pqf":$pqfStr,"rows_ok":$rowsOk}"""
     // the driver tail-captures ~2000 B of stdout and sbt appends its own
     // ~75 B success line — past ~1900 B this line's HEAD (the JSON
     // opener) would be what truncation eats, so warn while iterating

@@ -489,19 +489,30 @@ case class PqCodes(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_pq_codes"
 
-  // the codebook literal decodes once per executor, not per row
+  // the codebook literal decodes once per executor, not per row;
+  // shape-validated HERE so a malformed literal (k=0, ragged subspaces)
+  // raises a named error instead of an ArrayIndexOutOfBounds from
+  // inside codegen (r10 ADVICE)
   @transient private lazy val cbs: Array[Array[Array[Double]]] = {
     require(right.foldable, "graft_pq_codes: codebooks must be a literal")
     val m = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
-    Array.tabulate(m.numElements()) { j =>
+    val arr = Array.tabulate(m.numElements()) { j =>
       val cb = m.getArray(j)
       Array.tabulate(cb.numElements())(c => cb.getArray(c).toDoubleArray())
     }
+    require(arr.length >= 1,
+      "graft_pq_codes: codebook must have >= 1 subspace")
+    require(arr(0).length >= 1 && arr(0)(0).length >= 1,
+      "graft_pq_codes: codebook must have >= 1 codeword of >= 1 dim")
+    require(arr.forall(cb => cb.length == arr(0).length &&
+        cb.forall(_.length == arr(0)(0).length)),
+      s"graft_pq_codes: ragged codebook — every subspace needs " +
+        s"${arr(0).length} codewords of width ${arr(0)(0).length}")
+    arr
   }
 
   def compute(v: ArrayData): ArrayData = {
     val m = cbs.length
-    if (m == 0) return null
     val sub = cbs(0)(0).length
     val k = cbs(0).length
     if (v.numElements() != m * sub) return null

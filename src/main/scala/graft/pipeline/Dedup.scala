@@ -209,12 +209,47 @@ object Dedup {
   def simhash(textColName: String): Column =
     simhashFromHashes(tokenHashes(col(textColName)))
 
+  /** SimHash signature-width sizing rule — the sigLongs analogue of the
+    * LSH band rule and ivfParams/pqParams (r10 verdict #8): pigeonhole
+    * blocking forces the CHUNK COUNT to maxHamming+1, so the only lever
+    * against bucket crowding is chunk WIDTH, and width = 63·sigLongs /
+    * (maxHamming+1). A chunk has 2^width buckets; holding the mean
+    * bucket at ≤ ~200 docs (the same occupancy constant every other
+    * sizing rule here uses) needs width ≥ log2(n/200). Smallest
+    * sigLongs in 1..8 that satisfies it — at maxHamming=3: 1 long
+    * (15-bit chunks) to ~6.5M docs, 2 longs (31-bit chunks) to
+    * ~4×10^11, then 4 (sigLongs=3 still yields 2 chunks/long = 31-bit
+    * chunks, so the search skips it). NOTE the semantics knob
+    * (simhashPairsWide scaladoc): hamming ≤ maxHamming over MORE bits
+    * is a stricter similarity statement — the rule trades recall
+    * threshold for bounded bucket work, exactly like LSH band growth. */
+  def simhashSigLongs(n: Long, maxHamming: Int = 3): Int = {
+    val needBits =
+      math.ceil(math.log(math.max(1.0, n / 200.0)) / math.log(2)).toInt
+    (1 to 8).find { sl =>
+      63 / math.max(1,
+        math.ceil((maxHamming + 1).toDouble / sl).toInt) >= needBits
+    }.getOrElse(8)
+  }
+
   /** SimHash near-duplicate pairs: bucket on any equal 16-bit chunk (a pair
     * within Hamming distance 3 of a 63-bit signature must agree on at least
-    * one of 4 chunks), then filter by exact Hamming distance. */
+    * one of 4 chunks), then filter by exact Hamming distance.
+    *
+    * `sigLongs` defaults to 0 = DERIVE from the corpus size via
+    * [[simhashSigLongs]] (one count pass), so the wide-signature scale
+    * path engages automatically past the ~6.5M-doc bound instead of
+    * being an opt-in (r10 verdict #8); below the bound the historical
+    * narrow 63-bit blocking runs unchanged. Pass an explicit value to
+    * pin either path. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, sigLongs: Int = 0): DataFrame = {
+    val sl =
+      if (sigLongs > 0) sigLongs
+      else simhashSigLongs(df.count(), maxHamming)
+    if (sl > 1)
+      return simhashPairsWide(df, idCol, textCol, maxHamming, sl)
     // token hashing once per row; signature via the codegen'd SimHash63
     // expression (the HOF formulation is 63 interpreted passes — see
     // SCALE.md); persist because both self-join sides consume it
@@ -314,7 +349,11 @@ object Dedup {
       graft.functions.Sketches.simhash63(
         transform(split(col(textCol), " "), t => xxhash64(t, lit(j))))
     }: _*)
-    val sigs = df.select(col(idCol).as("id"), sigArr.as("sig")).persist()
+    // no persist (r10 ADVICE — it was never released, the exact leak the
+    // r7 note in simhashPairsPortable removed): both self-join sides read
+    // the same chunked subplan, so ReuseExchange serves the second side
+    // from the first's shuffle output and signatures compute once
+    val sigs = df.select(col(idCol).as("id"), sigArr.as("sig"))
     val chunksPerLong =
       math.max(1, math.ceil((maxHamming + 1).toDouble / sigLongs).toInt)
     val width = 63 / chunksPerLong

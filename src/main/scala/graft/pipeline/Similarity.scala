@@ -281,6 +281,38 @@ object Similarity {
     cent
   }
 
+  /** `iters` rounds of PLAIN Lloyd refinement by squared L2 — the
+    * metric-consistent trainer for [[ivfPqTopK]]'s router: assignment
+    * uses nearestCellsL2 on the RAW vectors and the new centroid is the
+    * plain per-cell mean (no unit-normalization — the L2 Voronoi
+    * optimum), so the training objective matches the routing metric
+    * even when corpus norms vary (r10 ADVICE: [[refineCentroids]] is
+    * spherical/cosine and is only sound as an L2 router for ~unit-norm
+    * corpora). Same cost shape: one corpus pass per round, the driver
+    * collects exactly the nCells×dim centroid matrix it broadcasts. */
+  private def refineCentroidsL2(
+      base: DataFrame, init: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
+    var cent = init
+    val dim = init.head.size
+    for (_ <- 0 until iters) {
+      val means = base
+        .select(col("vec"),
+          element_at(nearestCellsL2(col("vec"), cent, 1), 1).as("cell"))
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val v = new Array[Double](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          cell -> v.toSeq
+        }
+      cent = cent.indices.map(i => means.getOrElse(i + 1, cent(i)))
+    }
+    cent
+  }
+
   /** Squared L2 distance of two double arrays — zip_with/aggregate fold,
     * left-to-right, so both engines (and the DuckDB oracle's
     * list_reduce) produce bit-identical doubles. */
@@ -341,9 +373,12 @@ object Similarity {
     * count — measured recall under the rule: 0.62 at n=2000 (k at the
     * 16 floor), ≥0.95 at 40k/100k. A 1%-of-corpus shortlist per query
     * is the honest WORST-CASE (structureless data) bound for
-    * PQ-alone search; at production scale compose with IVF (probe
-    * nProbe/nCells of the corpus, ADC within the probed cells) so the
-    * fraction applies to the probed slice, not all of n. */
+    * PQ-alone search; at production scale compose with IVF
+    * ([[ivfPqTopK]]) — probing divides the ADC candidate VOLUME (the
+    * per-query scoring cost) by nProbe/nCells, but the shortlist rule
+    * stays sized by the FULL n: router uncertainty adds shortlist
+    * pressure on top of the error-band distractors (measured ×20:
+    * slice-sized rerank 0.746 vs full-rule 0.840 — see IvfPqAb). */
   def pqParams(n: Long, topk: Int): (Int, Int) = {
     val raw = math.max(1L, n / 200L)
     val h = java.lang.Long.highestOneBit(raw)
@@ -438,8 +473,11 @@ object Similarity {
     val cbs = pqTrain(corpus, idCol, vecCol, m, k, kmeansIters)
     val sub = cbs.head.head.size
     val cbLit = typedlit(cbs)
+    // drop null codes (malformed vectors): NULL adist sorts FIRST under
+    // an ascending window and would poison every query's shortlist
     val coded = pqEncode(corpus, idCol, vecCol, codebooks = cbs)
       .select(col("id").as("nid"), col("codes"))
+      .filter(col("codes").isNotNull)
     val q = queries.select(col(idCol).as("qid"),
         asDouble(col(vecCol)).as("qvec"))
       .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), j =>
@@ -453,14 +491,14 @@ object Similarity {
         (code, j) => element_at(element_at(col("lut"), j), code + 1)),
       lit(0.0), (acc, x) => acc + x)
     val wAdc = Window.partitionBy(col("qid"))
-      .orderBy(col("adist").asc, col("nid"))
+      .orderBy(col("adist").asc_nulls_last, col("nid"))
     val shortlist = coded.join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("qvec"), col("nid"), adist.as("adist"))
       .withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= topk * rerankFactor)
       .select(col("qid"), col("qvec"), col("nid"))
     val wExact = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("nid"))
+      .orderBy(col("dist").asc_nulls_last, col("nid"))
     shortlist
       .join(corpus.select(col(idCol).as("nid"),
         asDouble(col(vecCol)).as("nvec")), "nid")
@@ -488,15 +526,20 @@ object Similarity {
     * probes its `nProbe` nearest cells and ADC-scores ONLY the codes
     * inside them, so the candidate set is nProbe/nCells of the corpus
     * and the scored payload is bytes, not vectors; the exact-L2 rerank
-    * then touches originals only for the per-query shortlist. This is
-    * why pqParams' 1%-shortlist worst case is affordable here: the
-    * fraction applies to the probed slice, not all of n (SCALE.md "PQ
-    * sizing rule"). Cells and codes both rank by squared L2
-    * (nearestCellsL2), so the router, the ADC score, and the rerank
-    * agree on the metric. Size nCells/nProbe with ivfParams and
-    * k/rerankFactor with pqParams. Returns (qid, nid, dist) — exact
-    * L2² for every emitted row (approximation gates only shortlist
-    * membership). */
+    * then touches originals only for the per-query shortlist. Size
+    * nCells/nProbe with ivfParams and k/rerankFactor with pqParams ON
+    * THE FULL CORPUS SIZE: what probing divides is the ADC candidate
+    * VOLUME (the per-query cost), NOT the shortlist requirement — the
+    * shortlist must still absorb the error-band distractor count that
+    * grows with n PLUS the router's own uncertainty (measured, IvfPqAb
+    * ×20 at n=40k/256 cells/64 probed: slice-sized rer=5 → recall
+    * 0.746, full-corpus rer=14 → 0.840 at the same wall; probe ×2 →
+    * 0.880 = the router ceiling). Cells and codes both rank by squared
+    * L2, and `kmeansIters` refines the router with PLAIN L2 Lloyd
+    * (refineCentroidsL2 — +0.05 recall over unrefined samples; the
+    * spherical refiner would train a cosine objective the L2 router
+    * doesn't rank by). Returns (qid, nid, dist) — exact L2² for every
+    * emitted row (approximation gates only shortlist membership). */
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, topk: Int,
@@ -512,14 +555,20 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     val centroids =
       if (kmeansIters <= 0) sampled
-      else refineCentroids(base, sampled, kmeansIters)
+      // L2 Lloyd, not the spherical refiner: router/ADC/rerank all rank
+      // by squared L2, so training must too (r10 ADVICE medium)
+      else refineCentroidsL2(base, sampled, kmeansIters)
     val cbs = pqTrain(corpus, idCol, vecCol, m, k, kmeansIters)
     val sub = cbs.head.head.size
     val cbLit = typedlit(cbs)
-    // ONE corpus pass: cell + codes, vectors dropped before any shuffle
+    // ONE corpus pass: cell + codes, vectors dropped before any shuffle.
+    // Null codes (a malformed vector with a null element) are dropped
+    // here — NULL adist sorts FIRST under an ascending window order and
+    // would otherwise outrank every real candidate (r10 ADVICE).
     val indexed = base.select(col("id").as("nid"),
       element_at(nearestCellsL2(col("vec"), centroids, 1), 1).as("cell"),
       pqCodes(col("vec"), cbs).as("codes"))
+      .filter(col("codes").isNotNull)
     val probed = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), j =>
@@ -535,7 +584,7 @@ object Similarity {
         (code, j) => element_at(element_at(col("lut"), j), code + 1)),
       lit(0.0), (acc, x) => acc + x)
     val wAdc = Window.partitionBy(col("qid"))
-      .orderBy(col("adist").asc, col("nid"))
+      .orderBy(col("adist").asc_nulls_last, col("nid"))
     val shortlist = indexed.join(broadcast(probed), "cell")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("qvec"), col("nid"), adist.as("adist"))
@@ -543,7 +592,7 @@ object Similarity {
       .filter(col("rn") <= topk * rerankFactor)
       .select(col("qid"), col("qvec"), col("nid"))
     val wExact = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("nid"))
+      .orderBy(col("dist").asc_nulls_last, col("nid"))
     shortlist
       .join(corpus.select(col(idCol).as("nid"),
         asDouble(col(vecCol)).as("nvec")), "nid")

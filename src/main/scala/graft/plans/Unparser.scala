@@ -45,7 +45,13 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * columns by NAME, so plans that join two relations sharing a column
   * name used ambiguously cannot round-trip and are rejected. Correlated
   * subqueries bind their outer reference by name too — an inner relation
-  * shadowing the outer column's name would re-bind it.
+  * shadowing the outer column's name would re-bind it. Same-name
+  * EQUI-join keys are the exception (r11): inner/semi/anti joins whose
+  * condition pairs identically-named attributes re-emit as USING
+  * (k, ...) — the analyzer's own encoding of SQL USING and the
+  * DataFrame join(df, Seq("k")) API — merging the key so parent
+  * references resolve; a plan whose ROOT is such a join (no projection
+  * above) loses the duplicate key column in the regenerated schema.
   */
 object Unparser {
 
@@ -233,8 +239,44 @@ object Unparser {
         case other => throw new IllegalArgumentException(
           s"Unparser: unsupported join type $other")
       }
-      val on = cond.map(e => s" ON ${exprSql(e, c)}").getOrElse("")
-      s"SELECT * FROM ${from(left, c)} $kw ${from(right, c)}$on"
+      // USING re-emission (r10 verdict #1; reference unparser emits
+      // USING-key joins in sql/src/unparser/plan.rs): the analyzer
+      // rewrites `USING (k)` — and the DataFrame `join(df, Seq("k"))`
+      // API — into an equi-join whose two key attributes SHARE A NAME,
+      // which the name-based ON rendering turns into the ambiguous
+      // `ON (k = k)`. When every conjunct is such a same-name
+      // attribute pair (left attr from the left child, right from the
+      // right) re-emit `USING (k, ...)` — the merged key column makes
+      // the parent's unqualified reference resolve again. Restricted
+      // to INNER/SEMI/ANTI: there the merged column equals both sides
+      // (inner) or only left columns surface (semi/anti); an OUTER
+      // using-join's merged key is side-dependent on unmatched rows,
+      // so a parent referencing the dropped side's attribute would
+      // silently re-bind — those keep the ON form (and its documented
+      // ambiguous-name caveat).
+      def usingKeys(e: Expression): Option[Seq[String]] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+          for (ka <- usingKeys(a); kb <- usingKeys(b)) yield ka ++ kb
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: Attribute, b: Attribute) if a.name == b.name &&
+          left.outputSet.contains(a) && right.outputSet.contains(b) =>
+          Some(Seq(a.name))
+        case _ => None
+      }
+      val usingOk = joinType == Inner || joinType == LeftSemi ||
+        joinType == LeftAnti
+      cond.flatMap(usingKeys).filter(_ => usingOk) match {
+        case Some(keys)
+            // each key name must be unambiguous within each side
+            if keys.forall(k =>
+              left.output.count(_.name == k) == 1 &&
+                right.output.count(_.name == k) == 1) =>
+          s"SELECT * FROM ${from(left, c)} $kw ${from(right, c)} " +
+            s"USING (${keys.map(k => s"`$k`").mkString(", ")})"
+        case _ =>
+          val on = cond.map(e => s" ON ${exprSql(e, c)}").getOrElse("")
+          s"SELECT * FROM ${from(left, c)} $kw ${from(right, c)}$on"
+      }
 
     case other => throw new IllegalArgumentException(
       s"Unparser: unsupported plan node ${other.nodeName} — supported: " +
@@ -373,6 +415,19 @@ object Unparser {
     lr.relation match {
       case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
           if fs.location.rootPaths.length == 1 =>
+        // read options don't survive the direct-file-query spelling: a
+        // header/delimiter/json option changes what format.`path` reads
+        // (header=true columns become _c0/_c1... — the generated SQL
+        // fails analysis or silently reads the header row as data), so
+        // refuse with the named error instead of emitting wrong SQL
+        // (r10 ADVICE). "path"/"paths" are the location itself.
+        val opts = fs.options.keySet
+          .filterNot(k => k.equalsIgnoreCase("path") ||
+            k.equalsIgnoreCase("paths"))
+        if (opts.nonEmpty) throw new IllegalArgumentException(
+          "Unparser: direct-file-query syntax cannot carry read options " +
+            s"(${opts.toSeq.sorted.mkString(", ")}) — register a view and " +
+            "read it via spark.table so the plan carries a resolvable name")
         val fmt = fs.fileFormat match {
           case _: org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat =>
             "parquet"
@@ -384,6 +439,15 @@ object Unparser {
             s"Unparser: no direct-file-query syntax for file format " +
               s"${other.getClass.getSimpleName}")
         }
+        // a header-less csv read INFERS _c0.._cN names; anything else
+        // means a user-supplied schema, which format.`path` would drop
+        // (parquet/json are self-describing — their field names survive)
+        if (fmt == "csv" &&
+            !fs.dataSchema.fieldNames.forall(_.matches("_c\\d+")))
+          throw new IllegalArgumentException(
+            "Unparser: csv direct-file-query drops the user-supplied " +
+              "schema (column names would revert to _c0/_c1/...) — " +
+              "register a view and read it via spark.table")
         s"$fmt.`${fs.location.rootPaths.head}`"
       case other => throw new IllegalArgumentException(
         "Unparser: nameless non-file relation " +

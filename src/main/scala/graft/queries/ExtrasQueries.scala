@@ -439,6 +439,75 @@ object ExtrasQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ── IVF × PQ composition: the production ANN shape (r10 verdict #2
+    //    /r11 #3) — fully replayed by the oracle like its two halves:
+    //    centroids AND codebooks are the same md5-ranked deterministic
+    //    samples (kmeansIters=0), cell routing uses the bit-identical
+    //    squared-L2 fold ORDER BY (dist, cell) — nearestCellsL2's
+    //    struct sort — PQ codes reuse pipe_sim_pq's argmin block, the
+    //    ADC distance is the per-subspace lut values of the QUERY id at
+    //    the neighbor's codes folded in subspace order, and the exact
+    //    rerank re-ranks the 25-row shortlist by true L2². Every
+    //    emitted row (qid, nid, dist) is value-oracled, approximation
+    //    and all. ───────────────────────────────────────────────────────
+    "pipe_sim_ivfpq" -> Q("""
+      |WITH base AS (SELECT vec_id id,
+      |       list_transform(embedding, x -> CAST(x AS DOUBLE)) vec
+      |     FROM embeddings),
+      |cent AS (SELECT row_number() OVER
+      |           (ORDER BY md5(CAST(id AS VARCHAR)), id) cell, vec
+      |         FROM base ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+      |cw AS (SELECT row_number() OVER
+      |         (ORDER BY md5(CAST(id AS VARCHAR)), id) c, vec
+      |       FROM base ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+      |celld AS (SELECT b.id, c.cell,
+      |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |              list_transform(generate_series(1, 64), t ->
+      |                (b.vec[t] - c.vec[t]) * (b.vec[t] - c.vec[t]))),
+      |              (a, x) -> a + x) dist
+      |          FROM base b, cent c),
+      |assigned AS (SELECT id nid, cell FROM celld
+      |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, cell) = 1),
+      |probes AS (SELECT id qid, cell FROM celld WHERE id < 10
+      |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, cell) <= 4),
+      |subd AS (SELECT b.id, j.j, cw.c,
+      |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             list_transform(generate_series(1, 16), t ->
+      |               (b.vec[(j.j - 1) * 16 + t] - cw.vec[(j.j - 1) * 16 + t])
+      |               * (b.vec[(j.j - 1) * 16 + t] - cw.vec[(j.j - 1) * 16 + t]))),
+      |             (a, x) -> a + x) dist
+      |         FROM base b, generate_series(1, 4) j(j), cw),
+      |mins AS (SELECT id, j, min(dist) md FROM subd GROUP BY id, j),
+      |codes AS (SELECT s.id nid, s.j, min(s.c) c
+      |          FROM subd s JOIN mins m ON s.id = m.id AND s.j = m.j
+      |          WHERE s.dist = m.md GROUP BY s.id, s.j),
+      |adc AS (SELECT p.qid, a.nid,
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            list(s.dist ORDER BY s.j)), (a2, x) -> a2 + x) adist
+      |        FROM probes p JOIN assigned a USING (cell)
+      |        JOIN codes k ON k.nid = a.nid
+      |        JOIN subd s ON s.id = p.qid AND s.j = k.j AND s.c = k.c
+      |        WHERE a.nid <> p.qid
+      |        GROUP BY p.qid, a.nid),
+      |short AS (SELECT qid, nid FROM adc
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, nid) <= 25),
+      |res AS (SELECT s.qid, s.nid,
+      |          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            list_transform(generate_series(1, 64), t ->
+      |              (q.vec[t] - n.vec[t]) * (q.vec[t] - n.vec[t]))),
+      |            (a, x) -> a + x), 6) dist
+      |        FROM short s JOIN base q ON q.id = s.qid
+      |        JOIN base n ON n.id = s.nid)
+      |SELECT qid, nid, dist FROM res
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, nid) <= 5
+      |ORDER BY qid, dist, nid""") { (s, d) =>
+      val emb = Engine.table(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", topk = 5, nCells = 16, nProbe = 4,
+          m = 4, k = 8, kmeansIters = 0, rerankFactor = 5)
+        .orderBy(col("qid"), col("dist"), col("nid"))
+    },
+
     // ── salted aggregation ≡ plain aggregation (skew mitigation) ─────────
     "skew_salted_agg" -> Q("""
       |SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS rev,

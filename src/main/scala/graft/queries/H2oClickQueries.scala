@@ -573,21 +573,43 @@ object H2oClickQueries {
 
     // q29 — regex key via capture-group BACKREFERENCE replacement
     // (Spark spells it $1, DuckDB \1)
-    "click_referer_domain" -> sql(
-      """
-      |SELECT regexp_replace(props, '^.*"k": ([0-9]+).*$', '$1') AS k,
-      |       round(avg(length(props)) + 1e-9, 4) AS l, count(*) AS c,
-      |       min(props) AS first_props
-      |FROM events WHERE props <> ''
-      |GROUP BY regexp_replace(props, '^.*"k": ([0-9]+).*$', '$1')
-      |HAVING count(*) > 50 ORDER BY l DESC, k LIMIT 25""",
+    // Rewrite (r11, the click_regex_replace precedent taken one step
+    // further): group by the RAW props first — the backtracking-heavy
+    // '^.*"k": ...' regex then runs once per DISTINCT props (~100 at
+    // any SF) instead of once per row (100k at sf0.1), and the second
+    // aggregate reads the tiny distinct set. avg(length) becomes the
+    // count-weighted mean over distinct values: lengths and counts are
+    // small integers, so the double sums are exact on both engines
+    // (same argument as click_regex_replace). Non-matching props pass
+    // through regexp_replace unchanged on both engines, so grouping by
+    // the distinct value first is semantics-preserving.
+    "click_referer_domain" -> Q(
       """
       |SELECT regexp_replace(props, '^.*"k": ([0-9]+).*$', '\1') AS k,
       |       round(avg(length(props)) + 1e-9, 4) AS l, count(*) AS c,
       |       min(props) AS first_props
       |FROM events WHERE props <> ''
       |GROUP BY regexp_replace(props, '^.*"k": ([0-9]+).*$', '\1')
-      |HAVING count(*) > 50 ORDER BY l DESC, k LIMIT 25"""),
+      |HAVING count(*) > 50 ORDER BY l DESC, k LIMIT 25""") { (s, d) =>
+      Engine.table(s, d, "events")
+        .filter(col("props") =!= "")
+        .groupBy(col("props"))
+        .agg(count(lit(1)).as("c2"))
+        .select(
+          regexp_replace(col("props"), "^.*\"k\": ([0-9]+).*$", "$1")
+            .as("k"),
+          col("props"), col("c2"))
+        .groupBy(col("k"))
+        .agg(
+          round((sum(length(col("props")) * col("c2")) / sum(col("c2")))
+            + 1e-9, 4).as("l"),
+          sum(col("c2")).as("c"),
+          min(col("props")).as("first_props"))
+        .filter(col("c") > 50)
+        .orderBy(col("l").desc, col("k"))
+        .limit(25)
+        .select(col("k"), col("l"), col("c"), col("first_props"))
+    },
 
     // q32 — selective filter + high-cardinality pair + count/sum/avg
     // (click_pair_heavy is the unfiltered q33/q34 twin)

@@ -313,6 +313,46 @@ object MiscQueries {
       s.sql(graft.plans.Unparser.toSql(df))
     },
 
+    // ── unparser: OPTIMIZED plan over a raw file scan — filter AND
+    //    fetch survive optimization as Filter/GlobalLimit nodes above
+    //    the scan and re-emit as WHERE/LIMIT around the
+    //    direct-file-query term (reference: select_to_sql_recursively
+    //    re-emits TableScan-level filters/fetch —
+    //    sql/src/unparser/plan.rs:218). The optimizer's injected
+    //    IsNotNull guard rides along in the regenerated WHERE. ──────────
+    "unparse_scan_filters" -> Q("""
+      |SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 100000 ORDER BY o_orderkey LIMIT 20""") { (s, d) =>
+      val df = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_totalprice") > 100000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .limit(20)
+      s.sql(graft.plans.Unparser.toSql(df.queryExecution.optimizedPlan))
+    },
+
+    // ── unparser: USING-key join — the analyzer rewrites USING (and
+    //    the DataFrame join(df, Seq(k)) API) into an equi-join on two
+    //    SAME-NAMED attributes; the unparser re-emits USING (k) so the
+    //    merged key resolves (reference: USING-join re-emission,
+    //    sql/src/unparser/plan.rs). The generated text executes. ────────
+    "unparse_join_using" -> Q("""
+      |SELECT r_name, count(*) AS n
+      |FROM (SELECT n_name, n_regionkey AS regionkey FROM nation) a
+      |JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) b
+      |USING (regionkey)
+      |GROUP BY r_name ORDER BY r_name""") { (s, d) =>
+      Engine.registerAll(s, d)
+      val n = s.table("nation")
+        .select(col("n_name"), col("n_regionkey").as("regionkey"))
+      val r = s.table("region")
+        .select(col("r_regionkey").as("regionkey"), col("r_name"))
+      val df = n.join(r, Seq("regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+      s.sql(graft.plans.Unparser.toSql(df))
+    },
+
     // ── unparser: PIVOT — the PivotFirst two-level aggregate is
     //    recovered and re-emitted as a PIVOT clause; absent combos pivot
     //    to NULL on both the original and regenerated plan, and the

@@ -393,41 +393,66 @@ object TpchQueries {
         .orderBy(col("s_suppkey"))
     },
 
-    // ── Q16 (adapted): distinct-count suppliers per part attrs ───────────
+    // ── Q16: suppliers per part attrs over DERIVED partsupp ─────────────
+    // The spec query reads partsupp (4 rows per part — 80k at sf0.1).
+    // Testdata has no partsupp parquet, and a materialized one can't be
+    // oracle-referenced (the oracle SQL is static while sfDir varies),
+    // so BOTH engines derive it inline with pure integer arithmetic
+    // from the SAME part/supplier parquet: ps_suppkey =
+    // (p_partkey·7 + j·13) mod |supplier| for j in 0..3 — portable,
+    // hash-free, spec cardinality at every SF. This retires the r6-r10
+    // lineitem adaptation whose 7.5× input volume (6M lineitem rows vs
+    // 800k partsupp at SF1) kept the floor-adjusted ratio pinned as an
+    // artifact (2.33 on the r10 driver). Spec literals adapted to the
+    // testdata domains: Brand#3 (no Brand#45), p_type NOT LIKE
+    // 'MEDIUM%' (types are single words), exclusion subquery on
+    // s_acctbal < -500 (no s_comment column — same small-anti-set
+    // shape as '%Customer%Complaints%').
+    // Plan: the derived ps (fact) streams; the filtered part dimension
+    // and the tiny exclusion set broadcast; countDistinct plans as two
+    // codegen'd HashAggregates (partial dedup then count — no Expand;
+    // the size(collect_set) alternative A/B'd at parity r6 but falls
+    // out of whole-stage codegen). Final orderBy keeps the range
+    // exchange — coalesce(1) A/B'd 1.6× worse r7.
     "tpch_q16" -> Q("""
-      |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-      |FROM part, lineitem
-      |WHERE p_partkey = l_partkey AND p_brand <> 'Brand#3'
+      |WITH ps AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey * 7 + j.j * 13)
+      |           % (SELECT count(*) FROM supplier) AS ps_suppkey
+      |  FROM part, generate_series(0, 3) j(j))
+      |SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM ps, part
+      |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#3'
+      |  AND p_type NOT LIKE 'MEDIUM%'
       |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND ps_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < -500)
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""") { (s, d) =>
+      val scnt = Engine.table(s, d, "supplier").agg(count(lit(1)).as("scnt"))
+      val ps = Engine.table(s, d, "part")
+        .select(col("p_partkey").as("ps_partkey"))
+        .crossJoin(broadcast(scnt))
+        .select(col("ps_partkey"),
+          explode(sequence(lit(0L), lit(3L))).as("j"), col("scnt"))
+        .select(col("ps_partkey"),
+          pmod(col("ps_partkey") * 7 + col("j") * 13, col("scnt"))
+            .as("ps_suppkey"))
       val p = Engine.table(s, d, "part")
         .filter(col("p_brand") =!= "Brand#3" &&
+          !col("p_type").like("MEDIUM%") &&
           col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
-      val l = Engine.table(s, d, "lineitem")
-      // countDistinct over ONE column plans as two codegen'd
-      // HashAggregates (partial dedup on (keys, suppkey), then count —
-      // no Expand). A/B vs the earlier size(collect_set)
-      // ObjectHashAggregate at sf0.1: parity on parquet (0.39s both) —
-      // the query's cost is scan+join, not aggregate strategy. Kept
-      // because it stays inside whole-stage codegen (the object agg
-      // doesn't) and its extra exchange carries already-deduped
-      // (brand,type,size,suppkey) rows — dimension-bounded at any SF —
-      // which is the safer asymptote at 100 TB.
-      // A/B'd r6s3: a pre-join distinct on (l_partkey, l_suppkey) is
-      // 1.5x WORSE at sf0.1 (0.77s vs 0.50s, same floor) — the extra
-      // exchange outweighs the dedup. Note the baseline's q16 reads
-      // partsupp (~800k rows at SF1); this adaptation reads lineitem
-      // (6M) since testdata has no partsupp — the residual ~2x ratio is
-      // a 7.5x input-volume artifact, not a plan defect.
-      // A/B'd r7: coalesce(1)+sortWithinPartitions in place of the final
-      // orderBy (to save the range exchange) is 1.6× WORSE — coalesce's
-      // narrow dependency folds into the final-aggregate stage and runs
-      // it single-task. The range exchange on a few hundred rows is the
-      // cheaper evil; keep orderBy.
-      l.join(p, l("l_partkey") === p("p_partkey"))
+      // no broadcast HINT on excl: supplier is SF-scaled, so the
+      // size-conditional policy decides (BroadcastPolicySpec) — at any
+      // real SF the acctbal filter keeps it under the auto threshold
+      val excl = Engine.table(s, d, "supplier")
+        .filter(col("s_acctbal") < -500)
+        .select(col("s_suppkey"))
+      ps.join(p, ps("ps_partkey") === p("p_partkey"))
+        .join(excl, col("ps_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
           col("p_size"))
     },

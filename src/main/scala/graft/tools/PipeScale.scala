@@ -124,14 +124,20 @@ object PipeScale {
     //    stage: the cost is the finding, re-measuring it every gate
     //    buys nothing ──────────────────────────────────────────────────
     for (mh <- Seq(3)) {
+      // sigLongs from the sizing rule at the corpus size the wide path
+      // exists for (r11: the rule is derived, not hand-picked — 20M
+      // docs is past the narrow path's ~6.5M bound and must yield 2)
+      val wideSl = Dedup.simhashSigLongs(20_000_000L, mh)
+      require(wideSl == 2,
+        s"simhashSigLongs(20M, mh=$mh) = $wideSl, expected the wide 2")
       val wideKeep1 = Clustering.dedupByPairs(docs, "doc_id",
           Dedup.simhashPairsWide(docs, "doc_id", "text",
-            maxHamming = mh, sigLongs = 2).select("id_a", "id_b"))
+            maxHamming = mh, sigLongs = wideSl).select("id_a", "id_b"))
         .select("doc_id").collect().map(_.getLong(0)).toSet
       val wideKeepN = timed(s"wide simhash keep ×$fac (mh=$mh)") {
         Clustering.dedupByPairs(docsN, "doc_id",
             Dedup.simhashPairsWide(docsN, "doc_id", "text",
-              maxHamming = mh, sigLongs = 2).select("id_a", "id_b"))
+              maxHamming = mh, sigLongs = wideSl).select("id_a", "id_b"))
           .select("doc_id").collect().map(_.getLong(0)).toSet
       }
       require(wideKeepN == wideKeep1.map(_ * fac),
@@ -275,13 +281,17 @@ object PipeScale {
     //    floor), ≥0.95 at ×20/×50 — recall RISES with scale. Floors:
     //    no-collapse vs ×1, and ≥0.8 absolute once k reaches the
     //    256 cap (the rule's knee, mirroring the ivf 256-cell floor) ──
-    def pqRecall(corpus: DataFrame, queries: DataFrame, f: Int): Double = {
-      def top10(df: DataFrame) = df
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .groupBy(_._1).view.mapValues(
-          _.filter { case (q, n, _) => n / f != q / f }
-            .sortBy { case (_, n, dd) => (dd, n) }.take(10).map(_._2).toSet)
-        .toMap
+    def top10L2(df: DataFrame, f: Int) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(
+        _.filter { case (q, n, _) => n / f != q / f }
+          .sortBy { case (_, n, dd) => (dd, n) }.take(10).map(_._2).toSet)
+      .toMap
+    // exact squared-L2 ground truth, computed ONCE per corpus and shared
+    // by the PQ (4c) and IVF×PQ (4d) stages — the brute-force cross
+    // product is the expensive half of either recall measurement
+    def l2Exact(corpus: DataFrame, queries: DataFrame,
+        f: Int): Map[Long, Set[Long]] = {
       val kk = 10 + f - 1
       val cD = corpus.select(col("vec_id").as("nid"),
         transform(col("embedding"), _.cast("double")).as("nvec"))
@@ -289,26 +299,37 @@ object PipeScale {
         transform(col("embedding"), _.cast("double")).as("qvec"))
       val wL2 = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("d").asc, col("nid"))
-      val exact = top10(cD.crossJoin(broadcast(qD))
+      val exact = top10L2(cD.crossJoin(broadcast(qD))
         .filter(col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"),
           Similarity.l2sq(col("qvec"), col("nvec")).as("d"))
         .withColumn("rn", row_number().over(wL2))
         .filter(col("rn") <= kk)
-        .select(col("qid"), col("nid"), col("d")))
-      val (kCw, rer) = Similarity.pqParams(corpus.count(), kk)
-      val pq = top10(Similarity.pqTopK(corpus, queries,
-        "vec_id", "embedding", topk = kk,
-        m = 16, k = kCw, kmeansIters = 2, rerankFactor = rer))
+        .select(col("qid"), col("nid"), col("d")), f)
       require(exact.nonEmpty && exact.values.forall(_.size == 10),
-        "PQ L2 ground truth malformed")
-      exact.map { case (q, s) =>
-        (s intersect pq.getOrElse(q, Set.empty)).size / 10.0
-      }.sum / exact.size
+        "L2 ground truth malformed")
+      exact
     }
-    val pq1 = pqRecall(emb, queriesOf(emb, 40), 1)
+    def recallVs(exact: Map[Long, Set[Long]],
+        approx: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, s) =>
+        (s intersect approx.getOrElse(q, Set.empty)).size / 10.0
+      }.sum / exact.size
+    val gt1 = l2Exact(emb, queriesOf(emb, 40), 1)
+    val gtN = timed(s"exact L2 ground truth ×$fac") {
+      l2Exact(embN, queriesOf(embN, 40L * fac), fac)
+    }
+    def pqRecall(corpus: DataFrame, queries: DataFrame, f: Int,
+        exact: Map[Long, Set[Long]]): Double = {
+      val kk = 10 + f - 1
+      val (kCw, rer) = Similarity.pqParams(corpus.count(), kk)
+      recallVs(exact, top10L2(Similarity.pqTopK(corpus, queries,
+        "vec_id", "embedding", topk = kk,
+        m = 16, k = kCw, kmeansIters = 2, rerankFactor = rer), f))
+    }
+    val pq1 = pqRecall(emb, queriesOf(emb, 40), 1, gt1)
     val pqN = timed(s"pq rerank recall ×$fac") {
-      pqRecall(embN, queriesOf(embN, 40L * fac), fac)
+      pqRecall(embN, queriesOf(embN, 40L * fac), fac, gtN)
     }
     val (kN, rerN) = Similarity.pqParams(2000L * fac, 10 + fac - 1)
     println(f"[pipescale] pq recall ×1=$pq1%.3f ×$fac=$pqN%.3f " +
@@ -319,6 +340,45 @@ object PipeScale {
       require(pqN >= 0.8,
         f"pq rerank recall $pqN%.3f below the 0.8 floor the sizing " +
           s"rule promises at k=$kN (m=16, kmeansIters=2, rerank=$rerN)")
+
+    // ── 4d. IVF × PQ composed recall at ×fac (r11 verdict #3) — the
+    //    production ANN shape: router, ADC, and rerank all rank by
+    //    squared L2 (refineCentroidsL2 trains the router on the same
+    //    metric), parameters from BOTH sizing rules applied to the
+    //    FULL corpus. MEASURED (IvfPqAb ×20, n=40k, 256 cells/64
+    //    probed, k=256): sizing the rerank shortlist by the PROBED
+    //    slice (rer=5) reads 0.746 while the full-corpus rule (rer=14)
+    //    reads 0.840 at the same wall — the shortlist requirement
+    //    follows n (ADC error-band distractors PLUS router
+    //    uncertainty), while what probing divides is the ADC candidate
+    //    VOLUME (cost), not the shortlist. Doubling probe reads 0.880
+    //    (router ceiling); kmeansIters=0 reads 0.694 (L2 Lloyd buys
+    //    +0.05). Ground truth: the shared exact-L2 top-k. Floors:
+    //    no-collapse vs ×1 and ≥0.75 at the ≥256-cell knee (the
+    //    router's 0.8 floor minus the PQ shortlist's measured ≤0.05
+    //    composed loss). ───────────────────────────────────────────────
+    def ivfPqRecall(corpus: DataFrame, queries: DataFrame, f: Int,
+        exact: Map[Long, Set[Long]]): Double = {
+      val kk = 10 + f - 1
+      val n = corpus.count()
+      val (nCells, nProbe) = Similarity.ivfParams(n)
+      val (kCw, rer) = Similarity.pqParams(n, kk)
+      recallVs(exact, top10L2(Similarity.ivfPqTopK(corpus, queries,
+        "vec_id", "embedding", topk = kk, nCells = nCells,
+        nProbe = nProbe, m = 16, k = kCw, kmeansIters = 2,
+        rerankFactor = rer), f))
+    }
+    val ivfpq1 = ivfPqRecall(emb, queriesOf(emb, 40), 1, gt1)
+    val ivfpqN = timed(s"ivf×pq composed recall ×$fac") {
+      ivfPqRecall(embN, queriesOf(embN, 40L * fac), fac, gtN)
+    }
+    println(f"[pipescale] ivfpq recall ×1=$ivfpq1%.3f ×$fac=$ivfpqN%.3f")
+    require(ivfpqN >= ivfpq1 - 0.15,
+      f"ivf×pq recall collapsed with scale: ×1=$ivfpq1%.3f ×$fac=$ivfpqN%.3f")
+    if (cellsN >= 256)
+      require(ivfpqN >= 0.75,
+        f"ivf×pq recall $ivfpqN%.3f below the 0.75 floor the composed " +
+          s"sizing rules promise at $cellsN cells (probe 1/4, k=$kN)")
     // LSH near-pairs needs scale-sized bands: the band bucket COUNT is
     // 2^bandBits and does not grow with the corpus, so bucket size —
     // and intra-bucket pair work — grows linearly (quadratically) in
@@ -341,7 +401,7 @@ object PipeScale {
     println(s"[pipescale] ALL PASS at ×$fac " +
       s"(exact=${exN.size} groups, keepers=${keepN.size}, " +
       s"flagged=${flN.size}, ivf_recall=$rN, pq_recall=$pqN, " +
-      s"lsh_pairs=$lshPairs)")
+      s"ivfpq_recall=$ivfpqN, lsh_pairs=$lshPairs)")
     spark.stop()
   }
 }

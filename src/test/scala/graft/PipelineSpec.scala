@@ -196,6 +196,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.ivfParams(100000000000L) == ((65536, 16384))) // cap clamp
   }
 
+  test("simhashSigLongs sizing rule: narrow to ~6.5M docs, then wide") {
+    // rule: smallest sigLongs whose chunk width 63/ceil((mh+1)/sigLongs)
+    // holds the mean bucket at <= 200 docs (width >= log2(n/200));
+    // at mh=3: 15-bit chunks to 200·2^15 ≈ 6.5M docs, 31-bit to
+    // ~4.3e11; sigLongs=3 still yields 2 chunks/long = 31 bits, so the
+    // search skips straight to 4 (one 63-bit chunk per long)
+    assert(Dedup.simhashSigLongs(10000L) == 1)
+    assert(Dedup.simhashSigLongs(6000000L) == 1)
+    assert(Dedup.simhashSigLongs(20000000L) == 2)
+    assert(Dedup.simhashSigLongs(400000000000L) == 2)
+    assert(Dedup.simhashSigLongs(1000000000000L) == 4)
+    // threshold-scaled wide use (mh ∝ sigLongs): mh=7 forces 8 chunks —
+    // 15-bit chunks again at sigLongs=2, so the rule widens to 3
+    // (ceil(8/3)=3 chunks/long → 21-bit chunks ≥ the needed 17)
+    assert(Dedup.simhashSigLongs(20000000L, maxHamming = 7) == 3)
+  }
+
   test("ivfTopK with kmeansIters refines without breaking the contract") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

@@ -42,6 +42,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "agg_hll_rollup",
     // 1-row events-counts × 1-row lineitem-count join — scale-constant
     "bench_suite_rows",
+    // r11: derived partsupp crossJoins the 1-row |supplier| count —
+    // the scalar that keys ps_suppkey's portable modulo arithmetic
+    "tpch_q16",
     // TPC-DS spec text (not ours to reshape): q23/q61/q90 broadcast a
     // 1-row scalar-subquery threshold; q28/q88 cross-join 6/8 single-row
     // aggregate blocks — every build side is a global aggregate, i.e.

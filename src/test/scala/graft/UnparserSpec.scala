@@ -233,4 +233,73 @@ class UnparserSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Unparser"))
   }
+
+  test("optimized plan with filter+fetch over a file scan round-trips") {
+    // reference: select_to_sql_recursively re-emits TableScan-level
+    // filters/fetch (sql/src/unparser/plan.rs:218) — here they survive
+    // optimization as Filter/GlobalLimit nodes and re-emit as
+    // WHERE/LIMIT around the direct-file-query term
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_totalprice") > 100000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .limit(10)
+    val sql = Unparser.toSql(df.queryExecution.optimizedPlan)
+    assert(sql.contains("parquet.`") && sql.contains("LIMIT"), sql)
+    val a = df.collect().map(_.toSeq).toSeq
+    val b = spark.sql(sql).collect().map(_.toSeq).toSeq
+    assert(a == b, s"optimized round-trip mismatch:\n$sql")
+  }
+
+  test("same-name equi-join keys re-emit as USING and round-trip") {
+    val n = spark.table("nation")
+      .select(col("n_name"), col("n_regionkey").as("regionkey"))
+    val r = spark.table("region")
+      .select(col("r_regionkey").as("regionkey"), col("r_name"))
+    // DataFrame Seq-key join (the analyzer's USING encoding)
+    val df = n.join(r, Seq("regionkey")).select(col("n_name"), col("r_name"))
+    val sql = Unparser.toSql(df)
+    assert(sql.contains("USING (`regionkey`)"), sql)
+    roundtrip(df)
+    // SQL-built USING join
+    roundtrip(spark.sql(
+      """SELECT n_name, r_name
+        |FROM (SELECT n_name, n_regionkey AS rk FROM nation) a
+        |JOIN (SELECT r_regionkey AS rk, r_name FROM region) b
+        |USING (rk)""".stripMargin))
+    // left SEMI with a same-name key also takes the USING path
+    roundtrip(n.join(r, Seq("regionkey"), "left_semi"))
+    // OUTER joins keep the ON form (merged-key semantics are
+    // side-dependent on unmatched rows) — differently-named keys
+    // round-trip as before
+    val r2 = spark.table("region")
+      .select(col("r_regionkey"), col("r_name"))
+    roundtrip(n.join(r2, col("regionkey") === col("r_regionkey"), "left")
+      .select(col("n_name"), col("r_name")))
+  }
+
+  test("file-scan read options / user csv schema raise named errors") {
+    import org.apache.spark.sql.types._
+    // options don't survive the format.`path` spelling (r10 ADVICE)
+    val tmp = java.nio.file.Files.createTempDirectory("unparse_csv")
+    val csv = tmp.resolve("t.csv")
+    java.nio.file.Files.write(csv, "a,b\n1,x\n2,y\n".getBytes)
+    val withOpt = spark.read.option("header", "true").csv(csv.toString)
+    val e1 = intercept[IllegalArgumentException] {
+      Unparser.toSql(withOpt.filter(col("a") =!= "0"))
+    }
+    assert(e1.getMessage.contains("read options"), e1.getMessage)
+    // a user-supplied csv schema (non-_cN names, no options) also can't
+    // survive — the direct query would revert to _c0/_c1
+    val withSchema = spark.read.schema(
+      StructType(Seq(StructField("a", StringType),
+        StructField("b", StringType)))).csv(csv.toString)
+    val e2 = intercept[IllegalArgumentException] {
+      Unparser.toSql(withSchema.filter(col("a") =!= "0"))
+    }
+    assert(e2.getMessage.contains("user-supplied"), e2.getMessage)
+    // an option-free csv read (inferred _cN names) still unparses
+    val plain = spark.read.csv(csv.toString).limit(1)
+    assert(Unparser.toSql(plain).contains("csv.`"))
+  }
 }

@@ -14,6 +14,9 @@
 #   --skip-test   when `sbt test` already ran green on this exact tree
 #   --skip-x100   for mid-session iteration (the round-end run MUST
 #                 include it)
+#   Skipping ANY stage makes the run end "GATES PARTIAL" (exit 2) —
+#   the "ALL GATES GREEN" line only prints when all seven stages ran
+#   in the same invocation (r10 verdict #5).
 #
 # Each stage appends PASS/FAIL to target/gates.log and the script exits
 # non-zero at the first failure. TPC-DS stages reuse warm generated dirs
@@ -24,7 +27,8 @@ LOG=target/gates.log
 echo "== gates run $(date -u +%FT%TZ) ==" | tee -a "$LOG"
 
 fail() { echo "GATE FAIL: $1" | tee -a "$LOG"; exit 1; }
-ok()   { echo "GATE PASS: $1" | tee -a "$LOG"; }
+PASSED=()
+ok()   { echo "GATE PASS: $1" | tee -a "$LOG"; PASSED+=("$1"); }
 
 run_corpus() { # $1 = sf dir, $2 = out dir
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-12}" \
@@ -75,4 +79,17 @@ SPARK_GRAFT_PIPE_SCALE=20 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   || { tail -15 target/pipescale.log; fail "pipescale x20"; }
 grep "ALL PASS" target/pipescale.log || fail "pipescale x20 (no ALL PASS)"
 ok "pipescale x20"
+
+# ALL GATES GREEN requires every stage to have run IN THIS INVOCATION
+# (r10 verdict #5: a --skip-test run once printed the green line with no
+# sbt-test stage on record). Skipped stages yield GATES PARTIAL + a
+# non-zero exit — fine for mid-session iteration, never for round end.
+REQUIRED=("smoke" "sbt test" "corpus sf0.01" "corpus sf0.1" \
+          "tpcds x10" "tpcds x100" "pipescale x20")
+for s in "${REQUIRED[@]}"; do
+  if [[ " ${PASSED[*]} " != *" $s "* ]]; then
+    echo "== GATES PARTIAL (stage not run: $s) ==" | tee -a "$LOG"
+    exit 2
+  fi
+done
 echo "== ALL GATES GREEN ==" | tee -a "$LOG"
