@@ -7,8 +7,8 @@ import org.apache.spark.sql.types.LongType
 
 import graft.functions.{
   CosineSim, Gcd, HyperplaneSignature, InSetCounts, Lcm, MinHash64,
-  NGramsGenerator, RollingFpPortable, RollingFpXx, Shingles, SimHash63,
-  Sketches}
+  NGramsGenerator, PortableSimhash30, RollingFpPortable, RollingFpXx,
+  Shingles, SimHash63, Sketches}
 import graft.plans.{TopKAggregationRule, TopKAggStrategy}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`
@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash63"),
       new ExpressionInfo(classOf[SimHash63].getName, "graft_simhash63"),
       exprs => SimHash63(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash30_portable"),
+      new ExpressionInfo(classOf[PortableSimhash30].getName,
+        "graft_simhash30_portable"),
+      exprs => PortableSimhash30(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName,

@@ -74,6 +74,79 @@ case class SimHash63(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Engine-PORTABLE 30-bit SimHash of a whitespace-tokenized text column
+  * with a caller-chosen scramble multiplier (foldable) — the codegen
+  * kernel for the oracle-replayable signature behind pipe_dedup_simhash
+  * and pipe_dedup_simhash_wide. Bit-identical to the HOF spec
+  * (Dedup.simhash30FromHashes ∘ tokenHashesPortableScrambled, asserted
+  * in PipelineSpec): tokens are the non-empty \s+ splits, each token's
+  * hash is the codepoint polynomial acc·131+cp mod 1e9+7 scrambled by
+  * `mult` mod 1073741789 (< 2^30, all values non-negative so pmod ≡ %),
+  * and bit i of the signature is the ±1 majority over token-hash bit i.
+  * The interpreted HOF formulation costs 30 nested lambda folds over
+  * the token-hash array per row ON TOP of a per-codepoint fold per
+  * token — it made the two portable dedup queries 74 s + 149 s of the
+  * 361 s full bench (r10 verdict #1's "unlabeled tail"); this kernel is
+  * the same math as one tight JVM pass (same fix shape as PqCodes and
+  * RollingFpPortable). Codepoint iteration matches the HOF's UTF-32
+  * path on all well-formed text (lone surrogates differ — the HOF's
+  * encode() substitutes U+FFFD; real corpora don't carry them and the
+  * corpus-wide equivalence spec re-asserts it per run). */
+case class PortableSimhash30(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash30_portable"
+
+  @transient private lazy val mult: Long = {
+    require(right.foldable, "graft_simhash30_portable: mult must be a literal")
+    right.eval(InternalRow.empty).asInstanceOf[Long]
+  }
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(u: Any): Long = {
+    val s = u.toString
+    val counts = new Array[Int](30)
+    val toks = ws.split(s)
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      if (!w.isEmpty) {
+        var acc = 0L
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          acc = (acc * 131 + cp) % 1000000007L
+          i += Character.charCount(cp)
+        }
+        val h = (acc * mult) % 1073741789L
+        var b = 0
+        while (b < 30) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 30) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSimhash30", this,
+      classOf[PortableSimhash30].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Packed sign-bit signature of array<double> `left` against a foldable
   * literal matrix `right` (array<array<double>>, planes ≤ 62). Bit p
   * (ascending) contributes 2^(planes-1-p). */
@@ -619,6 +692,10 @@ object Sketches {
   def simhash63(tokenHashes: Column): Column =
     call_function("graft_simhash63", tokenHashes)
 
+  def portableSimhash30(text: Column, mult: Long): Column =
+    call_function("graft_simhash30_portable", text,
+      org.apache.spark.sql.functions.lit(mult))
+
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
@@ -650,6 +727,9 @@ object Sketches {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash63", exprs => SimHash63(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash30_portable",
+      exprs => PortableSimhash30(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane_sig",
       exprs => HyperplaneSignature(exprs(0), exprs(1)), "built-in")

@@ -181,13 +181,19 @@ object Dedup {
   def simhashPairsPortable(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    graft.functions.Sketches.register(df.sparkSession)
     // no persist here (r7 ADVICE: it was never released): both self-join
     // sides read the same sigs subplan and Spark's ReuseExchange serves
     // the second side from the first's shuffle output — this is the
     // verification-path variant, and leaking cached blocks across a
-    // 366-query Verify run costs more than any recompute would
+    // 366-query Verify run costs more than any recompute would.
+    // Signature via the codegen'd PortableSimhash30 kernel (r11): the
+    // interpreted HOF spec below (simhash30FromHashes ∘
+    // tokenHashesPortable) made this query 74 s of the full bench —
+    // equivalence corpus-asserted in PipelineSpec.
     val sigs = df.select(col(idCol).as("id"),
-        simhash30FromHashes(tokenHashesPortable(col(textCol))).as("sig"))
+        graft.functions.Sketches.portableSimhash30(
+          col(textCol), 2654435761L).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .select(col("id"), col("sig"),  col("chunk"),
@@ -287,11 +293,15 @@ object Dedup {
       maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 pigeonhole chunks cover maxHamming <= 3, got $maxHamming")
+    graft.functions.Sketches.register(df.sparkSession)
+    // both signatures via the codegen'd kernel (r11 — the interpreted
+    // HOF pair made this query 149 s of the full bench; spec equivalence
+    // corpus-asserted in PipelineSpec)
     val sigs = df.select(col(idCol).as("id"),
-      simhash30FromHashes(
-        tokenHashesPortableScrambled(col(textCol), 2654435761L)).as("sig0"),
-      simhash30FromHashes(
-        tokenHashesPortableScrambled(col(textCol), 2246822519L)).as("sig1"))
+      graft.functions.Sketches.portableSimhash30(
+        col(textCol), 2654435761L).as("sig0"),
+      graft.functions.Sketches.portableSimhash30(
+        col(textCol), 2246822519L).as("sig1"))
     val chunked = sigs
       .select(col("id"), col("sig0"), col("sig1"),
         explode(sequence(lit(0), lit(3))).as("chunk"))

@@ -118,6 +118,25 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${(brute diff blocked).take(3)} extra=${(blocked diff brute).take(3)}")
   }
 
+  test("PortableSimhash30 kernel == HOF spec, per row, both multipliers") {
+    // the codegen kernel (r11 — replaced the interpreted 30-fold HOF
+    // that made the two portable dedup queries 74 s + 149 s of the full
+    // bench) must be bit-identical to the executable spec over the
+    // whole corpus, for both scramble multipliers
+    graft.functions.Sketches.register(spark)
+    for (mult <- Seq(2654435761L, 2246822519L)) {
+      val mismatch = docs.select(col("doc_id"),
+          graft.functions.Sketches.portableSimhash30(col("text"), mult)
+            .as("kernel"),
+          Dedup.simhash30FromHashes(
+            Dedup.tokenHashesPortableScrambled(col("text"), mult))
+            .as("hof"))
+        .filter(col("kernel") =!= col("hof"))
+        .count()
+      assert(mismatch == 0, s"kernel/HOF diverge on $mismatch docs (mult=$mult)")
+    }
+  }
+
   test("portable wide simhash: blocking == brute force, 60-bit signature") {
     val sigs = docs.select(col("doc_id"),
       Dedup.simhash30FromHashes(
