@@ -237,11 +237,16 @@ object ExtrasQueries {
       |SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
       |       true AS est_in_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
-      Engine.table(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+      // sketch pass and exact pass SPLIT, joined on the 3-row group set
+      // (r11, the agg_approx fix): mixing the binary-state sketch
+      // aggregate with countDistinct Expands every row through the
+      // object-agg path — split, the sketch pass streams rows once
+      val li = Engine.table(s, d, "lineitem")
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"))
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        .join(sk, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("est") - col("exact_parts"))
             <= col("exact_parts") * 0.05).as("est_in_bound"))
