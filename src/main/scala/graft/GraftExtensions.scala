@@ -7,8 +7,8 @@ import org.apache.spark.sql.types.LongType
 
 import graft.functions.{
   CosineSim, Gcd, HyperplaneSignature, InSetCounts, Lcm, MinHash64,
-  NGramsGenerator, PortableSimhash30, RollingFpPortable, RollingFpXx,
-  Shingles, SimHash63, Sketches}
+  NearestCells, NGramsGenerator, PortableSimhash30, RollingFpPortable,
+  RollingFpXx, Shingles, SimHash63, Sketches}
 import graft.plans.{TopKAggregationRule, TopKAggStrategy}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`
@@ -51,6 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       exprs => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_nearest_cells_l2"),
+      new ExpressionInfo(classOf[NearestCells].getName,
+        "graft_nearest_cells_l2"),
+      exprs => NearestCells(exprs(0), exprs(1), exprs(2), byL2 = true)))
+    e.injectFunction((
+      FunctionIdentifier("graft_nearest_cells_cos"),
+      new ExpressionInfo(classOf[NearestCells].getName,
+        "graft_nearest_cells_cos"),
+      exprs => NearestCells(exprs(0), exprs(1), exprs(2), byL2 = false)))
     e.injectFunction((
       FunctionIdentifier("graft_pq_codes"),
       new ExpressionInfo(classOf[functions.PqCodes].getName,

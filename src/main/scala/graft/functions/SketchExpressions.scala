@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.InternalRow
@@ -640,6 +640,122 @@ case class PqCodes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The `nProbe` nearest centroid cells (1-based ints, best first) of an
+  * array<double> vector against a FOLDABLE centroid matrix — the
+  * map-side hot loop of IVF at scale (every corpus row is scored
+  * against every cell on assignment, every Lloyd round, and every
+  * probe). `byL2` picks the metric: squared L2 with the ascending-
+  * dimension fold (bit-identical to Similarity.l2sq), or negated
+  * cosine with CosineSim's fold. Ranking is (distance asc via
+  * java.lang.Double.compare — Spark's double ordering — then cell
+  * asc), exactly the HOF spec's array_sort on (dist, cell) structs
+  * (Similarity.nearestCellsHof/nearestCellsL2Hof, equivalence
+  * corpus-asserted in PipelineSpec). The interpreted HOF allocates and
+  * sorts an nCells-struct array per row through generic expression
+  * trees — at 512 cells × 100k rows × several training passes it
+  * dominated the PipeScale ×50 composed stage (431 s). Returns null
+  * for a malformed vector (null element or dimension mismatch) — the
+  * callers drop those rows, same policy as PqCodes. */
+case class NearestCells(first: Expression, second: Expression,
+    third: Expression, byL2: Boolean) extends TernaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (byL2) "graft_nearest_cells_l2" else "graft_nearest_cells_cos"
+
+  @transient private lazy val cents: Array[Array[Double]] = {
+    require(second.foldable, s"$prettyName: centroids must be a literal")
+    val m = second.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    val arr = Array.tabulate(m.numElements())(c => m.getArray(c).toDoubleArray())
+    require(arr.length >= 1, s"$prettyName: need >= 1 centroid")
+    require(arr.forall(_.length == arr(0).length),
+      s"$prettyName: ragged centroid matrix")
+    arr
+  }
+  @transient private lazy val nProbe: Int = {
+    require(third.foldable, s"$prettyName: nProbe must be a literal")
+    val p = third.eval(InternalRow.empty).asInstanceOf[Int]
+    require(p >= 1, s"$prettyName: nProbe must be >= 1")
+    p
+  }
+
+  def compute(v: ArrayData): ArrayData = {
+    val dim = cents(0).length
+    val n = cents.length
+    if (v.numElements() != dim) return null
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      x(i) = v.getDouble(i)
+      i += 1
+    }
+    val dists = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val ct = cents(c)
+      if (byL2) {
+        var d = 0.0
+        var t = 0
+        while (t < dim) { val df = x(t) - ct(t); d += df * df; t += 1 }
+        dists(c) = d
+      } else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var t = 0
+        while (t < dim) {
+          val a = x(t); val b = ct(t)
+          dot += a * b; na += a * a; nb += b * b
+          t += 1
+        }
+        dists(c) = -(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      c += 1
+    }
+    val k = math.min(nProbe, n)
+    val out = new Array[Int](k)
+    if (k == 1) {
+      var best = 0
+      var bc = 1
+      while (bc < n) {
+        if (java.lang.Double.compare(dists(bc), dists(best)) < 0) best = bc
+        bc += 1
+      }
+      out(0) = best + 1
+    } else {
+      val idx = Array.tabulate[Integer](n)(Integer.valueOf)
+      java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+        override def compare(a: Integer, b: Integer): Int = {
+          val d = java.lang.Double.compare(dists(a), dists(b))
+          if (d != 0) d else Integer.compare(a, b)
+        }
+      })
+      var j = 0
+      while (j < k) { out(j) = idx(j) + 1; j += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any, cc: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftNearestCells", this,
+      classOf[NearestCells].getName)
+    val r = ctx.freshName("r")
+    nullSafeCodeGen(ctx, ev, (a, _, _) => s"""
+       |org.apache.spark.sql.catalyst.util.ArrayData $r = $ref.compute($a);
+       |if ($r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = $r; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   import org.apache.spark.sql.types.DoubleType
@@ -699,6 +815,18 @@ object Sketches {
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  def nearestCellsL2(vec: Column, centroids: Seq[Seq[Double]],
+      nProbe: Int): Column =
+    call_function("graft_nearest_cells_l2", vec,
+      org.apache.spark.sql.functions.typedlit(centroids),
+      org.apache.spark.sql.functions.lit(nProbe))
+
+  def nearestCellsCos(vec: Column, centroids: Seq[Seq[Double]],
+      nProbe: Int): Column =
+    call_function("graft_nearest_cells_cos", vec,
+      org.apache.spark.sql.functions.typedlit(centroids),
+      org.apache.spark.sql.functions.lit(nProbe))
+
   def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     call_function("graft_pq_codes", vec,
       org.apache.spark.sql.functions.typedlit(codebooks))
@@ -737,6 +865,14 @@ object Sketches {
       "graft_minhash64", exprs => MinHash64(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_cells_l2",
+      exprs => NearestCells(exprs(0), exprs(1), exprs(2), byL2 = true),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_cells_cos",
+      exprs => NearestCells(exprs(0), exprs(1), exprs(2), byL2 = false),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_codes", exprs => PqCodes(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -198,9 +198,18 @@ object Similarity {
   /** Index of the centroid (1-based) nearest to `vec` by cosine, given a
     * literal centroid matrix. */
   private def nearestCells(vec: Column, centroids: Seq[Seq[Double]],
+      nProbe: Int): Column =
+    graft.functions.Sketches.nearestCellsCos(vec, centroids, nProbe)
+
+  /** The higher-order-function formulation, kept as the executable spec
+    * for the NearestCells kernel (cosine metric; equivalence asserted
+    * in PipelineSpec): (negated similarity, cellId) structs sorted
+    * ascending → top nProbe cells. The interpreted form allocates and
+    * sorts an nCells-struct array per row — it dominated the ×50
+    * composed-ANN rehearsal before the r11 kernel. */
+  private[graft] def nearestCellsHof(vec: Column, centroids: Seq[Seq[Double]],
       nProbe: Int): Column = {
     val m = typedlit(centroids)
-    // (similarity, cellId) structs, sorted desc by similarity → top nProbe
     val scored = transform(sequence(lit(1), lit(centroids.size)), c =>
       struct((lit(-1.0) * cosine(vec, element_at(m, c))).as("negSim"),
         c.as("cell")))
@@ -514,7 +523,13 @@ object Similarity {
     * cell) structs) — the metric-consistent cell router for the
     * L2-ranked PQ composition. */
   private def nearestCellsL2(vec: Column, centroids: Seq[Seq[Double]],
-      nProbe: Int): Column = {
+      nProbe: Int): Column =
+    graft.functions.Sketches.nearestCellsL2(vec, centroids, nProbe)
+
+  /** Executable spec for the NearestCells kernel, L2 metric
+    * (equivalence asserted in PipelineSpec). */
+  private[graft] def nearestCellsL2Hof(vec: Column,
+      centroids: Seq[Seq[Double]], nProbe: Int): Column = {
     val m = typedlit(centroids)
     val scored = transform(sequence(lit(1), lit(centroids.size)), c =>
       struct(l2sq(vec, element_at(m, c)).as("dist"), c.as("cell")))

@@ -118,6 +118,30 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${(brute diff blocked).take(3)} extra=${(blocked diff brute).take(3)}")
   }
 
+  test("NearestCells kernel == HOF spec, both metrics, nProbe 1 and 4") {
+    // the codegen router kernel (r11 — replaced the per-row
+    // nCells-struct array_sort that dominated the ×50 composed-ANN
+    // rehearsal) must rank cells identically to the executable spec:
+    // same fold orders (l2sq / CosineSim), same (dist, cell) tie-break
+    graft.functions.Sketches.register(spark)
+    val cents = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(16).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val v = transform(col("embedding"), _.cast("double"))
+    for (np <- Seq(1, 4)) {
+      val l2 = emb.select(
+          graft.functions.Sketches.nearestCellsL2(v, cents, np).as("k"),
+          Similarity.nearestCellsL2Hof(v, cents, np).as("h"))
+        .filter(not(col("k") === col("h"))).count()
+      assert(l2 == 0, s"L2 kernel/HOF diverge on $l2 rows (nProbe=$np)")
+      val cos = emb.select(
+          graft.functions.Sketches.nearestCellsCos(v, cents, np).as("k"),
+          Similarity.nearestCellsHof(v, cents, np).as("h"))
+        .filter(not(col("k") === col("h"))).count()
+      assert(cos == 0, s"cos kernel/HOF diverge on $cos rows (nProbe=$np)")
+    }
+  }
+
   test("PortableSimhash30 kernel == HOF spec, per row, both multipliers") {
     // the codegen kernel (r11 — replaced the interpreted 30-fold HOF
     // that made the two portable dedup queries 74 s + 149 s of the full
