@@ -254,15 +254,22 @@ object Dedup {
     val sl =
       if (sigLongs > 0) sigLongs
       else simhashSigLongs(df.count(), maxHamming)
-    if (sl > 1)
+    // the narrow path's FIXED 4×16-bit chunks only pigeonhole-cover
+    // hamming <= 3; any larger threshold needs chunks = maxHamming+1,
+    // which the wide path derives for ANY sigLongs including 1 — so it
+    // owns every mh > 3 call even when the sizing rule says one long
+    // (r11 review: the old dispatch silently missed hamming-4+ pairs)
+    if (sl > 1 || maxHamming > 3)
       return simhashPairsWide(df, idCol, textCol, maxHamming, sl)
     // token hashing once per row; signature via the codegen'd SimHash63
     // expression (the HOF formulation is 63 interpreted passes — see
-    // SCALE.md); persist because both self-join sides consume it
+    // SCALE.md). No persist (r11 review — the identical never-released
+    // leak removed from the wide/portable variants): both self-join
+    // sides read the same chunked subplan, ReuseExchange serves the
+    // second side from the first's shuffle output.
     graft.functions.Sketches.register(df.sparkSession)
     val sigs = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
       .select(col("id"), graft.functions.Sketches.simhash63(col("hs")).as("sig"))
-      .persist()
     val chunked = sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .select(col("id"), col("sig"), col("chunk"),

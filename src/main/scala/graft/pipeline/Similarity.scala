@@ -274,6 +274,10 @@ object Similarity {
       val means = unitVecs
         .select(col("uvec"),
           element_at(nearestCells(col("uvec"), cent, 1), 1).as("cell"))
+        // a malformed vector (null element / wrong dim) gets a NULL
+        // cell from the kernel — drop it here or the driver-side
+        // getInt on the collected group NPEs (r11 review)
+        .filter(col("cell").isNotNull)
         .select(col("cell"), posexplode(col("uvec")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("x")).as("m"))
@@ -307,6 +311,8 @@ object Similarity {
       val means = base
         .select(col("vec"),
           element_at(nearestCellsL2(col("vec"), cent, 1), 1).as("cell"))
+        // malformed vectors route to NULL cell — drop before collect
+        .filter(col("cell").isNotNull)
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("x")).as("m"))
@@ -429,6 +435,9 @@ object Similarity {
       val means = base
         .select(pqCodes(col("vec"), cbs).as("codes"),
           posexplode(col("vec")).as(Seq("p", "x")))
+        // malformed vectors yield NULL codes — drop before the
+        // driver-side getInt on the collected groups (r11 review)
+        .filter(col("codes").isNotNull)
         .select(
           (col("p") / sub).cast("int").as("j"),
           (col("p") % sub).as("spos"),

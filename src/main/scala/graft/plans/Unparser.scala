@@ -58,8 +58,28 @@ object Unparser {
   def toSql(df: DataFrame): String = toSql(df.queryExecution.analyzed)
 
   def toSql(plan: LogicalPlan): String = {
+    // a ROOT-level join with identically-named keys would re-emit as
+    // USING and silently return the merged key ONCE where the original
+    // plan's output carried it twice — refuse loudly instead (r11
+    // review; any projection above the join makes the shape fine)
+    plan match {
+      case j: Join if j.condition.exists(sameNameKeyPair) =>
+        throw new IllegalArgumentException(
+          "Unparser: root-level join with identically-named key columns " +
+            "— the regenerated USING schema merges the duplicate column; " +
+            "select the output columns above the join first")
+      case _ =>
+    }
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     render(plan, counter)
+  }
+
+  private def sameNameKeyPair(e: Expression): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      sameNameKeyPair(a) || sameNameKeyPair(b)
+    case org.apache.spark.sql.catalyst.expressions.EqualTo(
+        a: Attribute, b: Attribute) => a.name == b.name
+    case _ => false
   }
 
   private def nextAlias(c: java.util.concurrent.atomic.AtomicInteger) =

@@ -42,26 +42,9 @@ object IvfPqAb {
     val f = fac
     val kk = 10 + f - 1
 
-    def top10(df: DataFrame) = df
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .groupBy(_._1).view.mapValues(
-        _.filter { case (q, n, _) => n / f != q / f }
-          .sortBy { case (_, n, dd) => (dd, n) }.take(10).map(_._2).toSet)
-      .toMap
-
-    val cD = embN.select(col("vec_id").as("nid"),
-      transform(col("embedding"), _.cast("double")).as("nvec"))
-    val qD = queries.select(col("vec_id").as("qid"),
-      transform(col("embedding"), _.cast("double")).as("qvec"))
-    val wL2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("d").asc, col("nid"))
-    val exact = top10(cD.crossJoin(broadcast(qD))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        Similarity.l2sq(col("qvec"), col("nvec")).as("d"))
-      .withColumn("rn", row_number().over(wL2))
-      .filter(col("rn") <= kk)
-      .select(col("qid"), col("nid"), col("d")))
+    // ground truth + recall accounting shared with PipeScale 4c/4d
+    // (AnnRecall — r11 review: one definition of recall, no drift)
+    val exact = AnnRecall.l2Exact(embN, queries, f)
     println(s"[ivfpqab] ground truth ready: ${exact.size} queries")
 
     val n = embN.count()
@@ -72,13 +55,11 @@ object IvfPqAb {
 
     def run(tag: String, probe: Int, rer: Int, iters: Int): Unit = {
       val t0 = System.nanoTime()
-      val res = top10(Similarity.ivfPqTopK(embN, queries,
-        "vec_id", "embedding", topk = kk, nCells = nCells,
-        nProbe = probe, m = 16, k = kCw, kmeansIters = iters,
-        rerankFactor = rer))
-      val rec = exact.map { case (q, s) =>
-        (s intersect res.getOrElse(q, Set.empty)).size / 10.0
-      }.sum / exact.size
+      val rec = AnnRecall.recallVs(exact,
+        AnnRecall.top10L2(Similarity.ivfPqTopK(embN, queries,
+          "vec_id", "embedding", topk = kk, nCells = nCells,
+          nProbe = probe, m = 16, k = kCw, kmeansIters = iters,
+          rerankFactor = rer), f))
       println(f"[ivfpqab] $tag recall=$rec%.3f (${(System.nanoTime()-t0)/1e9}%.1f s)")
     }
     println(s"[ivfpqab] n=$n cells=$nCells probe=$nProbe k=$kCw " +

@@ -281,49 +281,19 @@ object PipeScale {
     //    floor), ≥0.95 at ×20/×50 — recall RISES with scale. Floors:
     //    no-collapse vs ×1, and ≥0.8 absolute once k reaches the
     //    256 cap (the rule's knee, mirroring the ivf 256-cell floor) ──
-    def top10L2(df: DataFrame, f: Int) = df
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .groupBy(_._1).view.mapValues(
-        _.filter { case (q, n, _) => n / f != q / f }
-          .sortBy { case (_, n, dd) => (dd, n) }.take(10).map(_._2).toSet)
-      .toMap
-    // exact squared-L2 ground truth, computed ONCE per corpus and shared
-    // by the PQ (4c) and IVF×PQ (4d) stages — the brute-force cross
-    // product is the expensive half of either recall measurement
-    def l2Exact(corpus: DataFrame, queries: DataFrame,
-        f: Int): Map[Long, Set[Long]] = {
-      val kk = 10 + f - 1
-      val cD = corpus.select(col("vec_id").as("nid"),
-        transform(col("embedding"), _.cast("double")).as("nvec"))
-      val qD = queries.select(col("vec_id").as("qid"),
-        transform(col("embedding"), _.cast("double")).as("qvec"))
-      val wL2 = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("d").asc, col("nid"))
-      val exact = top10L2(cD.crossJoin(broadcast(qD))
-        .filter(col("nid") =!= col("qid"))
-        .select(col("qid"), col("nid"),
-          Similarity.l2sq(col("qvec"), col("nvec")).as("d"))
-        .withColumn("rn", row_number().over(wL2))
-        .filter(col("rn") <= kk)
-        .select(col("qid"), col("nid"), col("d")), f)
-      require(exact.nonEmpty && exact.values.forall(_.size == 10),
-        "L2 ground truth malformed")
-      exact
-    }
-    def recallVs(exact: Map[Long, Set[Long]],
-        approx: Map[Long, Set[Long]]): Double =
-      exact.map { case (q, s) =>
-        (s intersect approx.getOrElse(q, Set.empty)).size / 10.0
-      }.sum / exact.size
-    val gt1 = l2Exact(emb, queriesOf(emb, 40), 1)
+    // exact squared-L2 ground truth (shared helpers: AnnRecall — also
+    // the IvfPqAb harness's accounting, one definition of recall),
+    // computed ONCE per corpus for the PQ (4c) and IVF×PQ (4d) stages
+    import graft.tools.{AnnRecall => AR}
+    val gt1 = AR.l2Exact(emb, queriesOf(emb, 40), 1)
     val gtN = timed(s"exact L2 ground truth ×$fac") {
-      l2Exact(embN, queriesOf(embN, 40L * fac), fac)
+      AR.l2Exact(embN, queriesOf(embN, 40L * fac), fac)
     }
     def pqRecall(corpus: DataFrame, queries: DataFrame, f: Int,
         exact: Map[Long, Set[Long]]): Double = {
       val kk = 10 + f - 1
       val (kCw, rer) = Similarity.pqParams(corpus.count(), kk)
-      recallVs(exact, top10L2(Similarity.pqTopK(corpus, queries,
+      AR.recallVs(exact, AR.top10L2(Similarity.pqTopK(corpus, queries,
         "vec_id", "embedding", topk = kk,
         m = 16, k = kCw, kmeansIters = 2, rerankFactor = rer), f))
     }
@@ -363,7 +333,7 @@ object PipeScale {
       val n = corpus.count()
       val (nCells, nProbe) = Similarity.ivfParams(n)
       val (kCw, rer) = Similarity.pqParams(n, kk)
-      recallVs(exact, top10L2(Similarity.ivfPqTopK(corpus, queries,
+      AR.recallVs(exact, AR.top10L2(Similarity.ivfPqTopK(corpus, queries,
         "vec_id", "embedding", topk = kk, nCells = nCells,
         nProbe = nProbe, m = 16, k = kCw, kmeansIters = 2,
         rerankFactor = rer), f))

@@ -118,6 +118,30 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${(brute diff blocked).take(3)} extra=${(blocked diff brute).take(3)}")
   }
 
+  test("simhashPairs at maxHamming > 3 dispatches wide and stays complete") {
+    // the narrow path's fixed 4×16-bit chunks only pigeonhole-cover
+    // hamming <= 3 (r11 review: mh=4+ used to silently miss pairs whose
+    // diff bits span 4 distinct chunks); mh > 3 now routes to the wide
+    // path, whose chunk count mh+1 holds for ANY sigLongs incl. 1.
+    // Completeness vs brute force over the same 63-bit signature:
+    graft.functions.Sketches.register(spark)
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.Sketches.simhash63(
+        transform(split(col("text"), " "), t => xxhash64(t, lit(0))))
+        .as("sig"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == brute,
+      s"missing=${(brute diff blocked).take(3)} extra=${(blocked diff brute).take(3)}")
+  }
+
   test("NearestCells kernel == HOF spec, both metrics, nProbe 1 and 4") {
     // the codegen router kernel (r11 — replaced the per-row
     // nCells-struct array_sort that dominated the ×50 composed-ANN
@@ -132,12 +156,12 @@ class PipelineSpec extends AnyFunSuite {
       val l2 = emb.select(
           graft.functions.Sketches.nearestCellsL2(v, cents, np).as("k"),
           Similarity.nearestCellsL2Hof(v, cents, np).as("h"))
-        .filter(not(col("k") === col("h"))).count()
+        .filter(not(col("k") <=> col("h"))).count()  // null-safe: a null-vs-value divergence must count
       assert(l2 == 0, s"L2 kernel/HOF diverge on $l2 rows (nProbe=$np)")
       val cos = emb.select(
           graft.functions.Sketches.nearestCellsCos(v, cents, np).as("k"),
           Similarity.nearestCellsHof(v, cents, np).as("h"))
-        .filter(not(col("k") === col("h"))).count()
+        .filter(not(col("k") <=> col("h"))).count()  // null-safe: a null-vs-value divergence must count
       assert(cos == 0, s"cos kernel/HOF diverge on $cos rows (nProbe=$np)")
     }
   }
@@ -155,7 +179,7 @@ class PipelineSpec extends AnyFunSuite {
           Dedup.simhash30FromHashes(
             Dedup.tokenHashesPortableScrambled(col("text"), mult))
             .as("hof"))
-        .filter(col("kernel") =!= col("hof"))
+        .filter(not(col("kernel") <=> col("hof")))  // null-safe compare
         .count()
       assert(mismatch == 0, s"kernel/HOF diverge on $mismatch docs (mult=$mult)")
     }

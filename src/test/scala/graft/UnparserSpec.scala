@@ -278,6 +278,21 @@ class UnparserSpec extends AnyFunSuite {
       .select(col("n_name"), col("r_name")))
   }
 
+  test("root-level join with same-name keys raises a named error") {
+    // USING re-emission would silently narrow the ROOT join's schema
+    // (the merged key appears once where the plan's output carries it
+    // twice) — refused loudly; a projection above makes it fine
+    val n = spark.table("nation")
+      .select(col("n_name"), col("n_regionkey").as("regionkey"))
+    val r = spark.table("region")
+      .select(col("r_regionkey").as("regionkey"), col("r_name"))
+    val e = intercept[IllegalArgumentException] {
+      Unparser.toSql(
+        n.join(r, n("regionkey") === r("regionkey")).queryExecution.analyzed)
+    }
+    assert(e.getMessage.contains("root-level join"), e.getMessage)
+  }
+
   test("file-scan read options / user csv schema raise named errors") {
     import org.apache.spark.sql.types._
     // options don't survive the format.`path` spelling (r10 ADVICE)
