@@ -796,6 +796,113 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Rolling W-word window fingerprints over the words of `left` (raw
+  * text) — the corpus pass of exact-substring dedup (Lee et al. 2021:
+  * every duplicated W-token window across the corpus marks a span to
+  * cut). `right` is a FOLDABLE array<bigint> literal
+  * [w, cpBase, prime, mult, multPrime, winBase] naming one portable
+  * hash family:
+  *
+  *   wordHash(t) = (fold_cp (acc·cpBase + cp) mod prime) · mult
+  *                 mod multPrime          (the tokenHashesPortable shape)
+  *   winHash(i)  = fold_{j=i..i+w-1} (acc·winBase + wordHash_j) mod prime
+  *
+  * Returns array<bigint> of length max(0, nWords − w + 1) — tokens are
+  * the non-empty \s+ splits, codepoint iteration matches the HOF's
+  * UTF-32 path (and DuckDB's unicode()). The window fold is evaluated
+  * with the O(n) rolling recurrence
+  *   h' = ((h − wh_i · winBase^{w−1}) · winBase + wh_{i+w}) mod prime
+  * which is algebraically identical to the per-window slice fold the
+  * HOF spec (Dedup.dupWindowHashesHof) and the DuckDB oracle evaluate —
+  * equivalence corpus-asserted in PipelineSpec for both families. All
+  * intermediates fit signed 64-bit (bounds enforced on the literal):
+  * acc < prime ≤ 1e9+7 < 2^30 so acc·mult < 2^62; wordHash < multPrime
+  * ≤ 2^31 so wh·winBase^{w−1} < 2^61. Two independent
+  * families (different cpBase AND prime AND winBase — ~60 combined
+  * bits) key the duplicate groupBy; the kernel is parametric so a
+  * third family can be added if a 100 TB corpus needs more margin. */
+case class DupWindowHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_dup_window_hashes"
+
+  // decoded once per executor; validated here so a malformed literal
+  // raises a named error, not an AIOOBE from inside codegen
+  @transient private lazy val params: Array[Long] = {
+    require(right.foldable, "graft_dup_window_hashes: params must be a literal")
+    val a = right.eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray()
+    require(a.length == 6, "graft_dup_window_hashes: params must be " +
+      "[w, cpBase, prime, mult, multPrime, winBase]")
+    require(a(0) >= 1, s"graft_dup_window_hashes: w must be >= 1, got ${a(0)}")
+    require(a(2) > 1 && a(2) <= 1000000007L && a(4) > 1 && a(4) <= (1L << 31) &&
+        a(1) > 1 && a(1) < 1024 && a(3) > 1 && a(3) < (1L << 32) &&
+        a(5) > 1 && a(5) < 1024,
+      "graft_dup_window_hashes: family out of the overflow-audited ranges " +
+        "(prime <= 1e9+7, multPrime <= 2^31, cpBase/winBase < 1024, mult < 2^32)")
+    a
+  }
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(u: Any): ArrayData = {
+    val Array(wL, cpBase, prime, mult, multPrime, winBase) = params
+    val w = wL.toInt
+    val toks = ws.split(u.toString)
+    // per-word portable hashes (empties skipped, like the HOF filter)
+    var nw = 0
+    val whs = new Array[Long](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      val s = toks(t)
+      if (!s.isEmpty) {
+        var acc = 0L
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          acc = (acc * cpBase + cp) % prime
+          i += Character.charCount(cp)
+        }
+        whs(nw) = (acc * mult) % multPrime
+        nw += 1
+      }
+      t += 1
+    }
+    if (nw < w) return new GenericArrayData(Array.emptyLongArray)
+    // winBase^(w-1) mod prime for the leading-term removal
+    var bw = 1L
+    var e = 1
+    while (e < w) { bw = (bw * winBase) % prime; e += 1 }
+    val out = new Array[Long](nw - w + 1)
+    var h = 0L
+    var j = 0
+    while (j < w) { h = (h * winBase + whs(j)) % prime; j += 1 }
+    out(0) = h
+    var i = 1
+    while (i <= nw - w) {
+      h = java.lang.Math.floorMod(h - (whs(i - 1) * bw) % prime, prime)
+      h = (h * winBase + whs(i + w - 1)) % prime
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftDupWin", this,
+      classOf[DupWindowHashes].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Sketches {
   /** Every binary-state sketch aggregate family's (name, class, builder)
     * — GraftExtensions injects these so extension-built sessions have
@@ -845,6 +952,10 @@ object Sketches {
   def rollingFpPortable(words: Column): Column =
     call_function("graft_rolling_fp_portable", words)
 
+  def dupWindowHashes(text: Column, params: Seq[Long]): Column =
+    call_function("graft_dup_window_hashes", text,
+      org.apache.spark.sql.functions.typedlit(params))
+
   def hyperplaneSignature(vec: Column, matrix: Column): Column =
     call_function("graft_hyperplane_sig", vec, matrix)
 
@@ -885,6 +996,9 @@ object Sketches {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_fp_portable",
       exprs => RollingFpPortable(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dup_window_hashes",
+      exprs => DupWindowHashes(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngrams",
       exprs => NGramsGenerator(exprs(0), exprs(1)), "built-in")

@@ -452,4 +452,137 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("jacc_raw"), 4).as("jaccard"))
   }
+
+  // ── exact substring dedup (span level) ──────────────────────────────
+  // Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+  // Better"): a substring of >= W tokens appearing more than once in the
+  // corpus is cut everywhere except its first occurrence. The paper
+  // builds a suffix array; the Spark-shaped equivalent is one shuffle of
+  // the corpus's W-token window fingerprints — the window hash plays the
+  // suffix-sort's role of co-locating equal substrings. Doc-level dedup
+  // (exactDedup/minhashPairs/simhashPairs) cannot see these: two distinct
+  // documents sharing one boilerplate paragraph keep both copies.
+
+  /** The two independent portable window-hash families
+    * [w, cpBase, prime, mult, multPrime, winBase] keying the duplicate
+    * groupBy (~60 combined bits; false-pair odds for a differing window
+    * ~1e-18 — birthday-safe to ~1e9 windows, and DupWindowHashes is
+    * parametric so a third family can join the key at true 100 TB
+    * corpus sizes). Family A is exactly the tokenHashesPortable /
+    * fingerprintPortable hash family; family B differs in every
+    * constant (all six primes). */
+  private[graft] def winFamilyA(w: Int): Seq[Long] =
+    Seq(w, 131L, 1000000007L, 2654435761L, 1073741789L, 31L)
+  private[graft] def winFamilyB(w: Int): Seq[Long] =
+    Seq(w, 137L, 998244353L, 2246822519L, 1073741783L, 37L)
+
+  /** HOF spec for the DupWindowHashes kernel: per-window slice folds —
+    * O(n·w) interpreted lambdas, vs the kernel's O(n) rolling pass
+    * (identical algebra; corpus equivalence asserted in PipelineSpec). */
+  private[graft] def dupWindowHashesHof(
+      text: Column, fam: Seq[Long]): Column = {
+    val Seq(w, cpBase, prime, mult, multPrime, winBase) = fam
+    val whs = transform(filter(split(text, "\\s+"), t => t =!= ""), t =>
+      pmod(aggregate(TextAnalysis.codepoints(t), lit(0L),
+        (acc, cp) => pmod(acc * cpBase + cp, lit(prime))) * mult,
+        lit(multPrime)))
+    when(size(whs) < w.toInt,
+      array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), size(whs) - w.toInt), i =>
+        aggregate(slice(whs, i + 1, lit(w.toInt)), lit(0L),
+          (acc, h) => pmod(acc * winBase + h, lit(prime)))))
+  }
+
+  /** Non-keeper occurrences of duplicated W-token windows:
+    * (doc_id, pos) where the window starting at token `pos` appears at
+    * more than one (doc, pos) in the corpus under BOTH hash families and
+    * this occurrence is not the global minimum (doc_id, pos) — the one
+    * copy that survives. One corpus pass computes both window-hash
+    * arrays (codegen'd DupWindowHashes), and the only shuffle carries
+    * (doc_id, pos, h1, h2) — two longs an int and a long per window, the
+    * text never moves. The duplicate test is a partial-agg groupBy (not
+    * a window function: a boilerplate window repeated 1e8 times at
+    * 100 TB would have to buffer its whole hash group in one WindowExec
+    * partition; the agg reduces map-side and the join back streams). */
+  private def duplicateWindowOccurrences(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    graft.functions.Sketches.register(df.sparkSession)
+    import graft.functions.Sketches.dupWindowHashes
+    val wins = df
+      .select(col(idCol).as("doc_id"),
+        dupWindowHashes(col(textCol), winFamilyA(w)).as("h1s"),
+        dupWindowHashes(col(textCol), winFamilyB(w)).as("h2s"))
+      .select(col("doc_id"),
+        posexplode(zip_with(col("h1s"), col("h2s"),
+          (a, b) => struct(a.as("h1"), b.as("h2")))).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("h.h1").as("h1"), col("h.h2").as("h2"))
+    val dupKeys = wins
+      .groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("h1"), col("h2"), col("keep"))
+    wins.join(dupKeys, Seq("h1", "h2"))
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Duplicated-substring spans per document: every non-keeper
+    * occurrence of a duplicated W-token window, merged into maximal
+    * half-open token intervals [span_start, span_end). Interval merge is
+    * the classic islands shape — one window partitioned by doc (spans
+    * per doc are few; the heavy (h1,h2) shuffle happened upstream).
+    * Returns (doc_id, span_start, span_end, n_windows). */
+  def duplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + w)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    duplicateWindowOccurrences(df, idCol, textCol, w)
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + w).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** Rewrite documents with duplicated substrings cut: tokens covered by
+    * any [[duplicateSpans]] interval are dropped (the keeper occurrence
+    * — the corpus-global minimum (doc_id, pos) — is never a span, so
+    * exactly one copy of every duplicated substring survives). Spans
+    * join back as a per-doc list (few per doc) and the cut is a map-side
+    * indexed filter; fp_clean is the engine-portable rolling fingerprint
+    * of the surviving tokens, so an external oracle verifies the rewrite
+    * bit-for-bit without shipping the text. Returns
+    * (doc_id, n_tokens, n_kept, fp_clean). */
+  def cutDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    graft.functions.Sketches.register(df.sparkSession)
+    val spanLists = duplicateSpans(df, idCol, textCol, w)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(spanLists, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("ws", filter(split(col("text"), "\\s+"), t => t =!= ""))
+      .withColumn("kept", filter(col("ws"), (t, i) =>
+        !exists(col("spans"), sp =>
+          i.cast("long") >= sp.getField("s") &&
+            i.cast("long") < sp.getField("e"))))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        graft.functions.Sketches.rollingFpPortable(col("kept"))
+          .as("fp_clean"))
+  }
 }

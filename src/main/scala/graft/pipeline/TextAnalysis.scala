@@ -232,4 +232,53 @@ object TextAnalysis {
           / (col("dfq") + 1)) + 1) + lit(1e-9), 4))
       .select(col("id"), col("term"), col("tf"), col("score"))
   }
+
+  /** Consecutive word bigrams of a text column — array<struct<w1,w2>>,
+    * length max(0, nWords − 1); tokens are the non-empty \s+ splits. */
+  private[graft] def bigrams(text: Column): Column = {
+    val ws = filter(split(text, "\\s+"), t => t =!= "")
+    when(size(ws) < 2,
+      array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
+        struct(element_at(ws, i).as("w1"),
+          element_at(ws, i + 1).as("w2"))))
+  }
+
+  /** CCNet-style n-gram LM quality score: train a Laplace-smoothed
+    * bigram model on `train`, score each `eval` document by its
+    * per-bigram cross-entropy −(1/B)·Σ ln P(w2|w1) with
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + |V|) — low means fluent
+    * under the reference corpus, high means gibberish/boilerplate;
+    * filter pipelines keep a middle band. Every probability is a ratio
+    * of INTEGER counts (both engines compute the identical double), so
+    * the only fp work is ln + the rounded mean — the tfIdf convention
+    * (round(x + 1e-9, 4)). Scale: the model is two count tables bounded
+    * by the train corpus's distinct-bigram/vocab size (≪ token count —
+    * AQE broadcasts them when small, shuffle-joins past that), |V| rides
+    * along as a broadcast 1-row aggregate, and the score is one
+    * per-doc aggregation. Returns (doc_id, n_bigrams, xent). */
+  def crossEntropyScore(
+      train: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    def explodeBigrams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        explode(bigrams(col(textCol))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val trainBg = explodeBigrams(train)
+    val c12 = trainBg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+    val c1 = trainBg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val vocab = trainBg.agg(countDistinct(col("w2")).as("v"))
+    explodeBigrams(eval)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("n12"), lit(0L)) + lit(1.0))
+          / (coalesce(col("n1"), lit(0L)) + col("v"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("lp")) / count(lit(1)) + lit(1e-9), 4).as("xent"))
+  }
 }

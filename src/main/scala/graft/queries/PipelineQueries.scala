@@ -37,6 +37,60 @@ object PipelineQueries {
       s"($rot, CAST($rows AS DOUBLE[][]))"
     }.mkString("(VALUES ", ", ", ") planes(rot, m)")
 
+  /** Shared CTE chain for the exact-substring-dedup oracles: tokenize,
+    * per-word portable hashes under BOTH window-hash families
+    * (Dedup.winFamilyA/B — the constants here are those literals), the
+    * per-position W-token window hashes as slice folds, the duplicate
+    * test with the global-min keeper, and the islands merge into spans.
+    * Ends with the `spans` CTE — callers append their final SELECT. */
+  private[queries] def substringSpansSqlDuck(w: Int): String = {
+    val wm1 = w - 1
+    s"""WITH words AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |                             t -> t <> '') AS ws
+       |  FROM documents),
+       |whs AS (
+       |  SELECT doc_id, len(ws) AS n,
+       |    list_transform(ws, t ->
+       |      (list_reduce(list_transform(string_split_regex(t, ''),
+       |                     c -> CAST(unicode(c) AS BIGINT)),
+       |                   (acc, cp) -> (acc * 131 + cp) % 1000000007)
+       |       * 2654435761) % 1073741789) AS h1s,
+       |    list_transform(ws, t ->
+       |      (list_reduce(list_transform(string_split_regex(t, ''),
+       |                     c -> CAST(unicode(c) AS BIGINT)),
+       |                   (acc, cp) -> (acc * 137 + cp) % 998244353)
+       |       * 2246822519) % 1073741783) AS h2s
+       |  FROM words),
+       |occ AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    list_reduce(list_slice(h1s, i, i + $wm1),
+       |                (acc, h) -> (acc * 31 + h) % 1000000007) AS h1,
+       |    list_reduce(list_slice(h2s, i, i + $wm1),
+       |                (acc, h) -> (acc * 37 + h) % 998244353) AS h2
+       |  FROM whs, LATERAL unnest(generate_series(1, CAST(n AS INT) - $wm1)) AS t(i)),
+       |marked AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY h1, h2) AS cnt,
+       |    row_number() OVER (PARTITION BY h1, h2 ORDER BY doc_id, pos) AS rn
+       |  FROM occ),
+       |dups AS (SELECT doc_id, pos FROM marked WHERE cnt > 1 AND rn > 1),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > coalesce(max(pos + $w) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS ni
+       |  FROM dups),
+       |grp AS (SELECT doc_id, pos,
+       |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + $w AS span_end,
+       |         count(*) AS n_windows
+       |  FROM grp GROUP BY doc_id, island)""".stripMargin
+  }
+
   private val shingleSqlDuck =
     """SELECT doc_id,
       |       list_distinct(list_transform(
@@ -496,6 +550,55 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ── exact substring dedup (Lee et al. 2021, span level) ─────────────
+    // Every duplicated 15-token window across the corpus, merged into
+    // maximal spans per doc, keeper (global min (doc_id, pos)) excluded.
+    // The oracle replays BOTH portable window-hash families (codepoint
+    // polynomial → scramble → rolling window fold), the duplicate test,
+    // the keeper rule, and the islands merge. Spark's O(n) rolling
+    // kernel and the oracle's per-window slice folds are the same
+    // algebra (PipelineSpec asserts kernel == HOF spec corpus-wide).
+    "pipe_dedup_substring" -> Q(s"""
+      |${substringSpansSqlDuck(15)}
+      |SELECT doc_id, span_start, span_end, n_windows
+      |FROM spans ORDER BY doc_id, span_start""") { (s, d) =>
+      Dedup.duplicateSpans(Engine.table(s, d, "documents"),
+          "doc_id", "text", w = 15)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // ── exact substring dedup — the rewrite: cut every span, keep the
+    //    keeper occurrence; verified per doc by token counts plus the
+    //    portable rolling fingerprint of the surviving tokens ───────────
+    "pipe_dedup_substring_cut" -> Q(s"""
+      |${substringSpansSqlDuck(15)},
+      |tok AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS tpos, ws[i] AS tk
+      |  FROM words, LATERAL unnest(generate_series(1, CAST(len(ws) AS INT))) AS t(i)),
+      |kept AS (
+      |  SELECT t.doc_id, t.tpos, t.tk FROM tok t
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+      |    WHERE s.doc_id = t.doc_id
+      |      AND t.tpos >= s.span_start AND t.tpos < s.span_end)),
+      |keptfp AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    list_reduce(
+      |      list_transform(list(tk ORDER BY tpos), w2 ->
+      |        list_reduce(list_transform(string_split_regex(w2, ''),
+      |                      c -> CAST(unicode(c) AS BIGINT)),
+      |                    (acc, cp) -> (acc * 131 + cp) % 1000000007)),
+      |      (acc, h) -> (acc * 31 + h) % 1000000007) AS fp_clean
+      |  FROM kept GROUP BY doc_id)
+      |SELECT wd.doc_id, CAST(len(wd.ws) AS BIGINT) AS n_tokens,
+      |       coalesce(k.n_kept, 0) AS n_kept,
+      |       coalesce(k.fp_clean, 0) AS fp_clean
+      |FROM words wd LEFT JOIN keptfp k USING (doc_id)
+      |ORDER BY doc_id""") { (s, d) =>
+      Dedup.cutDuplicateSpans(Engine.table(s, d, "documents"),
+          "doc_id", "text", w = 15)
+        .orderBy(col("doc_id"))
+    },
+
     // ── brute-force cosine top-k (exact ANN baseline) ────────────────────
     "pipe_sim_topk" -> Q("""
       |WITH e AS (SELECT vec_id,
@@ -620,6 +723,42 @@ object PipelineQueries {
           Engine.table(s, d, "documents"), "doc_id", "text", 3)
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("score"))
         .orderBy(col("doc_id"), col("term"))
+    },
+
+    // ── CCNet-style n-gram LM quality score: Laplace-smoothed bigram
+    //    model trained on the even-doc_id half, each odd-doc_id doc
+    //    scored by per-bigram cross-entropy — every P(w2|w1) is a ratio
+    //    of INTEGER counts (identical doubles both engines); ln + the
+    //    rounded mean follow the tfidf fp convention ───────────────────
+    "pipe_text_crossentropy" -> Q("""
+      |WITH words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |                             t -> t <> '') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM words, LATERAL unnest(generate_series(1, CAST(len(ws) AS INT) - 1)) AS t(i)),
+      |train AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+      |c12 AS (SELECT w1, w2, count(*) AS n12 FROM train GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM train GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w2) AS v FROM train),
+      |ev AS (
+      |  SELECT b.doc_id,
+      |         ln((coalesce(c12.n12, 0) + 1.0)
+      |            / (coalesce(c1.n1, 0) + v.v)) AS lp
+      |  FROM bg b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      |            LEFT JOIN c1 ON b.w1 = c1.w1
+      |            CROSS JOIN v
+      |  WHERE b.doc_id % 2 = 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(-sum(lp) / count(*) + 1e-9, 4) AS xent
+      |FROM ev GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      val docs = Engine.table(s, d, "documents")
+      TextAnalysis.crossEntropyScore(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
     },
 
     // ── symmetric int8 embedding quantization (IEEE mul/div/round only —

@@ -146,6 +146,41 @@ object PipeScale {
           s"missing=${(wideKeep1.map(_ * fac) diff wideKeepN).take(3)}")
     }
 
+    // ── 2d. exact substring dedup (Lee et al. span cut) at ×fac ─────
+    //    The replication scheme (o → o·fac+rep) preserves doc order
+    //    with rep as tie-break, so every duplicated window's keeper
+    //    stays at the SAME (doc, pos) inside a rep-0 doc. Exact
+    //    invariants: rep-0 span sets == the ×1 span sets verbatim, and
+    //    every rep>0 replica with >= w tokens is fully covered by spans
+    //    (kept = 0; shorter replicas have no windows and stay intact).
+    //    This is the boilerplate-paragraph shape the operator exists
+    //    for: at ×20 every window is duplicated, so the groupBy's
+    //    map-side partial agg carries the whole corpus's window set ───
+    val subW = 15
+    val spans1 = Dedup.duplicateSpans(docs, "doc_id", "text", subW)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val spansRep0 = timed(s"substring spans ×$fac") {
+      Dedup.duplicateSpans(docsN, "doc_id", "text", subW)
+        .filter(col("doc_id") % fac === 0)
+        .collect()
+        .map(r =>
+          (r.getLong(0) / fac, r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    }
+    require(spansRep0 == spans1,
+      s"substring spans mismatch: extra=${(spansRep0 diff spans1).take(3)} " +
+        s"missing=${(spans1 diff spansRep0).take(3)}")
+    val badRep = timed(s"substring cut ×$fac") {
+      Dedup.cutDuplicateSpans(docsN, "doc_id", "text", subW)
+        .filter(col("doc_id") % fac =!= 0)
+        .filter(when(col("n_tokens") >= subW, col("n_kept") =!= 0)
+          .otherwise(col("n_kept") =!= col("n_tokens")))
+        .count()
+    }
+    require(badRep == 0, s"$badRep replicas kept the wrong tokens")
+
     // ── 3. bloom decontamination (train ×fac, eval fixed at ×1) ────
     val eval1 = docs.filter(col("doc_id") % 17 === 0)
     // integral floor division — exact at any scale (double division is

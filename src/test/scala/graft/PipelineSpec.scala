@@ -185,6 +185,159 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("DupWindowHashes kernel == HOF slice-fold spec, both families, w 2/15/50") {
+    // the O(n) rolling recurrence must be bit-identical to the O(n·w)
+    // per-window slice folds the oracle evaluates, corpus-wide
+    graft.functions.Sketches.register(spark)
+    for (w <- Seq(2, 15, 50);
+         fam <- Seq(Dedup.winFamilyA(w), Dedup.winFamilyB(w))) {
+      val mismatch = docs.select(
+          graft.functions.Sketches.dupWindowHashes(col("text"), fam)
+            .as("kernel"),
+          Dedup.dupWindowHashesHof(col("text"), fam).as("hof"))
+        .filter(not(col("kernel") <=> col("hof")))  // null-safe compare
+        .count()
+      assert(mismatch == 0,
+        s"kernel/HOF diverge on $mismatch docs (w=$w, fam=$fam)")
+    }
+  }
+
+  // Scala-side brute force for the substring-dedup family: duplicated
+  // W-token windows found by their exact TEXT (no hashes — so these
+  // tests also certify the two-family hash key is collision-free on the
+  // corpus), keeper = global min (doc_id, pos), islands merged with the
+  // same pos > prevMaxEnd rule (touching spans concatenate).
+  private def bruteSpans(
+      rows: Array[(Long, String)], w: Int): Set[(Long, Long, Long, Long)] = {
+    val occ = for {
+      (id, t) <- rows.toSeq
+      ws = t.split("\\s+").filter(_.nonEmpty)
+      i <- 0 to ws.length - w
+    } yield (ws.slice(i, i + w).mkString(" "), (id, i.toLong))
+    val dups = occ.groupBy(_._1).values
+      .filter(_.size > 1)
+      .flatMap(_.map(_._2).sorted.tail)
+    dups.toSeq.groupBy(_._1).flatMap { case (id, ps) =>
+      var res = List.empty[(Long, Long, Long, Long)]
+      var start = -1L; var end = -1L; var n = 0L
+      for (p <- ps.map(_._2).sorted) {
+        if (start < 0) { start = p; end = p + w; n = 1 }
+        else if (p <= end) { end = p + w; n += 1 }
+        else { res ::= ((id, start, end, n)); start = p; end = p + w; n = 1 }
+      }
+      if (start >= 0) res ::= ((id, start, end, n))
+      res
+    }.toSet
+  }
+
+  private def portableFp(ws: Seq[String]): Long = {
+    val p = 1000000007L
+    ws.foldLeft(0L)((acc, w) =>
+      (acc * 31 + w.codePoints().toArray.foldLeft(0L)(
+        (a, cp) => (a * 131 + cp) % p)) % p)
+  }
+
+  test("substring dedup: spans == brute force over exact window texts") {
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = bruteSpans(rows, 15)
+    assert(expected.nonEmpty, "testdata should contain duplicated windows")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"extra=${(got diff expected).take(3)} missing=${(expected diff got).take(3)}")
+  }
+
+  test("substring cut: keeper survives, covered tokens drop, short docs intact") {
+    val w = 15
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val spans = bruteSpans(rows, w).groupBy(_._1)
+    val expected = rows.map { case (id, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val cover = spans.getOrElse(id, Set.empty)
+        .flatMap { case (_, s, e, _) => s until e }
+      val kept = ws.zipWithIndex.collect {
+        case (tok, i) if !cover.contains(i.toLong) => tok }
+      (id, (ws.size.toLong, kept.size.toLong, portableFp(kept)))
+    }.toMap
+    val got = Dedup.cutDuplicateSpans(docs, "doc_id", "text", w).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected,
+      s"first diff: ${got.find { case (k, v) => expected.get(k) != Some(v) }}")
+    // docs shorter than w have no windows, so they survive untouched
+    val short = rows.filter(_._2.split("\\s+").count(_.nonEmpty) < w)
+    assert(short.nonEmpty, "corpus should have docs shorter than w")
+    short.foreach { case (id, _) =>
+      val (n, k, _) = got(id)
+      assert(n == k, s"doc $id shorter than w=$w must keep all $n tokens")
+    }
+  }
+
+  test("substring dedup: exact replica mapping (x3) — rep-0 spans invariant, replicas collapse") {
+    // PipeScale's replication scheme: doc o → o*3+rep preserves doc
+    // order with rep as tie-break, so every window's keeper stays in a
+    // rep-0 doc at the SAME position → rep-0 span sets must equal the
+    // ×1 span sets exactly, and every rep>0 doc with >= w tokens is
+    // fully covered (kept = 0); shorter replicas have no windows at all
+    val w = 15
+    val docs3 = docs
+      .withColumn("rep", explode(sequence(lit(0), lit(2))))
+      .select((col("doc_id") * 3 + col("rep")).as("doc_id"), col("text"))
+    val base = Dedup.duplicateSpans(docs, "doc_id", "text", w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val rep0 = Dedup.duplicateSpans(docs3, "doc_id", "text", w)
+      .filter(col("doc_id") % 3 === 0)
+      .collect()
+      .map(r => (r.getLong(0) / 3, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rep0 == base,
+      s"extra=${(rep0 diff base).take(3)} missing=${(base diff rep0).take(3)}")
+    val badReplicas = Dedup.cutDuplicateSpans(docs3, "doc_id", "text", w)
+      .filter(col("doc_id") % 3 =!= 0)
+      .filter(when(col("n_tokens") >= w, col("n_kept") =!= 0)
+        .otherwise(col("n_kept") =!= col("n_tokens")))
+      .count()
+    assert(badReplicas == 0, s"$badReplicas replicas kept the wrong tokens")
+  }
+
+  test("cross-entropy LM score == independent brute force (counts, V, smoothing)") {
+    import graft.pipeline.TextAnalysis
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval = docs.filter(col("doc_id") % 2 === 1)
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val trainBg = train.select(col("text")).collect().map(_.getString(0))
+      .flatMap(t => toks(t).sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))))
+    val c12 = trainBg.groupBy(identity).view.mapValues(_.length).toMap
+    val c1 = trainBg.groupBy(_._1).view.mapValues(_.length).toMap
+    val v = trainBg.map(_._2).distinct.length
+    val expected = eval.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val bgs = toks(r.getString(1)).sliding(2).filter(_.size == 2)
+          .map(p => (p(0), p(1))).toSeq
+        val raw = -bgs.map(b => math.log(
+          (c12.getOrElse(b, 0) + 1.0) / (c1.getOrElse(b._1, 0) + v)))
+          .sum / bgs.size
+        (r.getLong(0), (bgs.size.toLong, raw))
+      }.toMap
+    val got = TextAnalysis.crossEntropyScore(train, eval, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (nb, xent)) =>
+      val (enb, eraw) = expected(id)
+      assert(nb == enb, s"doc $id: n_bigrams $nb != $enb")
+      // fp sum order differs (Spark row order vs Scala fold) — a real
+      // model bug (wrong V, swapped counts, smoothing) moves xent >> 1e-3
+      assert(math.abs(xent - eraw) < 1e-3,
+        s"doc $id: xent $xent != brute-force $eraw")
+    }
+  }
+
   test("portable wide simhash: blocking == brute force, 60-bit signature") {
     val sigs = docs.select(col("doc_id"),
       Dedup.simhash30FromHashes(
