@@ -497,10 +497,12 @@ object Dedup {
     * (doc_id, pos) where the window starting at token `pos` appears at
     * more than one (doc, pos) in the corpus under BOTH hash families and
     * this occurrence is not the global minimum (doc_id, pos) — the one
-    * copy that survives. One corpus pass computes both window-hash
-    * arrays (codegen'd DupWindowHashes), and the only shuffle carries
-    * (doc_id, pos, h1, h2) — two longs an int and a long per window, the
-    * text never moves. The duplicate test is a partial-agg groupBy (not
+    * copy that survives. Each scan pass computes both window-hash
+    * arrays together (codegen'd DupWindowHashes), and the only shuffle
+    * carries (doc_id, pos, h1, h2) per window — the text never moves;
+    * the duplicate-key side re-runs the scan+kernel rather than
+    * materializing the corpus-token-sized window set (two cheap scans
+    * beat one huge persist). The duplicate test is a partial-agg groupBy (not
     * a window function: a boilerplate window repeated 1e8 times at
     * 100 TB would have to buffer its whole hash group in one WindowExec
     * partition; the agg reduces map-side and the join back streams). */

@@ -268,8 +268,12 @@ object TextAnalysis {
     val trainBg = explodeBigrams(train)
     val c12 = trainBg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n12"))
-    val c1 = trainBg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-    val vocab = trainBg.agg(countDistinct(col("w2")).as("v"))
+    // c(w1·) and |V| both derive from the c12 table (Σ n12 over w2 /
+    // distinct w2) — aggregates of an aggregate, so the corpus-sized
+    // explode+shuffle happens once (ReuseExchange serves the branches)
+    // and the extra passes are vocabulary-bounded
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val vocab = c12.agg(countDistinct(col("w2")).as("v"))
     explodeBigrams(eval)
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")

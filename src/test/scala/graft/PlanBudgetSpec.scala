@@ -45,6 +45,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // r11: derived partsupp crossJoins the 1-row |supplier| count —
     // the scalar that keys ps_suppkey's portable modulo arithmetic
     "tpch_q16",
+    // r11: the LM score crossJoins the 1-row |V| vocabulary-size
+    // aggregate (same shape as pipe_text_tfidf's n_docs) —
+    // scale-constant build side
+    "pipe_text_crossentropy",
     // TPC-DS spec text (not ours to reshape): q23/q61/q90 broadcast a
     // 1-row scalar-subquery threshold; q28/q88 cross-join 6/8 single-row
     // aggregate blocks — every build side is a global aggregate, i.e.
