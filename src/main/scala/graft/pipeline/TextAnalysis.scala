@@ -234,14 +234,20 @@ object TextAnalysis {
   }
 
   /** Consecutive word bigrams of a text column — array<struct<w1,w2>>,
-    * length max(0, nWords − 1); tokens are the non-empty \s+ splits. */
+    * length max(0, nWords − 1); tokens are the non-empty \s+ splits.
+    * The token array is LET-BOUND via transform(array(e), ws -> ...)
+    * (the SCALE.md idiom): HOF lambdas re-evaluate captured
+    * subexpressions per element, so a naive element_at(filter(split(
+    * text)), i) re-tokenizes the whole document at every position —
+    * O(n²) per doc; it read 10 s on the quiet box vs 0.9 s let-bound. */
   private[graft] def bigrams(text: Column): Column = {
-    val ws = filter(split(text, "\\s+"), t => t =!= "")
-    when(size(ws) < 2,
-      array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
-        struct(element_at(ws, i).as("w1"),
-          element_at(ws, i + 1).as("w2"))))
+    val ws0 = filter(split(text, "\\s+"), t => t =!= "")
+    element_at(transform(array(ws0), ws =>
+      when(size(ws) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
+          struct(element_at(ws, i).as("w1"),
+            element_at(ws, i + 1).as("w2"))))), 1)
   }
 
   /** CCNet-style n-gram LM quality score: train a Laplace-smoothed
