@@ -836,7 +836,11 @@ case class DupWindowHashes(left: Expression, right: Expression)
     val a = right.eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray()
     require(a.length == 6, "graft_dup_window_hashes: params must be " +
       "[w, cpBase, prime, mult, multPrime, winBase]")
-    require(a(0) >= 1, s"graft_dup_window_hashes: w must be >= 1, got ${a(0)}")
+    // w >= 2: at w = 1 the oracle's seeded list_reduce would return the
+    // raw word hash UNreduced while the fold-from-zero reduces it mod
+    // prime (multPrime > prime for family A) — and a 1-word window
+    // needs no window machinery anyway (that's plain token dedup)
+    require(a(0) >= 2, s"graft_dup_window_hashes: w must be >= 2, got ${a(0)}")
     require(a(2) > 1 && a(2) <= 1000000007L && a(4) > 1 && a(4) <= (1L << 31) &&
         a(1) > 1 && a(1) < 1024 && a(3) > 1 && a(3) < (1L << 32) &&
         a(5) > 1 && a(5) < 1024,

@@ -478,19 +478,23 @@ object Dedup {
 
   /** HOF spec for the DupWindowHashes kernel: per-window slice folds —
     * O(n·w) interpreted lambdas, vs the kernel's O(n) rolling pass
-    * (identical algebra; corpus equivalence asserted in PipelineSpec). */
+    * (identical algebra; corpus equivalence asserted in PipelineSpec).
+    * The word-hash array is LET-BOUND via transform(array(e), ws -> …)
+    * (the SCALE.md idiom) — a captured `whs` would re-tokenize the doc
+    * at every window position, making the spec O(n·len) per doc. */
   private[graft] def dupWindowHashesHof(
       text: Column, fam: Seq[Long]): Column = {
     val Seq(w, cpBase, prime, mult, multPrime, winBase) = fam
-    val whs = transform(filter(split(text, "\\s+"), t => t =!= ""), t =>
+    val whs0 = transform(filter(split(text, "\\s+"), t => t =!= ""), t =>
       pmod(aggregate(TextAnalysis.codepoints(t), lit(0L),
         (acc, cp) => pmod(acc * cpBase + cp, lit(prime))) * mult,
         lit(multPrime)))
-    when(size(whs) < w.toInt,
-      array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(0), size(whs) - w.toInt), i =>
-        aggregate(slice(whs, i + 1, lit(w.toInt)), lit(0L),
-          (acc, h) => pmod(acc * winBase + h, lit(prime)))))
+    element_at(transform(array(whs0), whs =>
+      when(size(whs) < w.toInt,
+        array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(0), size(whs) - w.toInt), i =>
+          aggregate(slice(whs, i + 1, lit(w.toInt)), lit(0L),
+            (acc, h) => pmod(acc * winBase + h, lit(prime)))))), 1)
   }
 
   /** Non-keeper occurrences of duplicated W-token windows:
@@ -557,9 +561,12 @@ object Dedup {
   }
 
   /** Rewrite documents with duplicated substrings cut: tokens covered by
-    * any [[duplicateSpans]] interval are dropped (the keeper occurrence
-    * — the corpus-global minimum (doc_id, pos) — is never a span, so
-    * exactly one copy of every duplicated substring survives). Spans
+    * any [[duplicateSpans]] interval are dropped. The keeper occurrence
+    * — the corpus-global minimum (doc_id, pos) — is never itself a
+    * span, but a span from a DIFFERENT duplicate group may overlap it
+    * and cut into its tokens (exactly Lee et al.'s span-cut behavior:
+    * the guarantee is that no duplicated window survives twice, not
+    * that every substring keeps one intact copy). Spans
     * join back as a per-doc list (few per doc) and the cut is a map-side
     * indexed filter; fp_clean is the engine-portable rolling fingerprint
     * of the surviving tokens, so an external oracle verifies the rewrite

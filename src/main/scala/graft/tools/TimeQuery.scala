@@ -24,9 +24,12 @@ object TimeQuery {
         q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
+      val s = times.sorted
+      val median = if (iters % 2 == 1) s(iters / 2)
+        else (s(iters / 2 - 1) + s(iters / 2)) / 2
       println(f"[timequery] $n%-28s " +
         times.map(t => f"$t%.3f").mkString(" ") +
-        f"  median=${times.sorted.apply(iters / 2)}%.3f")
+        f"  median=$median%.3f")
     }
     spark.stop()
   }

@@ -316,13 +316,18 @@ class PipelineSpec extends AnyFunSuite {
     val c1 = trainBg.groupBy(_._1).view.mapValues(_.length).toMap
     val v = trainBg.map(_._2).distinct.length
     val expected = eval.select(col("doc_id"), col("text")).collect()
-      .map { r =>
+      .flatMap { r =>
         val bgs = toks(r.getString(1)).sliding(2).filter(_.size == 2)
           .map(p => (p(0), p(1))).toSeq
-        val raw = -bgs.map(b => math.log(
-          (c12.getOrElse(b, 0) + 1.0) / (c1.getOrElse(b._1, 0) + v)))
-          .sum / bgs.size
-        (r.getLong(0), (bgs.size.toLong, raw))
+        // docs with < 2 tokens have no bigrams: the operator (and the
+        // oracle) emit no row for them — mirror that, don't divide by 0
+        if (bgs.isEmpty) None
+        else {
+          val raw = -bgs.map(b => math.log(
+            (c12.getOrElse(b, 0) + 1.0) / (c1.getOrElse(b._1, 0) + v)))
+            .sum / bgs.size
+          Some((r.getLong(0), (bgs.size.toLong, raw)))
+        }
       }.toMap
     val got = TextAnalysis.crossEntropyScore(train, eval, "doc_id", "text")
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
