@@ -334,4 +334,63 @@ class PropertySpec extends AnyFunSuite {
       assert(gotMin == expMin, s"min k=$k rows=$rows")
     }
   }
+
+  test("substring-dedup spans + cut == brute force on random tiny-vocab corpora") {
+    import graft.pipeline.Dedup
+    // a 4-word vocabulary forces dense window collisions — the worst
+    // case for keeper selection and islands merging; window equality by
+    // TEXT in the brute force vs by two-family hash in the operator
+    val vocab = Vector("a", "b", "c", "dd")
+    val docsGen = Gen.listOfN(10,
+      Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    val p = 1000000007L
+    def fp(ws: Seq[String]): Long =
+      ws.foldLeft(0L)((acc, t) => (acc * 31 + t.codePoints().toArray
+        .foldLeft(0L)((a, cp) => (a * 131 + cp) % p)) % p)
+    forAllSeeded(Gen.zip(docsGen, Gen.choose(2, 4)), 6) { case (texts, w) =>
+      val rows = texts.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      import spark.implicits._
+      val df = rows.toDF("doc_id", "text")
+      // brute force: duplicated window texts, global-min keeper, islands
+      val occ = for {
+        (id, ws) <- rows.map { case (id, t) =>
+          (id, t.split("\\s+").filter(_.nonEmpty).toSeq) }
+        i <- 0 to ws.length - w
+      } yield (ws.slice(i, i + w).mkString(" "), (id, i.toLong))
+      val dups = occ.groupBy(_._1).values.filter(_.size > 1)
+        .flatMap(_.map(_._2).sorted.tail)
+      val expSpans = dups.toSeq.groupBy(_._1).flatMap { case (id, ps) =>
+        var res = List.empty[(Long, Long, Long, Long)]
+        var start = -1L; var end = -1L; var n = 0L
+        for (pos <- ps.map(_._2).sorted) {
+          if (start < 0) { start = pos; end = pos + w; n = 1 }
+          else if (pos <= end) { end = pos + w; n += 1 }
+          else { res ::= ((id, start, end, n)); start = pos; end = pos + w; n = 1 }
+        }
+        if (start >= 0) res ::= ((id, start, end, n))
+        res
+      }.toSet
+      val gotSpans = Dedup.duplicateSpans(df.toDF(), "doc_id", "text", w)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(gotSpans == expSpans, s"w=$w texts=$texts")
+      // cut: per-doc kept counts + portable fingerprint
+      val spansByDoc = expSpans.groupBy(_._1)
+      val expCut = rows.map { case (id, t) =>
+        val ws = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val cover = spansByDoc.getOrElse(id, Set.empty)
+          .flatMap { case (_, s, e, _) => s until e }
+        val kept = ws.zipWithIndex.collect {
+          case (tok, i) if !cover.contains(i.toLong) => tok }
+        (id, (ws.size.toLong, kept.size.toLong, fp(kept)))
+      }.toMap
+      val gotCut = Dedup.cutDuplicateSpans(df.toDF(), "doc_id", "text", w)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(gotCut == expCut, s"w=$w texts=$texts")
+    }
+  }
 }
