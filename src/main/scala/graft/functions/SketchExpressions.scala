@@ -829,6 +829,20 @@ case class DupWindowHashes(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_dup_window_hashes"
 
+  // r11 ADVICE: validate the params literal ONCE at analysis time on the
+  // driver — a malformed literal previously surfaced as N identical task
+  // failures when the lazy val was first touched inside compute()
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (left.dataType != org.apache.spark.sql.types.StringType)
+      TypeCheckFailure(s"$prettyName expects a string column")
+    else
+      try { params; TypeCheckSuccess }
+      catch { case e: IllegalArgumentException =>
+        TypeCheckFailure(e.getMessage) }
+  }
+
   // decoded once per executor; validated here so a malformed literal
   // raises a named error, not an AIOOBE from inside codegen
   @transient private lazy val params: Array[Long] = {
@@ -907,6 +921,164 @@ case class DupWindowHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hashed n-gram feature buckets of a text column — the fastText-shape
+  * featurizer (pipeline/Classifier.scala): each non-empty \s+ token is
+  * hashed with the engine-portable codepoint polynomial
+  * (acc·cpBase + cp) mod prime — family A of the window-hash /
+  * fingerprintPortable kernels — and bucketed mod d; when `bi` = 1,
+  * consecutive kept-token pairs add bigram buckets
+  * ((h1·biBase + h2) mod prime) mod d after the unigrams. Params is a
+  * FOLDABLE array<long> literal [d, bi, cpBase, prime, biBase],
+  * validated once at analysis time. Output order is unigrams in token
+  * order then bigrams in pair order — the contract the HOF spec
+  * (Classifier.bucketsHof) and the DuckDB oracle both reproduce.
+  * The interpreted HOF form runs one lambda per CHARACTER (the
+  * RollingFpPortable lesson — a 224× map-side tax at corpus scale). */
+case class HashedBuckets(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_hashed_buckets"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (left.dataType != org.apache.spark.sql.types.StringType)
+      TypeCheckFailure(s"$prettyName expects a string column")
+    else
+      try { params; TypeCheckSuccess }
+      catch { case e: IllegalArgumentException =>
+        TypeCheckFailure(e.getMessage) }
+  }
+
+  @transient private lazy val params: Array[Long] = {
+    require(right.foldable, s"$prettyName: params must be a literal")
+    val a = right.eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray()
+    require(a.length == 5,
+      s"$prettyName: params must be [d, bi, cpBase, prime, biBase]")
+    require(a(0) >= 2 && a(0) <= (1L << 30),
+      s"$prettyName: d must be in [2, 2^30], got ${a(0)}")
+    require(a(1) == 0L || a(1) == 1L,
+      s"$prettyName: bi must be 0 or 1, got ${a(1)}")
+    require(a(2) > 1 && a(2) < 1024 && a(3) > 1 && a(3) <= 1000000007L &&
+        a(4) > 1 && a(4) < 1024,
+      s"$prettyName: hash family out of the overflow-audited ranges " +
+        "(cpBase/biBase < 1024, prime <= 1e9+7)")
+    a
+  }
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(u: Any): ArrayData = {
+    val Array(d, bi, cpBase, prime, biBase) = params
+    val toks = ws.split(u.toString)
+    var nw = 0
+    val whs = new Array[Long](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      val s = toks(t)
+      if (!s.isEmpty) {
+        var acc = 0L
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          acc = (acc * cpBase + cp) % prime
+          i += Character.charCount(cp)
+        }
+        whs(nw) = acc
+        nw += 1
+      }
+      t += 1
+    }
+    val nBi = if (bi == 1L && nw >= 2) nw - 1 else 0
+    val out = new Array[Int](nw + nBi)
+    var j = 0
+    while (j < nw) { out(j) = (whs(j) % d).toInt; j += 1 }
+    var k = 0
+    while (k < nBi) {
+      out(nw + k) = (((whs(k) * biBase + whs(k + 1)) % prime) % d).toInt
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftHashedBuckets", this,
+      classOf[HashedBuckets].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ vals[idx[i]] over an array<int> of indices into a FOLDABLE
+  * array<double> literal — the map-side linear-model dot product (the
+  * weight vector ships as a literal, exactly the bytes the driver
+  * trained; no join, no shuffle). Accumulates left-to-right in index
+  * order, matching the HOF spec (Classifier.gatherSumHof). An index
+  * outside [0, |vals|) raises a named error (buckets from
+  * HashedBuckets are always in range when d = |vals|). */
+case class GatherSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_gather_sum"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    left.dataType match {
+      case ArrayType(IntegerType, _) =>
+        try { require(vals.nonEmpty, s"$prettyName: empty weights literal")
+          TypeCheckSuccess }
+        catch { case e: IllegalArgumentException =>
+          TypeCheckFailure(e.getMessage) }
+      case _ => TypeCheckFailure(s"$prettyName expects array<int> indices")
+    }
+  }
+
+  @transient private lazy val vals: Array[Double] = {
+    require(right.foldable, s"$prettyName: weights must be a literal")
+    val v = right.eval(InternalRow.empty)
+    require(v != null, s"$prettyName: weights literal is null")
+    v.asInstanceOf[ArrayData].toDoubleArray()
+  }
+
+  def compute(idx: ArrayData): Any = {
+    val n = idx.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val j = idx.getInt(i)
+      if (j < 0 || j >= vals.length)
+        throw new IllegalArgumentException(
+          s"$prettyName: index $j outside [0, ${vals.length})")
+      sum += vals(j)
+      i += 1
+    }
+    sum
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftGatherSum", this,
+      classOf[GatherSum].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = (Double) $ref.compute($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Sketches {
   /** Every binary-state sketch aggregate family's (name, class, builder)
     * — GraftExtensions injects these so extension-built sessions have
@@ -960,6 +1132,14 @@ object Sketches {
     call_function("graft_dup_window_hashes", text,
       org.apache.spark.sql.functions.typedlit(params))
 
+  def hashedBuckets(text: Column, params: Seq[Long]): Column =
+    call_function("graft_hashed_buckets", text,
+      org.apache.spark.sql.functions.typedlit(params))
+
+  def gatherSum(idx: Column, vals: Seq[Double]): Column =
+    call_function("graft_gather_sum", idx,
+      org.apache.spark.sql.functions.typedlit(vals))
+
   def hyperplaneSignature(vec: Column, matrix: Column): Column =
     call_function("graft_hyperplane_sig", vec, matrix)
 
@@ -1003,6 +1183,12 @@ object Sketches {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dup_window_hashes",
       exprs => DupWindowHashes(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hashed_buckets",
+      exprs => HashedBuckets(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gather_sum",
+      exprs => GatherSum(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngrams",
       exprs => NGramsGenerator(exprs(0), exprs(1)), "built-in")

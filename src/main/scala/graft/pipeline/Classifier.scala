@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed linear quality classifier — the fastText-shape inference stage
+  * of a curation pipeline (CCNet/RefinedWeb pair the n-gram LM
+  * perplexity score with a trained linear classifier; reference frame:
+  * fastText's hashed n-gram bag + linear layer, Joulin et al. 2016).
+  *
+  * Features are hashed word unigrams (+ optional bigrams) bucketed into
+  * a fixed dimension `d` with the engine-portable codepoint-polynomial
+  * hash (family A of fingerprintPortable / the window-hash kernels), so
+  * an external oracle recomputes every bucket — and therefore every
+  * score — bit-for-bit. Training is closed-form logistic-on-counts
+  * (multinomial naive-Bayes log-odds): one distributed groupBy(bucket)
+  * over exploded features, then per-bucket weight
+  *   w_b = ln((n1_b + α)/(N1 + α·d)) − ln((n0_b + α)/(N0 + α·d))
+  * with the driver holding exactly the d-double weight vector it ships
+  * back as a literal (the pqTrain pattern — no iterative SGD, no
+  * parameter server). Inference is ONE map-side pass: the codegen'd
+  * HashedBuckets kernel extracts buckets and GatherSum folds the
+  * literal weight vector — no join, no shuffle, which is precisely the
+  * 100 TB posture (score rides in the scan stage; at corpus scale the
+  * TRAINING side runs on a labeled sample, the scoring side on
+  * everything).
+  *
+  * Scale-invariance contract (rehearsed in PipeScale): replicating the
+  * train corpus ×f with α scaled to f·α yields bit-identical weights —
+  * (f·n + f·α)/(f·N + f·α·d) is the same IEEE quotient as
+  * (n + α)/(N + α·d) because both scaled terms are exact doubles — so
+  * replica corpora score rep-0 documents exactly as the ×1 corpus does.
+  */
+object Classifier {
+  private val P = 1000000007L
+
+  /** Kernel params literal for [[graft.functions.Sketches.hashedBuckets]]:
+    * [d, bi, cpBase, prime, biBase]. */
+  private[graft] def famParams(d: Int, includeBigrams: Boolean): Seq[Long] =
+    Seq(d.toLong, if (includeBigrams) 1L else 0L, 131L, P, 131L)
+
+  /** Feature buckets of a text column: unigram buckets in token order,
+    * then bigram buckets in pair order (empty tokens dropped). Codegen'd
+    * kernel; the HOF spec below is equivalence-asserted in PipelineSpec. */
+  def buckets(text: Column, d: Int, includeBigrams: Boolean = true): Column =
+    graft.functions.Sketches.hashedBuckets(text, famParams(d, includeBigrams))
+
+  /** HOF spec for [[buckets]]: per-word codepoint folds (one interpreted
+    * lambda per CHARACTER — spec only; the kernel is the hot path). The
+    * word-hash array is LET-BOUND via transform(array(e), ws -> …) (the
+    * SCALE.md idiom) so it isn't recomputed per position. */
+  private[graft] def bucketsHof(
+      text: Column, d: Int, includeBigrams: Boolean = true): Column = {
+    val whs0 = transform(filter(split(text, "\\s+"), t => t =!= ""), t =>
+      aggregate(TextAnalysis.codepoints(t), lit(0L),
+        (acc, cp) => pmod(acc * 131L + cp, lit(P))))
+    element_at(transform(array(whs0), whs => {
+      val uni = transform(whs, h => pmod(h, lit(d.toLong)).cast("int"))
+      val bi =
+        when(size(whs) < 2, array().cast("array<int>"))
+          .otherwise(transform(sequence(lit(1), size(whs) - 1), i =>
+            pmod(pmod(element_at(whs, i) * 131L + element_at(whs, i + 1),
+              lit(P)), lit(d.toLong)).cast("int")))
+      if (includeBigrams) concat(uni, bi) else uni
+    }), 1)
+  }
+
+  /** HOF spec for the GatherSum kernel: left-to-right fold of
+    * weights[idx] in index order. */
+  private[graft] def gatherSumHof(idx: Column, weights: Seq[Double]): Column =
+    aggregate(idx, lit(0.0),
+      (acc, b) => acc + element_at(typedlit(weights), b + 1))
+
+  /** Closed-form training: per-bucket class counts → naive-Bayes
+    * log-odds weights + a smoothed prior bias. Driver work is exactly
+    * the collect of ≤ d bucket-count rows plus the two class totals —
+    * the weight vector it returns is the literal the scoring side
+    * broadcasts. Labels must be 0/1 (castable to int). */
+  def trainLogOdds(
+      train: DataFrame, textCol: String, labelCol: String, d: Int,
+      alpha: Double = 1.0, includeBigrams: Boolean = true)
+      : (Array[Double], Double) = {
+    graft.functions.Sketches.register(train.sparkSession)
+    val feats = train.select(col(labelCol).cast("int").as("y"),
+        explode(buckets(coalesce(col(textCol), lit("")), d,
+          includeBigrams)).as("b"))
+    val counts = feats.groupBy(col("b"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("y") === 1, 0L).otherwise(1L)).as("n0"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n1 = new Array[Long](d); val n0 = new Array[Long](d)
+    counts.foreach { case (b, c1, c0) => n1(b) = c1; n0(b) = c0 }
+    val tot1 = counts.map(_._2).sum.toDouble
+    val tot0 = counts.map(_._3).sum.toDouble
+    val weights = Array.tabulate(d) { b =>
+      math.log((n1(b) + alpha) / (tot1 + alpha * d)) -
+        math.log((n0(b) + alpha) / (tot0 + alpha * d))
+    }
+    val docs = train.groupBy(col(labelCol).cast("int").as("y"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bias = math.log((docs.getOrElse(1, 0L) + alpha) /
+      (docs.getOrElse(0, 0L) + alpha))
+    (weights, bias)
+  }
+
+  /** Score every document map-side with a trained weight vector:
+    * (id, n_feats, score, prob, pred) where score is the rounded
+    * log-odds (bias + Σ w[bucket], the tfIdf fp convention), prob its
+    * sigmoid, and pred = rounded score > 0 — pred derives from the
+    * ROUNDED score so an engine-boundary ulp can't flip the label
+    * between Spark and an oracle. One scan, zero shuffles. */
+  def score(
+      df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Double], bias: Double,
+      includeBigrams: Boolean = true): DataFrame = {
+    graft.functions.Sketches.register(df.sparkSession)
+    val d = weights.length
+    df.select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__fb", buckets(col("__t"), d, includeBigrams))
+      .select(col(idCol),
+        size(col("__fb")).cast("long").as("n_feats"),
+        round(graft.functions.Sketches.gatherSum(col("__fb"), weights)
+          + bias + lit(1e-9), 4).as("score"))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 4))
+      .withColumn("pred", (col("score") > 0).cast("int"))
+  }
+}

@@ -247,13 +247,21 @@ object Dedup {
     * path engages automatically past the ~6.5M-doc bound instead of
     * being an opt-in (r10 verdict #8); below the bound the historical
     * narrow 63-bit blocking runs unchanged. Pass an explicit value to
-    * pin either path. */
+    * pin either path.
+    *
+    * `n` is the caller-known corpus size for the sizing rule: the
+    * default (-1) spends a full `df.count()` pass just to derive
+    * sigLongs — an extra corpus SCAN per call at 100 TB (r11 verdict
+    * #3 of "What's wrong") — so callers that already know n (or a
+    * good upper bound; the rule only needs the right power of two)
+    * should pass it and skip the count job entirely. Ignored when
+    * sigLongs is pinned explicitly. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, sigLongs: Int = 0): DataFrame = {
+      maxHamming: Int = 3, sigLongs: Int = 0, n: Long = -1L): DataFrame = {
     val sl =
       if (sigLongs > 0) sigLongs
-      else simhashSigLongs(df.count(), maxHamming)
+      else simhashSigLongs(if (n >= 0) n else df.count(), maxHamming)
     // the narrow path's FIXED 4×16-bit chunks only pigeonhole-cover
     // hamming <= 3; any larger threshold needs chunks = maxHamming+1,
     // which the wide path derives for ANY sigLongs including 1 — so it
@@ -579,7 +587,11 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("spans"))
-    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // null text coalesces to '' so n_tokens reads 0, not size(null) = -1
+    // (r11 ADVICE: the DuckDB replay must apply the same coalesce — the
+    // testdata corpus is non-null, but degenerate input should agree)
+    df.select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .join(spanLists, Seq("doc_id"), "left")
       .withColumn("spans", coalesce(col("spans"),
         array().cast("array<struct<s:bigint,e:bigint>>")))

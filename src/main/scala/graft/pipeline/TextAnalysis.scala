@@ -262,11 +262,21 @@ object TextAnalysis {
     * by the train corpus's distinct-bigram/vocab size (≪ token count —
     * AQE broadcasts them when small, shuffle-joins past that), |V| rides
     * along as a broadcast 1-row aggregate, and the score is one
-    * per-doc aggregation. Returns (doc_id, n_bigrams, xent). */
+    * per-doc aggregation. Returns (doc_id, n_bigrams, xent).
+    *
+    * `alpha` generalizes the Laplace term to
+    * P(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·|V|). Scale-invariance
+    * contract (rehearsed in PipeScale): training on an ×f-replicated
+    * corpus with α scaled to f·α yields bit-identical conditional
+    * probabilities — (f·c + f·α)/(f·c₁ + f·α·V) is the same IEEE
+    * quotient as (c + α)/(c₁ + α·V) because every scaled term is an
+    * exact double — so replica corpora score rep-0 documents exactly
+    * as the ×1 corpus does (up to the per-doc fp sum order). */
   def crossEntropyScore(
       train: org.apache.spark.sql.DataFrame,
       eval: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+      idCol: String, textCol: String,
+      alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
     def explodeBigrams(df: org.apache.spark.sql.DataFrame) = df
       .select(col(idCol).as("doc_id"),
         explode(bigrams(col(textCol))).as("bg"))
@@ -285,8 +295,11 @@ object TextAnalysis {
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        log((coalesce(col("n12"), lit(0L)) + lit(1.0))
-          / (coalesce(col("n1"), lit(0L)) + col("v"))).as("lp"))
+        // at α=1 this is bit-identical to the historical
+        // (n12 + 1.0)/(n1 + v) form: 1.0·v is exact and long+double
+        // addition of exact terms rounds identically
+        log((coalesce(col("n12"), lit(0L)) + lit(alpha))
+          / (coalesce(col("n1"), lit(0L)) + lit(alpha) * col("v"))).as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(-sum(col("lp")) / count(lit(1)) + lit(1e-9), 4).as("xent"))

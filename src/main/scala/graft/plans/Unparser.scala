@@ -52,6 +52,12 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * DataFrame join(df, Seq("k")) API — merging the key so parent
   * references resolve; a plan whose ROOT is such a join (no projection
   * above) loses the duplicate key column in the regenerated schema.
+  * OUTER USING joins re-emit too (r12): the analyzer's merged-key
+  * projection (FULL: coalesce(lk, rk) AS k; LEFT/RIGHT: the surviving
+  * side's key) over the equi-join is recognized one level up and
+  * becomes SELECT * FROM l <OUTER> JOIN r USING (k, ...) — an exact
+  * round-trip including unmatched-row semantics, retiring the r11
+  * refusal.
   */
 object Unparser {
 
@@ -80,6 +86,59 @@ object Unparser {
     case org.apache.spark.sql.catalyst.expressions.EqualTo(
         a: Attribute, b: Attribute) => a.name == b.name
     case _ => false
+  }
+
+  /** Matches the analyzer's merged-key projection over an outer
+    * equi-join (ResolveNaturalAndUsingJoin's commonNaturalJoinProcessing
+    * output shape) and returns the USING key names — None when the
+    * projection is anything other than EXACTLY the USING output:
+    * merged keys first (FULL: Alias(Coalesce(lk, rk), k); LEFT: lk;
+    * RIGHT: rk), then left-minus-keys, then right-minus-keys, all by
+    * exprId, with each key name unambiguous within each side. */
+  private def outerUsingKeys(
+      projList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      left: LogicalPlan, right: LogicalPlan,
+      jt: org.apache.spark.sql.catalyst.plans.JoinType,
+      cond: Expression): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, EqualTo}
+    def pairs(e: Expression): Option[Seq[(Attribute, Attribute)]] = e match {
+      case And(a, b) => for (x <- pairs(a); y <- pairs(b)) yield x ++ y
+      case EqualTo(a: Attribute, b: Attribute)
+          if a.name == b.name && left.outputSet.contains(a) &&
+            right.outputSet.contains(b) => Some(Seq((a, b)))
+      case _ => None
+    }
+    pairs(cond).flatMap { kps =>
+      val names = kps.map(_._1.name)
+      val unamb = names.forall(k =>
+        left.output.count(_.name == k) == 1 &&
+          right.output.count(_.name == k) == 1)
+      val lKeys = kps.map(_._1.exprId).toSet
+      val rKeys = kps.map(_._2.exprId).toSet
+      val rest = left.output.filterNot(a => lKeys.contains(a.exprId)) ++
+        right.output.filterNot(a => rKeys.contains(a.exprId))
+      val n = kps.size
+      val shapeOk = unamb && projList.size == n + rest.size &&
+        projList.drop(n).zip(rest).forall {
+          case (a: Attribute, b) => a.exprId == b.exprId
+          case _ => false
+        } &&
+        projList.take(n).zip(kps).forall {
+          case (Alias(Coalesce(Seq(x: Attribute, y: Attribute)), nm),
+              (lk, rk)) =>
+            jt == FullOuter && nm == lk.name &&
+              x.exprId == lk.exprId && y.exprId == rk.exprId
+          case (a: Attribute, (lk, rk)) =>
+            (jt == LeftOuter && a.exprId == lk.exprId) ||
+              (jt == RightOuter && a.exprId == rk.exprId)
+          case (Alias(a: Attribute, nm), (lk, rk)) =>
+            nm == lk.name &&
+              ((jt == LeftOuter && a.exprId == lk.exprId) ||
+                (jt == RightOuter && a.exprId == rk.exprId))
+          case _ => false
+        }
+      if (shapeOk) Some(names) else None
+    }
   }
 
   private def nextAlias(c: java.util.concurrent.atomic.AtomicInteger) =
@@ -161,6 +220,29 @@ object Unparser {
           case _ => false
         } =>
       renderPivot(projList, gb2, aggExprs2, aggExprs1, child, c)
+
+    // outer-join USING recovery (r11 verdict #7; the reference unparser
+    // re-emits USING joins for ALL types — sql/src/unparser/plan.rs —
+    // while r11 restricted USING to inner/semi/anti and kept ON for
+    // outer): the analyzer encodes an outer USING join as a Project
+    // that MERGES the key above the equi-join — FULL: coalesce(lk, rk)
+    // AS k; LEFT: lk; RIGHT: rk — followed by both sides' remaining
+    // columns in child order. That EXACT shape re-emits as
+    // SELECT * FROM l <OUTER> JOIN r USING (k, ...): SQL USING
+    // produces the same merged-key schema, so the round-trip is exact
+    // including unmatched-row semantics (the r11 refusal rationale was
+    // mis-emitting ON; matching the merged projection removes it).
+    case Project(projList, Join(jl, jr,
+        jt @ (FullOuter | LeftOuter | RightOuter), Some(cond), _))
+        if outerUsingKeys(projList, jl, jr, jt, cond).isDefined =>
+      val keys = outerUsingKeys(projList, jl, jr, jt, cond).get
+      val kw = jt match {
+        case FullOuter => "FULL JOIN"
+        case LeftOuter => "LEFT JOIN"
+        case _ => "RIGHT JOIN"
+      }
+      s"SELECT * FROM ${from(jl, c)} $kw ${from(jr, c)} " +
+        s"USING (${keys.map(k => s"`$k`").mkString(", ")})"
 
     case Project(list, child) =>
       s"SELECT ${list.map(exprSql(_, c)).mkString(", ")} FROM ${from(child, c)}"
@@ -268,11 +350,13 @@ object Unparser {
       // attribute pair (left attr from the left child, right from the
       // right) re-emit `USING (k, ...)` — the merged key column makes
       // the parent's unqualified reference resolve again. Restricted
-      // to INNER/SEMI/ANTI: there the merged column equals both sides
-      // (inner) or only left columns surface (semi/anti); an OUTER
-      // using-join's merged key is side-dependent on unmatched rows,
-      // so a parent referencing the dropped side's attribute would
-      // silently re-bind — those keep the ON form (and its documented
+      // to INNER/SEMI/ANTI here: there the merged column equals both
+      // sides (inner) or only left columns surface (semi/anti). OUTER
+      // using-joins never reach this case bare — the analyzer always
+      // leaves its merged-key projection above them, which the
+      // Project-over-Join case (outerUsingKeys, r12) recognizes and
+      // re-emits as USING; a bare outer join with same-name keys that
+      // did NOT come from USING keeps the ON form (and its documented
       // ambiguous-name caveat).
       def usingKeys(e: Expression): Option[Seq[String]] = e match {
         case org.apache.spark.sql.catalyst.expressions.And(a, b) =>

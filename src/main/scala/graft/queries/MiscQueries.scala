@@ -353,6 +353,33 @@ object MiscQueries {
       s.sql(graft.plans.Unparser.toSql(df))
     },
 
+    // ── unparser: OUTER USING-key join (r12 — the r11 refusal retired):
+    //    the analyzer's merged-key projection (FULL: coalesce(lk, rk))
+    //    over the equi-join re-emits as FULL JOIN ... USING (k); the
+    //    generated text executes and reproduces the merged key on
+    //    unmatched rows from BOTH sides ──────────────────────────────────
+    "unparse_join_using_outer" -> Q("""
+      |SELECT regionkey, n_name, r_name
+      |FROM (SELECT n_name, n_regionkey AS regionkey FROM nation
+      |      WHERE n_nationkey < 10) a
+      |FULL JOIN (SELECT r_regionkey + 2 AS regionkey, r_name
+      |           FROM region) b
+      |USING (regionkey)
+      |ORDER BY regionkey NULLS FIRST, n_name NULLS FIRST, r_name NULLS FIRST""") { (s, d) =>
+      Engine.registerAll(s, d)
+      // nation keys 0..4 vs region keys 2..6: unmatched rows on BOTH
+      // sides, so the coalesced USING key is exercised where it matters
+      val n = s.table("nation").filter(col("n_nationkey") < 10)
+        .select(col("n_name"), col("n_regionkey").as("regionkey"))
+      val r = s.table("region")
+        .select((col("r_regionkey") + 2).as("regionkey"), col("r_name"))
+      val df = n.join(r, Seq("regionkey"), "full")
+        .select(col("regionkey"), col("n_name"), col("r_name"))
+        .orderBy(col("regionkey").asc_nulls_first,
+          col("n_name").asc_nulls_first, col("r_name").asc_nulls_first)
+      s.sql(graft.plans.Unparser.toSql(df))
+    },
+
     // ── unparser: PIVOT — the PivotFirst two-level aggregate is
     //    recovered and re-emitted as a PIVOT clause; absent combos pivot
     //    to NULL on both the original and regenerated plan, and the

@@ -46,7 +46,7 @@ object PipelineQueries {
   private[queries] def substringSpansSqlDuck(w: Int): String = {
     val wm1 = w - 1
     s"""WITH words AS (
-       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
        |                             t -> t <> '') AS ws
        |  FROM documents),
        |whs AS (
@@ -758,6 +758,87 @@ object PipelineQueries {
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ── hashed linear quality classifier (fastText shape, r11 verdict
+    //    #3): naive-Bayes log-odds over hashed word uni+bigrams (d=1024,
+    //    portable codepoint hash), trained on the even-doc_id half with
+    //    a deterministic label, scoring the odd half MAP-SIDE via the
+    //    HashedBuckets+GatherSum kernels with the driver-trained weight
+    //    vector as a literal. Label choice: the synthetic corpus's only
+    //    text-learnable structure is word frequency (the `lang` column
+    //    is uncorrelated with the shared vocabulary — measured r12), so
+    //    the label is "token 'spark' occurs ≥ 2 times": balanced at
+    //    both SFs (47%/51%), SQL-replayable, and a genuine count-
+    //    threshold aggregation rather than one feature echoed back
+    //    (held-out accuracy 0.70/0.79 vs 0.53/0.51 majority). The
+    //    oracle replays the ENTIRE computation — buckets, counts,
+    //    weights, prior, scores — no shipped literals needed; per-doc
+    //    fp sum order differs between engines (array-order fold vs
+    //    GROUP BY), handled by the tfIdf rounding convention ───────────
+    "pipe_text_classifier" -> Q("""
+      |WITH ws AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws,
+      |         CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+      |                t -> t = 'spark')) >= 2
+      |              THEN 1 ELSE 0 END AS label
+      |  FROM documents),
+      |wh AS (
+      |  SELECT doc_id, label,
+      |         list_transform(ws, t ->
+      |           list_reduce(list_transform(string_split_regex(t, ''),
+      |                         c -> CAST(unicode(c) AS BIGINT)),
+      |                       (acc, cp) -> (acc * 131 + cp) % 1000000007)) AS wh
+      |  FROM ws),
+      |feats AS (
+      |  SELECT doc_id, label,
+      |         list_concat(
+      |           list_transform(wh, h -> h % 1024),
+      |           list_transform(generate_series(1, CAST(len(wh) AS INT) - 1),
+      |             i -> ((wh[i] * 131 + wh[i + 1]) % 1000000007) % 1024)) AS fb
+      |  FROM wh),
+      |trainf AS (SELECT unnest(fb) AS b, label FROM feats WHERE doc_id % 2 = 0),
+      |cnt AS (
+      |  SELECT b, sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n1,
+      |         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n0
+      |  FROM trainf GROUP BY b),
+      |tot AS (SELECT sum(n1) AS t1, sum(n0) AS t0 FROM cnt),
+      |wts AS (
+      |  SELECT b, ln((n1 + 1.0) / (t1 + 1024.0))
+      |           - ln((n0 + 1.0) / (t0 + 1024.0)) AS w
+      |  FROM cnt CROSS JOIN tot),
+      |wdef AS (SELECT ln(1.0 / (t1 + 1024.0)) - ln(1.0 / (t0 + 1024.0)) AS w
+      |         FROM tot),
+      |prior AS (
+      |  SELECT ln((sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1.0)
+      |            / (sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) + 1.0)) AS bias
+      |  FROM ws WHERE doc_id % 2 = 0),
+      |evalf AS (SELECT doc_id, unnest(fb) AS b FROM feats WHERE doc_id % 2 = 1),
+      |scores AS (
+      |  SELECT e.doc_id, count(*) AS n_feats, sum(coalesce(wts.w, wdef.w)) AS s
+      |  FROM evalf e LEFT JOIN wts ON e.b = wts.b CROSS JOIN wdef
+      |  GROUP BY e.doc_id)
+      |SELECT f.doc_id,
+      |       CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+      |       round(coalesce(sc.s, 0) + prior.bias + 1e-9, 4) AS score,
+      |       CAST(round(coalesce(sc.s, 0) + prior.bias + 1e-9, 4) > 0 AS INT) AS pred
+      |FROM feats f LEFT JOIN scores sc ON f.doc_id = sc.doc_id
+      |CROSS JOIN prior
+      |WHERE f.doc_id % 2 = 1
+      |ORDER BY f.doc_id""") { (s, d) =>
+      graft.functions.Sketches.register(s)
+      val docs = Engine.table(s, d, "documents")
+      val labeled = docs.withColumn("label",
+        (size(filter(split(col("text"), "\\s+"), t => t === "spark")) >= 2)
+          .cast("int"))
+      val (w, b) = graft.pipeline.Classifier.trainLogOdds(
+        labeled.filter(col("doc_id") % 2 === 0), "text", "label", d = 1024)
+      graft.pipeline.Classifier.score(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          w.toSeq, b)
+        .select(col("doc_id"), col("n_feats"), col("score"), col("pred"))
         .orderBy(col("doc_id"))
     },
 

@@ -161,6 +161,23 @@ object PipeScale {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
+    // shuffle-volume meter (r11 verdict #4): the wins relation is
+    // (doc_id, pos, h1, h2) per token position ≈ 32 B/token vs ~5 B of
+    // text — measure the actual bytes so SCALE.md's 100 TB cost model
+    // is written down, not estimated
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      val write = new java.util.concurrent.atomic.AtomicLong
+      val read = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(meter)
     val spansRep0 = timed(s"substring spans ×$fac") {
       Dedup.duplicateSpans(docsN, "doc_id", "text", subW)
         .filter(col("doc_id") % fac === 0)
@@ -169,6 +186,17 @@ object PipeScale {
           (r.getLong(0) / fac, r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
     }
+    Thread.sleep(2000) // listener bus drain
+    spark.sparkContext.removeSparkListener(meter)
+    val tokensN = docsN
+      .agg(sum(graft.pipeline.TextAnalysis.tokenCount(col("text"))))
+      .head().getLong(0)
+    val textBytesN = docsN.agg(sum(length(col("text")))).head().getLong(0)
+    println(f"[pipescale] substring spans ×$fac shuffle: " +
+      f"write=${meter.write.get / 1e6}%.1f MB read=${meter.read.get / 1e6}%.1f MB " +
+      f"(${meter.write.get.toDouble / tokensN}%.1f B/token written; " +
+      f"text=${textBytesN / 1e6}%.1f MB, " +
+      f"${textBytesN.toDouble / tokensN}%.1f B/token)")
     require(spansRep0 == spans1,
       s"substring spans mismatch: extra=${(spansRep0 diff spans1).take(3)} " +
         s"missing=${(spans1 diff spansRep0).take(3)}")
@@ -180,6 +208,83 @@ object PipeScale {
         .count()
     }
     require(badRep == 0, s"$badRep replicas kept the wrong tokens")
+
+    // ── 2e. n-gram LM cross-entropy at ×fac (r11 verdict #2) — the
+    //    last pipeline operator without a rehearsal. DERIVED invariant:
+    //    training on the ×f replica corpus with the Laplace α scaled to
+    //    f yields bit-identical conditional probabilities —
+    //    (f·c12 + f)/(f·c1 + f·V) is the same IEEE quotient as
+    //    (c12 + 1)/(c1 + V) since every scaled term is an exact double
+    //    and |V| is replication-invariant — so rep-0 eval docs score as
+    //    at ×1 (n_bigrams EXACT; xent within one 4-dp rounding step,
+    //    the per-doc fp sum order being the only free variable). The
+    //    wall point watches the c12 table build: corpus-scale bigram
+    //    explode → groupBy, the AQE broadcast→shuffle-join transition
+    //    territory at 100 TB. ───────────────────────────────────────────
+    import graft.pipeline.TextAnalysis
+    val ce1 = TextAnalysis.crossEntropyScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val ceN = timed(s"crossentropy ×$fac (α=$fac)") {
+      TextAnalysis.crossEntropyScore(
+          docsN.filter(expr(s"doc_id div $fac") % 2 === 0),
+          docsN.filter(expr(s"doc_id div $fac") % 2 === 1),
+          "doc_id", "text", alpha = fac.toDouble)
+        .filter(col("doc_id") % fac === 0)
+        .collect().map(r =>
+          r.getLong(0) / fac -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    }
+    require(ceN.keySet == ce1.keySet,
+      s"crossentropy doc set mismatch: extra=${(ceN.keySet diff ce1.keySet).take(3)} " +
+        s"missing=${(ce1.keySet diff ceN.keySet).take(3)}")
+    ce1.foreach { case (id, (nb, xent)) =>
+      val (nbN, xentN) = ceN(id)
+      require(nbN == nb, s"crossentropy doc $id: n_bigrams $nbN != $nb")
+      require(math.abs(xentN - xent) <= 2e-4,
+        f"crossentropy doc $id: xent $xentN%.4f != ×1 $xent%.4f under " +
+          s"the α=f invariant")
+    }
+
+    // ── 2f. hashed linear classifier at ×fac (r11 verdict #3) — same
+    //    α-scaling argument, and STRONGER: the weight vector and bias
+    //    must be BIT-IDENTICAL to ×1 (every count scales exactly ×f;
+    //    (f·n + f·α)/(f·N + f·α·d) is the same IEEE quotient), and
+    //    since scoring folds the same literal weights over the same
+    //    token arrays in the same order, rep-0 scores are EXACTLY the
+    //    ×1 scores — no tolerance. Wall point: the train-side feature
+    //    explode+groupBy and the map-side kernel scoring pass at ×f. ───
+    import graft.pipeline.Classifier
+    def labeled(df: DataFrame): DataFrame = df.withColumn("label",
+      (size(filter(split(col("text"), "\\s+"), t => t === "spark")) >= 2)
+        .cast("int"))
+    graft.functions.Sketches.register(spark)
+    val (w1, b1) = Classifier.trainLogOdds(labeled(docs), "text", "label",
+      d = 1024)
+    val score1 = Classifier.score(docs, "doc_id", "text", w1.toSeq, b1)
+      .select(col("doc_id"), col("n_feats"), col("score"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val (wN, bN) = timed(s"classifier train ×$fac (α=$fac)") {
+      Classifier.trainLogOdds(labeled(docsN), "text", "label",
+        d = 1024, alpha = fac.toDouble)
+    }
+    require(java.util.Arrays.equals(wN, w1) && bN == b1,
+      s"classifier weights not bit-identical under the α=f invariant " +
+        s"(first diff at ${wN.toSeq.zip(w1.toSeq).indexWhere(p => p._1 != p._2)})")
+    val scoreN = timed(s"classifier score ×$fac") {
+      Classifier.score(docsN, "doc_id", "text", wN.toSeq, bN)
+        .select(col("doc_id"), col("n_feats"), col("score"))
+        .filter(col("doc_id") % fac === 0)
+        .collect().map(r =>
+          r.getLong(0) / fac -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    }
+    require(scoreN == score1,
+      s"classifier rep-0 scores differ from ×1: " +
+        s"${scoreN.toSet.diff(score1.toSet).take(3)}")
 
     // ── 3. bloom decontamination (train ×fac, eval fixed at ×1) ────
     val eval1 = docs.filter(col("doc_id") % 17 === 0)

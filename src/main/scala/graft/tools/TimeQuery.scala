@@ -10,9 +10,11 @@ package graft.tools
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
+    // arity check BEFORE args.head (r11 ADVICE: bare NoSuchElementException
+    // on a no-arg invocation instead of the usage line)
+    require(args.length >= 2, "usage: TimeQuery <sfDir> <query> [query ...]")
     val sfDir = args.head
     val names = args.drop(1).toSeq
-    require(names.nonEmpty, "usage: TimeQuery <sfDir> <query> [query ...]")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "4").toInt
     val spark = graft.Engine.session(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,

@@ -269,13 +269,48 @@ class UnparserSpec extends AnyFunSuite {
         |USING (rk)""".stripMargin))
     // left SEMI with a same-name key also takes the USING path
     roundtrip(n.join(r, Seq("regionkey"), "left_semi"))
-    // OUTER joins keep the ON form (merged-key semantics are
-    // side-dependent on unmatched rows) — differently-named keys
-    // round-trip as before
+    // OUTER joins with differently-named ON keys round-trip as before
     val r2 = spark.table("region")
       .select(col("r_regionkey"), col("r_name"))
     roundtrip(n.join(r2, col("regionkey") === col("r_regionkey"), "left")
       .select(col("n_name"), col("r_name")))
+  }
+
+  test("outer USING joins re-emit USING via the merged-key projection") {
+    // r12 (verdict #7 — the r11 refusal retired): the analyzer's
+    // merged-key Project over the outer equi-join is recognized and
+    // re-emitted as USING; unmatched rows on BOTH sides exercise the
+    // coalesced key. Keys shifted so neither side covers the other.
+    val n = spark.table("nation").filter(col("n_nationkey") < 10)
+      .select(col("n_name"), col("n_regionkey").as("regionkey"))
+    val r = spark.table("region")
+      .select((col("r_regionkey") + 2).as("regionkey"), col("r_name"))
+    for (how <- Seq("full", "left", "right")) {
+      val df = n.join(r, Seq("regionkey"), how)
+      val sql = Unparser.toSql(df)
+      assert(sql.contains("USING (`regionkey`)"), s"$how: $sql")
+      roundtrip(df)
+      // with a projection above (the common shape) too
+      roundtrip(n.join(r, Seq("regionkey"), how)
+        .select(col("regionkey"), col("n_name")))
+    }
+    // SQL-built FULL USING over two keys
+    roundtrip(spark.sql(
+      """SELECT * FROM
+        |  (SELECT n_regionkey AS k1, n_nationkey % 2 AS k2, n_name
+        |   FROM nation) a
+        |FULL JOIN
+        |  (SELECT r_regionkey AS k1, r_regionkey % 2 AS k2, r_name
+        |   FROM region) b
+        |USING (k1, k2)""".stripMargin))
+    // a bare outer join whose same-name keys did NOT come from USING
+    // (no merged projection above) keeps ON and still refuses at root
+    val e = intercept[IllegalArgumentException] {
+      Unparser.toSql(
+        n.join(r, n("regionkey") === r("regionkey"), "full")
+          .queryExecution.analyzed)
+    }
+    assert(e.getMessage.contains("root-level join"), e.getMessage)
   }
 
   test("root-level join with same-name keys raises a named error") {
