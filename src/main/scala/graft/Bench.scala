@@ -304,19 +304,36 @@ object Bench {
       else try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(prevPath)), "UTF-8")
-        // the full record is our own flat JSON: the FIRST "queries"
-        // object is the per-query median map (tiers precedes it,
-        // queries_min follows it)
-        val tag = "\"queries\":{"
-        val qIdx = txt.indexOf(tag)
-        if (qIdx < 0) Map.empty
-        else {
-          val start = qIdx + tag.length
-          val body = txt.substring(start, txt.indexOf('}', start))
-          body.split(",").iterator.map(_.split(":", 2)).collect {
-            case Array(k, v) =>
-              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble
-          }.toMap
+        // medians from a DIFFERENT scale factor are not a baseline —
+        // comparing an sf0.1 run against an sf0.01 record would flag
+        // half the corpus and burn minutes re-timing noise (r12
+        // review); a record without an "sf" field (the firing-test
+        // fixture) is accepted as-is
+        val sfTag = "\"sf\":\""
+        val sfIdx = txt.indexOf(sfTag)
+        val prevSf =
+          if (sfIdx < 0) None
+          else Some(txt.substring(sfIdx + sfTag.length,
+            txt.indexOf('"', sfIdx + sfTag.length)))
+        if (prevSf.exists(_ != sfDir)) {
+          System.err.println(s"[bench] retime baseline $prevPath is for " +
+            s"sf ${prevSf.get}, this run is $sfDir — defense disabled")
+          Map.empty
+        } else {
+          // the full record is our own flat JSON: the FIRST "queries"
+          // object is the per-query median map (tiers precedes it,
+          // queries_min follows it)
+          val tag = "\"queries\":{"
+          val qIdx = txt.indexOf(tag)
+          if (qIdx < 0) Map.empty
+          else {
+            val start = qIdx + tag.length
+            val body = txt.substring(start, txt.indexOf('}', start))
+            body.split(",").iterator.map(_.split(":", 2)).collect {
+              case Array(k, v) =>
+                k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble
+            }.toMap
+          }
         }
       } catch { case _: Throwable => Map.empty }
     val suspects =
@@ -333,6 +350,11 @@ object Bench {
         s"$prevPath: ${suspects.mkString(", ")}")
     val retimed: Map[String, (Double, Double)] = suspects.flatMap { k =>
       timeQuery(k, s"retime:$k").map(k -> _) }.toMap
+    // a crashed RETIME pass must not read as a failed QUERY: the query
+    // keeps its valid first-pass number (visible as [first, null] in
+    // `retimed`), so failed_n stays about queries without results
+    // (r12 review)
+    failed.filterInPlace(!_.startsWith("retime:"))
     val resultsFull = resultsFull0.map { case (k, (med, mn)) =>
       retimed.get(k) match {
         case Some((med2, mn2)) =>

@@ -839,8 +839,8 @@ case class DupWindowHashes(left: Expression, right: Expression)
       TypeCheckFailure(s"$prettyName expects a string column")
     else
       try { params; TypeCheckSuccess }
-      catch { case e: IllegalArgumentException =>
-        TypeCheckFailure(e.getMessage) }
+      catch { case scala.util.control.NonFatal(e) =>
+        TypeCheckFailure(s"$prettyName: ${e.getMessage}") }
   }
 
   // decoded once per executor; validated here so a malformed literal
@@ -948,9 +948,13 @@ case class HashedBuckets(left: Expression, right: Expression)
     if (left.dataType != org.apache.spark.sql.types.StringType)
       TypeCheckFailure(s"$prettyName expects a string column")
     else
+      // NonFatal, not just IllegalArgumentException: a wrong-TYPED
+      // foldable literal (int array, scalar) throws ClassCastException
+      // from the ArrayData decode and must still surface as a named
+      // analysis failure (r12 review)
       try { params; TypeCheckSuccess }
-      catch { case e: IllegalArgumentException =>
-        TypeCheckFailure(e.getMessage) }
+      catch { case scala.util.control.NonFatal(e) =>
+        TypeCheckFailure(s"$prettyName: ${e.getMessage}") }
   }
 
   @transient private lazy val params: Array[Long] = {
@@ -1037,8 +1041,8 @@ case class GatherSum(left: Expression, right: Expression)
       case ArrayType(IntegerType, _) =>
         try { require(vals.nonEmpty, s"$prettyName: empty weights literal")
           TypeCheckSuccess }
-        catch { case e: IllegalArgumentException =>
-          TypeCheckFailure(e.getMessage) }
+        catch { case scala.util.control.NonFatal(e) =>
+          TypeCheckFailure(s"$prettyName: ${e.getMessage}") }
       case _ => TypeCheckFailure(s"$prettyName expects array<int> indices")
     }
   }
@@ -1055,6 +1059,12 @@ case class GatherSum(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0
     while (i < n) {
+      // a null element would read as getInt = 0 and silently gather
+      // vals(0) (r12 review) — named error, same contract as
+      // out-of-range
+      if (idx.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$prettyName: null index at position $i")
       val j = idx.getInt(i)
       if (j < 0 || j >= vals.length)
         throw new IllegalArgumentException(

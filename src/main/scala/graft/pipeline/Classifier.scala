@@ -114,18 +114,30 @@ object Classifier {
   // double accumulation would drift with Spark's nondeterministic
   // reduce order). The quantization perturbs each gradient term by
   // ≤ 2^-25 — far below any meaningful step. The one fp operation per
-  // row (sigmoid of an exactly-reconstructed double) is IEEE-determined
-  // on identical inputs.
+  // row is the sigmoid: its input (bq + Σwq)/2^20 is an exactly-
+  // reconstructed dyadic double on both engines, but exp itself is NOT
+  // IEEE-correctly-rounded — JVM Math.exp and DuckDB's libm may differ
+  // by 1 ulp on the same input (r12 review). That moves p by ≤ ~3e-17,
+  // so the quantized error term flips only when (p−y)·2^24 lies within
+  // ~5e-10 of a .5 boundary: ~1e-9 per (doc, iteration), ≈ 2.5e-5 per
+  // sf0.1 gate run (2.5k docs × 10 iters) — accepted; if the gate ever
+  // flakes here, halving the error precision to 2^16 cuts the odds
+  // 256× at negligible gradient cost.
 
   /** Fixed-point denominators: weights/bias 2^20, error terms 2^24. */
   private[graft] val WQ = 1048576.0
   private[graft] val EQ = 16777216.0
 
-  /** Round half away from zero → Long (Spark SQL round() and DuckDB
-    * round() both round ties away from zero; java.lang.Math.round does
-    * NOT — it rounds half toward +∞, so -2.5 would diverge). */
+  /** Round half away from zero → Long via BigDecimal HALF_UP on the
+    * EXACT binary value — the same path Spark SQL round() takes, so
+    * the driver-side weight updates and the executor-side error
+    * quantization share one rounding function (r12 review: the
+    * floor(x+0.5) formulation disagrees on the doubles 1 ulp below
+    * k+0.5, where x+0.5 rounds UP to exactly k+1 before floor —
+    * 0.49999999999999994 must round to 0, not 1; java.lang.Math.round
+    * has the same defect plus half-toward-+∞ on negatives). */
   private[graft] def rhalf(x: Double): Long =
-    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
   /** Quantize trained double weights to the fixed-point grid. */
   def quantize(weights: Array[Double], bias: Double): (Array[Long], Long) =
@@ -183,8 +195,11 @@ object Classifier {
 
   /** Score with fixed-point weights: the per-doc sum is an INTEGER sum
     * (exact in both engines regardless of order), so unlike [[score]]
-    * the output has NO fp-accumulation-order caveat at all — score =
-    * round((bq + Σ wq[b]) / 2^20, 4) is bit-determined. */
+    * the output has NO fp-accumulation-order caveat — score =
+    * round((bq + Σ wq[b]) / 2^20, 4) on an exact dyadic double. Dyadic
+    * values CAN land on 4-dp half boundaries (2^15/2^20 → 312.5e-4);
+    * cross-engine equality there rests on both engines rounding ties
+    * away from zero, which Spark (BigDecimal HALF_UP) and DuckDB do. */
   def scoreFixed(
       df: DataFrame, idCol: String, textCol: String,
       wq: Seq[Long], bq: Long,

@@ -88,6 +88,22 @@ object Unparser {
     case _ => false
   }
 
+  /** Extractor wrapper so the render case evaluates the (non-trivial)
+    * shape check exactly once (r12 review: a pattern guard plus .get in
+    * the body ran it twice per matched join). */
+  private object OuterUsingJoin {
+    def unapply(p: LogicalPlan): Option[
+        (LogicalPlan, LogicalPlan,
+          org.apache.spark.sql.catalyst.plans.JoinType, Seq[String])] =
+      p match {
+        case Project(projList, Join(jl, jr,
+            jt @ (FullOuter | LeftOuter | RightOuter), Some(cond), _)) =>
+          outerUsingKeys(projList, jl, jr, jt, cond)
+            .map(keys => (jl, jr, jt, keys))
+        case _ => None
+      }
+  }
+
   /** Matches the analyzer's merged-key projection over an outer
     * equi-join (ResolveNaturalAndUsingJoin's commonNaturalJoinProcessing
     * output shape) and returns the USING key names — None when the
@@ -232,10 +248,7 @@ object Unparser {
     // produces the same merged-key schema, so the round-trip is exact
     // including unmatched-row semantics (the r11 refusal rationale was
     // mis-emitting ON; matching the merged projection removes it).
-    case Project(projList, Join(jl, jr,
-        jt @ (FullOuter | LeftOuter | RightOuter), Some(cond), _))
-        if outerUsingKeys(projList, jl, jr, jt, cond).isDefined =>
-      val keys = outerUsingKeys(projList, jl, jr, jt, cond).get
+    case OuterUsingJoin(jl, jr, jt, keys) =>
       val kw = jt match {
         case FullOuter => "FULL JOIN"
         case LeftOuter => "LEFT JOIN"

@@ -46,8 +46,12 @@ object PipelineQueries {
     * fp op per row (sigmoid of an exactly-reconstructed dyadic double)
     * and the weight-update double arithmetic mirror the Scala
     * expressions operation-for-operation (Classifier.trainLogisticFixed
-    * scaladoc). The final score (bq + Σwq)/2^20 is dyadic, so the 4-dp
-    * round can never sit on a half boundary — no epsilon needed. */
+    * scaladoc). The final score (bq + Σwq)/2^20 is order-independent
+    * (integer sum), and at a 4-dp half boundary — which dyadic values
+    * CAN hit (k = 2^15 gives 0.03125 → 312.5 exactly; r12 review
+    * corrected the earlier never-happens claim) — both engines round
+    * ties away from zero on the identical exact double, so no epsilon
+    * is needed. */
   private[queries] def classifierSgdSqlDuck(iters: Int, lr: String): String = {
     val pre = """WITH ws AS MATERIALIZED (
       |  SELECT doc_id,
@@ -952,8 +956,9 @@ object PipelineQueries {
     //    oracle replays the WHOLE optimization, not just inference
     //    (measured: held-out acc 0.70 → 0.74, train loss 0.170 → 0.132
     //    at sf0.01). One Spark job per iteration (bias gradient rides
-    //    as sentinel bucket −1); the final fixed-point score is dyadic
-    //    so the 4-dp round has NO fp-order caveat at all ───────────────
+    //    as sentinel bucket −1); the final fixed-point score is an
+    //    integer sum — NO fp-order caveat; half-boundary ties (dyadic
+    //    values can hit them) round away from zero on both engines ─────
     "pipe_text_classifier_sgd" -> Q(
       classifierSgdSqlDuck(10, "CAST(0.05 AS DOUBLE)")) { (s, d) =>
       graft.functions.Sketches.register(s)

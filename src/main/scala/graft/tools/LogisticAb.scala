@@ -35,18 +35,7 @@ object LogisticAb {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    val meter = new org.apache.spark.scheduler.SparkListener {
-      val write = new java.util.concurrent.atomic.AtomicLong
-      val spillD = new java.util.concurrent.atomic.AtomicLong
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val m = s.stageInfo.taskMetrics
-        if (m != null) {
-          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          spillD.addAndGet(m.diskBytesSpilled)
-        }
-      }
-    }
+    val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     val docs = Engine.table(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
@@ -66,7 +55,7 @@ object LogisticAb {
         .select((col("doc_id") * fac + col("rep")).as("doc_id"), col("text"))
         .localCheckpoint(true)
       val n = docsN.count()
-      meter.write.set(0); meter.spillD.set(0)
+      meter.reset()
       val g0 = gcMs; val t0 = System.nanoTime()
       val (wN, _) = Classifier.trainLogisticFixed(
         labeled(docsN), "text", "label", wq0, bq0, iters = 3, lr = 0.05)
@@ -75,7 +64,7 @@ object LogisticAb {
       println(f"[logisticab] ×$fac%-3d docs=$n%-7d wall=$wall%7.1f s " +
         f"(${wall / 3}%5.1f s/iter, ${n * 3 / wall / 1e3}%6.0f kdocs/s) " +
         f"gc=${gcMs - g0}%5d ms shuffleW=${meter.write.get / 1e6}%7.1f MB " +
-        f"spill=${meter.spillD.get / 1e6}%6.1f MB " +
+        f"spill=${meter.spilledDisk.get / 1e6}%6.1f MB " +
         f"w0changed=${wN.zip(wq0).count(p => p._1 != p._2)}")
     }
     spark.stop()

@@ -165,18 +165,7 @@ object PipeScale {
     // (doc_id, pos, h1, h2) per token position ≈ 32 B/token vs ~5 B of
     // text — measure the actual bytes so SCALE.md's 100 TB cost model
     // is written down, not estimated
-    val meter = new org.apache.spark.scheduler.SparkListener {
-      val write = new java.util.concurrent.atomic.AtomicLong
-      val read = new java.util.concurrent.atomic.AtomicLong
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val m = s.stageInfo.taskMetrics
-        if (m != null) {
-          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        }
-      }
-    }
+    val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     val spansRep0 = timed(s"substring spans ×$fac") {
       Dedup.duplicateSpans(docsN, "doc_id", "text", subW)

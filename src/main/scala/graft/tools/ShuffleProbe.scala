@@ -31,18 +31,7 @@ object ShuffleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val meter = new org.apache.spark.scheduler.SparkListener {
-      val write = new java.util.concurrent.atomic.AtomicLong
-      val read = new java.util.concurrent.atomic.AtomicLong
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val m = s.stageInfo.taskMetrics
-        if (m != null) {
-          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        }
-      }
-    }
+    val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     val df = name match {
       case "substring_spans" =>
@@ -52,6 +41,10 @@ object ShuffleProbe {
     }
     df.write.format("noop").mode("overwrite").save()
     Thread.sleep(2000) // listener bus drain
+    // detach BEFORE the tool's own token/byte aggregations — their
+    // partial-agg exchanges would contaminate the measured bytes
+    // (r12 review; a map-only query must read 0, not a few KB)
+    spark.sparkContext.removeSparkListener(meter)
     val docs = Engine.table(spark, sfDir, "documents")
     val tokens = docs
       .agg(sum(graft.pipeline.TextAnalysis.tokenCount(col("text"))))

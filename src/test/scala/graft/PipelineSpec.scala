@@ -991,6 +991,33 @@ class PipelineSpec extends AnyFunSuite {
           1073741789L, 31L)))
     }
     assert(e2.getMessage.contains("w must be >= 2"))
+    // wrong-TYPED literal (array<int>, not array<long>) must also be a
+    // named analysis failure, not a raw ClassCastException (r12 review)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(call_function("graft_hashed_buckets", col("text"),
+        typedlit(Seq(1024, 1, 131, 1000000007, 131))))
+    }
+    assert(e3.getMessage.contains("graft_hashed_buckets"))
+  }
+
+  test("GatherSum raises named errors for null and out-of-range indices") {
+    graft.functions.Sketches.register(spark)
+    import spark.implicits._
+    val one = Seq(1).toDF("x")
+    def run(idx: org.apache.spark.sql.Column): Unit =
+      one.select(graft.functions.Sketches.gatherSum(idx, Seq(10.0, 20.0)))
+        .collect()
+    val eNull = intercept[Exception] {
+      run(expr("array(1, CAST(NULL AS INT))"))
+    }
+    assert(eNull.getMessage.contains("null index"),
+      s"null element must not silently gather vals(0): ${eNull.getMessage}")
+    val eRange = intercept[Exception] { run(expr("array(2)")) }
+    assert(eRange.getMessage.contains("outside [0, 2)"), eRange.getMessage)
+    // in-range still fine
+    val ok = one.select(graft.functions.Sketches.gatherSum(
+      expr("array(0, 1, 1)"), Seq(10.0, 20.0))).head().getDouble(0)
+    assert(ok == 50.0)
   }
 
 }
