@@ -81,6 +81,21 @@ object Classifier {
       alpha: Double = 1.0, includeBigrams: Boolean = true)
       : (Array[Double], Double) = {
     graft.functions.Sketches.register(train.sparkSession)
+    // label contract ENFORCED, not just documented (r13 ADVICE): the
+    // per-class doc counts double as the validation pass — a NULL or
+    // out-of-range label would otherwise be silently counted as class 0
+    // by the when(y===1).otherwise(...) folds below and train
+    // silently-wrong weights. This agg runs anyway (it feeds the bias),
+    // so the check costs nothing extra.
+    val docRows = train.groupBy(col(labelCol).cast("int").as("y"))
+      .agg(count(lit(1)).as("n")).collect()
+    val bad = docRows.filter(r => r.isNullAt(0) ||
+      (r.getInt(0) != 0 && r.getInt(0) != 1))
+    require(bad.isEmpty, s"trainLogOdds: label column '$labelCol' must " +
+      "be 0/1 and non-null; found " + bad.map(r =>
+        (if (r.isNullAt(0)) "NULL" else r.getInt(0).toString) +
+          s" (${r.getLong(1)} rows)").mkString(", "))
+    val docs = docRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val feats = train.select(col(labelCol).cast("int").as("y"),
         explode(buckets(coalesce(col(textCol), lit("")), d,
           includeBigrams)).as("b"))
@@ -96,9 +111,6 @@ object Classifier {
       math.log((n1(b) + alpha) / (tot1 + alpha * d)) -
         math.log((n0(b) + alpha) / (tot0 + alpha * d))
     }
-    val docs = train.groupBy(col(labelCol).cast("int").as("y"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bias = math.log((docs.getOrElse(1, 0L) + alpha) /
       (docs.getOrElse(0, 0L) + alpha))
     (weights, bias)
@@ -128,14 +140,20 @@ object Classifier {
   private[graft] val WQ = 1048576.0
   private[graft] val EQ = 16777216.0
 
-  /** Round half away from zero → Long via BigDecimal HALF_UP on the
-    * EXACT binary value — the same path Spark SQL round() takes, so
+  /** Round half away from zero → Long via scala BigDecimal HALF_UP.
+    * scala.math.BigDecimal(x: Double) goes through the SHORTEST-DECIMAL
+    * representation (Double.toString), NOT the exact binary expansion
+    * (that is new java.math.BigDecimal(double)) — and Spark SQL's
+    * round() for DoubleType takes the same scala-BigDecimal path, so
     * the driver-side weight updates and the executor-side error
-    * quantization share one rounding function (r12 review: the
-    * floor(x+0.5) formulation disagrees on the doubles 1 ulp below
-    * k+0.5, where x+0.5 rounds UP to exactly k+1 before floor —
-    * 0.49999999999999994 must round to 0, not 1; java.lang.Math.round
-    * has the same defect plus half-toward-+∞ on negatives). */
+    * quantization share one rounding function BY CONSTRUCTION.
+    * Switching either side to the exact-binary java constructor would
+    * silently break that driver/executor agreement (r13 ADVICE). The
+    * r12 rationale stands: the floor(x+0.5) formulation disagrees on
+    * the doubles 1 ulp below k+0.5, where x+0.5 rounds UP to exactly
+    * k+1 before floor — 0.49999999999999994 must round to 0, not 1;
+    * java.lang.Math.round has the same defect plus half-toward-+∞ on
+    * negatives. */
   private[graft] def rhalf(x: Double): Long =
     BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 

@@ -606,4 +606,121 @@ object Dedup {
         graft.functions.Sketches.rollingFpPortable(col("kept"))
           .as("fp_clean"))
   }
+
+  // ── incremental dedup against a persisted signature store (r13) ──────
+  // Every dedup above is batch-global; the production curation shape
+  // dedups each NEW crawl snapshot against the historical corpus
+  // WITHOUT rescanning its text: persist (id, signature) once, then
+  // each new batch band-joins its signatures against the store and
+  // appends its own. The store holds every signature ever SEEN (kept
+  // or dropped — a new doc matching a previously-dropped doc is still
+  // a duplicate), which is also exactly what makes incremental ≡ batch:
+  // under the greedy smaller-id keeper rule, "dup iff any match in the
+  // store OR an earlier match in this batch" over batches A then B is
+  // the same predicate as "dup iff any smaller-id match" over A ∪ B
+  // whenever store ids precede batch ids (PipelineSpec asserts the law
+  // on the keeper set AND the dup_src attribution). At 8 bytes/sig the
+  // store is ~0.01% of a text corpus — the history side ships
+  // signatures only, never text (PipeScale meters it).
+
+  /** The persistable signature-store rows for [[incrementalDedupSimhash]]:
+    * (id BIGINT, sig BIGINT) under the portable 30-bit SimHash (the
+    * pipe_dedup_simhash signature — an external engine recomputes it
+    * bit-for-bit, so the whole incremental decision is oracle-
+    * replayable). Write this once per batch; union/append is the only
+    * store maintenance. */
+  def simhashStorePortable(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.Sketches.register(df.sparkSession)
+    df.select(col(idCol).cast("long").as("id"),
+      graft.functions.Sketches.portableSimhash30(
+        col(textCol), 2654435761L).as("sig"))
+  }
+
+  /** An empty signature store (first snapshot bootstrap). */
+  def emptySigStore(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("sig", LongType))))
+  }
+
+  /** Dedup a new batch against a persisted signature store.
+    *
+    * A batch doc is a duplicate iff some store signature OR some
+    * smaller-id batch signature lies within `maxHamming` of its own
+    * portable 30-bit SimHash. Blocking is the 4×8-bit pigeonhole of
+    * [[simhashPairsPortable]] (complete for maxHamming ≤ 3, so blocking
+    * is an implementation detail, not a semantics change); the store
+    * side additionally passes a Bloom prefilter built from the BATCH's
+    * chunk keys — the batch is the small side, so the sketch is a
+    * driver scalar (the contaminationReportBloom pattern) probed
+    * MAP-SIDE on the store scan: only store rows whose chunk key might
+    * collide ever shuffle, and what shuffles is (id, sig, chunk, ck) —
+    * 4 rows of 4 longs per surviving signature, never text. Exactness:
+    * the hamming filter after the join kills every Bloom/bucket false
+    * positive, so the result is bit-identical with the prefilter on or
+    * off (PipelineSpec asserts it).
+    *
+    * Returns one row per batch doc: (doc_id, sig, is_dup, dup_src)
+    * where dup_src is the SMALLEST matching id (store ∪ earlier batch),
+    * null for keepers. Append `.select(col("doc_id").as("id"),
+    * col("sig"))` back to the store to process the next snapshot. */
+  def incrementalDedupSimhash(
+      storeSigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      maxHamming: Int = 1, useBloom: Boolean = true,
+      bloomBits: Int = 1 << 17, bloomHashes: Int = 5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"portable pigeonhole blocking covers maxHamming 0..3, got $maxHamming")
+    graft.functions.Sketches.register(batch.sparkSession)
+    graft.functions.Bloom.register(batch.sparkSession)
+    def chunked(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), col("sig"),
+          explode(sequence(lit(0), lit(3))).as("chunk"))
+        .select(col("id"), col("sig"), col("chunk"),
+          expr("shiftright(sig, CAST(chunk * 8 AS INT)) & 255L").as("ck"))
+    // combined bucket key: chunk index in the high bits, 8-bit chunk
+    // value in the low — one long per (chunk, ck)
+    def key(c: Column, k: Column): Column = c.cast("long") * 256L + k
+    // batch signatures persist: read by the sketch-build action, both
+    // self-join sides, and the final attribution join (the minhashPairs
+    // precedent — at 100 TB checkpoint the batch sigs to storage)
+    val bs = simhashStorePortable(batch, idCol, textCol).persist()
+    val bc = chunked(bs)
+    val sc0 = chunked(storeSigs.select(col("id").cast("long").as("id"),
+      col("sig")))
+    val sc =
+      if (!useBloom) sc0
+      else {
+        // the batch is the SMALL side: its distinct chunk keys fit a
+        // driver-scalar Bloom sketch (2^17 bits ≈ 16 KB default; the
+        // key domain of the narrow path is 4·2^8, so the sketch is
+        // effectively exact — the knob matters for the wide variants)
+        val sketch = bc.select(key(col("chunk"), col("ck")).as("k"))
+          .distinct()
+          .agg(graft.functions.Bloom.sketch(col("k"), bloomBits,
+            bloomHashes))
+          .head().getAs[Array[Byte]](0)
+        sc0.filter(graft.functions.Bloom.contains(lit(sketch),
+          key(col("chunk"), col("ck"))))
+      }
+    // store matches: ANY store id disqualifies a batch doc
+    val storeMatches = bc.as("b").join(sc.as("s"),
+        col("b.chunk") === col("s.chunk") && col("b.ck") === col("s.ck"))
+      .select(col("b.id").as("id"), col("b.sig").as("sig"),
+        col("s.id").as("src"), col("s.sig").as("ssig"))
+    // within-batch matches: only EARLIER (smaller-id) batch docs do
+    val batchMatches = bc.as("l").join(bc.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
+          col("r.id") < col("l.id"))
+      .select(col("l.id").as("id"), col("l.sig").as("sig"),
+        col("r.id").as("src"), col("r.sig").as("ssig"))
+    val dupSrc = storeMatches.union(batchMatches)
+      .distinct() // multi-chunk collisions of the same (id, src) pair
+      .filter(bit_count(col("sig").bitwiseXOR(col("ssig"))) <= maxHamming)
+      .groupBy(col("id")).agg(min(col("src")).as("dup_src"))
+    bs.join(dupSrc, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("sig"),
+        col("dup_src").isNotNull.as("is_dup"), col("dup_src"))
+  }
 }

@@ -55,8 +55,10 @@ object PipelineQueries {
   private[queries] def classifierSgdSqlDuck(iters: Int, lr: String): String = {
     val pre = """WITH ws AS MATERIALIZED (
       |  SELECT doc_id,
-      |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws,
-      |         CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+      |         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+      |                     t -> t <> '') AS ws,
+      |         CASE WHEN len(list_filter(
+      |                string_split_regex(coalesce(text, ''), '\s+'),
       |                t -> t = 'spark')) >= 2
       |              THEN 1 ELSE 0 END AS label
       |  FROM documents),
@@ -623,6 +625,61 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ── incremental dedup against a persisted signature store (r13) ─────
+    // The production curation shape: history = even doc_ids persisted as
+    // (id, portable-30-bit-SimHash) rows, the new snapshot = odd doc_ids.
+    // A batch doc is a dup iff some STORE signature (any id) or some
+    // EARLIER batch signature (smaller id) lies within hamming 1;
+    // dup_src is the smallest such id. Spark runs the pigeonhole
+    // chunk-join with the batch-keyed Bloom prefilter on the store scan
+    // (history ships signatures only — never text); the oracle replays
+    // the ENTIRE decision from raw text: both signature sets bit-for-bit
+    // and the store-OR-earlier rule as one all-pairs scan. The
+    // batch(A∪B) ≡ incremental(A then B) law is PipelineSpec's.
+    "pipe_dedup_incremental" -> Q(s"""
+      |WITH th AS (
+      |  SELECT doc_id,
+      |         list_transform(
+      |           list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+      |           w -> (list_reduce(
+      |                  list_transform(string_split_regex(w, ''),
+      |                    c -> CAST(unicode(c) AS BIGINT)),
+      |                  (acc, cp) -> (acc * 131 + cp) % 1000000007)
+      |                 * 2654435761) % 1073741789) hs
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(generate_series(0, 29), i ->
+      |             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                    list_transform(hs, h ->
+      |                      CASE WHEN (h >> i) & 1 = 1
+      |                           THEN CAST(1 AS BIGINT)
+      |                           ELSE CAST(-1 AS BIGINT) END)),
+      |                    (a, b) -> a + b) > 0
+      |                  THEN CAST(1 AS BIGINT) << i
+      |                  ELSE CAST(0 AS BIGINT) END)),
+      |           (a, b) -> a + b) sig
+      |  FROM th),
+      |batch AS (SELECT doc_id, sig FROM sigs WHERE doc_id % 2 = 1),
+      |m AS (
+      |  SELECT b.doc_id, min(o.doc_id) AS dup_src
+      |  FROM batch b JOIN sigs o
+      |    ON (o.doc_id % 2 = 0 OR o.doc_id < b.doc_id)
+      |   AND bit_count(xor(b.sig, o.sig)) <= 1
+      |  GROUP BY b.doc_id)
+      |SELECT b.doc_id, b.sig, m.dup_src IS NOT NULL AS is_dup, m.dup_src
+      |FROM batch b LEFT JOIN m ON b.doc_id = m.doc_id
+      |ORDER BY b.doc_id""") { (s, d) =>
+      val docs = Engine.table(s, d, "documents")
+      val store = Dedup.simhashStorePortable(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.incrementalDedupSimhash(store,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          maxHamming = 1)
+        .orderBy(col("doc_id"))
+    },
+
     // ── embedding-cosine near-dup dedup (LSH scale path, oracled) ────────
     // Corpus = embeddings ∪ positively-scaled copies of every 10th vector
     // (scaling preserves hyperplane signs bit-for-bit, so the LSH
@@ -886,8 +943,10 @@ object PipelineQueries {
     "pipe_text_classifier" -> Q("""
       |WITH ws AS (
       |  SELECT doc_id,
-      |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws,
-      |         CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+      |         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+      |                     t -> t <> '') AS ws,
+      |         CASE WHEN len(list_filter(
+      |                string_split_regex(coalesce(text, ''), '\s+'),
       |                t -> t = 'spark')) >= 2
       |              THEN 1 ELSE 0 END AS label
       |  FROM documents),
@@ -936,9 +995,12 @@ object PipelineQueries {
       |ORDER BY f.doc_id""") { (s, d) =>
       graft.functions.Sketches.register(s)
       val docs = Engine.table(s, d, "documents")
+      // label coalesces text like the oracle's ws CTE (r13 ADVICE):
+      // NULL text must yield label 0 on BOTH engines, not a NULL label
+      // Spark-side (which trainLogOdds now rejects)
       val labeled = docs.withColumn("label",
-        (size(filter(split(col("text"), "\\s+"), t => t === "spark")) >= 2)
-          .cast("int"))
+        (size(filter(split(coalesce(col("text"), lit("")), "\\s+"),
+          t => t === "spark")) >= 2).cast("int"))
       val (w, b) = graft.pipeline.Classifier.trainLogOdds(
         labeled.filter(col("doc_id") % 2 === 0), "text", "label", d = 1024)
       graft.pipeline.Classifier.score(
@@ -963,9 +1025,10 @@ object PipelineQueries {
       classifierSgdSqlDuck(10, "CAST(0.05 AS DOUBLE)")) { (s, d) =>
       graft.functions.Sketches.register(s)
       val docs = Engine.table(s, d, "documents")
+      // same NULL-text → label 0 convention as the NB query above
       val labeled = docs.withColumn("label",
-        (size(filter(split(col("text"), "\\s+"), t => t === "spark")) >= 2)
-          .cast("int"))
+        (size(filter(split(coalesce(col("text"), lit("")), "\\s+"),
+          t => t === "spark")) >= 2).cast("int"))
       val trainDf = labeled.filter(col("doc_id") % 2 === 0)
       val (w, b) = graft.pipeline.Classifier.trainLogOdds(
         trainDf, "text", "label", d = 1024)

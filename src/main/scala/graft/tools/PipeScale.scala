@@ -205,8 +205,10 @@ object PipeScale {
     //    (f·c12 + f)/(f·c1 + f·V) is the same IEEE quotient as
     //    (c12 + 1)/(c1 + V) since every scaled term is an exact double
     //    and |V| is replication-invariant — so rep-0 eval docs score as
-    //    at ×1 (n_bigrams EXACT; xent within one 4-dp rounding step,
-    //    the per-doc fp sum order being the only free variable). The
+    //    at ×1 (n_bigrams EXACT; xent within TWO 4-dp rounding steps =
+    //    2e-4 — each side's per-doc fp sum order can perturb its own
+    //    pre-rounding value across a boundary independently, one step
+    //    per engine pass; r13 ADVICE aligned comment and assertion). The
     //    wall point watches the c12 table build: corpus-scale bigram
     //    explode → groupBy, the AQE broadcast→shuffle-join transition
     //    territory at 100 TB. ───────────────────────────────────────────
@@ -247,8 +249,8 @@ object PipeScale {
     //    explode+groupBy and the map-side kernel scoring pass at ×f. ───
     import graft.pipeline.Classifier
     def labeled(df: DataFrame): DataFrame = df.withColumn("label",
-      (size(filter(split(col("text"), "\\s+"), t => t === "spark")) >= 2)
-        .cast("int"))
+      (size(filter(split(coalesce(col("text"), lit("")), "\\s+"),
+        t => t === "spark")) >= 2).cast("int"))
     graft.functions.Sketches.register(spark)
     val (w1, b1) = Classifier.trainLogOdds(labeled(docs), "text", "label",
       d = 1024)

@@ -67,6 +67,47 @@ class PipelineSpec extends AnyFunSuite {
       s"simhash recovered ${(exact & sh).size} of ${exact.size}")
   }
 
+  test("incremental dedup law: batch(A∪B) == incremental(A then B); " +
+      "bloom prefilter is exact") {
+    import org.apache.spark.sql.DataFrame
+    def rep(df: DataFrame): Map[Long, (Long, Boolean, Option[Long])] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // A = lower-id half, B = upper-id half: store ids precede batch ids,
+    // the precondition under which the store-OR-earlier rule equals the
+    // global smaller-id rule (Dedup scaladoc)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val a = docs.filter(col("doc_id") < mid)
+    val b = docs.filter(col("doc_id") >= mid)
+    val empty = Dedup.emptySigStore(spark)
+    val whole = rep(Dedup.incrementalDedupSimhash(
+      empty, docs, "doc_id", "text", maxHamming = 1))
+    val repA = Dedup.incrementalDedupSimhash(
+      empty, a, "doc_id", "text", maxHamming = 1)
+    // the store appends ALL batch signatures (kept AND dropped) — the
+    // law's hinge: a B doc matching a dropped A doc is still a dup
+    val storeA = repA.select(col("doc_id").as("id"), col("sig"))
+    val repB = Dedup.incrementalDedupSimhash(
+      storeA, b, "doc_id", "text", maxHamming = 1)
+    val incr = rep(repA) ++ rep(repB)
+    assert(incr == whole,
+      s"incremental != batch on ${(incr.toSet diff whole.toSet).take(3)} / " +
+        s"${(whole.toSet diff incr.toSet).take(3)}")
+    assert(whole.values.exists(_._2), "corpus should contain near-dups")
+    // bloom prefilter changes the shuffle bill, never the answer
+    val store = Dedup.simhashStorePortable(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val on = rep(Dedup.incrementalDedupSimhash(
+      store, batch, "doc_id", "text", maxHamming = 1, useBloom = true))
+    val off = rep(Dedup.incrementalDedupSimhash(
+      store, batch, "doc_id", "text", maxHamming = 1, useBloom = false))
+    assert(on == off, "bloom-prefiltered report must be bit-identical")
+    assert(on.values.exists(_._2), "batch should hit the history store")
+  }
+
   test("LSH near-pairs recall vs brute-force (cos >= 0.2 band)") {
     graft.functions.Sketches.register(spark)
     // ground truth: all pairs among vec_id < 60 with cosine >= 0.2
