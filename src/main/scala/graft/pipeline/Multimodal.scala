@@ -388,29 +388,46 @@ object Multimodal {
       }
   }
 
-  /** Resize plumbing: deterministic nearest-neighbor byte resample of the
-    * payload to a fixed target (stub for a real scaler — the real impl
-    * would decode, scale pixels, re-encode). Output keeps the exact
-    * (doc_id, media, media_meta) shape of withSyntheticMedia, so it
-    * chains straight into decodeFeatures and any other downstream
-    * stage. newLen bytes, out[i] = in[i*len/newLen]. */
-  def resizeStub(
-      df: DataFrame, targetW: Int, targetH: Int,
-      payloadBytes: Int = 64): DataFrame = {
+  /** REAL image resize through the actual codecs (r13 — retires the
+    * former resizeStub): decode via the same sniff-and-open path as
+    * [[decodeImageFeatures]], nearest-neighbor resample with the EXACT
+    * integer source mapping src = ⌊dst·srcDim/dstDim⌋ (no fp, no
+    * area-averaging — every output pixel is one input pixel, so an
+    * external oracle recomputes resized pixel stats from the id
+    * formula alone), re-encode in the sniffed format. Output keeps the
+    * (doc_id, media, media_meta) shape of [[encodeImages]], so it
+    * chains straight into decodeImageFeatures — the roundtrip the
+    * pipe_multimodal_resize oracle checks end-to-end. Same
+    * mapPartitions batch shape as every codec stage: decoder/encoder
+    * setup amortizes over a partition, payloads stay binary. */
+  def resizeImages(
+      df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"resize target must be positive, got ${targetW}x$targetH")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("doc_id"), col("media"), col("media_meta"))
-      .as[(Long, Array[Byte], (String, Int, Int, Long))]
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes, (fmt, _, _, _)) =>
-          val out = new Array[Byte](payloadBytes)
-          var i = 0
-          while (i < payloadBytes) {
-            out(i) = if (bytes.isEmpty) 0
-              else bytes((i.toLong * bytes.length / payloadBytes).toInt)
-            i += 1
+        rows.map { case (id, bytes) =>
+          val (fmt, src) = withImageReader(bytes, id, r =>
+            (r.getFormatName.toLowerCase, r.read(0)))
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val w = src.getWidth; val h = src.getHeight
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * h / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              out.setRGB(x, y, src.getRGB((x.toLong * w / targetW).toInt, sy))
+              x += 1
+            }
+            y += 1
           }
-          (id, fmt, out)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, fmt, bos)
+          (id, fmt, bos.toByteArray)
         }
       }
       .toDF("doc_id", "format", "media")

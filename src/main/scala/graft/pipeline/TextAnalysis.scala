@@ -304,4 +304,59 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(-sum(col("lp")) / count(lit(1)) + lit(1e-9), 4).as("xent"))
   }
+
+  /** CCNet's tail stage (Wenzek et al. 2020 §3.3): bucket every scored
+    * document into perplexity terciles — head / middle / tail — by
+    * VALUE thresholds derived from discrete ranks over the scored set.
+    *
+    * Threshold derivation is scale-safe and engine-exact: instead of a
+    * global sort or an interpolating percentile (fp, engine-divergent),
+    * the 4-dp xent values are aggregated to a (value, count) CDF —
+    * bounded by the VALUE GRID (~10⁵ distinct 4-dp values over the
+    * xent range), not the corpus size, so the driver collect stays the
+    * sanctioned per-class-counts shape — and t_k = the smallest value
+    * whose cumulative count reaches ceil(k·n/3). Labels are then a
+    * map-side comparison against two literals; every engine with the
+    * same 4-dp xents derives the same thresholds by integer arithmetic.
+    * Docs with zero bigrams (< 2 tokens) carry no score and are
+    * dropped, as in CCNet. Returns (doc_id, n_bigrams, xent, bucket).
+    */
+  def perplexityBuckets(
+      train: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    val scored = crossEntropyScore(train, eval, idCol, textCol, alpha)
+    val cdf = scored.groupBy(col("xent")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).sortBy(_._1)
+    require(cdf.nonEmpty, "perplexityBuckets: no scored documents")
+    val n = cdf.map(_._2).sum
+    def valueAtRank(k: Long): Double = {
+      var cum = 0L
+      cdf.find { case (_, c) => cum += c; cum >= k }.get._1
+    }
+    val t1 = valueAtRank((n + 2) / 3)
+    val t2 = valueAtRank((2 * n + 2) / 3)
+    scored.withColumn("bucket",
+      when(col("xent") <= t1, lit("head"))
+        .when(col("xent") <= t2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
+  /** The full CCNet tail composition: perplexity terciles then a
+    * deterministic per-bucket quota sample (downsample-only, exact
+    * integer mix — [[graft.operators.Sampling.rebalanceToTarget]]'s
+    * md5-ranked selection, so reruns and external engines agree).
+    * Default mix 3:2:1 keeps the head-heavy slice CCNet's filter
+    * keeps. One LM-scoring pass, one tiny CDF collect, one per-bucket
+    * ranked window — no global sort anywhere. */
+  def ccnetSample(
+      train: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      weights: Map[String, Int] = Map("head" -> 3, "middle" -> 2, "tail" -> 1),
+      alpha: Double = 1.0): org.apache.spark.sql.DataFrame =
+    graft.operators.Sampling.rebalanceToTarget(
+      perplexityBuckets(train, eval, idCol, textCol, alpha),
+      "bucket", "doc_id", weights)
 }

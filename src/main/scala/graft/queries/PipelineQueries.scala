@@ -924,6 +924,70 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ── CCNet tail composition (r13): perplexity TERCILES over the
+    //    scored half (thresholds = discrete-rank values from the 4-dp
+    //    xent CDF — integer arithmetic, no interpolation, no global
+    //    sort) then the deterministic 3:2:1 per-bucket quota sample
+    //    (md5-ranked, downsample-only). The oracle replays the WHOLE
+    //    chain: LM counts, per-doc xent, CDF thresholds, labels,
+    //    quotas, ranked selection ──────────────────────────────────────
+    "pipe_quality_buckets" -> Q("""
+      |WITH words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |                             t -> t <> '') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM words, LATERAL unnest(generate_series(1, CAST(len(ws) AS INT) - 1)) AS t(i)),
+      |train AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+      |c12 AS (SELECT w1, w2, count(*) AS n12 FROM train GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM train GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w2) AS v FROM train),
+      |ev AS (
+      |  SELECT b.doc_id,
+      |         ln((coalesce(c12.n12, 0) + 1.0)
+      |            / (coalesce(c1.n1, 0) + v.v)) AS lp
+      |  FROM bg b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      |            LEFT JOIN c1 ON b.w1 = c1.w1
+      |            CROSS JOIN v
+      |  WHERE b.doc_id % 2 = 1),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |         round(-sum(lp) / count(*) + 1e-9, 4) AS xent
+      |  FROM ev GROUP BY doc_id),
+      |nn AS (SELECT count(*) AS n FROM sc),
+      |cd AS (SELECT xent, sum(count(*)) OVER (ORDER BY xent) AS cum
+      |       FROM sc GROUP BY xent),
+      |th AS (SELECT
+      |  (SELECT min(xent) FROM cd, nn WHERE cd.cum >= (nn.n + 2) // 3) AS t1,
+      |  (SELECT min(xent) FROM cd, nn WHERE cd.cum >= (2 * nn.n + 2) // 3) AS t2),
+      |lab AS (
+      |  SELECT sc.doc_id, sc.n_bigrams, sc.xent,
+      |         CASE WHEN sc.xent <= th.t1 THEN 'head'
+      |              WHEN sc.xent <= th.t2 THEN 'middle'
+      |              ELSE 'tail' END AS bucket
+      |  FROM sc, th),
+      |c AS (SELECT bucket, count(*) AS n FROM lab GROUP BY bucket),
+      |tw(bucket, w) AS (VALUES ('head', 3), ('middle', 2), ('tail', 1)),
+      |tot AS (SELECT min(n * 6 // w) AS total FROM c JOIN tw USING (bucket)),
+      |q AS (SELECT tw.bucket, tot.total * tw.w // 6 AS quota FROM tw, tot),
+      |r AS (SELECT doc_id, n_bigrams, xent, bucket,
+      |        row_number() OVER (PARTITION BY bucket
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM lab)
+      |SELECT r.bucket, r.doc_id, r.n_bigrams, r.xent
+      |FROM r JOIN q ON r.bucket = q.bucket
+      |WHERE r.rk <= q.quota
+      |ORDER BY r.doc_id""") { (s, d) =>
+      val docs = Engine.table(s, d, "documents")
+      TextAnalysis.ccnetSample(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .select(col("bucket"), col("doc_id"), col("n_bigrams"), col("xent"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── hashed linear quality classifier (fastText shape, r11 verdict
     //    #3): naive-Bayes log-odds over hashed word uni+bigrams (d=1024,
     //    portable codepoint hash), trained on the even-doc_id half with
@@ -1334,6 +1398,37 @@ object PipelineQueries {
           max(col("width")).cast("long").as("max_w"),
           max(col("height")).cast("long").as("max_h"))
         .orderBy(col("format"))
+    },
+
+    // ── REAL image resize roundtrip (r13, retires the resize stub):
+    //    encode → nearest-neighbor resample to 4×3 with the EXACT
+    //    integer mapping src = ⌊dst·srcDim/dstDim⌋ → re-encode in the
+    //    sniffed format → decode again. Per-doc pixel stats must equal
+    //    the oracle's recomputation from the id formula alone —
+    //    g(⌊X·w/4⌋, ⌊Y·h/3⌋) — so a lossy scaler, an fp-averaging
+    //    resample, or a format swap breaks the match exactly ────────────
+    "pipe_multimodal_resize" -> Q("""
+      |WITH px AS (
+      |  SELECT d.doc_id,
+      |         CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+      |         (d.doc_id * 31
+      |          + ((x.x * (1 + d.doc_id % 8)) // 4) * 7
+      |          + ((y.y * (1 + d.doc_id % 6)) // 3) * 13) % 256 AS g
+      |  FROM documents d
+      |  CROSS JOIN generate_series(0, 3) x(x)
+      |  CROSS JOIN generate_series(0, 2) y(y))
+      |SELECT doc_id, format,
+      |       CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_px,
+      |       CAST(sum(g) AS BIGINT) AS lum_sum
+      |FROM px GROUP BY doc_id, format ORDER BY doc_id""") { (s, d) =>
+      val media = Multimodal.encodeImages(
+        Engine.table(s, d, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.decodeImageFeatures(
+          Multimodal.resizeImages(media, 4, 3), parallelism = 8).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_px"), col("lum_sum"))
+        .orderBy(col("doc_id"))
     },
 
     // ── REAL audio codec roundtrip (javax.sound.sampled WAV): 16-bit

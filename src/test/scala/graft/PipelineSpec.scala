@@ -108,6 +108,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(on.values.exists(_._2), "batch should hit the history store")
   }
 
+  test("ccnet perplexity buckets: deterministic under repartitioning, " +
+      "ordered by fluency, exact 3:2:1 mix") {
+    import graft.pipeline.TextAnalysis
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval = docs.filter(col("doc_id") % 2 === 1)
+    def run(ev: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.ccnetSample(train, ev, "doc_id", "text")
+        .select("bucket", "doc_id", "xent").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = run(eval)
+    val b = run(eval.repartition(7, col("doc_id")))
+    assert(a == b, "kept set must not depend on partitioning")
+    val byBucket = a.groupBy(_._1)
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // quotas are floor-div shares of ONE total T: h=⌊T/2⌋, m=⌊T/3⌋,
+    // t=⌊T/6⌋ — so writing T = 6q + r, h ∈ [3q, 3q+2] and m ∈ [2q, 2q+1]
+    val Seq(h, m, t) = Seq("head", "middle", "tail").map(byBucket(_).size)
+    assert(h >= 3 * t && h <= 3 * t + 2 && m >= 2 * t && m <= 2 * t + 1,
+      s"mix must be floor-div 3:2:1, got $h:$m:$t")
+    // terciles order by fluency: every head xent <= every tail xent
+    assert(byBucket("head").map(_._3).max <= byBucket("tail").map(_._3).min)
+  }
+
   test("LSH near-pairs recall vs brute-force (cos >= 0.2 band)") {
     graft.functions.Sketches.register(spark)
     // ground truth: all pairs among vec_id < 60 with cosine >= 0.2
@@ -605,28 +628,34 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("multimodal resize + frame sampling: deterministic, bounded fan-out") {
+    // REAL codec roundtrip (r13): encode → nearest-neighbor resize →
+    // decode through the actual PNG/BMP codecs; expected pixels come
+    // from the id formula with the exact integer source mapping
+    val real = Multimodal.encodeImages(
+      docs.select(col("doc_id")).limit(50), "doc_id")
+    val resizedDf = Multimodal.resizeImages(real, 4, 3)
+    val feats = Multimodal.decodeImageFeatures(resizedDf).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats.size == 50)
+    feats.foreach { case (id, f) =>
+      val w = 1 + (id % 8).toInt; val h = 1 + (id % 6).toInt
+      val expLum = (for (yy <- 0 until 3; xx <- 0 until 4) yield
+        java.lang.Math.floorMod(
+          id * 31 + (xx * w / 4) * 7 + (yy * h / 3) * 13, 256L)).sum
+      assert(f.width == 4 && f.height == 3 && f.n_px == 12,
+        s"doc $id resized to ${f.width}x${f.height}")
+      assert(f.lum_sum == expLum,
+        s"doc $id lum ${f.lum_sum} != formula $expLum")
+      assert(f.format == (if (id % 2 == 0) "png" else "bmp"),
+        "resize must re-encode in the sniffed source format")
+    }
+    // rerun is byte-identical (deterministic codecs + integer mapping)
+    def bytesOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(bytesOf(Multimodal.resizeImages(real, 4, 3)) == bytesOf(resizedDf))
+
     val media = Multimodal.withSyntheticMedia(
       docs.select(col("doc_id")).limit(50), "doc_id")
-    val resizedDf = Multimodal.resizeStub(media, 32, 32, payloadBytes = 64)
-    val resized = resizedDf
-      .collect().map { r =>
-        val m = r.getStruct(2)
-        r.getLong(0) -> ((m.getInt(1), m.getInt(2), m.getLong(3),
-          r.getAs[Array[Byte]](1).toSeq))
-      }.toMap
-    assert(resized.size == 50)
-    resized.values.foreach { case (w, h, n, bytes) =>
-      assert(w == 32 && h == 32 && n == 64 && bytes.length == 64)
-    }
-    // resample rerun is byte-identical (determinism)
-    val again = Multimodal.resizeStub(media, 32, 32, payloadBytes = 64)
-      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
-    assert(again == resized.view.mapValues(_._4).toMap)
-    // output shape chains straight into the decode stage
-    val chained = Multimodal.decodeFeatures(resizedDf).collect()
-    assert(chained.length == 50)
-    chained.foreach(f => assert(f.width == 32 && f.n_bytes == 64))
-
     val frames = Multimodal.sampleFrames(media, frameBytes = 16,
         everyNth = 2, maxFrames = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1),
