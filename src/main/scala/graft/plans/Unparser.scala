@@ -50,34 +50,103 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * condition pairs identically-named attributes re-emit as USING
   * (k, ...) — the analyzer's own encoding of SQL USING and the
   * DataFrame join(df, Seq("k")) API — merging the key so parent
-  * references resolve; a plan whose ROOT is such a join (no projection
-  * above) loses the duplicate key column in the regenerated schema.
-  * OUTER USING joins re-emit too (r12): the analyzer's merged-key
-  * projection (FULL: coalesce(lk, rk) AS k; LEFT/RIGHT: the surviving
-  * side's key) over the equi-join is recognized one level up and
-  * becomes SELECT * FROM l <OUTER> JOIN r USING (k, ...) — an exact
-  * round-trip including unmatched-row semantics, retiring the r11
-  * refusal.
+  * references resolve. OUTER USING joins re-emit too (r12): the
+  * analyzer's merged-key projection (FULL: coalesce(lk, rk) AS k;
+  * LEFT/RIGHT: the surviving side's key) over the equi-join is
+  * recognized one level up and becomes SELECT * FROM l <OUTER> JOIN r
+  * USING (k, ...) — an exact round-trip including unmatched-row
+  * semantics. A ROOT-level join with same-name keys renders with
+  * derived-table aliases and a fully qualified ON (r13) so both key
+  * columns survive — retiring the r11 root refusal.
+  *
+  * REFUSALS (r13 inventory — each is a named IllegalArgumentException;
+  * all are CLOSURE, no faithful SQL encoding exists):
+  *  - root same-name-key join whose condition references attributes
+  *    from neither/both sides (the only remnant of the r11 refusal —
+  *    qualification is impossible when a reference is side-ambiguous);
+  *  - subquery expression under a node that cannot host one in SQL;
+  *  - unsupported plan nodes: LocalRelation (in-memory rows have no SQL
+  *    spelling), streaming/recursive nodes;
+  *  - grouping()/grouping_id() outputs (reference the internal
+  *    spark_grouping_id attribute, which the re-parsed plan re-mints);
+  *  - PIVOT on a non-column expression / extract-count mismatch (the
+  *    PIVOT clause grammar requires a bare column and a full IN list);
+  *  - direct-file-query scans that would silently change semantics:
+  *    read options (format.`path` cannot carry them), csv with a
+  *    user-supplied schema (names revert to _c0..), non-parquet/csv/
+  *    json formats, multi-root or nameless non-file relations — each
+  *    says "register a view" (the faithful encoding that DOES exist);
+  *  - unsupported join types (e.g. ExistenceJoin — an analyzer
+  *    artifact that never appears in analyzed user plans).
   */
 object Unparser {
 
   def toSql(df: DataFrame): String = toSql(df.queryExecution.analyzed)
 
   def toSql(plan: LogicalPlan): String = {
-    // a ROOT-level join with identically-named keys would re-emit as
-    // USING and silently return the merged key ONCE where the original
-    // plan's output carried it twice — refuse loudly instead (r11
-    // review; any projection above the join makes the shape fine)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    // a ROOT-level join with identically-named keys must NOT re-emit as
+    // USING — the merged key would surface ONCE where the original
+    // plan's output carries it twice (r11 review). r13 converts the
+    // refusal: the root join renders with explicit derived-table
+    // aliases and a fully QUALIFIED ON condition, so both same-named
+    // columns survive in the regenerated schema — faithful because at
+    // the ROOT nothing above needs to reference them by (ambiguous)
+    // name. Requires every attribute in the condition to resolve to
+    // exactly one side; otherwise the named refusal stands.
     plan match {
       case j: Join if j.condition.exists(sameNameKeyPair) =>
-        throw new IllegalArgumentException(
-          "Unparser: root-level join with identically-named key columns " +
-            "— the regenerated USING schema merges the duplicate column; " +
-            "select the output columns above the join first")
-      case _ =>
+        renderRootAliasedJoin(j, counter)
+      case _ => render(plan, counter)
     }
-    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
-    render(plan, counter)
+  }
+
+  /** Root-level rendering of a join whose key columns share names:
+    * `SELECT * FROM (l) AS ta <JOIN> (r) AS tb ON ta.k = tb.k` — the
+    * only join shape rendered with qualifiers, because it is the only
+    * place the by-name convention cannot work and nothing upstream
+    * needs the names to stay unqualified. */
+  private def renderRootAliasedJoin(j: Join,
+      c: java.util.concurrent.atomic.AtomicInteger): String = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val kw = joinKeyword(j.joinType)
+    val cond = j.condition.get
+    val lids = j.left.outputSet
+    val rids = j.right.outputSet
+    val resolvable = cond.references.forall(a =>
+      lids.contains(a) ^ rids.contains(a))
+    if (!resolvable) throw new IllegalArgumentException(
+      "Unparser: root-level join with identically-named key columns " +
+        "whose condition references attributes from neither/both sides " +
+        "— select the output columns above the join first")
+    val la = nextAlias(c); val ra = nextAlias(c)
+    // qualification via MULTI-PART UnresolvedAttribute (la, name):
+    // exprSql preserves those verbatim (plain AttributeReference
+    // qualifiers are deliberately stripped there — stale table names
+    // would dangle; these aliases are minted for this very statement)
+    val qcond = cond.transform {
+      case a: AttributeReference if lids.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(la, a.name))
+      case a: AttributeReference if rids.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(ra, a.name))
+    }
+    s"SELECT * FROM (${setOpChild(j.left, c)}) AS `$la` $kw " +
+      s"(${setOpChild(j.right, c)}) AS `$ra` ON ${exprSql(qcond, c)}"
+  }
+
+  private def joinKeyword(
+      jt: org.apache.spark.sql.catalyst.plans.JoinType): String = jt match {
+    case Inner => "JOIN"
+    case LeftOuter => "LEFT JOIN"
+    case RightOuter => "RIGHT JOIN"
+    case FullOuter => "FULL JOIN"
+    case LeftSemi => "LEFT SEMI JOIN"
+    case LeftAnti => "LEFT ANTI JOIN"
+    case Cross => "CROSS JOIN"
+    case other => throw new IllegalArgumentException(
+      s"Unparser: unsupported join type $other")
   }
 
   private def sameNameKeyPair(e: Expression): Boolean = e match {
@@ -162,6 +231,10 @@ object Unparser {
 
   private def exprSql(e: Expression,
       c: java.util.concurrent.atomic.AtomicInteger): String = e match {
+    // a multi-part UnresolvedAttribute is unparser-minted qualification
+    // (renderRootAliasedJoin) — keep it verbatim
+    case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      ua.sql
     // strip qualifiers: generated SQL scopes names through the derived
     // tables, and stale qualifiers (t.`x`) would dangle
     case a: Attribute => s"`${a.name}`"
@@ -201,6 +274,9 @@ object Unparser {
         case OuterReference(a) =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             .quoted(a.name)
+        // unparser-minted qualified references pass through verbatim
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          ua
         case a: Attribute =>
           // re-render attributes without their original qualifier
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -343,17 +419,7 @@ object Unparser {
       s"SELECT * FROM ${fileTable(lr)}"
 
     case Join(left, right, joinType, cond, _) =>
-      val kw = joinType match {
-        case Inner => "JOIN"
-        case LeftOuter => "LEFT JOIN"
-        case RightOuter => "RIGHT JOIN"
-        case FullOuter => "FULL JOIN"
-        case LeftSemi => "LEFT SEMI JOIN"
-        case LeftAnti => "LEFT ANTI JOIN"
-        case Cross => "CROSS JOIN"
-        case other => throw new IllegalArgumentException(
-          s"Unparser: unsupported join type $other")
-      }
+      val kw = joinKeyword(joinType)
       // USING re-emission (r10 verdict #1; reference unparser emits
       // USING-key joins in sql/src/unparser/plan.rs): the analyzer
       // rewrites `USING (k)` — and the DataFrame `join(df, Seq("k"))`

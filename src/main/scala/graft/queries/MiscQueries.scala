@@ -380,6 +380,31 @@ object MiscQueries {
       s.sql(graft.plans.Unparser.toSql(df))
     },
 
+    // ── unparser: ROOT-level join with same-name keys (r13 — the r11
+    //    refusal converted): renders with derived-table aliases and a
+    //    fully QUALIFIED ON, so BOTH identically-named key columns
+    //    survive in the regenerated schema (USING would merge them).
+    //    The generated text executes; the rename to distinct output
+    //    names happens on the regenerated RESULT only (parquet can't
+    //    carry duplicate column names), after the root join ran ─────────
+    "unparse_join_on_root" -> Q("""
+      |SELECT a.n_name, a.regionkey AS regionkey_l,
+      |       b.regionkey AS regionkey_r, b.r_name
+      |FROM (SELECT n_name, n_regionkey AS regionkey FROM nation) a
+      |JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) b
+      |ON a.regionkey = b.regionkey
+      |ORDER BY n_name""") { (s, d) =>
+      Engine.registerAll(s, d)
+      val n = s.table("nation")
+        .select(col("n_name"), col("n_regionkey").as("regionkey"))
+      val r = s.table("region")
+        .select(col("r_regionkey").as("regionkey"), col("r_name"))
+      val df = n.join(r, n("regionkey") === r("regionkey"))
+      s.sql(graft.plans.Unparser.toSql(df.queryExecution.analyzed))
+        .toDF("n_name", "regionkey_l", "regionkey_r", "r_name")
+        .orderBy(col("n_name"))
+    },
+
     // ── unparser: PIVOT — the PivotFirst two-level aggregate is
     //    recovered and re-emitted as a PIVOT clause; absent combos pivot
     //    to NULL on both the original and regenerated plan, and the

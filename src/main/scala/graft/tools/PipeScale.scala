@@ -72,6 +72,57 @@ object PipeScale {
     val exExpect = ex1.map { case (h, keep, n) => (h, keep * fac, n * fac) }
     require(exN == exExpect, s"exact dedup mismatch: ${(exN diff exExpect).take(3)}")
 
+    // ── 1b. incremental dedup vs a persisted signature store (r13) ──
+    //    Production shape: history = every replica with rep ≥ 1
+    //    (persisted ONCE as (id, sig) — localCheckpoint models the
+    //    on-disk store), new snapshot = the rep-0 docs. EXACT
+    //    invariant: every batch doc has hamming-0 copies in the store,
+    //    so all are dups, and with m1(o) = min original within
+    //    hamming 1 of o (self included, computed by the ×1 self-probe)
+    //    the attribution must be dup_src(o·f) = m1(o)·f when a
+    //    SMALLER-id batch doc matches first, else m1(o)·f + 1 (the
+    //    first store replica). The meter watches the dedup job itself:
+    //    what the history side ships is (id, sig, chunk, ck) rows —
+    //    signatures, never text. ───────────────────────────────────────
+    val m1 = Dedup.incrementalDedupSimhash(
+        Dedup.simhashStorePortable(docs, "doc_id", "text"),
+        docs, "doc_id", "text", maxHamming = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val storeN = Dedup.simhashStorePortable(
+        docsN.filter(col("doc_id") % fac =!= 0), "doc_id", "text")
+      .localCheckpoint(true)
+    val storeRows = storeN.count()
+    val incMeter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(incMeter)
+    val incN = timed(s"incremental dedup ×$fac") {
+      Dedup.incrementalDedupSimhash(storeN,
+          docsN.filter(col("doc_id") % fac === 0), "doc_id", "text",
+          maxHamming = 1)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    }
+    Thread.sleep(2000) // listener bus drain
+    spark.sparkContext.removeSparkListener(incMeter)
+    val histTextBytes = docsN.filter(col("doc_id") % fac =!= 0)
+      .agg(sum(length(col("text")))).head().getLong(0)
+    println(f"[pipescale] incremental dedup ×$fac shuffle: " +
+      f"write=${incMeter.write.get / 1e6}%.1f MB " +
+      f"(${incMeter.write.get.toDouble / storeRows}%.1f B/store-sig; " +
+      f"history text=${histTextBytes / 1e6}%.1f MB, spill=" +
+      f"${incMeter.spilledDisk.get / 1e6}%.1f MB)")
+    require(incMeter.write.get < histTextBytes,
+      "incremental dedup shuffled more than the history text itself — " +
+        "the signatures-only posture is broken")
+    val incExpect = m1.keys.map { o =>
+      val m = m1(o)
+      o * fac -> ((true, if (m < o) m * fac else m * fac + 1))
+    }.toMap
+    require(incN == incExpect,
+      s"incremental dedup ×$fac mismatch: " +
+        s"${(incN.toSet diff incExpect.toSet).take(3)} / " +
+        s"${(incExpect.toSet diff incN.toSet).take(3)}")
+
     // ── 2. LSH pairs → connected components → cluster-keep ─────────
     // keeper set at ×1 (same params as pipe_dedup_cluster_keep)
     val keep1 = Clustering.dedupByPairs(docs, "doc_id",

@@ -304,28 +304,34 @@ class UnparserSpec extends AnyFunSuite {
         |   FROM region) b
         |USING (k1, k2)""".stripMargin))
     // a bare outer join whose same-name keys did NOT come from USING
-    // (no merged projection above) keeps ON and still refuses at root
-    val e = intercept[IllegalArgumentException] {
-      Unparser.toSql(
-        n.join(r, n("regionkey") === r("regionkey"), "full")
-          .queryExecution.analyzed)
-    }
-    assert(e.getMessage.contains("root-level join"), e.getMessage)
+    // (no merged projection above) now renders at root as an aliased
+    // qualified-ON join (r13) — both same-named key columns survive
+    val bare = n.join(r, n("regionkey") === r("regionkey"), "full")
+    val bareSql = Unparser.toSql(bare.queryExecution.analyzed)
+    assert(bareSql.contains(" ON "), bareSql)
+    roundtrip(bare)
   }
 
-  test("root-level join with same-name keys raises a named error") {
+  test("root-level join with same-name keys renders aliased ON (r13)") {
     // USING re-emission would silently narrow the ROOT join's schema
     // (the merged key appears once where the plan's output carries it
-    // twice) — refused loudly; a projection above makes it fine
+    // twice) — r11 refused; r13 renders the root join with derived-
+    // table aliases and a QUALIFIED ON, keeping BOTH key columns
     val n = spark.table("nation")
       .select(col("n_name"), col("n_regionkey").as("regionkey"))
     val r = spark.table("region")
       .select(col("r_regionkey").as("regionkey"), col("r_name"))
-    val e = intercept[IllegalArgumentException] {
-      Unparser.toSql(
-        n.join(r, n("regionkey") === r("regionkey")).queryExecution.analyzed)
-    }
-    assert(e.getMessage.contains("root-level join"), e.getMessage)
+    val df = n.join(r, n("regionkey") === r("regionkey"))
+    val sql = Unparser.toSql(df.queryExecution.analyzed)
+    val again = spark.sql(sql)
+    // schema fidelity: the duplicate key column is PRESERVED
+    assert(again.columns.toSeq == df.columns.toSeq,
+      s"schema narrowed: ${again.columns.toSeq} vs ${df.columns.toSeq}\n$sql")
+    roundtrip(df)
+    // semi/anti and non-equi residuals ride the same path
+    roundtrip(n.join(r,
+      n("regionkey") === r("regionkey") && r("r_name") =!= "ASIA",
+      "left_semi"))
   }
 
   test("file-scan read options / user csv schema raise named errors") {
