@@ -349,7 +349,10 @@ object TextAnalysis {
     * md5-ranked selection, so reruns and external engines agree).
     * Default mix 3:2:1 keeps the head-heavy slice CCNet's filter
     * keeps. One LM-scoring pass, one tiny CDF collect, one per-bucket
-    * ranked window — no global sort anywhere. */
+    * ranked window — no global sort anywhere. Degenerate corpora with
+    * fewer than 3 distinct xent values leave a tercile empty and fail
+    * fast via rebalanceToTarget's missing-class check (a silent
+    * partial mix would not be the requested mix). */
   def ccnetSample(
       train: org.apache.spark.sql.DataFrame,
       eval: org.apache.spark.sql.DataFrame,

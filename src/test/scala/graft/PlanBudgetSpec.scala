@@ -49,6 +49,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // aggregate (same shape as pipe_text_tfidf's n_docs) —
     // scale-constant build side
     "pipe_text_crossentropy",
+    // r13: the CCNet tail composes crossEntropyScore, inheriting the
+    // same 1-row |V| crossJoin — identical scale-constant build side
+    "pipe_quality_buckets",
     // TPC-DS spec text (not ours to reshape): q23/q61/q90 broadcast a
     // 1-row scalar-subquery threshold; q28/q88 cross-join 6/8 single-row
     // aggregate blocks — every build side is a global aggregate, i.e.
