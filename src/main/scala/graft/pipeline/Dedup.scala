@@ -723,4 +723,82 @@ object Dedup {
       .select(col("id").as("doc_id"), col("sig"),
         col("dup_src").isNotNull.as("is_dup"), col("dup_src"))
   }
+
+  /** Wide-signature store rows: (id, sig0, sig1) — two independent
+    * portable 30-bit SimHashes (the simhashPairsPortableWide scrambles),
+    * 60 signature bits. The store schema for corpora past the narrow
+    * path's bucket headroom: chunks widen 8 → 15 bits, bucket space
+    * 4·2^8 → 4·2^15, the same widening lever as simhashPairsWide. */
+  def simhashStorePortableWide(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.Sketches.register(df.sparkSession)
+    df.select(col(idCol).cast("long").as("id"),
+      graft.functions.Sketches.portableSimhash30(
+        col(textCol), 2654435761L).as("sig0"),
+      graft.functions.Sketches.portableSimhash30(
+        col(textCol), 2246822519L).as("sig1"))
+  }
+
+  /** [[incrementalDedupSimhash]] over the WIDE 60-bit portable
+    * signature — same store-OR-earlier semantics, hamming measured
+    * over both signature longs, blocking on 4×15-bit pigeonhole
+    * chunks (2 per long; complete for maxHamming ≤ 3). This is the
+    * store variant for corpora where 8-bit chunks crowd (SCALE.md —
+    * the bucket-space lever is chunk WIDTH); the default maxHamming=2
+    * preserves the wide pair query's 1-in-30 relative threshold.
+    * Returns (doc_id, sig0, sig1, is_dup, dup_src). */
+  def incrementalDedupSimhashWide(
+      storeSigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      maxHamming: Int = 2, useBloom: Boolean = true,
+      bloomBits: Int = 1 << 21, bloomHashes: Int = 5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk pigeonhole blocking covers maxHamming 0..3, got $maxHamming")
+    graft.functions.Sketches.register(batch.sparkSession)
+    graft.functions.Bloom.register(batch.sparkSession)
+    // chunk c∈0..3: low/high 15 bits of sig0 (c=0,1), of sig1 (c=2,3)
+    def chunked(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), col("sig0"), col("sig1"),
+          explode(sequence(lit(0), lit(3))).as("chunk"))
+        .select(col("id"), col("sig0"), col("sig1"), col("chunk"),
+          expr("shiftright(IF(chunk < 2, sig0, sig1), " +
+            "CAST((chunk % 2) * 15 AS INT)) & 32767L").as("ck"))
+    def key(c: Column, k: Column): Column = c.cast("long") * 32768L + k
+    val bs = simhashStorePortableWide(batch, idCol, textCol).persist()
+    val bc = chunked(bs)
+    val sc0 = chunked(storeSigs.select(col("id").cast("long").as("id"),
+      col("sig0"), col("sig1")))
+    val sc =
+      if (!useBloom) sc0
+      else {
+        val sketch = bc.select(key(col("chunk"), col("ck")).as("k"))
+          .distinct()
+          .agg(graft.functions.Bloom.sketch(col("k"), bloomBits,
+            bloomHashes))
+          .head().getAs[Array[Byte]](0)
+        sc0.filter(graft.functions.Bloom.contains(lit(sketch),
+          key(col("chunk"), col("ck"))))
+      }
+    val storeMatches = bc.as("b").join(sc.as("s"),
+        col("b.chunk") === col("s.chunk") && col("b.ck") === col("s.ck"))
+      .select(col("b.id").as("id"), col("b.sig0").as("sig0"),
+        col("b.sig1").as("sig1"),
+        col("s.id").as("src"), col("s.sig0").as("ssig0"),
+        col("s.sig1").as("ssig1"))
+    val batchMatches = bc.as("l").join(bc.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
+          col("r.id") < col("l.id"))
+      .select(col("l.id").as("id"), col("l.sig0").as("sig0"),
+        col("l.sig1").as("sig1"),
+        col("r.id").as("src"), col("r.sig0").as("ssig0"),
+        col("r.sig1").as("ssig1"))
+    val dupSrc = storeMatches.union(batchMatches)
+      .distinct()
+      .filter((bit_count(col("sig0").bitwiseXOR(col("ssig0"))) +
+        bit_count(col("sig1").bitwiseXOR(col("ssig1")))) <= maxHamming)
+      .groupBy(col("id")).agg(min(col("src")).as("dup_src"))
+    bs.join(dupSrc, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("sig0"), col("sig1"),
+        col("dup_src").isNotNull.as("is_dup"), col("dup_src"))
+  }
 }

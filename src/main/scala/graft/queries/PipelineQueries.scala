@@ -680,6 +680,66 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ── incremental dedup, WIDE 60-bit store (r13): the >10M-doc store
+    //    variant — same store-OR-earlier rule, hamming over two portable
+    //    30-bit signatures, 4×15-bit pigeonhole blocking. Oracle
+    //    recomputes both signature families and scans all pairs ─────────
+    "pipe_dedup_incremental_wide" -> Q(s"""
+      |WITH th AS (
+      |  SELECT doc_id,
+      |         list_transform(
+      |           list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+      |           w -> list_reduce(
+      |                  list_transform(string_split_regex(w, ''),
+      |                    c -> CAST(unicode(c) AS BIGINT)),
+      |                  (acc, cp) -> (acc * 131 + cp) % 1000000007)) ph
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(generate_series(0, 29), i ->
+      |             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                    list_transform(ph, h ->
+      |                      CASE WHEN (((h * 2654435761) % 1073741789) >> i) & 1 = 1
+      |                           THEN CAST(1 AS BIGINT)
+      |                           ELSE CAST(-1 AS BIGINT) END)),
+      |                    (a, b) -> a + b) > 0
+      |                  THEN CAST(1 AS BIGINT) << i
+      |                  ELSE CAST(0 AS BIGINT) END)),
+      |           (a, b) -> a + b) sig0,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(generate_series(0, 29), i ->
+      |             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                    list_transform(ph, h ->
+      |                      CASE WHEN (((h * 2246822519) % 1073741789) >> i) & 1 = 1
+      |                           THEN CAST(1 AS BIGINT)
+      |                           ELSE CAST(-1 AS BIGINT) END)),
+      |                    (a, b) -> a + b) > 0
+      |                  THEN CAST(1 AS BIGINT) << i
+      |                  ELSE CAST(0 AS BIGINT) END)),
+      |           (a, b) -> a + b) sig1
+      |  FROM th),
+      |batch AS (SELECT doc_id, sig0, sig1 FROM sigs WHERE doc_id % 2 = 1),
+      |m AS (
+      |  SELECT b.doc_id, min(o.doc_id) AS dup_src
+      |  FROM batch b JOIN sigs o
+      |    ON (o.doc_id % 2 = 0 OR o.doc_id < b.doc_id)
+      |   AND bit_count(xor(b.sig0, o.sig0))
+      |       + bit_count(xor(b.sig1, o.sig1)) <= 2
+      |  GROUP BY b.doc_id)
+      |SELECT b.doc_id, b.sig0, b.sig1,
+      |       m.dup_src IS NOT NULL AS is_dup, m.dup_src
+      |FROM batch b LEFT JOIN m ON b.doc_id = m.doc_id
+      |ORDER BY b.doc_id""") { (s, d) =>
+      val docs = Engine.table(s, d, "documents")
+      val store = Dedup.simhashStorePortableWide(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.incrementalDedupSimhashWide(store,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          maxHamming = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // ── embedding-cosine near-dup dedup (LSH scale path, oracled) ────────
     // Corpus = embeddings ∪ positively-scaled copies of every 10th vector
     // (scaling preserves hyperplane signs bit-for-bit, so the LSH

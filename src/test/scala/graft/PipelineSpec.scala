@@ -108,6 +108,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(on.values.exists(_._2), "batch should hit the history store")
   }
 
+  test("incremental dedup WIDE variant: same law, 60-bit hamming") {
+    import org.apache.spark.sql.DataFrame
+    def rep(df: DataFrame): Map[Long, (Long, Long, Boolean, Option[Long])] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val a = docs.filter(col("doc_id") < mid)
+    val b = docs.filter(col("doc_id") >= mid)
+    val empty = Dedup.emptySigStore(spark)
+      .withColumnRenamed("sig", "sig0").withColumn("sig1", lit(0L))
+      .filter(lit(false))
+    val whole = rep(Dedup.incrementalDedupSimhashWide(
+      empty, docs, "doc_id", "text", maxHamming = 2))
+    val repA = Dedup.incrementalDedupSimhashWide(
+      empty, a, "doc_id", "text", maxHamming = 2)
+    val storeA = repA.select(col("doc_id").as("id"), col("sig0"), col("sig1"))
+    val repB = Dedup.incrementalDedupSimhashWide(
+      storeA, b, "doc_id", "text", maxHamming = 2)
+    val incr = rep(repA) ++ rep(repB)
+    assert(incr == whole,
+      s"wide incremental != batch: ${(incr.toSet diff whole.toSet).take(3)}")
+    // bloom identity on the parity split
+    val store = Dedup.simhashStorePortableWide(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val on = rep(Dedup.incrementalDedupSimhashWide(
+      store, batch, "doc_id", "text", maxHamming = 2, useBloom = true))
+    val off = rep(Dedup.incrementalDedupSimhashWide(
+      store, batch, "doc_id", "text", maxHamming = 2, useBloom = false))
+    assert(on == off, "wide bloom-prefiltered report must be bit-identical")
+    // wide hamming<=2 over 60 bits is STRICTER than narrow<=1 over 30
+    // only in rate terms; semantics checked against brute force here
+    val sigs = Dedup.simhashStorePortableWide(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    on.foreach { case (id, (s0, s1, isDup, src)) =>
+      val brute = sigs.filter { case (o, (o0, o1)) =>
+        (o % 2 == 0 || o < id) && o != id &&
+          java.lang.Long.bitCount(s0 ^ o0) +
+            java.lang.Long.bitCount(s1 ^ o1) <= 2
+      }.keys
+      assert(isDup == brute.nonEmpty &&
+        src == (if (brute.isEmpty) None else Some(brute.min)),
+        s"doc $id: got ($isDup, $src), brute ${brute.toSeq.sorted.take(3)}")
+    }
+  }
+
   test("ccnet perplexity buckets: deterministic under repartitioning, " +
       "ordered by fluency, exact 3:2:1 mix") {
     import graft.pipeline.TextAnalysis
