@@ -166,6 +166,54 @@ object Streaming {
   def idempotentParquetSink(sinkDir: String): (DataFrame, Long) => Unit =
     (df: DataFrame, batchId: Long) =>
       df.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+
+  /** Streaming incremental dedup against a GROWING persisted signature
+    * store — the streaming face of
+    * [[graft.pipeline.Dedup.incrementalDedupSimhash]]: each micro-batch
+    * is a "new snapshot" deduped against every signature seen in
+    * EARLIER batches, then appends its own signatures, so cross-batch
+    * duplicates are caught without any stream-side state operator
+    * (the store IS the state, and it outlives the query — exactly the
+    * production shape where history predates the stream).
+    *
+    * Exactly-once by the idempotentParquetSink recipe, applied twice:
+    * both the per-batch report and the per-batch store delta land in
+    * `batch_id=<id>` partitions with overwrite semantics, and the
+    * store read for batch N filters `batch_id < N` — so a replayed
+    * batch neither sees its own previous attempt nor duplicates it.
+    * Within-batch duplicates use the operator's smaller-id rule, so a
+    * full stream run equals the batch operator applied snapshot by
+    * snapshot (StreamingSpec asserts stream ≡ incremental ≡ global).
+    *
+    * Scale: everything heavy is the batch operator's own shape (chunk
+    * join + bloom prefilter, signatures only); the foreachBatch driver
+    * work is two idempotent writes. Returns the foreachBatch function;
+    * wire it as `stream.writeStream.foreachBatch(fn)`. */
+  def incrementalDedupSink(
+      storeDir: String, reportDir: String,
+      idCol: String, textCol: String,
+      maxHamming: Int = 1): (DataFrame, Long) => Unit =
+    (df: DataFrame, batchId: Long) => {
+      val spark = df.sparkSession
+      val store =
+        try spark.read.parquet(storeDir)
+          .filter(col("batch_id") < batchId)
+          .select(col("id"), col("sig"))
+        catch {
+          // first batch: the store directory does not exist yet
+          case _: org.apache.spark.sql.AnalysisException =>
+            graft.pipeline.Dedup.emptySigStore(spark)
+        }
+      val report = graft.pipeline.Dedup.incrementalDedupSimhash(
+        store, df, idCol, textCol, maxHamming)
+      report.write.mode("overwrite")
+        .parquet(s"$reportDir/batch_id=$batchId")
+      // the delta appends ALL batch signatures (kept and dropped) —
+      // the same every-signature-seen store contract as the batch op
+      spark.read.parquet(s"$reportDir/batch_id=$batchId")
+        .select(col("doc_id").as("id"), col("sig"))
+        .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+    }
 }
 
 /** (user, value) rows → running (user, count, rounded total); the count

@@ -434,4 +434,57 @@ class StreamingSpec extends AnyFunSuite {
     // the sink reads as a batch_id-partitioned table with ≥ 2 batches
     assert(out.select(col("batch_id")).distinct().count() >= 2)
   }
+
+  test("streaming incremental dedup vs growing store equals the batch " +
+      "operator run snapshot by snapshot") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    implicit val ctx = spark.sqlContext
+    val base = "/tmp/graft_stream_incdedup"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(base))
+    // corpus: sf0.001 docs split by id (A = lower half, B = upper) so
+    // the smaller-id law precondition holds across batches; B also
+    // carries an EXACT copy of an A text under a fresh max id, so the
+    // cross-batch store path provably fires
+    val all = Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mid = all(all.length / 2)._1
+    val a = all.filter(_._1 < mid).toSeq
+    val b = all.filter(_._1 >= mid).toSeq :+
+      ((all.map(_._1).max + 1000L, a.head._2))
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(Streaming.incrementalDedupSink(
+        s"$base/store", s"$base/report", "doc_id", "text", maxHamming = 1))
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "sig", "is_dup", "dup_src").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val streamed = asMap(spark.read.parquet(s"$base/report"))
+    // ground truth: the batch operator over the whole corpus at once
+    val union = (a ++ b).toDF("doc_id", "text")
+    val whole = asMap(Dedup.incrementalDedupSimhash(
+      Dedup.emptySigStore(spark), union, "doc_id", "text", maxHamming = 1))
+    assert(streamed == whole,
+      s"stream != batch: ${(streamed.toSet diff whole.toSet).take(3)} / " +
+        s"${(whole.toSet diff streamed.toSet).take(3)}")
+    // the planted copy was caught via the PERSISTED store (batch 0's
+    // signatures), not within its own micro-batch
+    val planted = streamed(all.map(_._1).max + 1000L)
+    assert(planted._2 && planted._3.exists(_ < mid),
+      s"planted cross-batch dup not attributed to batch 0: $planted")
+    // the store reads back as one table holding every signature seen
+    val store = spark.read.parquet(s"$base/store")
+    assert(store.count() == a.size + b.size)
+  }
 }
