@@ -289,19 +289,21 @@ object Bench {
     // ── contention self-defense (r11 verdict #1: three rounds of the
     // official record being poisoned by bursty box contention —
     // func_json 138.6 s driver vs 2.8 s probed — with no in-harness
-    // detection; per_query_floor can't see BURSTY load). Any query
-    // whose first-pass median exceeds 3× its value in the previous
-    // committed BENCH_FULL.json (and by > 0.5 s absolute — sub-second
-    // noise triples are not contention) is RE-TIMED at the end of the
-    // run with the full warmup+iters discipline, time-separated from
-    // the burst that hit the first pass. The recorded median/min is the
-    // better of the two passes; queries whose second pass halved are
+    // detection; per_query_floor can't see BURSTY load). r13 widening:
+    // any query whose first-pass median exceeds 2.5× its value in the
+    // previous committed BENCH_FULL.json (and by > 0.3 s absolute —
+    // sub-second noise triples are not contention) is RE-TIMED at the
+    // end of the run with the full warmup+iters discipline,
+    // time-separated from the burst; a suspect still over the line
+    // after that gets ONE more pass. The recorded median/min is the
+    // BEST of up to three passes; queries whose re-time halved are
     // flagged `contended` (first pass was the outlier), while a suspect
-    // that REPRODUCES under re-timing is a real regression and keeps
-    // its number with the evidence in `retimed`. Knobs:
-    // SPARK_GRAFT_RETIME=0 disables; SPARK_GRAFT_RETIME_PREV points at
-    // an alternate previous record (the firing test — also the only way
-    // retiming runs under SPARK_GRAFT_ONLY). ─────────────────────────
+    // that REPRODUCES keeps its number with the evidence in `retimed`,
+    // and anything RECORDED still over the line self-labels via
+    // `hot`/`hot_n`. Knobs: SPARK_GRAFT_RETIME=0 disables;
+    // SPARK_GRAFT_RETIME_PREV points at an alternate previous record
+    // (the firing test — also the only way retiming runs under
+    // SPARK_GRAFT_ONLY). ──────────────────────────────────────────────
     val retimeOn = sys.env.getOrElse("SPARK_GRAFT_RETIME", "1") == "1"
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_RETIME_PREV",
       "BENCH_FULL.json")

@@ -669,7 +669,8 @@ object Dedup {
       storeSigs: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       maxHamming: Int = 1, useBloom: Boolean = true,
-      bloomBits: Int = 1 << 17, bloomHashes: Int = 5): DataFrame = {
+      bloomBits: Int = 1 << 17, bloomHashes: Int = 5,
+      persistSigs: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"portable pigeonhole blocking covers maxHamming 0..3, got $maxHamming")
     graft.functions.Sketches.register(batch.sparkSession)
@@ -682,10 +683,14 @@ object Dedup {
     // combined bucket key: chunk index in the high bits, 8-bit chunk
     // value in the low — one long per (chunk, ck)
     def key(c: Column, k: Column): Column = c.cast("long") * 256L + k
-    // batch signatures persist: read by the sketch-build action, both
-    // self-join sides, and the final attribution join (the minhashPairs
-    // precedent — at 100 TB checkpoint the batch sigs to storage)
-    val bs = simhashStorePortable(batch, idCol, textCol).persist()
+    // batch signatures persist by default: read by the sketch-build
+    // action, both self-join sides, and the final attribution join
+    // (the minhashPairs precedent — at 100 TB checkpoint the batch
+    // sigs to storage). persistSigs=false for REPEATED callers (the
+    // streaming sink runs once per micro-batch — a per-call persist
+    // would accumulate storage-pool blocks forever; r13 review).
+    val bs0 = simhashStorePortable(batch, idCol, textCol)
+    val bs = if (persistSigs) bs0.persist() else bs0
     val bc = chunked(bs)
     val sc0 = chunked(storeSigs.select(col("id").cast("long").as("id"),
       col("sig")))
@@ -751,7 +756,8 @@ object Dedup {
       storeSigs: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       maxHamming: Int = 2, useBloom: Boolean = true,
-      bloomBits: Int = 1 << 21, bloomHashes: Int = 5): DataFrame = {
+      bloomBits: Int = 1 << 21, bloomHashes: Int = 5,
+      persistSigs: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-chunk pigeonhole blocking covers maxHamming 0..3, got $maxHamming")
     graft.functions.Sketches.register(batch.sparkSession)
@@ -764,7 +770,9 @@ object Dedup {
           expr("shiftright(IF(chunk < 2, sig0, sig1), " +
             "CAST((chunk % 2) * 15 AS INT)) & 32767L").as("ck"))
     def key(c: Column, k: Column): Column = c.cast("long") * 32768L + k
-    val bs = simhashStorePortableWide(batch, idCol, textCol).persist()
+    // same persist rationale + repeated-caller escape as the narrow path
+    val bs0 = simhashStorePortableWide(batch, idCol, textCol)
+    val bs = if (persistSigs) bs0.persist() else bs0
     val bc = chunked(bs)
     val sc0 = chunked(storeSigs.select(col("id").cast("long").as("id"),
       col("sig0"), col("sig1")))

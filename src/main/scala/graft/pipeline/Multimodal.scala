@@ -426,7 +426,13 @@ object Multimodal {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, fmt, bos)
+          // a sniffed format can be reader-only on some JREs —
+          // write() returning false would otherwise ship a 0-byte
+          // payload that only fails LATER in the decode stage,
+          // pointing at the wrong operator (r13 review)
+          if (!javax.imageio.ImageIO.write(out, fmt, bos))
+            throw new IllegalArgumentException(
+              s"Multimodal resize: no encoder for format '$fmt' (doc $id)")
           (id, fmt, bos.toByteArray)
         }
       }

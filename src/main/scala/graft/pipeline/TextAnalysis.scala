@@ -326,7 +326,13 @@ object TextAnalysis {
       eval: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    // persist: the LM-scoring chain (bigram explode + count joins) has
+    // THREE consumers — the CDF collect here, ccnetSample's per-class
+    // quota counts, and the caller's final action; without the cache
+    // each re-runs the whole chain (the minhashPairs precedent — at
+    // 100 TB checkpoint the scored slice to storage). r13 review.
     val scored = crossEntropyScore(train, eval, idCol, textCol, alpha)
+      .persist()
     val cdf = scored.groupBy(col("xent")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).sortBy(_._1)
     require(cdf.nonEmpty, "perplexityBuckets: no scored documents")

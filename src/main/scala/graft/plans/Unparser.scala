@@ -113,12 +113,22 @@ object Unparser {
     val cond = j.condition.get
     val lids = j.left.outputSet
     val rids = j.right.outputSet
-    val resolvable = cond.references.forall(a =>
-      lids.contains(a) ^ rids.contains(a))
+    // every condition attribute must (a) resolve to exactly one side
+    // and (b) be the ONLY column of that name on its side — a side
+    // that itself carries duplicate names (an unprojected join below)
+    // would render `alias.k` ambiguous INSIDE the derived table and
+    // die at analysis far from the cause (r13 review); refuse with the
+    // named error instead
+    val resolvable = cond.references.forall { a =>
+      (lids.contains(a) ^ rids.contains(a)) && {
+        val side = if (lids.contains(a)) j.left else j.right
+        side.output.count(_.name == a.name) == 1
+      }
+    }
     if (!resolvable) throw new IllegalArgumentException(
       "Unparser: root-level join with identically-named key columns " +
-        "whose condition references attributes from neither/both sides " +
-        "— select the output columns above the join first")
+        "whose condition references side-ambiguous or side-duplicated " +
+        "attributes — select the output columns above the join first")
     val la = nextAlias(c); val ra = nextAlias(c)
     // qualification via MULTI-PART UnresolvedAttribute (la, name):
     // exprSql preserves those verbatim (plain AttributeReference

@@ -195,17 +195,23 @@ object Streaming {
       maxHamming: Int = 1): (DataFrame, Long) => Unit =
     (df: DataFrame, batchId: Long) => {
       val spark = df.sparkSession
+      // empty store ONLY when the directory genuinely does not exist
+      // yet (bootstrap) — a schema-drifted or mis-pointed store must
+      // fail loudly, not silently disable all cross-batch dedup (the
+      // same silent-swallow trap the Bench baseline parse had, r13
+      // review)
       val store =
-        try spark.read.parquet(storeDir)
+        if (!new java.io.File(storeDir).exists())
+          graft.pipeline.Dedup.emptySigStore(spark)
+        else spark.read.parquet(storeDir)
           .filter(col("batch_id") < batchId)
           .select(col("id"), col("sig"))
-        catch {
-          // first batch: the store directory does not exist yet
-          case _: org.apache.spark.sql.AnalysisException =>
-            graft.pipeline.Dedup.emptySigStore(spark)
-        }
+      // persistSigs=false: this sink runs once per micro-batch of an
+      // unbounded query — a per-call persist would leak storage-pool
+      // blocks batch after batch (r13 review); the recompute cost is
+      // one extra signature pass over the micro-batch
       val report = graft.pipeline.Dedup.incrementalDedupSimhash(
-        store, df, idCol, textCol, maxHamming)
+        store, df, idCol, textCol, maxHamming, persistSigs = false)
       report.write.mode("overwrite")
         .parquet(s"$reportDir/batch_id=$batchId")
       // the delta appends ALL batch signatures (kept and dropped) —

@@ -332,6 +332,18 @@ class UnparserSpec extends AnyFunSuite {
     roundtrip(n.join(r,
       n("regionkey") === r("regionkey") && r("r_name") =!= "ASIA",
       "left_semi"))
+    // a side that ITSELF carries duplicate names (unprojected join
+    // below) refuses with the named error — qualified `alias.k` would
+    // be ambiguous INSIDE the derived table (r13 review)
+    val dupSide = n.join(r, n("regionkey") === r("regionkey"))
+    val r2 = spark.table("region")
+      .select(col("r_regionkey").as("regionkey"),
+        col("r_name").as("r_name2"))
+    val e = intercept[IllegalArgumentException] {
+      Unparser.toSql(dupSide.join(r2, n("regionkey") === r2("regionkey"))
+        .queryExecution.analyzed)
+    }
+    assert(e.getMessage.contains("side-duplicated"), e.getMessage)
   }
 
   test("file-scan read options / user csv schema raise named errors") {
