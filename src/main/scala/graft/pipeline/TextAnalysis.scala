@@ -326,13 +326,19 @@ object TextAnalysis {
       eval: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
-    // persist: the LM-scoring chain (bigram explode + count joins) has
-    // THREE consumers — the CDF collect here, ccnetSample's per-class
-    // quota counts, and the caller's final action; without the cache
-    // each re-runs the whole chain (the minhashPairs precedent — at
-    // 100 TB checkpoint the scored slice to storage). r13 review.
+    // materialize ONCE: the LM-scoring chain (bigram explode + count
+    // joins) has THREE consumers — the CDF collect here, ccnetSample's
+    // per-class quota counts, and the caller's final action; without
+    // this each re-runs the whole chain (r13 review). localCheckpoint,
+    // NOT persist: a persist() here registers the subplan with the
+    // CacheManager, which then silently substitutes the cached relation
+    // into ANY OTHER query sharing the shape (pipe_text_crossentropy's
+    // plan inflated past the shuffle budget when this ran first — the
+    // exact cross-query contamination the r7 note in
+    // simhashPairsPortable warns about). At 100 TB: checkpoint the
+    // scored slice to storage.
     val scored = crossEntropyScore(train, eval, idCol, textCol, alpha)
-      .persist()
+      .localCheckpoint()
     val cdf = scored.groupBy(col("xent")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).sortBy(_._1)
     require(cdf.nonEmpty, "perplexityBuckets: no scored documents")
