@@ -116,6 +116,98 @@ object Classifier {
     (weights, bias)
   }
 
+  /** Multiclass naive-Bayes log-odds training — the LM-DISTILLATION
+    * shape (DCLM / FineWeb-style): an expensive teacher signal (e.g.
+    * CCNet perplexity terciles) labels a sample once, and this cheap
+    * hashed classifier learns to reproduce it so the whole corpus can
+    * be scored map-side in the scan stage. Same machinery as the
+    * binary [[trainLogOdds]]: ONE explode→groupBy(bucket) pass whose
+    * per-bucket row now carries K conditional counts (map-side
+    * partial-agg cells bounded by d·K per task); the driver collects
+    * ≤ d rows and returns the d×K weight matrix + K priors
+    *   w_c(b) = ln((n_c(b) + α)/(N_c + α·d)),
+    *   prior_c = ln((docs_c + α)/(Σ docs + α·K)).
+    * Labels are validated against `classes` (fail-fast, the r13
+    * binary-label contract). Class order in `classes` is the
+    * tie-break order downstream. */
+  def trainLogOddsMulti(
+      train: DataFrame, textCol: String, labelCol: String,
+      classes: Seq[String], d: Int, alpha: Double = 1.0,
+      includeBigrams: Boolean = true)
+      : (Map[String, Array[Double]], Map[String, Double]) = {
+    require(classes.nonEmpty && classes.distinct == classes,
+      "classes must be non-empty and distinct")
+    graft.functions.Sketches.register(train.sparkSession)
+    val docRows = train.groupBy(col(labelCol).cast("string").as("y"))
+      .agg(count(lit(1)).as("n")).collect()
+    val bad = docRows.filter(r =>
+      r.isNullAt(0) || !classes.contains(r.getString(0)))
+    require(bad.isEmpty, s"trainLogOddsMulti: label column '$labelCol' " +
+      s"must be one of ${classes.mkString("/")}; found " + bad.map(r =>
+        (if (r.isNullAt(0)) "NULL" else r.getString(0)) +
+          s" (${r.getLong(1)} rows)").mkString(", "))
+    val docs = docRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val feats = train.select(col(labelCol).cast("string").as("y"),
+      explode(buckets(coalesce(col(textCol), lit("")), d,
+        includeBigrams)).as("b"))
+    val aggCols = classes.map(c =>
+      sum(when(col("y") === c, 1L).otherwise(0L)).as(s"n_$c"))
+    val counts = feats.groupBy(col("b"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    val n = classes.map(c => c -> new Array[Long](d)).toMap
+    counts.foreach { r =>
+      val b = r.getInt(0)
+      classes.zipWithIndex.foreach { case (c, i) => n(c)(b) = r.getLong(i + 1) }
+    }
+    val weights = classes.map { c =>
+      val tot = n(c).sum.toDouble
+      c -> Array.tabulate(d)(b =>
+        math.log((n(c)(b) + alpha) / (tot + alpha * d)))
+    }.toMap
+    val totDocs = docs.values.sum.toDouble
+    val priors = classes.map(c => c ->
+      math.log((docs.getOrElse(c, 0L) + alpha) /
+        (totDocs + alpha * classes.size))).toMap
+    (weights, priors)
+  }
+
+  /** Map-side multiclass scoring: one HashedBuckets pass, K GatherSum
+    * folds over the literal weight matrix, per-class score rounded
+    * under the shared tfIdf convention, argmax with ties broken by
+    * `classes` order (a >= chain — identical CASE logic in any
+    * engine). Returns (id, n_feats, s_<class>..., pred). Zero
+    * shuffles: the whole thing rides in the scan stage. */
+  def scoreMulti(
+      df: DataFrame, idCol: String, textCol: String,
+      classes: Seq[String],
+      weights: Map[String, Array[Double]], priors: Map[String, Double],
+      includeBigrams: Boolean = true): DataFrame = {
+    require(classes.nonEmpty && weights.keySet == classes.toSet &&
+      priors.keySet == classes.toSet,
+      "weights/priors must cover exactly the declared classes")
+    graft.functions.Sketches.register(df.sparkSession)
+    val d = weights(classes.head).length
+    val base = df
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__fb", buckets(col("__t"), d, includeBigrams))
+    val scored = classes.foldLeft(base) { (acc, c) =>
+      acc.withColumn(s"s_$c",
+        round(graft.functions.Sketches.gatherSum(col("__fb"),
+          weights(c).toSeq) + priors(c) + lit(1e-9), 4))
+    }
+    val pred = classes.init.zipWithIndex.foldLeft(
+        when(lit(false), lit(""))) { case (acc, (c, i)) =>
+      val beatsRest = classes.drop(i + 1)
+        .map(o => col(s"s_$c") >= col(s"s_$o"))
+        .reduce(_ && _)
+      acc.when(beatsRest, lit(c))
+    }.otherwise(lit(classes.last))
+    scored.select(col(idCol) +:
+      size(col("__fb")).cast("long").as("n_feats") +:
+      classes.map(c => col(s"s_$c")) :+ pred.as("pred"): _*)
+  }
+
   // ── deterministic distributed logistic refinement (r12) ─────────────
   // Full-batch gradient descent over the SAME hashed features, with
   // FIXED-POINT state: weights/bias live as 2^20-denominator longs and

@@ -1048,6 +1048,140 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ── LM DISTILLATION (r13, DCLM/FineWeb shape): the expensive
+    //    teacher (CCNet perplexity terciles, LM on evens → buckets on
+    //    odds) labels a sample; a multiclass hashed-NB student learns
+    //    to reproduce it (train = odd doc_id % 4 = 1) and scores the
+    //    held-out quarter MAP-SIDE (three GatherSum folds in one scan
+    //    pass). The oracle replays EVERYTHING: LM counts, thresholds,
+    //    labels, per-class bucket counts, weights, priors, scores,
+    //    and the >=-chain argmax — no shipped literals. Learnability
+    //    measured before shipping (DistillAb): 0.480 vs majority
+    //    0.341 at sf0.1; sf0.01's 125-doc sample reads chance, which
+    //    the spec documents rather than hides ─────────────────────────
+    "pipe_quality_distill" -> Q("""
+      |WITH words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |                             t -> t <> '') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM words, LATERAL unnest(generate_series(1, CAST(len(ws) AS INT) - 1)) AS t(i)),
+      |tr AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+      |c12 AS (SELECT w1, w2, count(*) AS n12 FROM tr GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM tr GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w2) AS v FROM tr),
+      |ev AS (
+      |  SELECT b.doc_id,
+      |         ln((coalesce(c12.n12, 0) + 1.0)
+      |            / (coalesce(c1.n1, 0) + v.v)) AS lp
+      |  FROM bg b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      |            LEFT JOIN c1 ON b.w1 = c1.w1
+      |            CROSS JOIN v
+      |  WHERE b.doc_id % 2 = 1),
+      |sc AS (
+      |  SELECT doc_id, round(-sum(lp) / count(*) + 1e-9, 4) AS xent
+      |  FROM ev GROUP BY doc_id),
+      |nn AS (SELECT count(*) AS n FROM sc),
+      |cd AS (SELECT xent, sum(count(*)) OVER (ORDER BY xent) AS cum
+      |       FROM sc GROUP BY xent),
+      |th AS (SELECT
+      |  (SELECT min(xent) FROM cd, nn WHERE cd.cum >= (nn.n + 2) // 3) AS t1,
+      |  (SELECT min(xent) FROM cd, nn WHERE cd.cum >= (2 * nn.n + 2) // 3) AS t2),
+      |lab AS (
+      |  SELECT sc.doc_id,
+      |         CASE WHEN sc.xent <= th.t1 THEN 'head'
+      |              WHEN sc.xent <= th.t2 THEN 'middle'
+      |              ELSE 'tail' END AS bucket
+      |  FROM sc, th),
+      |whs AS (
+      |  SELECT doc_id,
+      |         list_transform(ws, t ->
+      |           list_reduce(list_transform(string_split_regex(t, ''),
+      |                         c -> CAST(unicode(c) AS BIGINT)),
+      |                       (acc, cp) -> (acc * 131 + cp) % 1000000007)) AS wh
+      |  FROM words),
+      |feats AS (
+      |  SELECT doc_id,
+      |         list_concat(
+      |           list_transform(wh, h -> h % 1024),
+      |           list_transform(generate_series(1, CAST(len(wh) AS INT) - 1),
+      |             i -> ((wh[i] * 131 + wh[i + 1]) % 1000000007) % 1024)) AS fb
+      |  FROM whs),
+      |trainf AS (
+      |  SELECT f.doc_id, unnest(f.fb) AS b, l.bucket
+      |  FROM feats f JOIN lab l ON f.doc_id = l.doc_id
+      |  WHERE f.doc_id % 4 = 1),
+      |cnt AS (
+      |  SELECT b, sum(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END) AS nh,
+      |         sum(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END) AS nm,
+      |         sum(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS nt
+      |  FROM trainf GROUP BY b),
+      |tot AS (SELECT sum(nh) AS th_, sum(nm) AS tm_, sum(nt) AS tt_ FROM cnt),
+      |wts AS (
+      |  SELECT b, ln((nh + 1.0) / (th_ + 1024.0)) AS wh_,
+      |         ln((nm + 1.0) / (tm_ + 1024.0)) AS wm_,
+      |         ln((nt + 1.0) / (tt_ + 1024.0)) AS wt_
+      |  FROM cnt CROSS JOIN tot),
+      |wdef AS (
+      |  SELECT ln(1.0 / (th_ + 1024.0)) AS wh_,
+      |         ln(1.0 / (tm_ + 1024.0)) AS wm_,
+      |         ln(1.0 / (tt_ + 1024.0)) AS wt_
+      |  FROM tot),
+      |docs_c AS (SELECT bucket, count(*) AS n FROM lab
+      |           WHERE doc_id % 4 = 1 GROUP BY bucket),
+      |totd AS (SELECT sum(n) AS t FROM docs_c),
+      |pri AS (SELECT
+      |  ln(((SELECT coalesce(max(n), 0) FROM docs_c WHERE bucket = 'head')
+      |      + 1.0) / (totd.t + 3.0)) AS ph,
+      |  ln(((SELECT coalesce(max(n), 0) FROM docs_c WHERE bucket = 'middle')
+      |      + 1.0) / (totd.t + 3.0)) AS pm,
+      |  ln(((SELECT coalesce(max(n), 0) FROM docs_c WHERE bucket = 'tail')
+      |      + 1.0) / (totd.t + 3.0)) AS pt
+      |  FROM totd),
+      |evalf AS (SELECT doc_id, unnest(fb) AS b FROM feats WHERE doc_id % 4 = 3),
+      |ssum AS (
+      |  SELECT e.doc_id, count(*) AS n_feats,
+      |         sum(coalesce(w.wh_, d.wh_)) AS sh,
+      |         sum(coalesce(w.wm_, d.wm_)) AS sm,
+      |         sum(coalesce(w.wt_, d.wt_)) AS st
+      |  FROM evalf e LEFT JOIN wts w ON e.b = w.b CROSS JOIN wdef d
+      |  GROUP BY e.doc_id),
+      |scores AS (
+      |  SELECT l.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+      |         round(coalesce(s.sh, 0) + pri.ph + 1e-9, 4) AS s_head,
+      |         round(coalesce(s.sm, 0) + pri.pm + 1e-9, 4) AS s_middle,
+      |         round(coalesce(s.st, 0) + pri.pt + 1e-9, 4) AS s_tail,
+      |         l.bucket
+      |  FROM lab l LEFT JOIN ssum s ON l.doc_id = s.doc_id CROSS JOIN pri
+      |  WHERE l.doc_id % 4 = 3)
+      |SELECT doc_id, n_feats, s_head, s_middle, s_tail,
+      |       CASE WHEN s_head >= s_middle AND s_head >= s_tail THEN 'head'
+      |            WHEN s_middle >= s_tail THEN 'middle'
+      |            ELSE 'tail' END AS pred,
+      |       bucket
+      |FROM scores ORDER BY doc_id""") { (s, d) =>
+      graft.functions.Sketches.register(s)
+      val docs = Engine.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val classes = Seq("head", "middle", "tail")
+      val labeled = TextAnalysis.perplexityBuckets(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("text"), col("bucket"))
+      val (w, p) = graft.pipeline.Classifier.trainLogOddsMulti(
+        labeled.filter(col("doc_id") % 4 === 1), "text", "bucket",
+        classes, d = 1024)
+      graft.pipeline.Classifier.scoreMulti(
+          labeled.filter(col("doc_id") % 4 === 3), "doc_id", "text",
+          classes, w, p)
+        .join(labeled.select(col("doc_id"), col("bucket")), "doc_id")
+        .select(col("doc_id"), col("n_feats"), col("s_head"),
+          col("s_middle"), col("s_tail"), col("pred"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── hashed linear quality classifier (fastText shape, r11 verdict
     //    #3): naive-Bayes log-odds over hashed word uni+bigrams (d=1024,
     //    portable codepoint hash), trained on the even-doc_id half with

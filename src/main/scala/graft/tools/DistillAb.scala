@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.Engine
+import graft.pipeline.{Classifier, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** A/B probe for the LM-distillation operator: can the multiclass
+  * hashed-NB classifier learn CCNet perplexity terciles, and at what
+  * (SF, train fraction, d)? Measured BEFORE pinning any spec floor —
+  * the r12 label-finding discipline (the classifier spec's task was
+  * chosen by measurement, not hope).
+  *
+  * Usage: tools/run_jvm.sh graft.tools.DistillAb */
+object DistillAb {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.Sketches.register(spark)
+    val classes = Seq("head", "middle", "tail")
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = Engine.table(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))
+      val labeled = TextAnalysis.perplexityBuckets(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("text"), col("bucket"))
+        .localCheckpoint()
+      for (trainFrac <- Seq("13", "1"); d <- Seq(256, 1024, 4096)) {
+        val trainDf =
+          if (trainFrac == "13") labeled.filter(col("doc_id") % 4 =!= 3)
+          else labeled.filter(col("doc_id") % 4 === 1)
+        val evalDf = labeled.filter(col("doc_id") % 4 === 3)
+        val (w, p) = Classifier.trainLogOddsMulti(
+          trainDf, "text", "bucket", classes, d = d)
+        val joined = Classifier.scoreMulti(
+            evalDf, "doc_id", "text", classes, w, p)
+          .join(evalDf.select(col("doc_id"), col("bucket")), "doc_id")
+          .select(col("pred"), col("bucket")).collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val acc = joined.count(t => t._1 == t._2).toDouble / joined.length
+        val maj = classes.map(c =>
+          joined.count(_._2 == c)).max.toDouble / joined.length
+        println(f"[distillab] sf=$sf%-24s train=$trainFrac%-3s d=$d%-5d " +
+          f"n_eval=${joined.length}%-5d acc=$acc%.3f majority=$maj%.3f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -348,6 +348,48 @@ object PipeScale {
       s"logistic weights not bit-identical at ×$fac (first diff at " +
         s"${lwN.toSeq.zip(lw1.toSeq).indexWhere(p => p._1 != p._2)})")
 
+    // ── 2h. multiclass (LM-distill) classifier at ×fac (r13) — the
+    //    2f α-scaling argument applied classwise: every per-class
+    //    bucket count and doc count scales exactly ×f, so with α=f
+    //    the d×K weight matrix AND the K priors are bit-identical
+    //    ((f·n+f·α)/(f·N+f·α·d) and (f·n+f·α)/(f·N+f·α·K) are the
+    //    same IEEE quotients), and rep-0 scores are EXACTLY the ×1
+    //    scores. Label: 'spark'-count terciles {0,1,≥2} — exact under
+    //    replication (the distill teacher's tercile labels are NOT:
+    //    xent is only fp-close, so a threshold-adjacent doc could
+    //    flip bucket; the machinery is what this stage pins). ────────
+    val mclasses = Seq("none", "one", "many")
+    def mlabeled(df: DataFrame): DataFrame = df.withColumn("mlab",
+      when(size(filter(split(coalesce(col("text"), lit("")), "\\s+"),
+        t => t === "spark")) === 0, "none")
+        .when(size(filter(split(coalesce(col("text"), lit("")), "\\s+"),
+          t => t === "spark")) === 1, "one")
+        .otherwise("many"))
+    import graft.pipeline.Classifier
+    val (mw1, mp1) = Classifier.trainLogOddsMulti(
+      mlabeled(docs), "text", "mlab", mclasses, d = 1024)
+    val mscore1 = Classifier.scoreMulti(docs, "doc_id", "text",
+        mclasses, mw1, mp1)
+      .select(col("doc_id"), col("pred")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (mwN, mpN) = timed(s"multiclass train ×$fac (α=$fac)") {
+      Classifier.trainLogOddsMulti(mlabeled(docsN), "text", "mlab",
+        mclasses, d = 1024, alpha = fac.toDouble)
+    }
+    mclasses.foreach { c =>
+      require(java.util.Arrays.equals(mwN(c), mw1(c)) && mpN(c) == mp1(c),
+        s"multiclass weights/prior for '$c' not bit-identical under α=f")
+    }
+    val mscoreN = timed(s"multiclass score ×$fac") {
+      Classifier.scoreMulti(docsN, "doc_id", "text", mclasses, mwN, mpN)
+        .filter(col("doc_id") % fac === 0)
+        .select(col("doc_id"), col("pred")).collect()
+        .map(r => r.getLong(0) / fac -> r.getString(1)).toMap
+    }
+    require(mscoreN == mscore1,
+      s"multiclass rep-0 predictions differ from ×1: " +
+        s"${mscoreN.toSet.diff(mscore1.toSet).take(3)}")
+
     // ── 3. bloom decontamination (train ×fac, eval fixed at ×1) ────
     val eval1 = docs.filter(col("doc_id") % 17 === 0)
     // integral floor division — exact at any scale (double division is

@@ -157,6 +157,82 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LM distillation: multiclass hashed classifier learns the " +
+      "perplexity bucket; weights match brute force bit-for-bit") {
+    import graft.pipeline.{Classifier, TextAnalysis}
+    graft.functions.Sketches.register(spark)
+    val classes = Seq("head", "middle", "tail")
+    // teacher: CCNet terciles over the odd half (LM trained on evens)
+    val labeled = TextAnalysis.perplexityBuckets(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    val trainDf = labeled.filter(col("doc_id") % 4 === 1)
+    val evalDf = labeled.filter(col("doc_id") % 4 === 3)
+    val (w, p) = Classifier.trainLogOddsMulti(
+      trainDf, "text", "bucket", classes, d = 1024)
+    // brute-force weight equality (same integer counts → same doubles)
+    val rows = trainDf.select(col("bucket"),
+        Classifier.buckets(col("text"), 1024)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1))
+    val bf = classes.map { c =>
+      val n = new Array[Long](1024)
+      rows.filter(_._1 == c).foreach(_._2.foreach(b => n(b) += 1))
+      val tot = n.sum.toDouble
+      c -> Array.tabulate(1024)(b => math.log((n(b) + 1.0) / (tot + 1024.0)))
+    }.toMap
+    classes.foreach { c =>
+      assert(java.util.Arrays.equals(w(c), bf(c)),
+        s"class $c weights differ from brute force")
+    }
+    val scored = Classifier.scoreMulti(
+      evalDf, "doc_id", "text", classes, w, p)
+    // determinism under repartitioning
+    val scored2 = Classifier.scoreMulti(
+      evalDf.repartition(7), "doc_id", "text", classes, w, p)
+      .select(col("doc_id"), col("pred")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = scored.select(col("doc_id"), col("pred")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scored2 == first)
+  }
+
+  test("LM distillation learns the bucket where the sample supports it " +
+      "(sf0.1; measured curve pinned by DistillAb)") {
+    // HONEST floor (the r12 label-finding discipline): MEASURED before
+    // pinning — at sf0.01's 125 train docs the student reads chance
+    // (0.32-0.34 vs majority 0.35 at every d in {256,1024,4096}); at
+    // sf0.1's 1250 train docs it learns: 0.480 vs majority 0.341 at
+    // d=1024 (0.488 at 4096). The law lives where it is measurable.
+    import graft.pipeline.{Classifier, TextAnalysis}
+    graft.functions.Sketches.register(spark)
+    val classes = Seq("head", "middle", "tail")
+    val docs01 = Engine.table(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"), col("text"))
+    val labeled = TextAnalysis.perplexityBuckets(
+      docs01.filter(col("doc_id") % 2 === 0),
+      docs01.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .join(docs01, "doc_id")
+      .select(col("doc_id"), col("text"), col("bucket"))
+      .localCheckpoint()
+    val trainDf = labeled.filter(col("doc_id") % 4 === 1)
+    val evalDf = labeled.filter(col("doc_id") % 4 === 3)
+    val (w, p) = Classifier.trainLogOddsMulti(
+      trainDf, "text", "bucket", classes, d = 1024)
+    val joined = Classifier.scoreMulti(
+        evalDf, "doc_id", "text", classes, w, p)
+      .join(evalDf.select(col("doc_id"), col("bucket")), "doc_id")
+      .select(col("pred"), col("bucket")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val acc = joined.count(t => t._1 == t._2).toDouble / joined.length
+    val majority = classes.map(c =>
+      joined.count(_._2 == c)).max.toDouble / joined.length
+    info(f"distill acc=$acc%.3f majority=$majority%.3f n=${joined.length}")
+    assert(acc >= majority + 0.1,
+      f"distilled classifier no better than majority: $acc%.3f vs " +
+        f"$majority%.3f")
+  }
+
   test("ccnet perplexity buckets: deterministic under repartitioning, " +
       "ordered by fluency, exact 3:2:1 mix") {
     import graft.pipeline.TextAnalysis
