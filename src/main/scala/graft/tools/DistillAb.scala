@@ -30,11 +30,16 @@ object DistillAb {
         .join(docs, "doc_id")
         .select(col("doc_id"), col("text"), col("bucket"))
         .localCheckpoint()
-      for (trainFrac <- Seq("13", "1"); d <- Seq(256, 1024, 4096)) {
+      // labeled docs are the ODD half, so doc_id mod 8 ∈ {1,3,5,7}:
+      // "3q" trains on {1,3,5} (3/4 of the labels), "1q" on {1} only
+      // (the shipped query's effective fraction); eval is always {7}.
+      // (The first cut of this knob compared %4!=3 with %4==1 — the
+      // SAME set, since odd ids mod 4 are only {1,3}; r13 fix.)
+      for (trainFrac <- Seq("3q", "1q"); d <- Seq(256, 1024, 4096)) {
         val trainDf =
-          if (trainFrac == "13") labeled.filter(col("doc_id") % 4 =!= 3)
-          else labeled.filter(col("doc_id") % 4 === 1)
-        val evalDf = labeled.filter(col("doc_id") % 4 === 3)
+          if (trainFrac == "3q") labeled.filter(col("doc_id") % 8 =!= 7)
+          else labeled.filter(col("doc_id") % 8 === 1)
+        val evalDf = labeled.filter(col("doc_id") % 8 === 7)
         val (w, p) = Classifier.trainLogOddsMulti(
           trainDf, "text", "bucket", classes, d = d)
         val joined = Classifier.scoreMulti(
