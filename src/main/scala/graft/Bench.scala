@@ -369,14 +369,29 @@ object Bench {
     // extending while the estimated cost (warmup + iters passes at
     // the first-pass median — an upper bound if the burst passed)
     // fits a 120 s budget.
+    // priority-ordered PREFIX (r14 ADVICE): the first 8 are admitted
+    // unconditionally and don't consume budget; past them the 120 s
+    // budget admits suspects in severity order and the scan STOPS at
+    // the first one that doesn't fit — the old loop decremented budget
+    // for the mandatory 8 (it could go negative before extension was
+    // considered) and kept scanning after "exhausted", admitting
+    // later, cheaper suspects out of priority order.
     val suspects = {
       var budget = 120.0
       val b = Seq.newBuilder[String]
+      var stopped = false
       suspectsAll.zipWithIndex.foreach { case (k, i) =>
-        val cost = (iters + 1) * firstPassMap(k)._1
-        if (i < 8 || cost <= budget) { b += k; budget -= cost }
-        else System.err.println(s"[bench] retime budget exhausted — " +
-          s"$k stays on its first-pass number (will self-label via hot_n)")
+        if (!stopped) {
+          val cost = (iters + 1) * firstPassMap(k)._1
+          if (i < 8) b += k
+          else if (cost <= budget) { b += k; budget -= cost }
+          else {
+            stopped = true
+            System.err.println(s"[bench] retime budget exhausted at $k — " +
+              "it and later suspects stay on their first-pass numbers " +
+              "(will self-label via hot_n)")
+          }
+        }
       }
       b.result()
     }

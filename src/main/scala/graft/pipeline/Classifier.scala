@@ -188,6 +188,12 @@ object Classifier {
       "weights/priors must cover exactly the declared classes")
     graft.functions.Sketches.register(df.sparkSession)
     val d = weights(classes.head).length
+    // d is inferred from the head class, so a ragged matrix from a buggy
+    // caller would feed GatherSum indexes computed for that d into
+    // shorter arrays — fail at the API boundary instead (r14 ADVICE)
+    require(classes.forall(c => weights(c).length == d),
+      s"all per-class weight arrays must share length $d; got " +
+        classes.map(c => s"$c=${weights(c).length}").mkString(", "))
     val base = df
       .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
       .withColumn("__fb", buckets(col("__t"), d, includeBigrams))

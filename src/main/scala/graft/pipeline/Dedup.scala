@@ -683,14 +683,19 @@ object Dedup {
     // combined bucket key: chunk index in the high bits, 8-bit chunk
     // value in the low — one long per (chunk, ck)
     def key(c: Column, k: Column): Column = c.cast("long") * 256L + k
-    // batch signatures persist by default: read by the sketch-build
-    // action, both self-join sides, and the final attribution join
-    // (the minhashPairs precedent — at 100 TB checkpoint the batch
-    // sigs to storage). persistSigs=false for REPEATED callers (the
-    // streaming sink runs once per micro-batch — a per-call persist
-    // would accumulate storage-pool blocks forever; r13 review).
+    // batch signatures materialize by default: read by the sketch-build
+    // action, both self-join sides, and the final attribution join.
+    // localCheckpoint, NOT persist (r14 ADVICE): a persist() registered
+    // here was never unpersisted — the exact never-released cache-entry
+    // leak the r7/r10/r11 reviews removed from the pair operators — and
+    // per the CacheManager gotcha the cached signature subplan could be
+    // silently substituted into sibling plans sharing the shape.
+    // localCheckpoint materializes eagerly without touching the cache
+    // registry and its blocks die with the job (at 100 TB: checkpoint
+    // the batch sigs to storage). persistSigs=false for REPEATED
+    // callers that prefer the recompute (one extra signature pass).
     val bs0 = simhashStorePortable(batch, idCol, textCol)
-    val bs = if (persistSigs) bs0.persist() else bs0
+    val bs = if (persistSigs) bs0.localCheckpoint() else bs0
     val bc = chunked(bs)
     val sc0 = chunked(storeSigs.select(col("id").cast("long").as("id"),
       col("sig")))
@@ -770,9 +775,10 @@ object Dedup {
           expr("shiftright(IF(chunk < 2, sig0, sig1), " +
             "CAST((chunk % 2) * 15 AS INT)) & 32767L").as("ck"))
     def key(c: Column, k: Column): Column = c.cast("long") * 32768L + k
-    // same persist rationale + repeated-caller escape as the narrow path
+    // same localCheckpoint rationale + repeated-caller escape as the
+    // narrow path (r14 ADVICE: persist() here leaked its cache entry)
     val bs0 = simhashStorePortableWide(batch, idCol, textCol)
-    val bs = if (persistSigs) bs0.persist() else bs0
+    val bs = if (persistSigs) bs0.localCheckpoint() else bs0
     val bc = chunked(bs)
     val sc0 = chunked(storeSigs.select(col("id").cast("long").as("id"),
       col("sig0"), col("sig1")))

@@ -199,9 +199,21 @@ object Streaming {
       // yet (bootstrap) — a schema-drifted or mis-pointed store must
       // fail loudly, not silently disable all cross-batch dedup (the
       // same silent-swallow trap the Bench baseline parse had, r13
-      // review)
+      // review). Existence goes through Hadoop's FileSystem resolved
+      // from the STORE PATH (r14 ADVICE): java.io.File only sees the
+      // local filesystem, so on HDFS/S3 — the production default FS —
+      // every batch would silently read an empty store and cross-batch
+      // dedup would be off. An existing-but-childless directory (a
+      // crash between mkdir and the first commit) is treated as
+      // bootstrap too — letting parquet schema inference throw there
+      // would brick the stream on a recoverable state.
+      val hconf = spark.sessionState.newHadoopConf()
+      val storePath = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = storePath.getFileSystem(hconf)
       val store =
-        if (!new java.io.File(storeDir).exists())
+        if (!fs.exists(storePath) ||
+            !fs.listStatus(storePath).exists(s =>
+              s.getPath.getName.startsWith("batch_id=")))
           graft.pipeline.Dedup.emptySigStore(spark)
         else spark.read.parquet(storeDir)
           .filter(col("batch_id") < batchId)

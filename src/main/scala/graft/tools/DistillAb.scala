@@ -31,15 +31,23 @@ object DistillAb {
         .select(col("doc_id"), col("text"), col("bucket"))
         .localCheckpoint()
       // labeled docs are the ODD half, so doc_id mod 8 ∈ {1,3,5,7}:
-      // "3q" trains on {1,3,5} (3/4 of the labels), "1q" on {1} only
-      // (the shipped query's effective fraction); eval is always {7}.
+      // "3q" trains on {1,3,5} (3/4 of the labels), "1q" on {1} only;
+      // eval for both is {7}. "ship" is the SHIPPED pipe_quality_distill
+      // configuration exactly — train %4==1 (mod-8 {1,5}, HALF the
+      // labels, not a quarter as the old '1q' comment claimed; r14
+      // ADVICE) evaluated on %4==3 ({3,7}) — so the recorded curve
+      // includes the deployed point, not just its neighbors.
       // (The first cut of this knob compared %4!=3 with %4==1 — the
       // SAME set, since odd ids mod 4 are only {1,3}; r13 fix.)
-      for (trainFrac <- Seq("3q", "1q"); d <- Seq(256, 1024, 4096)) {
-        val trainDf =
-          if (trainFrac == "3q") labeled.filter(col("doc_id") % 8 =!= 7)
-          else labeled.filter(col("doc_id") % 8 === 1)
-        val evalDf = labeled.filter(col("doc_id") % 8 === 7)
+      for (trainFrac <- Seq("3q", "ship", "1q"); d <- Seq(256, 1024, 4096)) {
+        val trainDf = trainFrac match {
+          case "3q" => labeled.filter(col("doc_id") % 8 =!= 7)
+          case "ship" => labeled.filter(col("doc_id") % 4 === 1)
+          case _ => labeled.filter(col("doc_id") % 8 === 1)
+        }
+        val evalDf =
+          if (trainFrac == "ship") labeled.filter(col("doc_id") % 4 === 3)
+          else labeled.filter(col("doc_id") % 8 === 7)
         val (w, p) = Classifier.trainLogOddsMulti(
           trainDf, "text", "bucket", classes, d = d)
         val joined = Classifier.scoreMulti(
