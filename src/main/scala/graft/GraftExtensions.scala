@@ -7,8 +7,8 @@ import org.apache.spark.sql.types.LongType
 
 import graft.functions.{
   CosineSim, Gcd, HyperplaneSignature, InSetCounts, Lcm, MinHash64,
-  NearestCells, NGramsGenerator, PortableSimhash30, RollingFpPortable,
-  RollingFpXx, Shingles, SimHash63, Sketches}
+  NearestCells, NGramsGenerator, PortableMinHash, PortableSimhash30,
+  RollingFpPortable, RollingFpXx, Shingles, SimHash63, Sketches}
 import graft.plans.{TopKAggregationRule, TopKAggStrategy}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`
@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash64"),
       new ExpressionInfo(classOf[MinHash64].getName, "graft_minhash64"),
       exprs => MinHash64(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash_portable"),
+      new ExpressionInfo(classOf[PortableMinHash].getName,
+        "graft_minhash_portable"),
+      exprs => PortableMinHash(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),

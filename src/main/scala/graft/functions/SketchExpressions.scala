@@ -280,6 +280,87 @@ case class MinHash64(child: Expression, kExpr: Expression)
     copy(child = newLeft, kExpr = newRight)
 }
 
+/** Engine-PORTABLE MinHash signature (array<bigint>, length k) of a
+  * string — the oracle-replayable face of [[MinHash64]], built for the
+  * incremental MinHash-LSH signature store (an external engine must
+  * recompute every signature bit-for-bit, which rules out xxhash64).
+  * Tokenization is split-on-single-space with empties kept (the
+  * [[Shingles]] semantics); each word n-gram shingle hashes as the
+  * codepoint polynomial of its JOINED string (spaces included) —
+  * family A of fingerprintPortable — and position q of the signature
+  * is min over shingles of (h · (multBase + 2q)) mod multPrime:
+  * distinct odd multipliers give k independent portable hash families
+  * (the two-scramble precedent of the wide portable SimHash).
+  * Duplicated shingles can't affect a min, so no distinct pass is
+  * needed. All intermediates fit a signed long: h < prime ≈ 2^30,
+  * mult < 2^32 ⇒ product < 2^62.
+  *
+  * `right` is the foldable params literal
+  * [k, shingleN, cpBase, prime, multPrime, multBase]; the HOF spec
+  * (Dedup.portableMinhashHof) is equivalence-asserted in PipelineSpec.
+  * Reference frame: datafusion has no MinHash surface — this extends
+  * the minhashPairs family (Broder 1997 resemblance sketches). */
+case class PortableMinHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_portable"
+
+  @transient private lazy val Seq(kL, nL, cpBase, prime, multPrime,
+    multBase) = {
+    require(right.foldable, s"$prettyName: params must be a literal")
+    val p = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    Seq.tabulate(6)(p.getLong)
+  }
+  @transient private lazy val k = kL.toInt
+  @transient private lazy val n = nL.toInt
+
+  def compute(u: Any): ArrayData = {
+    val tokens = u.toString.split(" ", -1)
+    val count = math.max(tokens.length - (n - 1), 1)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < count) {
+      var acc = 0L
+      val end = math.min(i + n, tokens.length)
+      var j = i
+      while (j < end) {
+        if (j > i) acc = (acc * cpBase + 32L) % prime // the joining space
+        val w = tokens(j)
+        var c = 0
+        while (c < w.length) {
+          val cp = w.codePointAt(c)
+          acc = (acc * cpBase + cp) % prime
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      var q = 0
+      while (q < k) {
+        val cand = (acc * (multBase + 2L * q)) % multPrime
+        if (cand < sig(q)) sig(q) = cand
+        q += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftMinhashPortable", this,
+      classOf[PortableMinHash].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distinct word n-gram shingles of a string — the per-row front of the
   * text-dedup pipeline. The HOF formulation (split → per-position
   * slice/array_join → array_distinct) is CodegenFallback and allocates
@@ -1157,6 +1238,10 @@ object Sketches {
     call_function("graft_minhash64", shingles,
       org.apache.spark.sql.functions.lit(k))
 
+  def portableMinhash(text: Column, params: Seq[Long]): Column =
+    call_function("graft_minhash_portable", text,
+      org.apache.spark.sql.functions.typedlit(params))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash63", exprs => SimHash63(exprs.head), "built-in")
@@ -1168,6 +1253,9 @@ object Sketches {
       exprs => HyperplaneSignature(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash64", exprs => MinHash64(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_portable",
+      exprs => PortableMinHash(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

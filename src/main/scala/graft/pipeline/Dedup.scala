@@ -581,9 +581,21 @@ object Dedup {
     * bit-for-bit without shipping the text. Returns
     * (doc_id, n_tokens, n_kept, fp_clean). */
   def cutDuplicateSpans(
-      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    cutWithSpans(df, idCol, textCol, duplicateSpans(df, idCol, textCol, w))
+
+  /** The rewrite stage of [[cutDuplicateSpans]] alone, given an
+    * already-computed [[duplicateSpans]] span set — split so the
+    * ×100 scaling of the span DISCOVERY and the span APPLICATION can
+    * be attributed separately (tools/CutAb, r14; the r13 verdict's
+    * substring-cut exponent decomposition), and so callers that
+    * materialized spans (e.g. to inspect them) don't pay the
+    * discovery twice. Identical plan to the fused call. */
+  def cutWithSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
     graft.functions.Sketches.register(df.sparkSession)
-    val spanLists = duplicateSpans(df, idCol, textCol, w)
+    val spanLists = spans
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("spans"))
@@ -734,6 +746,164 @@ object Dedup {
         col("dup_src").isNotNull.as("is_dup"), col("dup_src"))
   }
 
+  // ── incremental dedup against a persisted MinHash-LSH store (r14) ───
+  // The Jaccard face of the signature store: production curation
+  // pipelines (the DCLM/FineWeb/Dolma lineage) predominantly dedup on
+  // MinHash-LSH banding, so the store operator needs a MinHash variant
+  // alongside SimHash. The signature is ENGINE-PORTABLE (codepoint-
+  // polynomial shingle hashes × k odd-multiplier families — the
+  // PortableMinHash kernel) so an external oracle recomputes every
+  // signature, band key, and agreement count bit-for-bit: unlike the
+  // xxhash64 minhashPairs (whose output is oracle-checked against the
+  // EXACT jaccard pair set), the incremental decision itself is
+  // value-replayable. The dup rule is symmetric — pair (x, y) is a
+  // match iff some band's signature slice is identical AND at least
+  // `minAgree` of the k positions agree (est-Jaccard ≥ minAgree/k as
+  // an integer test, no fp) — so the store-OR-earlier greedy rule
+  // equals the global smaller-id rule whenever store ids precede batch
+  // ids, exactly the SimHash store's law (PipelineSpec asserts it).
+
+  /** Default portable-MinHash kernel params for the store family:
+    * [k, shingleN, cpBase, prime, multPrime, multBase] — family-A
+    * constants (fingerprintPortable's polynomial, the Knuth multiplier
+    * as the first of k odd multipliers multBase + 2q). */
+  private[graft] def portableMinhashParams(k: Int, n: Int): Seq[Long] =
+    Seq(k.toLong, n.toLong, 131L, 1000000007L, 1073741789L, 2654435761L)
+
+  /** HOF spec for the PortableMinHash kernel: shingle strings via the
+    * per-position slice/join formulation, each hashed by the codepoint
+    * polynomial of the JOINED string, position q = min of the
+    * (multBase + 2q)-scrambled hashes. Both the shingle list and the
+    * hash list are LET-BOUND via the 1-element-wrapper transform (the
+    * SCALE.md idiom) — a lambda referencing them directly would
+    * recompute per position/per q. Equivalence to the kernel is
+    * corpus-asserted in PipelineSpec; spec only, not the hot path. */
+  private[graft] def portableMinhashHof(
+      text: Column, k: Int, n: Int): Column = {
+    val ws = split(text, " ")
+    val sh = element_at(
+      transform(array(ws), w =>
+        transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+          i => array_join(slice(w, i, lit(n)), " "))), 1)
+    val hs = element_at(
+      transform(array(sh), shl =>
+        transform(shl, s =>
+          aggregate(TextAnalysis.codepoints(s), lit(0L),
+            (acc, cp) => pmod(acc * 131 + cp, lit(1000000007L))))), 1)
+    element_at(
+      transform(array(hs), hl =>
+        transform(sequence(lit(0), lit(k - 1)), q =>
+          array_min(transform(hl, h =>
+            pmod(h * (lit(2654435761L) + q.cast("long") * 2),
+              lit(1073741789L)))))), 1)
+  }
+
+  /** The persistable MinHash-store rows: (id BIGINT, sig ARRAY<BIGINT>
+    * length k) under the portable shingle-MinHash. At 8·k bytes per
+    * document (128 B at k=16) the store is still ~0.1% of a text
+    * corpus; append-only, exactly the [[simhashStorePortable]]
+    * contract. */
+  def minhashSigStore(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleSize: Int = 3): DataFrame = {
+    graft.functions.Sketches.register(df.sparkSession)
+    df.select(col(idCol).cast("long").as("id"),
+      graft.functions.Sketches.portableMinhash(coalesce(col(textCol),
+        lit("")), portableMinhashParams(k, shingleSize)).as("sig"))
+  }
+
+  /** Dedup a new batch against a persisted MinHash signature store.
+    *
+    * A batch doc is a duplicate iff some store signature (any id) or
+    * some smaller-id batch signature matches it: at least one of the
+    * `bands` r-position signature slices is IDENTICAL (the LSH banding
+    * rule, r = k/bands) and at least `minAgree` of all k positions
+    * agree (integer est-Jaccard threshold minAgree/k). Blocking ships
+    * (id, sig, band, band-slice) rows — 4 rows of ~(2+r) longs per
+    * signature, never text — and joins on (band, bandHash) with the
+    * exact slice equality verified as a residual, so the band hash is
+    * pure shuffle-key compression, not semantics. The store side
+    * passes the batch-keyed Bloom prefilter MAP-SIDE on the store scan
+    * (the [[incrementalDedupSimhash]] pattern): only store rows whose
+    * band key might collide ever shuffle, and the slice/agree verify
+    * makes the prefilter exactness-neutral (PipelineSpec asserts
+    * bit-identity on/off).
+    *
+    * Returns one row per batch doc: (doc_id, sig, is_dup, dup_src),
+    * dup_src = smallest matching id (store ∪ earlier batch), null for
+    * keepers. Append `.select(col("doc_id").as("id"), col("sig"))` to
+    * the store to process the next snapshot — the store keeps every
+    * signature SEEN (kept or dropped), which is what makes
+    * incremental(A then B) ≡ batch(A ∪ B) under the smaller-id rule.
+    *
+    * Scale: band buckets are value-continuous (~2^30 distinct slice
+    * hashes per band), so unlike the fixed 4×2^8 narrow SimHash chunks
+    * there is no bucket-crowding knee from the key SPACE — crowding
+    * tracks true near-dup density (IncrementalAb measures the store
+    * scaling alongside the SimHash variants). */
+  def incrementalDedupMinhash(
+      storeSigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 16, shingleSize: Int = 3, bands: Int = 4, minAgree: Int = 8,
+      useBloom: Boolean = true,
+      bloomBits: Int = 1 << 21, bloomHashes: Int = 5,
+      persistSigs: Boolean = true): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    require(minAgree >= 0 && minAgree <= k,
+      s"minAgree must be in 0..$k, got $minAgree")
+    val r = k / bands
+    graft.functions.Sketches.register(batch.sparkSession)
+    graft.functions.Bloom.register(batch.sparkSession)
+    // band rows: slice + a polynomial fold of the slice as the scalar
+    // shuffle key (slice values < 2^30, so acc*31 + v stays < 2^35)
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), col("sig"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("bs", slice(col("sig"), col("band") * r + 1, lit(r)))
+        .withColumn("bh", aggregate(col("bs"), lit(0L),
+          (acc, v) => pmod(acc * 31 + v, lit(1000000007L))))
+    def key(b: Column, h: Column): Column =
+      b.cast("long") * 1000000007L + h
+    val agree = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
+    // same localCheckpoint rationale + repeated-caller escape as the
+    // SimHash store ops (r14: never persist() inside a lazy operator)
+    val bs0 = minhashSigStore(batch, idCol, textCol, k, shingleSize)
+    val bsig = if (persistSigs) bs0.localCheckpoint() else bs0
+    val bc = banded(bsig)
+    val sc0 = banded(storeSigs.select(col("id").cast("long").as("id"),
+      col("sig")))
+    val sc =
+      if (!useBloom) sc0
+      else {
+        val sketch = bc.select(key(col("band"), col("bh")).as("k"))
+          .distinct()
+          .agg(graft.functions.Bloom.sketch(col("k"), bloomBits,
+            bloomHashes))
+          .head().getAs[Array[Byte]](0)
+        sc0.filter(graft.functions.Bloom.contains(lit(sketch),
+          key(col("band"), col("bh"))))
+      }
+    val storeMatches = bc.as("b").join(sc.as("s"),
+        col("b.band") === col("s.band") && col("b.bh") === col("s.bh") &&
+          col("b.bs") === col("s.bs"))
+      .select(col("b.id").as("id"), col("b.sig").as("sig"),
+        col("s.id").as("src"), col("s.sig").as("ssig"))
+    val batchMatches = bc.as("l").join(bc.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.bs") === col("r.bs") && col("r.id") < col("l.id"))
+      .select(col("l.id").as("id"), col("l.sig").as("sig"),
+        col("r.id").as("src"), col("r.sig").as("ssig"))
+    val dupSrc = storeMatches.union(batchMatches)
+      .distinct() // multi-band collisions of the same (id, src) pair
+      .filter(agree(col("sig"), col("ssig")) >= minAgree)
+      .groupBy(col("id")).agg(min(col("src")).as("dup_src"))
+    bsig.join(dupSrc, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("sig"),
+        col("dup_src").isNotNull.as("is_dup"), col("dup_src"))
+  }
+
   /** Wide-signature store rows: (id, sig0, sig1) — two independent
     * portable 30-bit SimHashes (the simhashPairsPortableWide scrambles),
     * 60 signature bits. The store schema for corpora past the narrow
@@ -765,16 +935,38 @@ object Dedup {
       persistSigs: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-chunk pigeonhole blocking covers maxHamming 0..3, got $maxHamming")
+    incrementalDedupWideSchemaCore(storeSigs, batch, idCol, textCol,
+      // chunk c∈0..3: low/high 15 bits of sig0 (c=0,1), of sig1 (c=2,3)
+      ckSql = "shiftright(IF(chunk < 2, sig0, sig1), " +
+        "CAST((chunk % 2) * 15 AS INT)) & 32767L",
+      keyStride = 32768L,
+      dupCond = (bit_count(col("sig0").bitwiseXOR(col("ssig0"))) +
+        bit_count(col("sig1").bitwiseXOR(col("ssig1")))) <= maxHamming,
+      useBloom, bloomBits, bloomHashes, persistSigs)
+  }
+
+  /** Shared machinery for every wide-schema (id, sig0, sig1) store
+    * variant: `ckSql` derives the pigeonhole chunk key from
+    * (sig0, sig1, chunk), `keyStride` packs (chunk, ck) into the one
+    * Bloom key long, `dupCond` is the exact hamming predicate over
+    * (sig0, sig1, ssig0, ssig1) that makes the blocking + Bloom
+    * exactness-neutral. Extracted (r14) so the auto-dispatch router
+    * can run NARROW blocking (4×8-bit chunks of sig0 only) over the
+    * stable wide schema without duplicating the join/Bloom shape. */
+  private def incrementalDedupWideSchemaCore(
+      storeSigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      ckSql: String, keyStride: Long, dupCond: Column,
+      useBloom: Boolean, bloomBits: Int, bloomHashes: Int,
+      persistSigs: Boolean): DataFrame = {
     graft.functions.Sketches.register(batch.sparkSession)
     graft.functions.Bloom.register(batch.sparkSession)
-    // chunk c∈0..3: low/high 15 bits of sig0 (c=0,1), of sig1 (c=2,3)
     def chunked(sigs: DataFrame): DataFrame =
       sigs.select(col("id"), col("sig0"), col("sig1"),
           explode(sequence(lit(0), lit(3))).as("chunk"))
         .select(col("id"), col("sig0"), col("sig1"), col("chunk"),
-          expr("shiftright(IF(chunk < 2, sig0, sig1), " +
-            "CAST((chunk % 2) * 15 AS INT)) & 32767L").as("ck"))
-    def key(c: Column, k: Column): Column = c.cast("long") * 32768L + k
+          expr(ckSql).as("ck"))
+    def key(c: Column, k: Column): Column = c.cast("long") * keyStride + k
     // same localCheckpoint rationale + repeated-caller escape as the
     // narrow path (r14 ADVICE: persist() here leaked its cache entry)
     val bs0 = simhashStorePortableWide(batch, idCol, textCol)
@@ -808,11 +1000,74 @@ object Dedup {
         col("r.sig1").as("ssig1"))
     val dupSrc = storeMatches.union(batchMatches)
       .distinct()
-      .filter((bit_count(col("sig0").bitwiseXOR(col("ssig0"))) +
-        bit_count(col("sig1").bitwiseXOR(col("ssig1")))) <= maxHamming)
+      .filter(dupCond)
       .groupBy(col("id")).agg(min(col("src")).as("dup_src"))
     bs.join(dupSrc, Seq("id"), "left")
       .select(col("id").as("doc_id"), col("sig0"), col("sig1"),
         col("dup_src").isNotNull.as("is_dup"), col("dup_src"))
+  }
+
+  /** An empty WIDE-schema signature store (auto/wide bootstrap). */
+  def emptyWideSigStore(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("sig0", LongType), StructField("sig1", LongType))))
+  }
+
+  /** The measured narrow-path headroom: IncrementalAb (r13, SCALE.md)
+    * read the narrow 4×2^8 blocking superlinear past ~50k store
+    * signatures — exactly the sizing rule's occupancy bound of ~200
+    * signatures per bucket across 256 buckets per chunk (each sig
+    * lands once in each of the 4 chunks, so occupancy = n/256). */
+  val incrementalStoreNarrowMax: Long = 200L * 256
+
+  /** Knee-aware incremental SimHash dedup over the STABLE wide store
+    * schema (id, sig0, sig1): below `narrowMax` store signatures the
+    * decision rule is the narrow operator's — 4×8-bit pigeonhole
+    * chunks of sig0, hamming(sig0) ≤ maxHamming — and past it the wide
+    * operator's — 4×15-bit chunks over both longs, hamming(sig0‖sig1)
+    * ≤ 2·maxHamming, the threshold-preserving rate map (1-in-30 →
+    * 2-in-60). The router exists because the narrow path silently
+    * degrades past its measured knee (r13 verdict #2: a long-running
+    * caller crosses ~50k signatures unattended and inherits the
+    * superlinear bucket crowding IncrementalAb measured at 99 s/×50
+    * vs wide's 10.4 s); like [[simhashPairs]]'s sigLongs rule, the
+    * dispatch trades the recall threshold for bounded bucket work,
+    * and the semantics switch is the documented knob, not a surprise.
+    *
+    * `n` is the caller-known store size (a parquet-metadata count for
+    * a stored store); the default -1 spends a `storeSigs.count()` job.
+    * Output schema is the wide report (doc_id, sig0, sig1, is_dup,
+    * dup_src) in BOTH modes, so stores and sinks never change shape
+    * across the knee — in narrow mode sig1 is carried, not consulted.
+    * Below the knee the (is_dup, dup_src) columns are bit-identical to
+    * [[incrementalDedupSimhash]] on sig0 (spec-asserted). */
+  def incrementalDedupSimhashAuto(
+      storeSigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      maxHamming: Int = 1, n: Long = -1L,
+      narrowMax: Long = incrementalStoreNarrowMax,
+      useBloom: Boolean = true, persistSigs: Boolean = true): DataFrame = {
+    // the wide mode runs at 2·maxHamming, and ITS 4-chunk pigeonhole
+    // only covers hamming ≤ 3 — so the router's narrow-scale knob is
+    // 0..1 (the store family's default threshold; a caller needing
+    // hamming 2..3 pins a variant explicitly and owns the knee)
+    require(maxHamming >= 0 && maxHamming <= 1,
+      s"auto dispatch covers maxHamming 0..1, got $maxHamming")
+    val size = if (n >= 0L) n else storeSigs.count()
+    if (size <= narrowMax)
+      incrementalDedupWideSchemaCore(storeSigs, batch, idCol, textCol,
+        ckSql = "shiftright(sig0, CAST(chunk * 8 AS INT)) & 255L",
+        keyStride = 256L,
+        dupCond =
+          bit_count(col("sig0").bitwiseXOR(col("ssig0"))) <= maxHamming,
+        useBloom, bloomBits = 1 << 17, bloomHashes = 5, persistSigs)
+    else
+      incrementalDedupSimhashWide(storeSigs, batch, idCol, textCol,
+        maxHamming = 2 * maxHamming, useBloom = useBloom,
+        persistSigs = persistSigs)
   }
 }

@@ -145,6 +145,206 @@ object PipelineQueries {
     pre + iterBlocks + fin
   }
 
+  /** Generated oracle for the multiclass fixed-point softmax refinement
+    * (pipe_quality_distill_refined): the FULL pipe_quality_distill
+    * teacher chain (LM → xent → CDF terciles → labels → hashed
+    * features → multiclass NB counts), its weights/priors QUANTIZED to
+    * the 2^20 grid, then `iters` unrolled full-batch softmax-GD
+    * iterations with 2^24-quantized per-(doc, class) errors — every
+    * cross-engine accumulation is an INTEGER sum, mirroring
+    * Classifier.trainSoftmaxFixed operation-for-operation (scores are
+    * exact dyadic doubles; softmax runs under max-subtraction so each
+    * exp argument is a dyadic ≤ 0 on both engines; the engine-exp
+    * 1-ulp caveat is the classifierSgdSqlDuck one). Final scoring and
+    * the >=-chain argmax run on the refined integer weights. */
+  private[queries] def distillRefineSqlDuck(iters: Int, lr: String): String = {
+    val pre = """WITH words AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |                             t -> t <> '') AS ws
+      |  FROM documents),
+      |bg AS MATERIALIZED (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM words, LATERAL unnest(generate_series(1, CAST(len(ws) AS INT) - 1)) AS t(i)),
+      |tr AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+      |c12 AS (SELECT w1, w2, count(*) AS n12 FROM tr GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM tr GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w2) AS v FROM tr),
+      |ev AS (
+      |  SELECT b.doc_id,
+      |         ln((coalesce(c12.n12, 0) + 1.0)
+      |            / (coalesce(c1.n1, 0) + v.v)) AS lp
+      |  FROM bg b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      |            LEFT JOIN c1 ON b.w1 = c1.w1
+      |            CROSS JOIN v
+      |  WHERE b.doc_id % 2 = 1),
+      |sc AS (
+      |  SELECT doc_id, round(-sum(lp) / count(*) + 1e-9, 4) AS xent
+      |  FROM ev GROUP BY doc_id),
+      |nn0 AS (SELECT count(*) AS n FROM sc),
+      |cd AS (SELECT xent, sum(count(*)) OVER (ORDER BY xent) AS cum
+      |       FROM sc GROUP BY xent),
+      |th AS (SELECT
+      |  (SELECT min(xent) FROM cd, nn0 WHERE cd.cum >= (nn0.n + 2) // 3) AS t1,
+      |  (SELECT min(xent) FROM cd, nn0 WHERE cd.cum >= (2 * nn0.n + 2) // 3) AS t2),
+      |lab AS MATERIALIZED (
+      |  SELECT sc.doc_id,
+      |         CASE WHEN sc.xent <= th.t1 THEN 'head'
+      |              WHEN sc.xent <= th.t2 THEN 'middle'
+      |              ELSE 'tail' END AS bucket
+      |  FROM sc, th),
+      |whs AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         list_transform(ws, t ->
+      |           list_reduce(list_transform(string_split_regex(t, ''),
+      |                         c -> CAST(unicode(c) AS BIGINT)),
+      |                       (acc, cp) -> (acc * 131 + cp) % 1000000007)) AS wh
+      |  FROM words),
+      |feats AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         list_concat(
+      |           list_transform(wh, h -> h % 1024),
+      |           list_transform(generate_series(1, CAST(len(wh) AS INT) - 1),
+      |             i -> ((wh[i] * 131 + wh[i + 1]) % 1000000007) % 1024)) AS fb
+      |  FROM whs),
+      |traindocs AS MATERIALIZED (
+      |  SELECT l.doc_id, l.bucket FROM lab l WHERE l.doc_id % 4 = 1),
+      |ntr AS MATERIALIZED (SELECT count(*) AS n FROM traindocs),
+      |trainf AS MATERIALIZED (
+      |  SELECT f.doc_id, unnest(f.fb) AS b, l.bucket
+      |  FROM feats f JOIN lab l ON f.doc_id = l.doc_id
+      |  WHERE f.doc_id % 4 = 1),
+      |cnt AS MATERIALIZED (
+      |  SELECT b, sum(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END) AS nh,
+      |         sum(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END) AS nm,
+      |         sum(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS nt
+      |  FROM trainf GROUP BY b),
+      |tot AS (SELECT sum(nh) AS th_, sum(nm) AS tm_, sum(nt) AS tt_ FROM cnt),
+      |w0 AS MATERIALIZED (
+      |  SELECT b,
+      |    CAST(round(ln((nh + 1.0) / (th_ + 1024.0)) * 1048576) AS BIGINT) AS wh,
+      |    CAST(round(ln((nm + 1.0) / (tm_ + 1024.0)) * 1048576) AS BIGINT) AS wm,
+      |    CAST(round(ln((nt + 1.0) / (tt_ + 1024.0)) * 1048576) AS BIGINT) AS wt
+      |  FROM cnt CROSS JOIN tot),
+      |wdef AS MATERIALIZED (
+      |  SELECT
+      |    CAST(round(ln(1.0 / (th_ + 1024.0)) * 1048576) AS BIGINT) AS wh,
+      |    CAST(round(ln(1.0 / (tm_ + 1024.0)) * 1048576) AS BIGINT) AS wm,
+      |    CAST(round(ln(1.0 / (tt_ + 1024.0)) * 1048576) AS BIGINT) AS wt
+      |  FROM tot),
+      |docs_c AS (SELECT bucket, count(*) AS n FROM traindocs GROUP BY bucket),
+      |totd AS (SELECT sum(n) AS t FROM docs_c),
+      |b0 AS MATERIALIZED (SELECT
+      |  CAST(round(ln(((SELECT coalesce(max(n), 0) FROM docs_c
+      |                  WHERE bucket = 'head') + 1.0) / (totd.t + 3.0))
+      |       * 1048576) AS BIGINT) AS bh,
+      |  CAST(round(ln(((SELECT coalesce(max(n), 0) FROM docs_c
+      |                  WHERE bucket = 'middle') + 1.0) / (totd.t + 3.0))
+      |       * 1048576) AS BIGINT) AS bm,
+      |  CAST(round(ln(((SELECT coalesce(max(n), 0) FROM docs_c
+      |                  WHERE bucket = 'tail') + 1.0) / (totd.t + 3.0))
+      |       * 1048576) AS BIGINT) AS bt
+      |  FROM totd),""".stripMargin
+    val iterBlocks = (1 to iters).map { i =>
+      val pw = s"w${i - 1}"; val pb = s"b${i - 1}"
+      s"""
+      |s$i AS MATERIALIZED (
+      |  SELECT f.doc_id, sum(coalesce(w.wh, dw.wh)) AS sh,
+      |         sum(coalesce(w.wm, dw.wm)) AS sm,
+      |         sum(coalesce(w.wt, dw.wt)) AS st
+      |  FROM trainf f LEFT JOIN $pw w ON f.b = w.b CROSS JOIN wdef dw
+      |  GROUP BY f.doc_id),
+      |z$i AS MATERIALIZED (
+      |  SELECT t.doc_id, t.bucket,
+      |         CAST($pb.bh + coalesce(s.sh, 0) AS DOUBLE) / 1048576 AS zh,
+      |         CAST($pb.bm + coalesce(s.sm, 0) AS DOUBLE) / 1048576 AS zm,
+      |         CAST($pb.bt + coalesce(s.st, 0) AS DOUBLE) / 1048576 AS zt
+      |  FROM traindocs t LEFT JOIN s$i s ON t.doc_id = s.doc_id
+      |  CROSS JOIN $pb),
+      |e$i AS MATERIALIZED (
+      |  SELECT doc_id, bucket,
+      |    CAST(round((exp(zh - greatest(zh, zm, zt))
+      |          / (exp(zh - greatest(zh, zm, zt))
+      |             + exp(zm - greatest(zh, zm, zt))
+      |             + exp(zt - greatest(zh, zm, zt)))
+      |        - CASE WHEN bucket = 'head' THEN 1.0 ELSE 0.0 END)
+      |      * 16777216) AS BIGINT) AS eqh,
+      |    CAST(round((exp(zm - greatest(zh, zm, zt))
+      |          / (exp(zh - greatest(zh, zm, zt))
+      |             + exp(zm - greatest(zh, zm, zt))
+      |             + exp(zt - greatest(zh, zm, zt)))
+      |        - CASE WHEN bucket = 'middle' THEN 1.0 ELSE 0.0 END)
+      |      * 16777216) AS BIGINT) AS eqm,
+      |    CAST(round((exp(zt - greatest(zh, zm, zt))
+      |          / (exp(zh - greatest(zh, zm, zt))
+      |             + exp(zm - greatest(zh, zm, zt))
+      |             + exp(zt - greatest(zh, zm, zt)))
+      |        - CASE WHEN bucket = 'tail' THEN 1.0 ELSE 0.0 END)
+      |      * 16777216) AS BIGINT) AS eqt
+      |  FROM z$i),
+      |g$i AS MATERIALIZED (
+      |  SELECT f.b, sum(e.eqh) AS gh, sum(e.eqm) AS gm, sum(e.eqt) AS gt
+      |  FROM trainf f JOIN e$i e ON f.doc_id = e.doc_id GROUP BY f.b),
+      |w$i AS MATERIALIZED (
+      |  SELECT w.b,
+      |    CAST(round((CAST(w.wh AS DOUBLE) / 1048576
+      |         - $lr * CAST(coalesce(g.gh, 0) AS DOUBLE)
+      |           / (CAST(16777216 AS DOUBLE) * ntr.n)) * 1048576)
+      |      AS BIGINT) AS wh,
+      |    CAST(round((CAST(w.wm AS DOUBLE) / 1048576
+      |         - $lr * CAST(coalesce(g.gm, 0) AS DOUBLE)
+      |           / (CAST(16777216 AS DOUBLE) * ntr.n)) * 1048576)
+      |      AS BIGINT) AS wm,
+      |    CAST(round((CAST(w.wt AS DOUBLE) / 1048576
+      |         - $lr * CAST(coalesce(g.gt, 0) AS DOUBLE)
+      |           / (CAST(16777216 AS DOUBLE) * ntr.n)) * 1048576)
+      |      AS BIGINT) AS wt
+      |  FROM $pw w LEFT JOIN g$i g ON w.b = g.b CROSS JOIN ntr),
+      |b$i AS MATERIALIZED (
+      |  SELECT
+      |    CAST(round((CAST($pb.bh AS DOUBLE) / 1048576
+      |         - $lr * CAST((SELECT sum(eqh) FROM e$i) AS DOUBLE)
+      |           / (CAST(16777216 AS DOUBLE) * ntr.n)) * 1048576)
+      |      AS BIGINT) AS bh,
+      |    CAST(round((CAST($pb.bm AS DOUBLE) / 1048576
+      |         - $lr * CAST((SELECT sum(eqm) FROM e$i) AS DOUBLE)
+      |           / (CAST(16777216 AS DOUBLE) * ntr.n)) * 1048576)
+      |      AS BIGINT) AS bm,
+      |    CAST(round((CAST($pb.bt AS DOUBLE) / 1048576
+      |         - $lr * CAST((SELECT sum(eqt) FROM e$i) AS DOUBLE)
+      |           / (CAST(16777216 AS DOUBLE) * ntr.n)) * 1048576)
+      |      AS BIGINT) AS bt
+      |  FROM $pb CROSS JOIN ntr),""".stripMargin
+    }.mkString
+    val fin = s"""
+      |evalf AS MATERIALIZED (
+      |  SELECT doc_id, unnest(fb) AS b FROM feats WHERE doc_id % 4 = 3),
+      |es AS MATERIALIZED (
+      |  SELECT e.doc_id, count(*) AS n_feats,
+      |         sum(coalesce(w.wh, dw.wh)) AS sh,
+      |         sum(coalesce(w.wm, dw.wm)) AS sm,
+      |         sum(coalesce(w.wt, dw.wt)) AS st
+      |  FROM evalf e LEFT JOIN w$iters w ON e.b = w.b CROSS JOIN wdef dw
+      |  GROUP BY e.doc_id),
+      |scores AS (
+      |  SELECT l.doc_id, CAST(coalesce(es.n_feats, 0) AS BIGINT) AS n_feats,
+      |    round(CAST(b$iters.bh + coalesce(es.sh, 0) AS DOUBLE) / 1048576, 4)
+      |      AS s_head,
+      |    round(CAST(b$iters.bm + coalesce(es.sm, 0) AS DOUBLE) / 1048576, 4)
+      |      AS s_middle,
+      |    round(CAST(b$iters.bt + coalesce(es.st, 0) AS DOUBLE) / 1048576, 4)
+      |      AS s_tail,
+      |    l.bucket
+      |  FROM lab l LEFT JOIN es ON l.doc_id = es.doc_id CROSS JOIN b$iters
+      |  WHERE l.doc_id % 4 = 3)
+      |SELECT doc_id, n_feats, s_head, s_middle, s_tail,
+      |       CASE WHEN s_head >= s_middle AND s_head >= s_tail THEN 'head'
+      |            WHEN s_middle >= s_tail THEN 'middle'
+      |            ELSE 'tail' END AS pred,
+      |       bucket
+      |FROM scores ORDER BY doc_id""".stripMargin
+    pre + iterBlocks + fin
+  }
+
   /** Shared CTE chain for the exact-substring-dedup oracles: tokenize,
     * per-word portable hashes under BOTH window-hash families
     * (Dedup.winFamilyA/B — the constants here are those literals), the
@@ -740,6 +940,180 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ── END-TO-END INCREMENTAL curation (r14): the production loop the
+    //    r13 pieces compose into — snapshot A (even ids) dedups against
+    //    an empty store and seeds it; snapshot B (odd ids) dedups
+    //    against A's signatures; the survivor union is decontaminated
+    //    against the eval slice (doc_id % 17 = 0) and packed into
+    //    4096-token training sequences. The output is the packed
+    //    stream's prefix sums, so ANY upstream deviation — a dedup
+    //    decision, a contamination flag — shifts every later row: the
+    //    strongest possible end-to-end pin. The oracle replays the
+    //    whole chain; the store-advance semantics reduce to the
+    //    (parity, id)-lexicographic smaller-than rule (store ids =
+    //    evens precede all batch ids = odds — the law precondition).
+    //    Two-snapshot ≡ one-batch is asserted in PipelineSpec. ─────────
+    "pipe_curate_incremental" -> Q("""
+      |WITH th AS (
+      |  SELECT doc_id,
+      |         list_transform(
+      |           list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+      |           w -> (list_reduce(
+      |                  list_transform(string_split_regex(w, ''),
+      |                    c -> CAST(unicode(c) AS BIGINT)),
+      |                  (acc, cp) -> (acc * 131 + cp) % 1000000007)
+      |                 * 2654435761) % 1073741789) hs
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(generate_series(0, 29), i ->
+      |             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                    list_transform(hs, h ->
+      |                      CASE WHEN (h >> i) & 1 = 1
+      |                           THEN CAST(1 AS BIGINT)
+      |                           ELSE CAST(-1 AS BIGINT) END)),
+      |                    (a, b) -> a + b) > 0
+      |                  THEN CAST(1 AS BIGINT) << i
+      |                  ELSE CAST(0 AS BIGINT) END)),
+      |           (a, b) -> a + b) sig
+      |  FROM th),
+      |dup AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM sigs b JOIN sigs o
+      |    ON bit_count(xor(b.sig, o.sig)) <= 1
+      |   AND (o.doc_id % 2 < b.doc_id % 2
+      |        OR (o.doc_id % 2 = b.doc_id % 2 AND o.doc_id < b.doc_id))),
+      |surv AS (
+      |  SELECT d.doc_id, d.text, d.n_chars FROM documents d
+      |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)),
+      |tsh0 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           generate_series(1, greatest(len(ws) - 2, 1)),
+      |           i -> array_to_string(ws[i:i+2], ' '))) sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') ws
+      |        FROM surv WHERE doc_id % 17 <> 0)),
+      |esh0 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           generate_series(1, greatest(len(ws) - 2, 1)),
+      |           i -> array_to_string(ws[i:i+2], ' '))) sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') ws
+      |        FROM documents WHERE doc_id % 17 = 0)),
+      |tsh AS (SELECT doc_id, unnest(sh) s FROM tsh0),
+      |esh AS (SELECT doc_id AS eval_id, unnest(sh) s FROM esh0),
+      |flagged AS (SELECT t.doc_id FROM tsh t JOIN esh e ON t.s = e.s
+      |            GROUP BY t.doc_id HAVING count(DISTINCT t.s) >= 3),
+      |clean AS (
+      |  SELECT doc_id, n_chars FROM surv
+      |  WHERE doc_id % 17 <> 0
+      |    AND doc_id NOT IN (SELECT doc_id FROM flagged))
+      |SELECT doc_id,
+      |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |            - n_chars AS BIGINT) AS tok_start,
+      |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |            AS BIGINT) AS tok_end,
+      |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |            - n_chars) // 4096 AS BIGINT) AS seq_first,
+      |       CAST(greatest(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED
+      |              PRECEDING) - 1,
+      |            sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |              - n_chars) // 4096 AS BIGINT) AS seq_last
+      |FROM clean ORDER BY doc_id""") { (s, d) =>
+      val docs = Engine.table(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val repA = Dedup.incrementalDedupSimhash(
+        Dedup.emptySigStore(s), docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", maxHamming = 1)
+      val storeA = repA.select(col("doc_id").as("id"), col("sig"))
+      val repB = Dedup.incrementalDedupSimhash(storeA,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        maxHamming = 1)
+      val keepIds = repA.unionByName(repB)
+        .filter(!col("is_dup")).select(col("doc_id"))
+      val survivors = docs.join(keepIds, Seq("doc_id"))
+      val clean = Decontamination.removeContaminated(
+        survivors.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", "doc_id", "text", n = 3, minHits = 3)
+      Packing.packTokenStream(
+          clean.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", budget = 4096)
+        .select(col("doc_id"), col("tok_start"), col("tok_end"),
+          col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── incremental dedup against a persisted MINHASH-LSH store (r14) ───
+    // The Jaccard face of the signature store (the DCLM/FineWeb lineage
+    // dedups on MinHash banding): history = even doc_ids persisted as
+    // (id, 16-position portable MinHash), batch = odd doc_ids. A batch
+    // doc is a dup iff some store signature (any id) or some earlier
+    // batch signature (smaller id) shares an IDENTICAL 4-position band
+    // slice AND agrees on >= 8 of 16 positions (integer est-Jaccard
+    // >= 0.5). The signature is the PortableMinHash kernel — codepoint-
+    // polynomial shingle hashes scrambled by 16 odd multipliers — so
+    // the oracle recomputes every signature, replays the banding join
+    // itself (not an all-pairs scan), and applies the same agree rule:
+    // the ENTIRE incremental decision is value-oracled, blocking
+    // included. The batch(A∪B) ≡ incremental(A then B) law is
+    // PipelineSpec's.
+    "pipe_dedup_incremental_minhash" -> Q("""
+      |WITH ws AS (
+      |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+      |           i -> array_to_string(ws[i:i+2], ' ')) AS sh
+      |  FROM ws),
+      |shh AS (
+      |  SELECT doc_id,
+      |         list_transform(sh, s -> CASE WHEN s = '' THEN 0
+      |           ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                  list_transform(string_split_regex(s, ''),
+      |                    c -> CAST(unicode(c) AS BIGINT))),
+      |                  (acc, cp) -> (acc * 131 + cp) % 1000000007)
+      |           END) AS hs
+      |  FROM sh),
+      |sigs AS (
+      |  SELECT doc_id,
+      |         list_transform(generate_series(0, 15), q ->
+      |           list_aggregate(list_transform(hs,
+      |             h -> (h * (2654435761 + 2 * q)) % 1073741789),
+      |             'min')) AS sig
+      |  FROM shh),
+      |bnd AS (
+      |  SELECT doc_id, b, sig[b * 4 + 1 : b * 4 + 4] AS bs
+      |  FROM sigs, (VALUES (0), (1), (2), (3)) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id, o.doc_id AS src
+      |  FROM bnd l JOIN bnd o ON l.b = o.b AND l.bs = o.bs
+      |  WHERE l.doc_id % 2 = 1
+      |    AND (o.doc_id % 2 = 0 OR o.doc_id < l.doc_id)),
+      |m AS (
+      |  SELECT c.id, min(c.src) AS dup_src
+      |  FROM cand c JOIN sigs a ON a.doc_id = c.id
+      |              JOIN sigs o ON o.doc_id = c.src
+      |  WHERE list_sum(list_transform(generate_series(1, 16),
+      |          j -> CASE WHEN a.sig[j] = o.sig[j] THEN 1 ELSE 0 END)) >= 8
+      |  GROUP BY c.id)
+      |SELECT b.doc_id, array_to_string(b.sig, ',') AS sig_str,
+      |       m.dup_src IS NOT NULL AS is_dup, m.dup_src
+      |FROM (SELECT * FROM sigs WHERE doc_id % 2 = 1) b
+      |LEFT JOIN m ON b.doc_id = m.id
+      |ORDER BY b.doc_id""") { (s, d) =>
+      val docs = Engine.table(s, d, "documents")
+      val store = Dedup.minhashSigStore(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.incrementalDedupMinhash(store,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(col("doc_id"),
+          array_join(transform(col("sig"), _.cast("string")), ",")
+            .as("sig_str"),
+          col("is_dup"), col("dup_src"))
+        .orderBy(col("doc_id"))
+    },
+
     // ── embedding-cosine near-dup dedup (LSH scale path, oracled) ────────
     // Corpus = embeddings ∪ positively-scaled copies of every 10th vector
     // (scaling preserves hyperplane signs bit-for-bit, so the LSH
@@ -1176,6 +1550,43 @@ object PipelineQueries {
       graft.pipeline.Classifier.scoreMulti(
           labeled.filter(col("doc_id") % 4 === 3), "doc_id", "text",
           classes, w, p)
+        .join(labeled.select(col("doc_id"), col("bucket")), "doc_id")
+        .select(col("doc_id"), col("n_feats"), col("s_head"),
+          col("s_middle"), col("s_tail"), col("pred"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ── LM distillation + FIXED-POINT SOFTMAX REFINEMENT (r14, the
+    //    r13 verdict's #4): the multiclass student no longer stops at
+    //    closed-form NB — its quantized weights seed 5 unrolled
+    //    full-batch softmax-GD iterations in 2^20/2^24 fixed point
+    //    (every cross-engine accumulation an integer sum, softmax
+    //    under max-subtraction so every exp argument is an exact
+    //    dyadic ≤ 0). The oracle replays the ENTIRE chain: teacher LM,
+    //    tercile labels, NB init, quantization, all 5 GD iterations,
+    //    refined scores, argmax — no shipped literals. Learnability
+    //    and the refinement gain measured BEFORE pinning (DistillAb
+    //    r14: see SCALE.md). ───────────────────────────────────────────
+    "pipe_quality_distill_refined" -> Q(
+        distillRefineSqlDuck(iters = 5, lr = "0.05")) { (s, d) =>
+      graft.functions.Sketches.register(s)
+      val docs = Engine.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val classes = Seq("head", "middle", "tail")
+      val labeled = TextAnalysis.perplexityBuckets(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("text"), col("bucket"))
+      val train = labeled.filter(col("doc_id") % 4 === 1)
+      val (w, p) = graft.pipeline.Classifier.trainLogOddsMulti(
+        train, "text", "bucket", classes, d = 1024)
+      val (wq0, bq0) = graft.pipeline.Classifier.quantizeMulti(w, p)
+      val (wq, bq) = graft.pipeline.Classifier.trainSoftmaxFixed(
+        train, "text", "bucket", classes, wq0, bq0, iters = 5, lr = 0.05)
+      graft.pipeline.Classifier.scoreMultiFixed(
+          labeled.filter(col("doc_id") % 4 === 3), "doc_id", "text",
+          classes, wq, bq)
         .join(labeled.select(col("doc_id"), col("bucket")), "doc_id")
         .select(col("doc_id"), col("n_feats"), col("s_head"),
           col("s_middle"), col("s_tail"), col("pred"), col("bucket"))

@@ -169,12 +169,19 @@ object Streaming {
 
   /** Streaming incremental dedup against a GROWING persisted signature
     * store — the streaming face of
-    * [[graft.pipeline.Dedup.incrementalDedupSimhash]]: each micro-batch
-    * is a "new snapshot" deduped against every signature seen in
-    * EARLIER batches, then appends its own signatures, so cross-batch
-    * duplicates are caught without any stream-side state operator
-    * (the store IS the state, and it outlives the query — exactly the
-    * production shape where history predates the stream).
+    * [[graft.pipeline.Dedup.incrementalDedupSimhashAuto]]: each
+    * micro-batch is a "new snapshot" deduped against every signature
+    * seen in EARLIER batches, then appends its own signatures, so
+    * cross-batch duplicates are caught without any stream-side state
+    * operator (the store IS the state, and it outlives the query —
+    * exactly the production shape where history predates the stream).
+    * The store carries the WIDE schema (id, sig0, sig1) from batch 0
+    * and the router switches narrow→wide blocking at the measured
+    * ~50k-signature knee (r13 verdict #2: an unbounded stream is
+    * precisely the caller that crosses it unattended — the old
+    * narrow-hardwired sink would have gone superlinear); `maxHamming`
+    * is the narrow-scale knob, 2·maxHamming over 60 bits past the
+    * knee.
     *
     * Exactly-once by the idempotentParquetSink recipe, applied twice:
     * both the per-batch report and the per-batch store delta land in
@@ -214,22 +221,26 @@ object Streaming {
         if (!fs.exists(storePath) ||
             !fs.listStatus(storePath).exists(s =>
               s.getPath.getName.startsWith("batch_id=")))
-          graft.pipeline.Dedup.emptySigStore(spark)
+          graft.pipeline.Dedup.emptyWideSigStore(spark)
         else spark.read.parquet(storeDir)
           .filter(col("batch_id") < batchId)
-          .select(col("id"), col("sig"))
+          .select(col("id"), col("sig0"), col("sig1"))
+      // the router needs the store size; this count is parquet-metadata
+      // work after batch_id partition pruning, not a data scan
+      val n = store.count()
       // persistSigs=false: this sink runs once per micro-batch of an
-      // unbounded query — a per-call persist would leak storage-pool
-      // blocks batch after batch (r13 review); the recompute cost is
-      // one extra signature pass over the micro-batch
-      val report = graft.pipeline.Dedup.incrementalDedupSimhash(
-        store, df, idCol, textCol, maxHamming, persistSigs = false)
+      // unbounded query — a per-call materialization would pile up
+      // batch after batch (r13 review); the recompute cost is one
+      // extra signature pass over the micro-batch
+      val report = graft.pipeline.Dedup.incrementalDedupSimhashAuto(
+        store, df, idCol, textCol, maxHamming, n = n,
+        persistSigs = false)
       report.write.mode("overwrite")
         .parquet(s"$reportDir/batch_id=$batchId")
       // the delta appends ALL batch signatures (kept and dropped) —
       // the same every-signature-seen store contract as the batch op
       spark.read.parquet(s"$reportDir/batch_id=$batchId")
-        .select(col("doc_id").as("id"), col("sig"))
+        .select(col("doc_id").as("id"), col("sig0"), col("sig1"))
         .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
     }
 }

@@ -58,8 +58,25 @@ object DistillAb {
         val acc = joined.count(t => t._1 == t._2).toDouble / joined.length
         val maj = classes.map(c =>
           joined.count(_._2 == c)).max.toDouble / joined.length
-        println(f"[distillab] sf=$sf%-24s train=$trainFrac%-3s d=$d%-5d " +
-          f"n_eval=${joined.length}%-5d acc=$acc%.3f majority=$maj%.3f")
+        // r14: the fixed-point softmax refinement's gain, measured on
+        // the SHIPPED arm before pinning pipe_quality_distill_refined
+        val accRef =
+          if (trainFrac != "ship" || d != 1024) Double.NaN
+          else {
+            val (wq0, bq0) = Classifier.quantizeMulti(w, p)
+            val (wq, bq) = Classifier.trainSoftmaxFixed(
+              trainDf, "text", "bucket", classes, wq0, bq0,
+              iters = 5, lr = 0.05)
+            val jr = Classifier.scoreMultiFixed(
+                evalDf, "doc_id", "text", classes, wq, bq)
+              .join(evalDf.select(col("doc_id"), col("bucket")), "doc_id")
+              .select(col("pred"), col("bucket")).collect()
+              .map(r => (r.getString(0), r.getString(1)))
+            jr.count(t => t._1 == t._2).toDouble / jr.length
+          }
+        println(f"[distillab] sf=$sf%-24s train=$trainFrac%-4s d=$d%-5d " +
+          f"n_eval=${joined.length}%-5d acc=$acc%.3f majority=$maj%.3f" +
+          (if (accRef.isNaN) "" else f" acc_refined=$accRef%.3f"))
       }
     }
     spark.stop()

@@ -55,6 +55,16 @@ object IncrementalAb {
         (s, b) => Dedup.incrementalDedupSimhashWide(s, b, "doc_id", "text",
           maxHamming = 2, persistSigs = false)
           .select(col("doc_id"), col("sig0").as("sig"), col("is_dup"),
+            col("dup_src"))),
+      // r14: the Jaccard face — band buckets are value-continuous
+      // (~2^30 slice hashes per band), so the fixed-key-space crowding
+      // that knees the narrow SimHash path shouldn't appear; this row
+      // is the measurement behind that claim
+      V("minhash",
+        df => Dedup.minhashSigStore(df, "doc_id", "text"),
+        (s, b) => Dedup.incrementalDedupMinhash(s, b, "doc_id", "text",
+          persistSigs = false)
+          .select(col("doc_id"), lit(0L).as("sig"), col("is_dup"),
             col("dup_src"))))
     variants.foreach { v =>
       val m1 = v.dedup(v.mkStore(docs), docs)

@@ -123,6 +123,49 @@ object PipeScale {
         s"${(incN.toSet diff incExpect.toSet).take(3)} / " +
         s"${(incExpect.toSet diff incN.toSet).take(3)}")
 
+    // ── 1c. incremental MINHASH-LSH dedup vs a persisted store (r14) ─
+    //    Same production shape and ×1-mapping law as 1b under the
+    //    Jaccard-face rule (band-slice identity + agree ≥ 8/16):
+    //    replicas share text, hence signatures, hence band keys —
+    //    match(o·f+r, o'·f+r') ⇔ match(o, o') — so the attribution
+    //    formula carries over verbatim. The meter watches that the
+    //    history side ships (id, sig, band, slice) rows only. ─────────
+    val mh1 = Dedup.incrementalDedupMinhash(
+        Dedup.minhashSigStore(docs, "doc_id", "text"),
+        docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val mhStoreN = Dedup.minhashSigStore(
+        docsN.filter(col("doc_id") % fac =!= 0), "doc_id", "text")
+      .localCheckpoint(true)
+    val mhStoreRows = mhStoreN.count()
+    val mhMeter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(mhMeter)
+    val mhN = timed(s"incremental minhash ×$fac") {
+      Dedup.incrementalDedupMinhash(mhStoreN,
+          docsN.filter(col("doc_id") % fac === 0), "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    }
+    Thread.sleep(2000) // listener bus drain
+    spark.sparkContext.removeSparkListener(mhMeter)
+    println(f"[pipescale] incremental minhash ×$fac shuffle: " +
+      f"write=${mhMeter.write.get / 1e6}%.1f MB " +
+      f"(${mhMeter.write.get.toDouble / mhStoreRows}%.1f B/store-sig; " +
+      f"history text=${histTextBytes / 1e6}%.1f MB, spill=" +
+      f"${mhMeter.spilledDisk.get / 1e6}%.1f MB)")
+    require(mhMeter.write.get < histTextBytes,
+      "incremental minhash shuffled more than the history text itself — " +
+        "the signatures-only posture is broken")
+    val mhExpect = mh1.keys.map { o =>
+      val m = mh1(o)
+      o * fac -> ((true, if (m < o) m * fac else m * fac + 1))
+    }.toMap
+    require(mhN == mhExpect,
+      s"incremental minhash ×$fac mismatch: " +
+        s"${(mhN.toSet diff mhExpect.toSet).take(3)} / " +
+        s"${(mhExpect.toSet diff mhN.toSet).take(3)}")
+
     // ── 2. LSH pairs → connected components → cluster-keep ─────────
     // keeper set at ×1 (same params as pipe_dedup_cluster_keep)
     val keep1 = Clustering.dedupByPairs(docs, "doc_id",

@@ -108,6 +108,149 @@ class PipelineSpec extends AnyFunSuite {
     assert(on.values.exists(_._2), "batch should hit the history store")
   }
 
+  test("portable MinHash kernel is bit-identical to its HOF spec") {
+    graft.functions.Sketches.register(spark)
+    val rows = docs.select(
+        graft.functions.Sketches.portableMinhash(col("text"),
+          Dedup.portableMinhashParams(16, 3)).as("k"),
+        Dedup.portableMinhashHof(col("text"), 16, 3).as("h"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"kernel ${r.getSeq[Long](0)} != HOF ${r.getSeq[Long](1)}")
+    }
+  }
+
+  test("incremental MinHash dedup law: batch(A∪B) == incremental(A then " +
+      "B); bloom prefilter is exact; store hits fire") {
+    import org.apache.spark.sql.DataFrame
+    def rep(df: DataFrame): Map[Long, (Seq[Long], Boolean, Option[Long])] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val a = docs.filter(col("doc_id") < mid)
+    val b = docs.filter(col("doc_id") >= mid)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false)))))
+    val whole = rep(Dedup.incrementalDedupMinhash(
+      empty, docs, "doc_id", "text"))
+    val repA = Dedup.incrementalDedupMinhash(empty, a, "doc_id", "text")
+    // the store appends ALL batch signatures (kept AND dropped)
+    val storeA = repA.select(col("doc_id").as("id"), col("sig"))
+    val repB = Dedup.incrementalDedupMinhash(storeA, b, "doc_id", "text")
+    val incr = rep(repA) ++ rep(repB)
+    assert(incr == whole,
+      s"minhash incremental != batch on " +
+        s"${(incr.toSet diff whole.toSet).take(3)}")
+    assert(whole.values.exists(_._2), "corpus should contain near-dups")
+    // bloom prefilter changes the shuffle bill, never the answer
+    val store = Dedup.minhashSigStore(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val on = rep(Dedup.incrementalDedupMinhash(
+      store, batch, "doc_id", "text", useBloom = true))
+    val off = rep(Dedup.incrementalDedupMinhash(
+      store, batch, "doc_id", "text", useBloom = false))
+    assert(on == off, "bloom-prefiltered report must be bit-identical")
+    assert(on.values.exists(_._2), "batch should hit the history store")
+    // semantic sanity vs exact ground truth: every planted exact
+    // near-dup pair (jaccard >= 0.9) whose ids straddle the parity
+    // split should be caught — est-Jaccard at >= 0.9 true similarity
+    // clears minAgree = 8/16 by a wide margin and banding recall at
+    // that level is ~1 (the minhashPairs recall spec's regime)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val crossOrLater = exact.filter { case (x, y) => y % 2 == 1 }
+    assert(crossOrLater.nonEmpty)
+    crossOrLater.foreach { case (keep, dup) =>
+      assert(on(dup)._2, s"exact near-dup ($keep, $dup) not flagged")
+    }
+  }
+
+  test("auto store router: narrow rule below the knee, wide rule past " +
+      "it, stable wide report schema in both modes") {
+    import org.apache.spark.sql.DataFrame
+    def dec(df: DataFrame): Map[Long, (Boolean, Option[Long])] =
+      df.select("doc_id", "is_dup", "dup_src").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val store = Dedup.simhashStorePortableWide(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val auto = Dedup.incrementalDedupSimhashAuto(
+      store, batch, "doc_id", "text", maxHamming = 1)
+    assert(auto.columns.toSeq ==
+      Seq("doc_id", "sig0", "sig1", "is_dup", "dup_src"))
+    // sf0.01's store is far below the 51200-signature knee → the
+    // decision must be bit-identical to the narrow operator on sig0
+    val narrow = Dedup.incrementalDedupSimhash(
+      store.select(col("id"), col("sig0").as("sig")), batch,
+      "doc_id", "text", maxHamming = 1)
+    assert(dec(auto) == dec(narrow), "below the knee auto != narrow")
+    // narrowMax = 0 forces the wide branch: 4×15-bit blocking, hamming
+    // over both longs at the threshold-preserving 2·maxHamming
+    val forced = Dedup.incrementalDedupSimhashAuto(
+      store, batch, "doc_id", "text", maxHamming = 1, narrowMax = 0L)
+    val wide = Dedup.incrementalDedupSimhashWide(
+      store, batch, "doc_id", "text", maxHamming = 2)
+    assert(dec(forced) == dec(wide), "past the knee auto != wide")
+    // the two modes genuinely differ on this corpus (otherwise the
+    // router assertions above would be vacuous)
+    assert(dec(auto) != dec(forced),
+      "expected narrow and wide decisions to differ somewhere")
+  }
+
+  test("incremental curation law: two snapshots through the store == " +
+      "one batch over the union, all the way to the packed stream") {
+    import graft.pipeline.{Decontamination, Packing}
+    val all = docs.select(col("doc_id"), col("text"), col("n_chars"))
+    // id-ordered snapshots (store ids precede batch ids — the law's
+    // precondition, as in the dedup-level law test above)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val a = all.filter(col("doc_id") < mid)
+    val b = all.filter(col("doc_id") >= mid)
+    // the deterministic downstream: survivors → decontaminate → pack
+    def tail(keepIds: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long)] = {
+      val survivors = all.join(keepIds, Seq("doc_id"))
+      val clean = Decontamination.removeContaminated(
+        survivors.filter(col("doc_id") % 17 =!= 0),
+        all.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", "doc_id", "text", n = 3, minHits = 3)
+      Packing.packTokenStream(clean.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", budget = 4096)
+        .select("doc_id", "tok_start", "tok_end").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
+    }
+    // incremental: A vs empty store seeds it, then B vs A's signatures
+    val repA = Dedup.incrementalDedupSimhash(
+      Dedup.emptySigStore(spark), a, "doc_id", "text", maxHamming = 1)
+    val repB = Dedup.incrementalDedupSimhash(
+      repA.select(col("doc_id").as("id"), col("sig")), b,
+      "doc_id", "text", maxHamming = 1)
+    val incr = tail(repA.unionByName(repB)
+      .filter(!col("is_dup")).select(col("doc_id")))
+    // batch: the whole union deduped in one call
+    val whole = tail(Dedup.incrementalDedupSimhash(
+        Dedup.emptySigStore(spark), all, "doc_id", "text", maxHamming = 1)
+      .filter(!col("is_dup")).select(col("doc_id")))
+    assert(incr.nonEmpty && incr == whole,
+      s"two-snapshot curation != one-batch curation: " +
+        s"${(incr.toSet diff whole.toSet).take(3)} / " +
+        s"${(whole.toSet diff incr.toSet).take(3)}")
+  }
+
   test("incremental dedup WIDE variant: same law, 60-bit hamming") {
     import org.apache.spark.sql.DataFrame
     def rep(df: DataFrame): Map[Long, (Long, Long, Boolean, Option[Long])] =

@@ -466,15 +466,19 @@ class StreamingSpec extends AnyFunSuite {
     ms.addData(a); q.processAllAvailable()
     ms.addData(b); q.processAllAvailable()
     q.stop()
-    def asMap(df: org.apache.spark.sql.DataFrame) =
-      df.select("doc_id", "sig", "is_dup", "dup_src").collect()
+    def asMap(df: org.apache.spark.sql.DataFrame, sigCol: String) =
+      df.select("doc_id", sigCol, "is_dup", "dup_src").collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
           if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
-    val streamed = asMap(spark.read.parquet(s"$base/report"))
+    // the sink runs the auto router over the WIDE store schema; below
+    // the knee its decision — and sig0, same scramble family — is
+    // bit-identical to the narrow batch operator (Dedup scaladoc)
+    val streamed = asMap(spark.read.parquet(s"$base/report"), "sig0")
     // ground truth: the batch operator over the whole corpus at once
     val union = (a ++ b).toDF("doc_id", "text")
     val whole = asMap(Dedup.incrementalDedupSimhash(
-      Dedup.emptySigStore(spark), union, "doc_id", "text", maxHamming = 1))
+      Dedup.emptySigStore(spark), union, "doc_id", "text",
+      maxHamming = 1), "sig")
     assert(streamed == whole,
       s"stream != batch: ${(streamed.toSet diff whole.toSet).take(3)} / " +
         s"${(whole.toSet diff streamed.toSet).take(3)}")
@@ -483,8 +487,12 @@ class StreamingSpec extends AnyFunSuite {
     val planted = streamed(all.map(_._1).max + 1000L)
     assert(planted._2 && planted._3.exists(_ < mid),
       s"planted cross-batch dup not attributed to batch 0: $planted")
-    // the store reads back as one table holding every signature seen
+    // the store reads back as one table holding every signature seen,
+    // carrying the wide schema from batch 0 (so the router can cross
+    // the knee mid-stream without a store migration)
     val store = spark.read.parquet(s"$base/store")
     assert(store.count() == a.size + b.size)
+    assert(Seq("id", "sig0", "sig1").forall(store.columns.contains),
+      s"store schema must be wide: ${store.columns.mkString(",")}")
   }
 }
