@@ -259,6 +259,24 @@ object Classifier {
   def quantize(weights: Array[Double], bias: Double): (Array[Long], Long) =
     (weights.map(w => rhalf(w * WQ)), rhalf(bias * WQ))
 
+  /** bias + Σ weights[b] as ONE GatherSum whose generated code is
+    * iteration-invariant (r14 optimization): the bias rides as a
+    * sentinel weight at index d, gathered via an appended constant
+    * index, so a GD loop's per-iteration weight/bias updates change
+    * only the reference-array literals (typedlit arrays and the
+    * GatherSum instance reach codegen through `references`) and never
+    * the generated source — one janino compile serves every iteration
+    * instead of one per iteration (a scalar `lit(bq)` is inlined into
+    * the source and forced a whole-stage recompile each step).
+    * Exactness: every operand is an integer-valued double < 2^53 in
+    * the fixed-point paths, so Σ w[fb] + bias == bias + Σ w[fb]
+    * bit-for-bit; only those paths use this helper (the unquantized
+    * [[score]] keeps its bias-first order). */
+  private def gatherSumWithBias(
+      fb: Column, w: Seq[Double], bias: Double): Column =
+    graft.functions.Sketches.gatherSum(
+      concat(fb, array(lit(w.length))), w :+ bias)
+
   /** Full-batch logistic GD refinement from a fixed-point init (e.g.
     * the quantized [[trainLogOdds]] weights — measured at sf0.01:
     * held-out acc 0.70 → 0.74, train loss 0.170 → 0.132 at lr=0.05,
@@ -289,14 +307,21 @@ object Classifier {
         // integer score via GatherSum over integer-valued doubles —
         // exact while |Σ| < 2^53 (|w|·2^20 ≈ 2e7 × ~1e3 features)
         val eqCol = round((lit(1.0) / (lit(1.0) +
-          exp(-((lit(bq.toDouble) +
-            graft.functions.Sketches.gatherSum(col("fb"),
-              wq.map(_.toDouble).toSeq)) / WQ))) -
+          exp(-(gatherSumWithBias(col("fb"),
+            wq.map(_.toDouble).toSeq, bq.toDouble) / WQ))) -
           col("y")) * EQ).cast("long")
-        val grads = feats
+        // eq is computed in its OWN projection BELOW the explode (r14):
+        // an explode and a heavy expression in one select analyze to
+        // Project(heavy) ABOVE Generate, re-evaluating the whole
+        // gatherSum+exp chain once per EXPLODED feature row (~|fb|× per
+        // doc) instead of once per doc; Generate between the two
+        // Projects blocks CollapseProject from inlining it back up
+        val gdf = feats
+          .select(col("fb"), eqCol.as("eq"))
           .select(explode(concat(col("fb"), array(lit(-1)))).as("b"),
-            eqCol.as("eq"))
+            col("eq"))
           .groupBy(col("b")).agg(sum(col("eq")).as("g"))
+        val grads = gdf
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val gb = grads.getOrElse(-1, 0L)
         wq = Array.tabulate(d) { b =>
@@ -360,9 +385,8 @@ object Classifier {
       for (_ <- 1 to iters) {
         // exact dyadic per-class scores (integer GatherSum / 2^20)
         val sCols = classes.map { c =>
-          ((lit(bq(c).toDouble) +
-            graft.functions.Sketches.gatherSum(col("fb"),
-              wq(c).map(_.toDouble).toSeq)) / WQ).as(s"s_$c")
+          (gatherSumWithBias(col("fb"),
+            wq(c).map(_.toDouble).toSeq, bq(c).toDouble) / WQ).as(s"s_$c")
         }
         val scored = feats.select(col("y") +: col("fb") +: sCols: _*)
         val m = greatest(classes.map(c => col(s"s_$c")): _*)
@@ -375,9 +399,14 @@ object Classifier {
             .as(s"eq_$c")
         }
         val aggCols = classes.map(c => sum(col(s"eq_$c")).as(s"g_$c"))
+        // same explode/heavy-expression separation as the binary loop
+        // (r14): eq_c are per-doc values — computing them in the same
+        // select as the explode would re-evaluate the K-class softmax
+        // chain once per exploded feature row
         val grads = expd
+          .select(col("fb") +: eqCols: _*)
           .select(explode(concat(col("fb"), array(lit(-1)))).as("b") +:
-            eqCols: _*)
+            classes.map(c => col(s"eq_$c")): _*)
           .groupBy(col("b"))
           .agg(aggCols.head, aggCols.tail: _*)
           .collect()

@@ -130,9 +130,14 @@ object Dedup {
   def simhashFromHashes(hs: Column): Column =
     aggregate(
       transform(sequence(lit(0), lit(62)), i =>
+        // per-bit majority vote, arithmetic form (r14): the ±1 fold
+        // Σ±1 = 2·ones − n, so votes > 0 ⟺ 2·ones > n — same integers,
+        // ~half the interpreted-expression evals per (bit, token) as
+        // the original when(bit=1, +1, −1) conditional fold (this spec
+        // runs in-query every pipe_text_rolling_fp execution)
         when(aggregate(hs, lit(0L), (acc, h) =>
-          acc + when(call_function("shiftright", h, i.cast("int"))
-            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0, 1L)
+          acc + call_function("shiftright", h, i.cast("int"))
+            .bitwiseAND(lit(1L))) * 2 > size(hs), 1L)
           .otherwise(0L)),
       lit(0L), (acc, b) => acc * 2 + b)
 
@@ -441,16 +446,34 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.6): DataFrame = {
     graft.functions.Sketches.register(df.sparkSession)
+    // ONE tokenize+shingle kernel pass (r14 optimization). The r13 plan
+    // scanned the input and ran graft_shingles+explode FOUR times — the
+    // self-join's two sides plus two per-id count subplans — because
+    // Spark does no DAG-level CSE across join inputs. Two changes:
+    //  - the per-id shingle count rides on every exploded row
+    //    (shingles() is distinct per doc, so size(array) == the old
+    //    count(*) per id) — the two count subplans and their joins and
+    //    broadcasts disappear, and the groupBy below carries n_a/n_b as
+    //    functionally-dependent extra keys;
+    //  - the exploded (id, n, s) set is localCheckpoint'ed so both join
+    //    sides read the materialized rows instead of re-running the
+    //    scan+kernel. Blocks are released by the ContextCleaner when the
+    //    result frame dies (same caller-owned contract as Clustering's
+    //    output checkpoint); lineage loss is fine — this is a
+    //    deterministic derivation of an immutable parquet scan.
+    // This is the exact VERIFICATION path (quadratic by design, see
+    // scaladoc); the materialized shingle set is corpus-token-sized, so
+    // at 100 TB the scale path stays minhashPairs — unchanged here.
     val sh = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleSize)).as("s"))
-    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
+        shingles(col(textCol), shingleSize).as("shs"))
+      .select(col("id"), size(col("shs")).cast("long").as("n"),
+        explode(col("shs")).as("s"))
+      .localCheckpoint(true)
+    sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(cnt.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       // threshold on the RAW ratio (the oracle's filter); rounding is
       // display-only — filtering on the rounded value would admit pairs
       // in [threshold - 5e-5, threshold) that the oracle rejects
