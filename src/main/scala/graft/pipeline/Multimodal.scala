@@ -69,6 +69,7 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("doc_id"))
       .as[Long]
       .mapPartitions { ids =>
+        val writers = new ImageWriterPool // once per task (r14)
         ids.map { id =>
           // floorMod, not %: a negative id would yield width 0 (crash)
           // while the pmod-computed metadata below claims 8
@@ -87,9 +88,7 @@ object Multimodal {
             y += 1
           }
           val fmt = if (id % 2 == 0) "png" else "bmp"
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, fmt, bos)
-          (id, fmt, bos.toByteArray)
+          (id, fmt, writers.write(img, fmt, id))
         }
       }
       .toDF("doc_id", "format", "media")
@@ -115,8 +114,9 @@ object Multimodal {
     sized.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val readers = new ImageReaderPool // once per task (r14)
         rows.map { case (id, bytes) =>
-          val (fmt, img) = withImageReader(bytes, id, r =>
+          val (fmt, img) = readers.withImage(bytes, id)(r =>
             (r.getFormatName.toLowerCase, r.read(0)))
           ImageFeature(id, fmt, img.getWidth, img.getHeight,
             img.getWidth.toLong * img.getHeight, lumSum(img))
@@ -124,26 +124,110 @@ object Multimodal {
       }
   }
 
-  /** Sniff-and-open plumbing shared by the image and video decoders:
-    * memory-cache stream (the default file-cache variant would leak a
-    * temp file + fd per item), reader introspection from the BYTES (the
-    * metadata struct is not consulted), dispose/close on every path.
+  /** Per-TASK image reader pool (r14 optimization). The old per-row
+    * helper called ImageIO.getImageReaders for every payload — a scan
+    * of the GLOBAL IIORegistry, whose iteration synchronizes on the
+    * registry, so concurrent codec tasks over tiny payloads serialize
+    * on that lock (measured at sf0.1: a 32-way decode of the ≤8×6
+    * rasters ran slower than near-serial). Each task now materializes
+    * the reader-SPI list ONCE, sniffs every payload against it — still
+    * from the BYTES; the metadata struct stays unconsulted — and
+    * reuses one reader instance per format via setInput. The JDK
+    * PNG/BMP/GIF readers are plain JVM objects; they drop with the
+    * task, so the per-row dispose() is not needed.
     * `f` must fully materialize what it needs before returning. */
-  private def withImageReader[A](bytes: Array[Byte], id: Long,
-      f: javax.imageio.ImageReader => A): A = {
-    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext)
-        throw new IllegalArgumentException(
-          s"Multimodal decode: no codec for doc $id")
-      val reader = readers.next()
+  private final class ImageReaderPool {
+    import javax.imageio.spi.{IIORegistry, ImageReaderSpi}
+    import scala.jdk.CollectionConverters._
+    private val spis = IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[ImageReaderSpi], true).asScala.toList
+    private val pool = scala.collection.mutable
+      .Map.empty[ImageReaderSpi, javax.imageio.ImageReader]
+    def withImage[A](bytes: Array[Byte], id: Long)(
+        f: javax.imageio.ImageReader => A): A = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
       try {
+        val spi = spis.find { s =>
+          iis.mark(); try s.canDecodeInput(iis) finally iis.reset()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"Multimodal decode: no codec for doc $id"))
+        val reader = pool.getOrElseUpdate(spi, spi.createReaderInstance())
         reader.setInput(iis)
-        f(reader)
-      } finally reader.dispose()
-    } finally iis.close()
+        try f(reader) finally reader.setInput(null)
+      } finally iis.close()
+    }
+  }
+
+  /** Per-TASK image writer pool — the encode-side twin of
+    * [[ImageReaderPool]]: ImageIO.write does a registry lookup per
+    * call AND (with the default cache setting) routes the output
+    * through a DISK-backed FileCacheImageOutputStream — one temp file
+    * per encoded image. One writer per format per task, memory-backed
+    * output streams. */
+  private final class ImageWriterPool {
+    private val pool = scala.collection.mutable
+      .Map.empty[String, javax.imageio.ImageWriter]
+    def write(img: java.awt.image.RenderedImage, fmt: String,
+        id: Long): Array[Byte] = {
+      val writer = pool.getOrElseUpdate(fmt, {
+        val it = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+        // a sniffed format can be reader-only on some JREs — fail HERE
+        // with the doc id, not later in the decode stage (r13 review)
+        if (!it.hasNext) throw new IllegalArgumentException(
+          s"Multimodal encode: no encoder for format '$fmt' (doc $id)")
+        it.next()
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), null)
+        ios.flush()
+      } finally { writer.setOutput(null); ios.close() }
+      bos.toByteArray
+    }
+  }
+
+  /** Per-TASK audio SPI pool — the javax.sound twin of the image
+    * pools (r14): AudioSystem.write / getAudioInputStream consult the
+    * JDK's SYNCHRONIZED provider cache on every call, so concurrent
+    * audio-codec tasks over tiny clips serialize on it. Each task
+    * loads the reader/writer SPI lists once; the reader that matched
+    * last is tried first (the corpus is single-format, and the
+    * non-matching providers signal via thrown
+    * UnsupportedAudioFileException — exception control flow the JDK
+    * path pays too, per provider per row). */
+  private final class AudioIoPool {
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    import scala.jdk.CollectionConverters._
+    private val readers = java.util.ServiceLoader
+      .load(classOf[AudioFileReader]).asScala.toList
+    private val writers = java.util.ServiceLoader
+      .load(classOf[AudioFileWriter]).asScala.toList
+    private var preferred: AudioFileReader = null
+    def read(bytes: Array[Byte], id: Long)
+        : javax.sound.sampled.AudioInputStream = {
+      val in = new java.io.ByteArrayInputStream(bytes)
+      val ordered =
+        if (preferred == null) readers
+        else preferred :: readers.filterNot(_ eq preferred)
+      ordered.iterator.flatMap { r =>
+        in.reset()
+        try { val ais = r.getAudioInputStream(in); preferred = r; Some(ais) }
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
+      }.nextOption().getOrElse(throw new IllegalArgumentException(
+        s"Multimodal audio decode: no codec for doc $id"))
+    }
+    def write(ais: javax.sound.sampled.AudioInputStream,
+        tpe: javax.sound.sampled.AudioFileFormat.Type,
+        out: java.io.OutputStream, id: Long): Unit =
+      writers.find(_.isFileTypeSupported(tpe, ais))
+        .getOrElse(throw new IllegalArgumentException(
+          s"Multimodal audio encode: no $tpe writer (doc $id)"))
+        .write(ais, tpe, out)
   }
 
   /** Exact integer luminance sum (red channel of grayscale pixels). */
@@ -176,6 +260,7 @@ object Multimodal {
       .mapPartitions { ids =>
         val fmt = new javax.sound.sampled.AudioFormat(
           8000f, 16, 1, true, false)
+        val pool = new AudioIoPool // once per task (r14)
         ids.map { id =>
           val n = 200 + java.lang.Math.floorMod(id, 57L).toInt
           val pcm = new Array[Byte](n * 2)
@@ -190,8 +275,8 @@ object Multimodal {
           val bos = new java.io.ByteArrayOutputStream()
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          try javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          try pool.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos, id)
           finally ais.close()
           (id, bos.toByteArray)
         }
@@ -217,9 +302,9 @@ object Multimodal {
     sized.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val pool = new AudioIoPool // once per task (r14)
         rows.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
+          val ais = pool.read(bytes, id)
           val (rate, pcm) =
             try {
               val f = ais.getFormat
@@ -325,15 +410,16 @@ object Multimodal {
     sized.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val readers = new ImageReaderPool // once per task (r14)
         rows.flatMap { case (id, bytes) =>
-          withImageReader(bytes, id, { reader =>
+          readers.withImage(bytes, id) { reader =>
             val n = reader.getNumImages(true)
-            // .map materializes before the reader is disposed
+            // .map materializes before the reader's input is released
             (0 until n by everyNth).map { f =>
               val img = reader.read(f)
               (id, n, f, img.getWidth, img.getHeight, lumSum(img))
             }
-          })
+          }
         }
       }
       .toDF("doc_id", "n_frames", "frame_idx", "width", "height", "lum_sum")
@@ -409,8 +495,10 @@ object Multimodal {
     df.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val readers = new ImageReaderPool // once per task (r14)
+        val writers = new ImageWriterPool
         rows.map { case (id, bytes) =>
-          val (fmt, src) = withImageReader(bytes, id, r =>
+          val (fmt, src) = readers.withImage(bytes, id)(r =>
             (r.getFormatName.toLowerCase, r.read(0)))
           val out = new java.awt.image.BufferedImage(
             targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -425,15 +513,10 @@ object Multimodal {
             }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          // a sniffed format can be reader-only on some JREs —
-          // write() returning false would otherwise ship a 0-byte
-          // payload that only fails LATER in the decode stage,
-          // pointing at the wrong operator (r13 review)
-          if (!javax.imageio.ImageIO.write(out, fmt, bos))
-            throw new IllegalArgumentException(
-              s"Multimodal resize: no encoder for format '$fmt' (doc $id)")
-          (id, fmt, bos.toByteArray)
+          // the writer pool fails LOUDLY with the doc id on a
+          // reader-only sniffed format (r13 review), same contract as
+          // the old write()-returns-false check
+          (id, fmt, writers.write(out, fmt, id))
         }
       }
       .toDF("doc_id", "format", "media")

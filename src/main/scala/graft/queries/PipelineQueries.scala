@@ -1993,9 +1993,16 @@ object PipelineQueries {
       |       CAST(max(w) AS BIGINT) AS max_w,
       |       CAST(max(h) AS BIGINT) AS max_h
       |FROM px GROUP BY format ORDER BY format""") { (s, d) =>
+      // repartition the SLIM id rows to full width BEFORE the encode
+      // (r14, guide §8: move the exchange to where rows are smallest):
+      // the parquet scan is 1-4 partitions, so encode ran near-serial
+      // and the old mid-pipeline repartition(8) capped the CPU-bound
+      // codec stages at 8 of 32 cores; encode→decode now chain in one
+      // full-width stage with zero payload shuffles
       val media = Multimodal.encodeImages(
-        Engine.table(s, d, "documents").select(col("doc_id")), "doc_id")
-      Multimodal.decodeImageFeatures(media, parallelism = 8).toDF()
+        Engine.table(s, d, "documents").select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism), "doc_id")
+      Multimodal.decodeImageFeatures(media).toDF()
         .groupBy(col("format"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_px")).as("n_px"),
@@ -2027,10 +2034,12 @@ object PipelineQueries {
       |       CAST(count(*) AS BIGINT) AS n_px,
       |       CAST(sum(g) AS BIGINT) AS lum_sum
       |FROM px GROUP BY doc_id, format ORDER BY doc_id""") { (s, d) =>
+      // same pre-encode slim-row repartition as pipe_multimodal_decode
       val media = Multimodal.encodeImages(
-        Engine.table(s, d, "documents").select(col("doc_id")), "doc_id")
+        Engine.table(s, d, "documents").select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism), "doc_id")
       Multimodal.decodeImageFeatures(
-          Multimodal.resizeImages(media, 4, 3), parallelism = 8).toDF()
+          Multimodal.resizeImages(media, 4, 3)).toDF()
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("n_px"), col("lum_sum"))
         .orderBy(col("doc_id"))
@@ -2052,9 +2061,11 @@ object PipelineQueries {
       |       CAST(sum(abs(sample)) AS BIGINT) AS abs_sum,
       |       CAST(max(abs(sample)) AS BIGINT) AS peak
       |FROM s GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      // same pre-encode slim-row repartition as pipe_multimodal_decode
       val media = Multimodal.encodeAudio(
-        Engine.table(s, d, "documents").select(col("doc_id")), "doc_id")
-      Multimodal.decodeAudioFeatures(media, parallelism = 8).toDF()
+        Engine.table(s, d, "documents").select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism), "doc_id")
+      Multimodal.decodeAudioFeatures(media).toDF()
         .select(col("doc_id"), col("sample_rate").cast("long"),
           col("n_samples"), col("abs_sum"), col("peak"))
         .orderBy(col("doc_id"))
@@ -2079,9 +2090,11 @@ object PipelineQueries {
       |       CAST(f AS BIGINT) AS frame_idx,
       |       CAST(sum(g) AS BIGINT) AS lum_sum
       |FROM px GROUP BY doc_id, n, f ORDER BY doc_id, frame_idx""") { (s, d) =>
+      // same pre-encode slim-row repartition as pipe_multimodal_decode
       val media = Multimodal.encodeVideo(
-        Engine.table(s, d, "documents").select(col("doc_id")), "doc_id")
-      Multimodal.decodeVideoFrames(media, everyNth = 2, parallelism = 8)
+        Engine.table(s, d, "documents").select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism), "doc_id")
+      Multimodal.decodeVideoFrames(media, everyNth = 2)
         .select(col("doc_id"), col("n_frames").cast("long"),
           col("frame_idx").cast("long"), col("lum_sum"))
         .orderBy(col("doc_id"), col("frame_idx"))
