@@ -351,11 +351,32 @@ object WindowQueries {
       |             RANGE BETWEEN 1 PRECEDING AND 2 FOLLOWING)
       |ORDER BY o_orderkey""") { (s, d) =>
       GraftWindowFunctions.register(s)
+      // the three windowed passes land in their own projections (r14):
+      // the single-Column groupsSumBetween references its asc-window
+      // sums twice (null test + coalesce), and Spark's window
+      // extraction evaluated each reference as a SEPARATE window
+      // expression (5 evals where 3 suffice); withColumn intermediates
+      // make them attribute refs, and CollapseWindow still merges the
+      // two asc passes into one Window operator — same 2 sorts, 3
+      // window evals. Same algebra as groupsSumBetween (OperatorSpec
+      // pins that Column form against this frame's semantics).
+      val asc = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority").asc)
+      val desc = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority").desc)
       Engine.table(s, d, "orders")
+        .withColumn("__up", GraftWindowFunctions.groupsSum(
+          col("o_custkey"), col("o_orderpriority"), 1).over(asc))
+        .withColumn("__cur", GraftWindowFunctions.groupsSum(
+          col("o_custkey"), col("o_orderpriority"), 0).over(asc))
+        .withColumn("__down", GraftWindowFunctions.groupsSum(
+          col("o_custkey"), col("o_orderpriority"), 2).over(desc))
         .select(col("o_orderkey"),
-          GraftWindowFunctions.groupsSumBetween(col("o_custkey"),
-            col("o_orderpriority"), 1, 2,
-            Seq(col("o_orderstatus")), col("o_orderpriority"))
+          when(col("__up").isNull && col("__down").isNull,
+            lit(null).cast("long"))
+            .otherwise(coalesce(col("__up"), lit(0L))
+              + coalesce(col("__down"), lit(0L))
+              - coalesce(col("__cur"), lit(0L)))
             .as("cust_sum"))
         .orderBy(col("o_orderkey"))
     },

@@ -51,30 +51,35 @@ object CutAb {
         .select((col("doc_id") * fac + col("rep")).as("doc_id"), col("text"))
         .localCheckpoint(true)
       val nDocs = docsN.count()
-      def timed(name: String)(thunk: => Long): Unit = {
+      // noop sink, NOT count() (guide §1.4; r14 fix): cutWithSpans'
+      // left join has a unique right side, so count() lets
+      // EliminateOuterJoin drop the join — and with it the entire cut
+      // — and "apply"/"fused" read as instant while discover reads
+      // 20 s. noop executes every column of every row.
+      def timed(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
         meter.reset(); val g0 = gcMs; val t0 = System.nanoTime()
-        val rows = thunk
+        df.write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(1500)
         println(f"[cutab] $name%-10s ×$fac%-4d docs=$nDocs%-8d " +
-          f"rows=$rows%-9d wall=$wall%7.1f s gc=${gcMs - g0}%6d ms " +
+          f"wall=$wall%7.1f s gc=${gcMs - g0}%6d ms " +
           f"shufW=${meter.write.get / 1e6}%8.1f MB " +
           f"spill=${meter.spilledDisk.get / 1e6}%6.1f MB")
       }
       // (a) discovery alone
       timed("discover") {
-        Dedup.duplicateSpans(docsN, "doc_id", "text", subW).count()
+        Dedup.duplicateSpans(docsN, "doc_id", "text", subW)
       }
       // (b) discovery again, result MATERIALIZED for (c)
       val spansN = Dedup.duplicateSpans(docsN, "doc_id", "text", subW)
         .localCheckpoint(true)
       // (c) application alone, spans precomputed
       timed("apply") {
-        Dedup.cutWithSpans(docsN, "doc_id", "text", spansN).count()
+        Dedup.cutWithSpans(docsN, "doc_id", "text", spansN)
       }
       // (d) the fused operator (what Scale100Ab times)
       timed("fused") {
-        Dedup.cutDuplicateSpans(docsN, "doc_id", "text", subW).count()
+        Dedup.cutDuplicateSpans(docsN, "doc_id", "text", subW)
       }
       spansN.unpersist(blocking = true)
       docsN.unpersist(blocking = true)
