@@ -43,11 +43,15 @@ object Clustering {
     val mins = sym.groupBy(col("u"))
       .agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
+    // no output distinct (r14: one exchange per round saved) — the only
+    // consumer is smallStar, whose min-agg is duplicate-insensitive and
+    // whose own distinct() dedups the rewired edges; largeStar's output
+    // is already oriented u > v (v > original u ≥ m), so smallStar's
+    // greatest/least reorientation is the identity on it
     sym.filter(col("v") > col("u"))
       .join(mins, "u")
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: orient edges larger→smaller, then every node connects

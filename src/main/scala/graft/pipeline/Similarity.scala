@@ -127,8 +127,12 @@ object Similarity {
       threshold: Double = 0.85, dim: Int = 64): DataFrame = {
     require(planes % bandBits == 0, "planes must be divisible by bandBits")
     val bands = planes / bandBits
+    // localCheckpoint, not persist (r14): same multi-consumer
+    // materialization, but without registering the subplan with the
+    // CacheManager (the r13 cross-query plan-substitution gotcha) and
+    // without a never-released cache entry — blocks die with the frame
     val base = corpus.select(col(idCol).as("id"),
-      asDouble(col(vecCol)).as("vec")).persist()
+      asDouble(col(vecCol)).as("vec")).localCheckpoint()
     graft.functions.Sketches.register(corpus.sparkSession)
     val mask = (1L << bandBits) - 1
     // All rotations' signatures are computed in ONE pass over the corpus
@@ -154,7 +158,7 @@ object Similarity {
         xxhash64(col("rot"), col("band"),
           expr(s"shiftright(sig, CAST(band * $bandBits AS INT)) & ${mask}L"))
           .as("bucket"))
-      .persist()
+      .localCheckpoint()
     // dedup candidates on the id pair BEFORE fetching vectors — hashing
     // (long, long) in the distinct shuffle, not 64-double arrays
     val cand = bucketed.select(col("id").as("id_a"), col("bucket")).as("l")
