@@ -3,7 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  * prints JSON lines {"metric","value","unit","queries","sf"} — the full
+  * per-query record first (total_full), then the compact headline line,
+  * then (r15) the full queries map again in tail-survivable chunk lines
+  * and ONE final contract-complete line whose fixed headline queries
+  * subset fits the driver's 2000-byte stdout tail whole; the complete
+  * map is also written to target/bench_per_query.json.
   *
   * Methodology: each query materializes fully through the noop sink
   * (count() can skip sorts/projections — noop executes the whole plan)
@@ -585,6 +590,82 @@ object Bench {
       System.err.println(s"[bench] WARNING compact line ${compact.length} B" +
         " > 1900 — trim fields or the driver tail capture will clip it")
     println(compact)
+
+    // ── per-query delivery to the driver (r14 verdict #1) ───────────────
+    // The driver parses only the LAST ~2000 bytes of stdout, so the full
+    // per-query map in total_full (tens of KB) never survived into
+    // PERF_r{N} ("parsed": null since r4) — five optimization rounds were
+    // adjudicated on contended totals and top-N fragments. Three layers,
+    // ADDITIVE to the two lines above (nothing removed or renamed):
+    //  1. target/bench_per_query.json — the complete contract-shaped
+    //     record ({"metric","value","unit","queries",...,"sf"}) as a
+    //     sidecar file (path advertised as pq_file below);
+    //  2. the full queries map re-printed as contract-shaped
+    //     "chunk" stdout lines of ≤ ~1600 B — every query reaches any
+    //     consumer that keeps whole lines or whole stdout;
+    //  3. ONE final contract-complete line that fits the 2000 B tail
+    //     WHOLE (line + sbt's ~73 B success suffix < 2000): headline
+    //     fields + a FIXED priority subset of the queries map — all 22
+    //     TPC-H (the BASELINE gate set), the historically hot TPC-DS
+    //     statements, the heavy pipeline operators. Deterministic NAMES,
+    //     never top-N by measured time, so the driver's round-over-round
+    //     and 8c/32c scaling joins see the same key set every run.
+    def m3e(entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":" + m3(v) }.mkString("{", ",", "}")
+    val sidecar = s"""{"metric":"total","value":${c(total)},"unit":"sec","cpus":$cpus,"iters":$iters,"per_query_floor":${c(floor)},"floor_ratio":$floorRatio,"failed":$errs,"contended":$contendedFullStr,"hot":$hotFullStr,"queries":$qs,"queries_min":$minsFull,"sf":"$sfDir"}"""
+    if (only.isEmpty) {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench_per_query.json"),
+        (sidecar + "\n").getBytes("UTF-8"))
+    }
+    val sortedQ = results.sortBy(_._1)
+    val chunkBodies = {
+      val bs = Seq.newBuilder[Seq[(String, Double)]]
+      var cur = Vector.empty[(String, Double)]
+      var len = 0
+      sortedQ.foreach { case (k, v) =>
+        val e = k.length + m3(v).length + 4
+        if (len + e > 1600 && cur.nonEmpty) { bs += cur; cur = Vector.empty; len = 0 }
+        cur :+= (k -> v); len += e
+      }
+      if (cur.nonEmpty) bs += cur
+      bs.result()
+    }
+    chunkBodies.zipWithIndex.foreach { case (body, i) =>
+      println(s"""{"metric":"total","value":${c(total)},"unit":"sec","chunk":${i + 1},"chunks":${chunkBodies.size},"queries":${m3e(body)},"sf":"$sfDir"}""")
+    }
+    val headlineNames: Seq[String] =
+      (1 to 22).map(i => s"tpch_q$i") ++
+      Seq("q72", "q04", "q14a", "q14b", "q22", "q23a", "q23b", "q06",
+        "q10", "q15", "q16", "q39a", "q39b").map("tpcds_" + _) ++
+      Seq("curate_e2e", "text_rolling_fp", "quality_distill_refined",
+        "quality_distill", "dedup_cluster", "dedup_cluster_keep",
+        "dedup_ngram", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+        "sim_lsh", "text_classifier_sgd", "curate_incremental",
+        "dedup_incremental_minhash", "dedup_substring_cut",
+        "multimodal_resize", "multimodal_audio").map("pipe_" + _) ++
+      Seq("window_groups_between", "agg_approx")
+    val rmap = results.toMap
+    val headline = {
+      // greedy size guard: the fixed list fits today (~1250 B); if names
+      // grow past the budget the TAIL of the priority list is dropped
+      // rather than overflowing the 2000 B capture
+      val b = Seq.newBuilder[(String, Double)]
+      var len = 0
+      headlineNames.foreach { k =>
+        rmap.get(k).foreach { v =>
+          val e = k.length + m3(v).length + 4
+          if (len + e <= 1380) { b += (k -> v); len += e }
+        }
+      }
+      b.result()
+    }
+    val finalLine = s"""{"metric":"total","value":${c(total)},"unit":"sec","failed_n":${failed.size},"failed":$errsCapped,"hot_n":${hot.size},"contended_n":${contended.size},"floor_ratio":$floorRatio,"cpus":$cpus,"iters":$iters,"per_query_floor":${c(floor)},"tpch_total":${c(tpchTotal)},"tpcds_total":${c(tpcdsTotal)},"pipe_total":${c(pipeTotal)},"click_total":${c(clickTotal)},"h2o_total":${c(h2oTotal)},"other_total":${c(otherTotal)},"tpch_mem_total":$memTotal2,"rows_ok":$rowsOk,"pq_file":"target/bench_per_query.json","chunks":${chunkBodies.size},"queries":${m3e(headline)},"sf":"$sfDir"}"""
+    if (finalLine.length > 1910)
+      System.err.println(s"[bench] WARNING final line ${finalLine.length} B" +
+        " > 1910 — the driver tail capture will clip its head")
+    println(finalLine)
     Engine.clearCache(spark)
     spark.stop()
   }
