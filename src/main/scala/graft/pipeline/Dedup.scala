@@ -126,7 +126,14 @@ object Dedup {
   /** 63-bit SimHash from precomputed token hashes (63, not 64, so the
     * bit-assembly fold can never overflow a signed long under ANSI mode).
     * shiftright-by-column goes through call_function (the Scala helper
-    * only accepts a literal shift). */
+    * only accepts a literal shift).
+    *
+    * PRECONDITION (r14 ADVICE): `hs` must contain no NULL elements. The
+    * arithmetic majority vote nullifies a bit-sum on a null hash (the
+    * old ±1 fold counted it as a −1 vote), so a nullable caller would
+    * silently get all-zero simhashes. Unreachable via [[tokenHashes]] /
+    * [[tokenHashesPortable]] (hashes of split() tokens are never null);
+    * a future caller with nullable hashes must filter first. */
   def simhashFromHashes(hs: Column): Column =
     aggregate(
       transform(sequence(lit(0), lit(62)), i =>
@@ -464,11 +471,12 @@ object Dedup {
     // This is the exact VERIFICATION path (quadratic by design, see
     // scaladoc); the materialized shingle set is corpus-token-sized, so
     // at 100 TB the scale path stays minhashPairs — unchanged here.
-    val sh = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleSize).as("shs"))
-      .select(col("id"), size(col("shs")).cast("long").as("n"),
-        explode(col("shs")).as("s"))
-      .localCheckpoint(true)
+    val sh = Materialize.checkpoint(
+      df.select(col(idCol).as("id"),
+          shingles(col(textCol), shingleSize).as("shs"))
+        .select(col("id"), size(col("shs")).cast("long").as("n"),
+          explode(col("shs")).as("s")),
+      eager = true)
     sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -730,7 +738,7 @@ object Dedup {
     // the batch sigs to storage). persistSigs=false for REPEATED
     // callers that prefer the recompute (one extra signature pass).
     val bs0 = simhashStorePortable(batch, idCol, textCol)
-    val bs = if (persistSigs) bs0.localCheckpoint() else bs0
+    val bs = if (persistSigs) Materialize.checkpoint(bs0) else bs0
     val bc = chunked(bs)
     val sc0 = chunked(storeSigs.select(col("id").cast("long").as("id"),
       col("sig")))
@@ -893,7 +901,7 @@ object Dedup {
     // same localCheckpoint rationale + repeated-caller escape as the
     // SimHash store ops (r14: never persist() inside a lazy operator)
     val bs0 = minhashSigStore(batch, idCol, textCol, k, shingleSize)
-    val bsig = if (persistSigs) bs0.localCheckpoint() else bs0
+    val bsig = if (persistSigs) Materialize.checkpoint(bs0) else bs0
     val bc = banded(bsig)
     val sc0 = banded(storeSigs.select(col("id").cast("long").as("id"),
       col("sig")))
@@ -993,7 +1001,7 @@ object Dedup {
     // same localCheckpoint rationale + repeated-caller escape as the
     // narrow path (r14 ADVICE: persist() here leaked its cache entry)
     val bs0 = simhashStorePortableWide(batch, idCol, textCol)
-    val bs = if (persistSigs) bs0.localCheckpoint() else bs0
+    val bs = if (persistSigs) Materialize.checkpoint(bs0) else bs0
     val bc = chunked(bs)
     val sc0 = chunked(storeSigs.select(col("id").cast("long").as("id"),
       col("sig0"), col("sig1")))

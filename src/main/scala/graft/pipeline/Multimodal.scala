@@ -154,7 +154,10 @@ object Multimodal {
           s"Multimodal decode: no codec for doc $id"))
         val reader = pool.getOrElseUpdate(spi, spi.createReaderInstance())
         reader.setInput(iis)
-        try f(reader) finally reader.setInput(null)
+        // reset(), not setInput(null) (r14 ADVICE): restores the
+        // documented post-construction state — listeners/locale included
+        // — for ANY SPI, at the same cost
+        try f(reader) finally reader.reset()
       } finally iis.close()
     }
   }

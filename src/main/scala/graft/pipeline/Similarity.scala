@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -127,12 +127,16 @@ object Similarity {
       threshold: Double = 0.85, dim: Int = 64): DataFrame = {
     require(planes % bandBits == 0, "planes must be divisible by bandBits")
     val bands = planes / bandBits
-    // localCheckpoint, not persist (r14): same multi-consumer
-    // materialization, but without registering the subplan with the
-    // CacheManager (the r13 cross-query plan-substitution gotcha) and
-    // without a never-released cache entry — blocks die with the frame
-    val base = corpus.select(col(idCol).as("id"),
-      asDouble(col(vecCol)).as("vec")).localCheckpoint()
+    // Materialize.checkpoint (localCheckpoint by default), not persist
+    // (r14): same multi-consumer materialization, but without
+    // registering the subplan with the CacheManager (the r13 cross-query
+    // plan-substitution gotcha) and without a never-released cache
+    // entry. Eager is explicit (r14 ADVICE), and both intermediates are
+    // RELEASED before returning — the returned frame is its own
+    // (pair-sized) checkpoint, mirroring connectedComponents.
+    val base = Materialize.checkpoint(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec")),
+      eager = true)
     graft.functions.Sketches.register(corpus.sparkSession)
     val mask = (1L << bandBits) - 1
     // All rotations' signatures are computed in ONE pass over the corpus
@@ -146,7 +150,7 @@ object Similarity {
         graft.functions.Sketches.hyperplaneSignature(col("vec"),
           typedlit(planeMatrix(rot, planes, dim))).as("sig"))
     }: _*)
-    val bucketed = base
+    val bucketed0 = base
       .select(col("id"), explode(rotSigs).as("rs"))
       .select(col("id"), col("rs.rot").as("rot"), col("rs.sig").as("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -158,7 +162,7 @@ object Similarity {
         xxhash64(col("rot"), col("band"),
           expr(s"shiftright(sig, CAST(band * $bandBits AS INT)) & ${mask}L"))
           .as("bucket"))
-      .localCheckpoint()
+    val bucketed = Materialize.checkpoint(bucketed0, eager = true)
     // dedup candidates on the id pair BEFORE fetching vectors — hashing
     // (long, long) in the distinct shuffle, not 64-double arrays
     val cand = bucketed.select(col("id").as("id_a"), col("bucket")).as("l")
@@ -173,13 +177,20 @@ object Similarity {
     // keeps the verify at full parallelism. (Same reasoning at cluster
     // scale: cost here is per-row compute, not bytes.)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    cand
-      .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
-      .repartition(par, col("id_a"), col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+    val out = Materialize.checkpoint(
+      cand
+        .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+        .repartition(par, col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= threshold),
+      eager = true)
+    // the eager output copy owns the data now — release the corpus-sized
+    // intermediates instead of leaving them to driver GC (r14 ADVICE)
+    GraftSqlShim.unpersistLocalCheckpoint(base)
+    GraftSqlShim.unpersistLocalCheckpoint(bucketed)
+    out
   }
 
   /** All pairs (id_a < id_b) with cosine >= threshold, by brute-force

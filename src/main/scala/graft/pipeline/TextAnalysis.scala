@@ -337,8 +337,8 @@ object TextAnalysis {
     // exact cross-query contamination the r7 note in
     // simhashPairsPortable warns about). At 100 TB: checkpoint the
     // scored slice to storage.
-    val scored = crossEntropyScore(train, eval, idCol, textCol, alpha)
-      .localCheckpoint()
+    val scored = Materialize.checkpoint(
+      crossEntropyScore(train, eval, idCol, textCol, alpha))
     val cdf = scored.groupBy(col("xent")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).sortBy(_._1)
     require(cdf.nonEmpty, "perplexityBuckets: no scored documents")

@@ -3,6 +3,7 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, GraftSqlShim}
+import graft.pipeline.Materialize
 
 /** WITH RECURSIVE support (reference: RecursiveQueryExec + WorkTableExec,
   * datafusion/physical-plan/src/recursive_query.rs:57, work_table.rs:97;
@@ -39,7 +40,7 @@ object RecursiveCte {
       init: DataFrame,
       step: DataFrame => DataFrame,
       maxIter: Int = 100): DataFrame = {
-    var acc = init.localCheckpoint(eager = true)
+    var acc = Materialize.checkpoint(init, eager = true)
     // checkpointed pieces the CURRENT acc still references
     val accPieces = mutable.Buffer[DataFrame](acc)
     // a frontier that outlived its membership in accPieces (it was
@@ -51,7 +52,7 @@ object RecursiveCte {
     var unionDepth = 0
     var done = frontier.isEmpty
     while (i < maxIter && !done) {
-      val next = step(frontier).except(acc).localCheckpoint(eager = false)
+      val next = Materialize.checkpoint(step(frontier).except(acc), eager = false)
       if (next.count() == 0) {
         release(next) // empty, never joins acc
         done = true
@@ -67,7 +68,7 @@ object RecursiveCte {
         // bound the union fan-in: an unbounded union tree makes each
         // iteration's analyze/optimize pass O(depth), i.e. O(n^2) total
         if (unionDepth >= 8) {
-          acc = acc.localCheckpoint(eager = true)
+          acc = Materialize.checkpoint(acc, eager = true)
           // the re-checkpoint copied every row: superseded pieces are
           // dead — except the current frontier, still the next input
           accPieces.filterNot(_ eq frontier).foreach(release)
@@ -103,7 +104,7 @@ object RecursiveCte {
       maxIter: Int = 100,
       batch: Int = 8): DataFrame = {
     require(batch >= 1, "batch must be >= 1")
-    var acc = init.localCheckpoint(eager = true)
+    var acc = Materialize.checkpoint(init, eager = true)
     val accPieces = mutable.Buffer[DataFrame](acc)
     // frontier checkpoints never join acc here (newRows does), so the
     // previous frontier dies as soon as the current batch's two jobs
@@ -118,19 +119,19 @@ object RecursiveCte {
       val steps = Iterator.iterate(frontier)(step).drop(1).take(k).toVector
       // one job materializes the batch's last frontier (the emptiness
       // probe + next iteration's input) …
-      val next = steps.last.localCheckpoint(eager = false)
+      val next = Materialize.checkpoint(steps.last, eager = false)
       val lastEmpty = next.count() == 0
       // … and one job materializes the batch's accumulated rows (the
       // intermediate steps recompute narrowly from the checkpointed
       // frontier — no shuffle, no lineage growth)
-      val newRows = steps.reduce(_ unionAll _).localCheckpoint(eager = true)
+      val newRows = Materialize.checkpoint(steps.reduce(_ unionAll _), eager = true)
       prevFrontier.foreach(release)
       prevFrontier = Some(next)
       acc = acc.union(newRows)
       accPieces += newRows
       unionDepth += 1
       if (unionDepth >= 8) {
-        acc = acc.localCheckpoint(eager = true)
+        acc = Materialize.checkpoint(acc, eager = true)
         accPieces.foreach(release)
         accPieces.clear()
         accPieces += acc
