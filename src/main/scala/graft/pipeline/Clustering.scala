@@ -34,38 +34,40 @@ object Clustering {
   private def release(df: DataFrame): Unit =
     GraftSqlShim.unpersistLocalCheckpoint(df)
 
-  /** Large-star: every node connects its LARGER neighbors to the
-    * minimum of its neighborhood (including itself). Star forests are
-    * a fixpoint: for a root, this re-emits its own star; leaves see
-    * only the (smaller) root and emit nothing. */
-  private def largeStar(e: DataFrame): DataFrame = {
+  /** One large-star + small-star round, fused to THREE exchanges (r15,
+    * r14 verdict #2: the groupBy+join formulation spent ~7 exchanges per
+    * round and the loop was scheduling-bound on small edge sets).
+    *
+    * Each star's "min over the neighborhood + rewire every neighbor" is
+    * ONE window aggregate over the same hash(u) exchange instead of a
+    * groupBy(u) exchange followed by a join(u) exchange: every row sees
+    * its group min in place (default frame = whole partition; WindowExec
+    * sorts by u only). Iterate equivalence to the Kiveris et al.
+    * formulation, proven row-wise:
+    *  - large-star: for each symmetrized row (u, v) with v > u, emit
+    *    (v, m) where m = min(N(u) ∪ u) — identical MULTISET to the old
+    *    filter(v>u) ⋈ groupBy-min (one emission per qualifying row).
+    *    Output is oriented u > v (v > old u ≥ m).
+    *  - small-star input needs no distinct(): its min is duplicate-
+    *    insensitive and the final distinct() dedups the rewired edges —
+    *    dropping it removes the third exchange the old shape paid.
+    *  - small-star: per row (u, v) with m = min(v) over group u, emit
+    *    (v, m) when v ≠ m and (u, m) when v = m. Every group has ≥ 1
+    *    row with v = m (m is one of the v's), so the emitted SET equals
+    *    the old rewired ∪ mins — and the result is distinct()'ed, so
+    *    the fixpoint iterates are bit-identical. */
+  private[graft] def ccRound(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u")
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy(col("u"))
-      .agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("mn"), col("u")).as("m"))
-    // no output distinct (r14: one exchange per round saved) — the only
-    // consumer is smallStar, whose min-agg is duplicate-insensitive and
-    // whose own distinct() dedups the rewired edges; largeStar's output
-    // is already oriented u > v (v > original u ≥ m), so smallStar's
-    // greatest/least reorientation is the identity on it
-    sym.filter(col("v") > col("u"))
-      .join(mins, "u")
+    val ls = sym
+      .withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u") && col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
-      .filter(col("u") =!= col("v"))
-  }
-
-  /** Small-star: orient edges larger→smaller, then every node connects
-    * all its (smaller) neighbors to the smallest one, keeping its own
-    * link to it. */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val dir = e.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .distinct()
-    val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-    val rewired = dir.join(mins, "u")
-      .filter(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"))
-    rewired.union(mins.select(col("u"), col("m").as("v")))
+    ls.withColumn("m", min(col("v")).over(w))
+      .select(
+        when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+        col("m").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
   }
@@ -92,23 +94,33 @@ object Clustering {
     // generation plan (e.g. exact ngram pairs) re-executes per consumer.
     // Released before returning: the returned frame is its own (vertex-
     // sized) checkpoint, so no edge-sized blocks outlive the call.
-    val ein = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-      .localCheckpoint(eager = true)
-    var e = ein
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(eager = false)
+    val ein = Materialize.checkpoint(
+      edges.select(col(aCol).as("u"), col(bCol).as("v")), eager = true)
+    var e = Materialize.checkpoint(
+      ein.filter(col("u") =!= col("v")).distinct(), eager = false)
     var sig = probe(e)
     var i = 0
     var converged = sig._1 == 0
+    // probe every 2nd round (r15, r14 verdict #2): the probe is a full
+    // agg job, and on small edge sets the loop is job-launch-bound —
+    // chaining two rounds into one probed job halves the barrier count.
+    // Correct because the round function is deterministic and converges
+    // monotonically (Kiveris et al.: a potential strictly decreases
+    // until the star-forest fixpoint, so no cycles of length > 1):
+    // sig(e_{k}) == sig(e_{k-2}) only at the fixpoint, detected at most
+    // 2 (cheap, already-converged) rounds late — the final edge set is
+    // the same star forest either way, so assignments are unchanged.
     while (i < maxIter && !converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val steps = math.min(2, maxIter - i)
+      var nx = e
+      for (_ <- 1 to steps) nx = ccRound(nx)
+      val next = Materialize.checkpoint(nx, eager = false)
       val nsig = probe(next)
       release(e)
       e = next
       converged = nsig == sig // star forest ⇒ both stars are identity
       sig = nsig
-      i += 1
+      i += steps
     }
     // star forest: every non-root has exactly one edge (id → root);
     // min() guards the maxIter-truncated case, roots map to themselves
@@ -116,9 +128,10 @@ object Clustering {
       .union(ein.select(col("v").as("id")))
       .distinct()
     val assign = e.groupBy(col("u").as("id")).agg(min(col("v")).as("cc"))
-    val out = verts.join(assign, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cc"), col("id")).as("component"))
-      .localCheckpoint(eager = true)
+    val out = Materialize.checkpoint(
+      verts.join(assign, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cc"), col("id")).as("component")),
+      eager = true)
     // the eager output copy owns the data now — drop the (edge-sized)
     // intermediate checkpoints instead of leaving them to driver GC
     release(e)

@@ -63,6 +63,32 @@ class ClusteringSpec extends AnyFunSuite {
     assert(kept === Set(1L, 2L, 4L, 5L, 6L, 8L, 10L))
   }
 
+  test("reliable-checkpoint escape hatch: same components, storage-backed") {
+    // spark.graft.checkpoint.reliable=true routes every Materialize site
+    // through Dataset.checkpoint (fault-tolerant, storage-backed) — the
+    // r14 verdict #7 escape hatch. Results must be identical to the
+    // default localCheckpoint path, and the checkpoint dir must actually
+    // receive RDD data.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    spark.conf.set(graft.pipeline.Materialize.ReliableKey, "true")
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 12L))
+      assert(ccOf(edges) === unionFind(edges))
+      val files = java.nio.file.Files.walk(dir.toPath).iterator()
+      val sawRddData = Iterator.continually(files)
+        .takeWhile(_.hasNext).map(_.next().toString)
+        .exists(_.contains("rdd-"))
+      assert(sawRddData, "reliable path wrote no checkpoint RDD files")
+    } finally {
+      spark.conf.unset(graft.pipeline.Materialize.ReliableKey)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("agrees with the recursive-CTE closure on real near-dup pairs") {
     val docs = Engine.table(spark, "/root/testdata/sf0.01", "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
