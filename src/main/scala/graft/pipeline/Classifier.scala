@@ -79,26 +79,43 @@ object Classifier {
   def trainLogOdds(
       train: DataFrame, textCol: String, labelCol: String, d: Int,
       alpha: Double = 1.0, includeBigrams: Boolean = true)
-      : (Array[Double], Double) = {
+      : (Array[Double], Double) =
+    trainLogOddsFeats(
+      featurizeBinary(train, textCol, labelCol, d, includeBigrams),
+      d, alpha)
+
+  /** Binary twin of [[featurizeMulti]]: one (y, fb) pass shared by the
+    * NB-init and the GD refinement (r15 — the sgd chain featurized the
+    * train half twice). */
+  def featurizeBinary(
+      train: DataFrame, textCol: String, labelCol: String, d: Int,
+      includeBigrams: Boolean = true): DataFrame = {
     graft.functions.Sketches.register(train.sparkSession)
+    train.select(col(labelCol).cast("int").as("y"),
+      buckets(coalesce(col(textCol), lit("")), d, includeBigrams).as("fb"))
+  }
+
+  /** [[trainLogOdds]] over a pre-featurized (y, fb) frame. */
+  def trainLogOddsFeats(
+      featsIn: DataFrame, d: Int, alpha: Double = 1.0)
+      : (Array[Double], Double) = {
+    graft.functions.Sketches.register(featsIn.sparkSession)
     // label contract ENFORCED, not just documented (r13 ADVICE): the
     // per-class doc counts double as the validation pass — a NULL or
     // out-of-range label would otherwise be silently counted as class 0
     // by the when(y===1).otherwise(...) folds below and train
     // silently-wrong weights. This agg runs anyway (it feeds the bias),
-    // so the check costs nothing extra.
-    val docRows = train.groupBy(col(labelCol).cast("int").as("y"))
+    // so the check costs nothing extra (fb is pruned from it).
+    val docRows = featsIn.groupBy(col("y"))
       .agg(count(lit(1)).as("n")).collect()
     val bad = docRows.filter(r => r.isNullAt(0) ||
       (r.getInt(0) != 0 && r.getInt(0) != 1))
-    require(bad.isEmpty, s"trainLogOdds: label column '$labelCol' must " +
+    require(bad.isEmpty, "trainLogOdds: label column must " +
       "be 0/1 and non-null; found " + bad.map(r =>
         (if (r.isNullAt(0)) "NULL" else r.getInt(0).toString) +
           s" (${r.getLong(1)} rows)").mkString(", "))
     val docs = docRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val feats = train.select(col(labelCol).cast("int").as("y"),
-        explode(buckets(coalesce(col(textCol), lit("")), d,
-          includeBigrams)).as("b"))
+    val feats = featsIn.select(col("y"), explode(col("fb")).as("b"))
     val counts = feats.groupBy(col("b"))
       .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("y") === 1, 0L).otherwise(1L)).as("n0"))
@@ -134,22 +151,46 @@ object Classifier {
       train: DataFrame, textCol: String, labelCol: String,
       classes: Seq[String], d: Int, alpha: Double = 1.0,
       includeBigrams: Boolean = true)
+      : (Map[String, Array[Double]], Map[String, Double]) =
+    trainLogOddsMultiFeats(
+      featurizeMulti(train, textCol, labelCol, d, includeBigrams),
+      classes, d, alpha)
+
+  /** One (y, fb) featurization pass shared by the NB-init and the GD
+    * refinement (r15): the refined-distillation chain ran the buckets
+    * kernel over the train slice TWICE — once exploded for the NB
+    * counts, once array-form for the softmax loop's persist. Callers
+    * that train both stages materialize this frame once
+    * (Materialize.checkpoint) and pass it to the *Feats variants;
+    * values are identical by construction (same kernel, same casts). */
+  def featurizeMulti(
+      train: DataFrame, textCol: String, labelCol: String, d: Int,
+      includeBigrams: Boolean = true): DataFrame = {
+    graft.functions.Sketches.register(train.sparkSession)
+    train.select(col(labelCol).cast("string").as("y"),
+      buckets(coalesce(col(textCol), lit("")), d, includeBigrams).as("fb"))
+  }
+
+  /** [[trainLogOddsMulti]] over a pre-featurized (y, fb) frame. */
+  def trainLogOddsMultiFeats(
+      featsIn: DataFrame, classes: Seq[String], d: Int,
+      alpha: Double = 1.0)
       : (Map[String, Array[Double]], Map[String, Double]) = {
     require(classes.nonEmpty && classes.distinct == classes,
       "classes must be non-empty and distinct")
-    graft.functions.Sketches.register(train.sparkSession)
-    val docRows = train.groupBy(col(labelCol).cast("string").as("y"))
+    graft.functions.Sketches.register(featsIn.sparkSession)
+    // the label-validation doc counts prune fb, so this pass stays as
+    // cheap as the old direct groupBy over the train frame
+    val docRows = featsIn.groupBy(col("y"))
       .agg(count(lit(1)).as("n")).collect()
     val bad = docRows.filter(r =>
       r.isNullAt(0) || !classes.contains(r.getString(0)))
-    require(bad.isEmpty, s"trainLogOddsMulti: label column '$labelCol' " +
+    require(bad.isEmpty, "trainLogOddsMulti: label column " +
       s"must be one of ${classes.mkString("/")}; found " + bad.map(r =>
         (if (r.isNullAt(0)) "NULL" else r.getString(0)) +
           s" (${r.getLong(1)} rows)").mkString(", "))
     val docs = docRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val feats = train.select(col(labelCol).cast("string").as("y"),
-      explode(buckets(coalesce(col(textCol), lit("")), d,
-        includeBigrams)).as("b"))
+    val feats = featsIn.select(col("y"), explode(col("fb")).as("b"))
     val aggCols = classes.map(c =>
       sum(when(col("y") === c, 1L).otherwise(0L)).as(s"n_$c"))
     val counts = feats.groupBy(col("b"))
@@ -294,15 +335,24 @@ object Classifier {
       initWq: Array[Long], initBq: Long,
       iters: Int, lr: Double,
       includeBigrams: Boolean = true): (Array[Long], Long) = {
-    graft.functions.Sketches.register(train.sparkSession)
+    val feats = featurizeBinary(train, textCol, labelCol, initWq.length,
+      includeBigrams).persist()
+    // the Feats variant's n-count materializes the cache before the loop
+    try trainLogisticFixedFeats(feats, initWq, initBq, iters, lr)
+    finally feats.unpersist()
+  }
+
+  /** [[trainLogisticFixed]] over a pre-featurized (y, fb) frame — the
+    * caller owns its materialization. */
+  def trainLogisticFixedFeats(
+      feats: DataFrame, initWq: Array[Long], initBq: Long,
+      iters: Int, lr: Double): (Array[Long], Long) = {
+    graft.functions.Sketches.register(feats.sparkSession)
     val d = initWq.length
-    val feats = train.select(col(labelCol).cast("int").as("y"),
-        buckets(coalesce(col(textCol), lit("")), d, includeBigrams)
-          .as("fb"))
-      .persist()
-    val n = feats.count() // also materializes the cache
-    var wq = initWq.clone(); var bq = initBq
-    try {
+    val n = feats.count()
+    var wq = initWq.clone()
+    var bq = initBq
+    locally {
       for (_ <- 1 to iters) {
         // integer score via GatherSum over integer-valued doubles —
         // exact while |Σ| < 2^53 (|w|·2^20 ≈ 2e7 × ~1e3 features)
@@ -330,7 +380,7 @@ object Classifier {
         }
         bq = rhalf((bq.toDouble / WQ - lr * gb.toDouble / (EQ * n)) * WQ)
       }
-    } finally feats.unpersist()
+    }
     (wq, bq)
   }
 
@@ -367,21 +417,33 @@ object Classifier {
       iters: Int, lr: Double,
       includeBigrams: Boolean = true)
       : (Map[String, Array[Long]], Map[String, Long]) = {
+    val d = initWq.headOption.map(_._2.length).getOrElse(0)
+    val feats = featurizeMulti(train, textCol, labelCol, d, includeBigrams)
+      .persist()
+    // the Feats variant's n-count materializes the cache before the loop
+    try trainSoftmaxFixedFeats(feats, classes, initWq, initBq, iters, lr)
+    finally feats.unpersist()
+  }
+
+  /** [[trainSoftmaxFixed]] over a pre-featurized (y, fb) frame — the
+    * caller owns its materialization (the loop reads it every
+    * iteration; an unmaterialized frame would recompute per pass). */
+  def trainSoftmaxFixedFeats(
+      feats: DataFrame, classes: Seq[String],
+      initWq: Map[String, Array[Long]], initBq: Map[String, Long],
+      iters: Int, lr: Double)
+      : (Map[String, Array[Long]], Map[String, Long]) = {
     require(classes.nonEmpty && initWq.keySet == classes.toSet &&
       initBq.keySet == classes.toSet,
       "initWq/initBq must cover exactly the declared classes")
     val d = initWq(classes.head).length
     require(classes.forall(c => initWq(c).length == d),
       s"all per-class init arrays must share length $d")
-    graft.functions.Sketches.register(train.sparkSession)
-    val feats = train.select(col(labelCol).cast("string").as("y"),
-        buckets(coalesce(col(textCol), lit("")), d, includeBigrams)
-          .as("fb"))
-      .persist()
-    val n = feats.count() // also materializes the cache
+    graft.functions.Sketches.register(feats.sparkSession)
+    val n = feats.count()
     var wq = classes.map(c => c -> initWq(c).clone()).toMap
     var bq = initBq
-    try {
+    locally {
       for (_ <- 1 to iters) {
         // exact dyadic per-class scores (integer GatherSum / 2^20)
         val sCols = classes.map { c =>
@@ -425,7 +487,7 @@ object Classifier {
           c -> rhalf((bq(c).toDouble / WQ - lr * g.toDouble / (EQ * n)) * WQ)
         }.toMap
       }
-    } finally feats.unpersist()
+    }
     (wq, bq)
   }
 

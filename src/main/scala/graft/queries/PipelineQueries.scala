@@ -1,8 +1,10 @@
 package graft.queries
 
 import graft.{Engine, Q}
-import graft.pipeline.{Chunking, Clustering, Decontamination, Dedup,
-  Multimodal, Packing, Quality, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Classifier, Clustering, Decontamination,
+  Dedup, Materialize, Multimodal, Packing, Quality, Similarity,
+  TextAnalysis}
+import org.apache.spark.sql.GraftSqlShim
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1539,11 +1541,18 @@ object PipelineQueries {
       val docs = Engine.table(s, d, "documents")
         .select(col("doc_id"), col("text"))
       val classes = Seq("head", "middle", "tail")
-      val labeled = TextAnalysis.perplexityBuckets(
-          docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
-        .join(docs, "doc_id")
-        .select(col("doc_id"), col("text"), col("bucket"))
+      // materialize the teacher-labeled slice ONCE (r15, r14 verdict #3 —
+      // the ngram disease): `labeled` re-joined the scored checkpoint
+      // against the documents scan in EVERY consumer — the two training
+      // collects, the score-side filter, and the final bucket join (two
+      // subtrees of one plan; Spark does no DAG-level CSE) each re-ran
+      // the scan+join
+      val labeled = graft.pipeline.Materialize.checkpoint(
+        TextAnalysis.perplexityBuckets(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+          .join(docs, "doc_id")
+          .select(col("doc_id"), col("text"), col("bucket")))
       val (w, p) = graft.pipeline.Classifier.trainLogOddsMulti(
         labeled.filter(col("doc_id") % 4 === 1), "text", "bucket",
         classes, d = 1024)
@@ -1573,17 +1582,24 @@ object PipelineQueries {
       val docs = Engine.table(s, d, "documents")
         .select(col("doc_id"), col("text"))
       val classes = Seq("head", "middle", "tail")
-      val labeled = TextAnalysis.perplexityBuckets(
-          docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
-        .join(docs, "doc_id")
-        .select(col("doc_id"), col("text"), col("bucket"))
+      // same one-materialization rationale as pipe_quality_distill (r15)
+      val labeled = graft.pipeline.Materialize.checkpoint(
+        TextAnalysis.perplexityBuckets(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+          .join(docs, "doc_id")
+          .select(col("doc_id"), col("text"), col("bucket")))
       val train = labeled.filter(col("doc_id") % 4 === 1)
-      val (w, p) = graft.pipeline.Classifier.trainLogOddsMulti(
-        train, "text", "bucket", classes, d = 1024)
+      // ONE featurization pass shared by NB-init and the 5-iteration
+      // softmax loop (r15) — same rationale as classifier_sgd
+      val feats = Materialize.checkpoint(
+        Classifier.featurizeMulti(train, "text", "bucket", d = 1024))
+      val (w, p) = Classifier.trainLogOddsMultiFeats(
+        feats, classes, d = 1024)
       val (wq0, bq0) = graft.pipeline.Classifier.quantizeMulti(w, p)
-      val (wq, bq) = graft.pipeline.Classifier.trainSoftmaxFixed(
-        train, "text", "bucket", classes, wq0, bq0, iters = 5, lr = 0.05)
+      val (wq, bq) = Classifier.trainSoftmaxFixedFeats(
+        feats, classes, wq0, bq0, iters = 5, lr = 0.05)
+      GraftSqlShim.unpersistLocalCheckpoint(feats)
       graft.pipeline.Classifier.scoreMultiFixed(
           labeled.filter(col("doc_id") % 4 === 3), "doc_id", "text",
           classes, wq, bq)
@@ -1699,11 +1715,17 @@ object PipelineQueries {
         (size(filter(split(coalesce(col("text"), lit("")), "\\s+"),
           t => t === "spark")) >= 2).cast("int"))
       val trainDf = labeled.filter(col("doc_id") % 2 === 0)
-      val (w, b) = graft.pipeline.Classifier.trainLogOdds(
-        trainDf, "text", "label", d = 1024)
+      // ONE featurization pass shared by NB-init and the 10-iteration GD
+      // loop (r15): the old chain ran the buckets kernel over the train
+      // half twice (exploded NB counts + the loop's persist). Same
+      // values by construction; released once training is done.
+      val feats = Materialize.checkpoint(
+        Classifier.featurizeBinary(trainDf, "text", "label", d = 1024))
+      val (w, b) = Classifier.trainLogOddsFeats(feats, d = 1024)
       val (wq0, bq0) = graft.pipeline.Classifier.quantize(w, b)
-      val (wqK, bqK) = graft.pipeline.Classifier.trainLogisticFixed(
-        trainDf, "text", "label", wq0, bq0, iters = 10, lr = 0.05)
+      val (wqK, bqK) = Classifier.trainLogisticFixedFeats(
+        feats, wq0, bq0, iters = 10, lr = 0.05)
+      GraftSqlShim.unpersistLocalCheckpoint(feats)
       graft.pipeline.Classifier.scoreFixed(
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
           wqK.toSeq, bqK)
