@@ -453,16 +453,28 @@ object WindowQueries {
       // add a third shuffle)
       val wPeers = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
         .rangeBetween(0, 0)
+      // let-bind each window aggregate ONCE (r15, same duplicate-window-
+      // expression elimination as window_groups_between in r14: Catalyst
+      // does NOT collapse textually repeated window expressions — the
+      // select form evaluated sum-over-wRange and sum-over-wPeers twice
+      // each, 6 exprs in the range Window node; withColumn makes the
+      // reuses attribute refs, 6 → 4). Same algebra, same two sorts.
       Engine.table(s, d, "lineitem")
         .withColumn("day",
           datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date")))
+        .withColumn("cnt_rows", count(qty).over(wRows))
+        .withColumn("sum_rows", sum(qty).over(wRows))
+        .withColumn("cnt_range", count(qty).over(wRange))
+        .withColumn("cnt_peers", count(qty).over(wPeers))
+        .withColumn("sum_range", sum(qty).over(wRange))
+        .withColumn("sum_peers", sum(qty).over(wPeers))
         .select(col("l_orderkey"), col("l_linenumber"),
-          when(count(qty).over(wRows) === 1, lit(null))
-            .otherwise(sum(qty).over(wRows) - qty).as("sum_rows_excl_cur"),
-          when(count(qty).over(wRange) === count(qty).over(wPeers), lit(null))
-            .otherwise(sum(qty).over(wRange) - sum(qty).over(wPeers))
+          when(col("cnt_rows") === 1, lit(null))
+            .otherwise(col("sum_rows") - qty).as("sum_rows_excl_cur"),
+          when(col("cnt_range") === col("cnt_peers"), lit(null))
+            .otherwise(col("sum_range") - col("sum_peers"))
             .as("sum_range_excl_group"),
-          (sum(qty).over(wRange) - sum(qty).over(wPeers) + qty)
+          (col("sum_range") - col("sum_peers") + qty)
             .as("sum_range_excl_ties"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
